@@ -1,0 +1,77 @@
+"""Douglas–Peucker *marking* pass (M4).
+
+Reference: /root/reference/src/simplify.js. Nothing is deleted here: the
+max squared segment distance of each chosen pivot is written into the
+vertex's third slot, and later stages thin by comparing that slot against a
+per-zoom threshold (src/tile.js:96). Endpoints are forced to 1 by the
+caller (src/convert.js:114-116).
+
+The reference recurses; we run an explicit stack. Pivot choice on
+equal-distance ties prefers the candidate closest to the midpoint
+(src/simplify.js:22-31, the issue-#104 degenerate-input guard): the first
+strictly-greater candidate wins, and among subsequent exact ties the one
+nearest the midpoint wins. With vectorized distances that is: first index
+attaining the max, unless later indices tie, in which case the tied index
+(excluding the first) with minimal |i - mid| wins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sq_seg_dist(px, py, ax, ay, bx, by):
+    """Vectorized squared distance from points (px, py) to segment a-b
+    (reference kernel: src/simplify.js:42-65)."""
+    dx = bx - ax
+    dy = by - ay
+    denom = dx * dx + dy * dy
+    if denom != 0.0:
+        t = ((px - ax) * dx + (py - ay) * dy) / denom
+        cx = np.where(t > 1.0, bx, np.where(t > 0.0, ax + dx * t, ax))
+        cy = np.where(t > 1.0, by, np.where(t > 0.0, ay + dy * t, ay))
+    else:
+        cx, cy = ax, ay
+    ex = px - cx
+    ey = py - cy
+    return ex * ex + ey * ey
+
+
+def simplify_mark(v: np.ndarray, sq_tolerance: float) -> None:
+    """Mark DP squared distances in-place on v[:, 2] for interior vertices.
+
+    v: (n, 3) float64 array; operates on the full range [0, n-1] like the
+    reference call simplify(out, 0, last, tolerance) (src/convert.js:115).
+    """
+    n = len(v)
+    if n < 3:
+        return
+    xs = v[:, 0]
+    ys = v[:, 1]
+    stack = [(0, n - 1)]
+    while stack:
+        first, last = stack.pop()
+        if last - first < 2:
+            continue
+        idx = np.arange(first + 1, last)
+        d = _sq_seg_dist(xs[idx], ys[idx], xs[first], ys[first],
+                         xs[last], ys[last])
+        dmax = d.max()
+        if dmax > sq_tolerance:
+            ties = idx[d == dmax]
+            if len(ties) == 1:
+                pivot = int(ties[0])
+            else:
+                # flat-offset midpoint arithmetic matches the reference's
+                # triple-indexed mid (src/simplify.js:6): mid_flat =
+                # 3*first + (3*(last-first))>>1, compared against 3*i
+                mid3 = 3 * first + ((3 * (last - first)) >> 1)
+                rest = ties[1:]
+                pivot = int(rest[np.argmin(np.abs(3 * rest - mid3))])
+            v[pivot, 2] = dmax
+            # push right first so the left interval is processed first,
+            # matching the reference's in-order recursion
+            if last - pivot > 1:
+                stack.append((pivot, last))
+            if pivot - first > 1:
+                stack.append((first, pivot))
