@@ -1,0 +1,301 @@
+"""Distributed pyramid slicing: the Ray Data equivalent of the reference's
+splitTile driver (src/index.js:66-156), BFS by zoom level.
+
+Per level z (SURVEY.md §3.1):
+
+  1. level rows (feature rows keyed (z,x,y)) are persisted to
+     ``levels/z={z}/`` parquet — this is simultaneously the reference's
+     ``tile.source`` retention (index.js:101-102: leaves keep source for
+     drill-down) and the per-level resumable checkpoint (north rule).
+  2. the stopping aggregate (A4, index.js:107): per-batch partial tile
+     sums -> tiny (tile_id, n_points) table -> split/leaf decision.
+     With index_max_points <= 0 every tile with rows splits and the
+     decision set is skipped entirely (the benchmark full-pyramid mode).
+  3. tile build + quantize -> ``tiles/z={z}/`` parquet.
+  4. split stage emits level z+1 rows (broadcast decision via ray.put —
+     one object, read per actor, never re-shipped per batch).
+
+The manifest records every *created* tile (the reference creates all 4
+children of any split tile, even empty ones — index.js:151-154 pushes
+unconditionally — and empty tiles appear in genTiles output with []),
+with status split/leaf/empty, giving getTile its ancestor walk.
+
+Scale note: the split decision currently combines per-batch partials on
+the driver (#distinct tiles per level rows); at z>=12 full-pyramid scale
+this should switch to a Ray groupby + join-back — the stage already
+accepts the decision as an int64 id array, so only the combine changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..config import TileOptions
+from ..kernels.tileid import tile_id, tile_id_vec, wrap_x
+from ..local_index import LocalIndex
+from ..stages.build import BuildTiles
+from ..stages.parse import ParseDocs
+from ..stages.split import SplitLevel, level_counts
+from ..stages.wrap import WrapStage
+
+STATUS_SPLIT = "split"
+STATUS_LEAF = "leaf"
+STATUS_EMPTY = "empty"
+
+
+def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
+                  out_dir: str, *, batch_size: int = 1024,
+                  concurrency=None) -> "TileSet":
+    """Run the full first-pass tiling over a doc-table Dataset.
+
+    Returns a TileSet over ``out_dir``. ``docs`` must have columns
+    (doc_id, seq, spans) per BASELINE.json input_hint.
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    kw = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if concurrency:
+        kw["concurrency"] = concurrency
+
+    ds = docs.map_batches(ParseDocs(options), **kw)
+    ds = ds.map_batches(WrapStage(options), **kw)
+
+    manifest_tiles: dict[int, tuple[int, int, int, str]] = {}
+    level_tiles: list[tuple[int, int, int]] = [(0, 0, 0)]
+    levels_meta = []
+
+    z = 0
+    while True:
+        lvl_dir = os.path.join(out_dir, "levels", f"z={z}")
+        ds.write_parquet(lvl_dir)
+        if not os.path.isdir(lvl_dir) or not os.listdir(lvl_dir):
+            # zero-row level: no tiles created at all (index.js:51)
+            if z == 0:
+                level_tiles = []
+            pdf = pd.DataFrame({"tile_id": [], "n_points": [], "n_rows": []})
+        else:
+            ds = ray.data.read_parquet(lvl_dir)
+            # stopping aggregate: tiny per-batch partials, combined
+            parts = ds.map_batches(level_counts, batch_format="pyarrow",
+                                   batch_size=batch_size)
+            pdf = parts.to_pandas()
+        if len(pdf):
+            counts = pdf.groupby("tile_id", as_index=False).agg(
+                n_points=("n_points", "sum"), n_rows=("n_rows", "sum"))
+        else:
+            counts = pd.DataFrame({"tile_id": [], "n_points": [],
+                                   "n_rows": []})
+        with_rows = set(int(t) for t in counts["tile_id"])
+
+        # split decision (index.js:105-107)
+        if z >= options.index_max_zoom:
+            split_set: set[int] = set()
+        elif options.index_max_points <= 0:
+            split_set = set(with_rows)
+        else:
+            split_set = set(
+                int(t) for t, n in zip(counts["tile_id"], counts["n_points"])
+                if int(n) > options.index_max_points)
+
+        next_tiles: list[tuple[int, int, int]] = []
+        n_leaf = n_split = n_empty = 0
+        for (tz, tx, ty) in level_tiles:
+            tid = tile_id(tz, tx, ty)
+            if tid in split_set:
+                status = STATUS_SPLIT
+                n_split += 1
+                next_tiles.extend([(tz + 1, tx * 2, ty * 2),
+                                   (tz + 1, tx * 2, ty * 2 + 1),
+                                   (tz + 1, tx * 2 + 1, ty * 2),
+                                   (tz + 1, tx * 2 + 1, ty * 2 + 1)])
+            elif tid in with_rows:
+                status = STATUS_LEAF
+                n_leaf += 1
+            else:
+                status = STATUS_EMPTY
+                n_empty += 1
+            manifest_tiles[tid] = (tz, tx, ty, status)
+
+        # build + write this level's tiles
+        tiles_dir = os.path.join(out_dir, "tiles", f"z={z}")
+        if with_rows:
+            ds.map_batches(BuildTiles(options), **kw).write_parquet(tiles_dir)
+
+        levels_meta.append({"z": z, "tiles": len(level_tiles),
+                            "leaf": n_leaf, "split": n_split,
+                            "empty": n_empty,
+                            "rows": int(counts["n_rows"].sum()) if len(counts) else 0,
+                            "points": int(counts["n_points"].sum()) if len(counts) else 0})
+
+        if not split_set:
+            break
+
+        ids_ref = None
+        if options.index_max_points > 0:
+            ids_ref = ray.put(np.fromiter(split_set, dtype=np.int64,
+                                          count=len(split_set)))
+        ds = ds.map_batches(SplitLevel(options, ids_ref), **kw)
+        level_tiles = next_tiles
+        z += 1
+
+    manifest = {
+        "options": options.__dict__.copy() if hasattr(options, "__dict__")
+        else {f: getattr(options, f) for f in (
+            "max_zoom", "index_max_zoom", "index_max_points", "tolerance",
+            "extent", "buffer", "line_metrics", "promote_id", "generate_id")},
+        "levels": levels_meta,
+        "tiles": [[tz, tx, ty, st]
+                  for tz, tx, ty, st in manifest_tiles.values()],
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return TileSet(out_dir, options)
+
+
+class TileSet:
+    """Query surface over a sliced pyramid directory: point tile lookups
+    with the reference's drill-down miss path (src/index.js:158-199), and
+    the genTiles conformance enumeration."""
+
+    def __init__(self, out_dir: str, options: TileOptions | None = None):
+        self.out_dir = out_dir
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        if options is None:
+            o = self.manifest["options"]
+            options = TileOptions(**o)
+        self.options = options
+        self.tiles = {tile_id(tz, tx, ty): (tz, tx, ty, st)
+                      for tz, tx, ty, st in self.manifest["tiles"]}
+        self._cache: dict[int, list] = {}
+
+    # ---- reads -------------------------------------------------------
+    def _read_tile_rows(self, z: int, x: int, y: int) -> pa.Table:
+        import pyarrow.dataset as pads
+        path = os.path.join(self.out_dir, "tiles", f"z={z}")
+        if not os.path.isdir(path):
+            return None
+        dset = pads.dataset(path)
+        flt = (pads.field("x") == x) & (pads.field("y") == y)
+        return dset.to_table(filter=flt)
+
+    def _read_level_rows(self, z: int, x: int, y: int) -> pa.Table:
+        import pyarrow.dataset as pads
+        path = os.path.join(self.out_dir, "levels", f"z={z}")
+        if not os.path.isdir(path):
+            return None
+        dset = pads.dataset(path)
+        flt = (pads.field("x") == x) & (pads.field("y") == y)
+        return dset.to_table(filter=flt)
+
+    # ---- serve -------------------------------------------------------
+    def get_tile(self, z, x, y) -> dict | None:
+        z, x, y = int(z), int(x), int(y)
+        if z < 0 or z > 24:
+            return None
+        x = wrap_x(z, x)
+        tid = tile_id(z, x, y)
+        if tid in self._cache:
+            return {"features": self._cache[tid]}
+
+        if tid in self.tiles:
+            _, _, _, status = self.tiles[tid]
+            if status == STATUS_EMPTY:
+                feats = []
+            else:
+                feats = _format_tile_rows(self._read_tile_rows(z, x, y))
+            self._cache[tid] = feats
+            return {"features": feats}
+
+        # miss: nearest created ancestor, then targeted local drill-down
+        z0, x0, y0 = z, x, y
+        anc = None
+        while anc is None and z0 > 0:
+            z0 -= 1
+            x0 >>= 1
+            y0 >>= 1
+            anc = self.tiles.get(tile_id(z0, x0, y0))
+        if anc is None:
+            return None
+        _, _, _, status = anc
+        if status == STATUS_SPLIT:
+            return None  # children exist; unreachable in practice
+        if status == STATUS_EMPTY:
+            return None  # empty source splits to nothing (index.js:121)
+
+        rows = self._read_level_rows(z0, x0, y0)
+        if rows is None or rows.num_rows == 0:
+            return None
+        feats = _decode_sorted(rows)
+
+        local = LocalIndex.__new__(LocalIndex)
+        local.options = self.options
+        local.tiles = {}
+        local.tile_coords = []
+        local._served = {}
+        local.split_tile(feats, z0, x0, y0, z, x, y)
+        t = local.tiles.get(tid)
+        if t is None:
+            return None
+        from ..local_index import tile_to_json
+        feats_json = tile_to_json(t, self.options.extent)
+        self._cache[tid] = feats_json
+        return {"features": feats_json}
+
+    def gen_tiles(self) -> dict:
+        out = {}
+        for tid, (tz, tx, ty, status) in self.tiles.items():
+            out[f"z{tz}-{tx}-{ty}"] = self.get_tile(tz, tx, ty)["features"]
+        return out
+
+
+def _decode_sorted(rows: pa.Table):
+    from ..arrowio import decode_features
+    import pyarrow.compute as pc
+    order = pc.sort_indices(rows, sort_keys=[("okey", "ascending")])
+    rows = rows.take(order)
+    return decode_features(rows, with_tags=True)
+
+
+def _format_tile_rows(rows: pa.Table | None) -> list:
+    """Tile rows -> reference JSON feature shape, in okey order."""
+    if rows is None or rows.num_rows == 0:
+        return []
+    import pyarrow.compute as pc
+    order = pc.sort_indices(rows, sort_keys=[("okey", "ascending")])
+    rows = rows.take(order)
+
+    ring_lens_col = rows.column("ring_lens")
+    xy_col = rows.column("xy")
+    types = rows.column("type").to_pylist()
+    tags = rows.column("tags_json").to_pylist()
+    fids = rows.column("fid_json").to_pylist()
+
+    out = []
+    for i in range(rows.num_rows):
+        lens = ring_lens_col[i].as_py()
+        xy = np.asarray(xy_col[i].values, dtype=np.int64).reshape(-1, 2)
+        t = types[i]
+        if t == 1:
+            geometry = xy.tolist()
+        else:
+            geometry = []
+            off = 0
+            for ln in lens:
+                geometry.append(xy[off:off + ln].tolist())
+                off += ln
+        d = {"geometry": geometry,
+             "type": t,
+             "tags": json.loads(tags[i]) if tags[i] is not None else None}
+        if fids[i] is not None:
+            d["id"] = json.loads(fids[i])
+        out.append(d)
+    return out

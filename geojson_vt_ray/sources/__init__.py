@@ -1,0 +1,2 @@
+from .docs import (doc_table_from_geojson, synthesize_corpus,  # noqa: F401
+                   write_corpus, load_seed_geometries)

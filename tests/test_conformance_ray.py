@@ -1,0 +1,93 @@
+"""Distributed-pipeline conformance: the Ray Data pyramid must emit
+byte-identical tiles to the reference goldens, with span-sequence
+equality on every output row (BASELINE.json input_hint invariant)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from geojson_vt_ray.config import options_from_dict
+from geojson_vt_ray.pipelines.pyramid import slice_pyramid, TileSet
+from geojson_vt_ray.sources.docs import doc_table_from_geojson
+
+CASES = [
+    ("us-states.json", "us-states-tiles.json",
+     {"indexMaxZoom": 7, "indexMaxPoints": 200}),
+    ("dateline.json", "dateline-tiles.json",
+     {"indexMaxZoom": 0, "indexMaxPoints": 10000}),
+    ("dateline.json", "dateline-metrics-tiles.json",
+     {"indexMaxZoom": 0, "indexMaxPoints": 10000, "lineMetrics": True}),
+    ("feature.json", "feature-tiles.json",
+     {"indexMaxZoom": 0, "indexMaxPoints": 10000}),
+    ("collection.json", "collection-tiles.json",
+     {"indexMaxZoom": 0, "indexMaxPoints": 10000}),
+    ("single-geom.json", "single-geom-tiles.json",
+     {"indexMaxZoom": 0, "indexMaxPoints": 10000}),
+    ("ids.json", "ids-promote-id-tiles.json",
+     {"indexMaxZoom": 0, "promoteId": "prop0"}),
+    ("ids.json", "ids-generate-id-tiles.json",
+     {"indexMaxZoom": 0, "generateId": True}),
+]
+
+
+def _slice(ray_session, tmp_path, data, opts):
+    import ray.data as rd
+    docs = rd.from_arrow(doc_table_from_geojson(data))
+    options = options_from_dict(dict({"indexMaxZoom": 0,
+                                      "indexMaxPoints": 10000}, **opts))
+    return slice_pyramid(docs, options, str(tmp_path / "pyr"))
+
+
+@pytest.mark.parametrize("inp,golden,opts", CASES,
+                         ids=[c[1].replace("-tiles.json", "") for c in CASES])
+def test_ray_full_tiling(ray_session, tmp_path, fixtures, inp, golden, opts):
+    ts = _slice(ray_session, tmp_path, fixtures(inp), opts)
+    got = ts.gen_tiles()
+    expected = fixtures(golden)
+    assert set(got) == set(expected)
+    for key in expected:
+        assert got[key] == expected[key], f"tile {key} differs"
+
+
+def test_ray_empty_inputs(ray_session, tmp_path, fixtures):
+    for i, name in enumerate(["empty.json", "feature-null-geometry.json",
+                              "empty-coords.json"]):
+        ts = _slice(ray_session, tmp_path / str(i), fixtures(name), {})
+        assert ts.gen_tiles() == {}
+
+
+def test_ray_drill_down_us_states(ray_session, tmp_path, fixtures):
+    ts = _slice(ray_session, tmp_path, fixtures("us-states.json"),
+                {"indexMaxZoom": 5, "indexMaxPoints": 100000})
+    assert ts.get_tile(7, 37, 48)["features"] == \
+        fixtures("us-states-z7-37-48.json")
+    square = [{
+        "geometry": [[[-64, 4160], [-64, -64], [4160, -64], [4160, 4160],
+                      [-64, 4160]]],
+        "type": 3,
+        "tags": {"name": "Pennsylvania", "density": 284.3},
+        "id": "42"}]
+    assert ts.get_tile(9, 148, 192)["features"] == square
+    assert ts.get_tile(11, 800, 400) is None
+    assert ts.get_tile(-5, 123, 400) is None
+    assert ts.get_tile(25, 200, 200) is None
+
+
+def test_span_sequence_equality(ray_session, tmp_path, fixtures):
+    """Every tile row must carry its document's span sequence verbatim."""
+    import pyarrow.dataset as pads
+    data = fixtures("us-states.json")
+    docs = doc_table_from_geojson(data)
+    ts = _slice(ray_session, tmp_path, data,
+                {"indexMaxZoom": 7, "indexMaxPoints": 200})
+
+    want = {d: s for d, s in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("spans").to_pylist())}
+    tiles = pads.dataset(str(tmp_path / "pyr" / "tiles")).to_table(
+        columns=["doc_id", "spans"])
+    got_docs = tiles.column("doc_id").to_pylist()
+    got_spans = tiles.column("spans").to_pylist()
+    assert len(got_docs) > 0
+    for d, s in zip(got_docs, got_spans):
+        assert s == want[d], f"span sequence mutated for {d}"
