@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (build brief): image/audio/video as opaque
+binary/media_ref columns with typed metadata, processed by actor-pool
+map_batches stages.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the decode kernels are STUBS behind ``decoder=`` injection: the
+default DeterministicFakeDecoder synthesizes stable pixel/sample
+metadata from the media_ref hash, so the Ray-side plumbing — schema,
+batch sizing, actor lifecycle, output layout — is real and tested, and
+a real decoder drops in without touching the pipeline. A strict decoder
+raising NotImplementedError is provided for production wiring."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_META_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_channels", pa.int8()),
+    ("feature", pa.list_(pa.float32())),
+])
+
+
+class RealDecoderUnavailable:
+    """Wire point for a real image decoder (PIL.Image.open etc.)."""
+
+    def decode(self, media_ref: str, payload: bytes | None):
+        raise NotImplementedError(
+            "image decode requires PIL/libvips, not present in this "
+            "environment; inject a decoder with decode(media_ref, bytes) "
+            "-> (ndarray HxWxC)")
+
+
+class DeterministicFakeDecoder:
+    """Seed-stable stand-in: dimensions and a 16-dim 'feature' derived
+    from the media_ref digest. Keeps tests/pipelines deterministic."""
+
+    def decode(self, media_ref: str, payload: bytes | None):
+        h = hashlib.sha256(media_ref.encode()).digest()
+        w = 64 + h[0] % 192
+        hh = 64 + h[1] % 192
+        rng = np.random.default_rng(int.from_bytes(h[2:6], "big"))
+        img = rng.integers(0, 256, (hh, w, 3), dtype=np.uint8)
+        return img
+
+
+class MediaFeatures:
+    """Actor-pool stage: decode (stub) + feature-extract media spans.
+
+    Input: doc table (doc_id, spans). Output: one row per media span
+    with typed metadata + a small feature vector (channel-mean style).
+    Use map_batches(MediaFeatures, concurrency=N, batch_size=small) —
+    large binary payloads need small batches (build brief)."""
+
+    def __init__(self, decoder=None):
+        self.decoder = decoder or DeterministicFakeDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        offs = spans.offsets.to_numpy(zero_copy_only=False)
+        flat = spans.values
+        kinds = flat.field("kind").to_pylist()
+        refs = flat.field("media_ref").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+
+        o_doc, o_ref, o_w, o_h, o_c, o_feat = [], [], [], [], [], []
+        rows_of = np.searchsorted(offs, np.arange(len(kinds)),
+                                  side="right") - 1
+        for pos, (kind, ref) in enumerate(zip(kinds, refs)):
+            row = int(rows_of[pos])
+            if kind != "image" or not ref:
+                continue
+            img = self.decoder.decode(ref, None)
+            o_doc.append(doc_ids[row])
+            o_ref.append(ref)
+            o_h.append(img.shape[0])
+            o_w.append(img.shape[1])
+            o_c.append(img.shape[2])
+            # toy feature: per-channel mean + 13 histogram bins
+            means = img.mean(axis=(0, 1))
+            hist, _ = np.histogram(img[..., 0], bins=13, range=(0, 256))
+            feat = np.concatenate([means, hist / hist.sum()]).astype(np.float32)
+            o_feat.append(feat.tolist())
+        return pa.table({
+            "doc_id": pa.array(o_doc, pa.string()),
+            "media_ref": pa.array(o_ref, pa.string()),
+            "width": pa.array(o_w, pa.int32()),
+            "height": pa.array(o_h, pa.int32()),
+            "n_channels": pa.array(o_c, pa.int8()),
+            "feature": pa.array(o_feat, pa.list_(pa.float32())),
+        })
+
+
+class FrameSampler:
+    """Video frame-sampling stage shape: emits every Nth synthetic frame
+    index per media span (decode stubbed the same way)."""
+
+    def __init__(self, every_n: int = 30, decoder=None):
+        self.every_n = every_n
+        self.decoder = decoder or DeterministicFakeDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        o_ref, o_frame = [], []
+        for ref in refs:
+            h = hashlib.sha256(ref.encode()).digest()
+            n_frames = 30 + h[7] % 270
+            for fi in range(0, n_frames, self.every_n):
+                o_ref.append(ref)
+                o_frame.append(fi)
+        return pa.table({"media_ref": pa.array(o_ref, pa.string()),
+                         "frame_idx": pa.array(o_frame, pa.int32())})

@@ -1,0 +1,202 @@
+"""Spatial index + join operators (SURVEY.md §2.4, north rule).
+
+No h3/s2 native libs exist in this environment, so the cell scheme is
+the engine's own web-mercator quadtree: cell = tile_id(level, ix, iy)
+with ix/iy = floor(world_coord * 2^level) clamped — the same id space as
+the tile pyramid, which makes raster<->vector overlay a plain equi-join
+on the cell key. All kernels are vectorized numpy over Arrow batches.
+
+Join strategies:
+- small side (dimension-sized polygons / query points / raster tiles):
+  broadcast via ray.put once, lookup inside map_batches — no shuffle.
+- both sides large: Dataset.join (hash shuffle, available in this Ray)
+  on the cell key; skew handling = salt hot cells (documented per call).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.project import project_x, project_y
+from ..kernels.tileid import tile_id_vec
+
+
+# ---------------------------------------------------------------- cells
+def cell_ids(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Quad-cell assignment at a zoom level (vectorized M1 + floor)."""
+    x = project_x(lon)
+    y = project_y(lat)
+    n = 1 << level
+    ix = np.clip(np.floor(x * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor(y * n), 0, n - 1).astype(np.int64)
+    return tile_id_vec(np.full(len(ix), level, dtype=np.int64), ix, iy)
+
+
+class AssignCells:
+    """map_batches stage: adds cell_id (+ ix/iy) from lon/lat columns."""
+
+    def __init__(self, level: int, lon_col: str = "lon", lat_col: str = "lat"):
+        self.level = level
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        x = project_x(lon)
+        y = project_y(lat)
+        n = 1 << self.level
+        ix = np.clip(np.floor(x * n), 0, n - 1).astype(np.int64)
+        iy = np.clip(np.floor(y * n), 0, n - 1).astype(np.int64)
+        cid = tile_id_vec(np.full(len(ix), self.level, dtype=np.int64), ix, iy)
+        batch = batch.append_column("cell_x", pa.array(ix))
+        batch = batch.append_column("cell_y", pa.array(iy))
+        return batch.append_column("cell_id", pa.array(cid))
+
+
+# ------------------------------------------------------------------ PIP
+def points_in_ring(px: np.ndarray, py: np.ndarray,
+                   ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray casting, all points against one ring at once.
+    ring: (m, 2) closed or open (implicitly closed)."""
+    inside = np.zeros(len(px), dtype=bool)
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    for j in range(len(ring)):
+        a, b, c, d = x1[j], y1[j], x2[j], y2[j]
+        cond = (b > py) != (d > py)
+        if cond.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = (c - a) * (py - b) / (d - b) + a
+            inside ^= cond & (px < xs)
+    return inside
+
+
+def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """Polygon with holes: XOR of rings (even-odd rule)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for r in rings:
+        inside ^= points_in_ring(px, py, r)
+    return inside
+
+
+class PIPJoin:
+    """Broadcast point-in-polygon join stage.
+
+    ``polygons``: list of dicts {key, rings: [(m,2) lon/lat arrays],
+    minx, miny, maxx, maxy} — broadcast once via ray.put and fetched in
+    __init__ (once per actor, never per batch). Emits one output row per
+    (point, containing polygon)."""
+
+    def __init__(self, polygons_ref, lon_col: str = "lon",
+                 lat_col: str = "lat", key_col: str = "poly_key",
+                 keep_cols: tuple[str, ...] = ()):
+        import ray
+        self.polygons = (ray.get(polygons_ref)
+                         if isinstance(polygons_ref, ray.ObjectRef)
+                         else polygons_ref)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.key_col = key_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        py = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        out_idx = []
+        out_key = []
+        for poly in self.polygons:
+            # bbox prefilter (vectorized trivial reject)
+            m = ((px >= poly["minx"]) & (px <= poly["maxx"]) &
+                 (py >= poly["miny"]) & (py <= poly["maxy"]))
+            cand = np.flatnonzero(m)
+            if len(cand) == 0:
+                continue
+            hit = points_in_polygon(px[cand], py[cand], poly["rings"])
+            hits = cand[hit]
+            out_idx.append(hits)
+            out_key.extend([poly["key"]] * len(hits))
+        if out_idx:
+            idx = np.concatenate(out_idx)
+        else:
+            idx = np.empty(0, dtype=np.int64)
+        taken = batch.take(pa.array(idx))
+        cols = {c: taken.column(c) for c in
+                (self.keep_cols or batch.column_names)}
+        cols[self.key_col] = pa.array(out_key)
+        return pa.table(cols)
+
+
+def polygons_from_features(features) -> list[dict]:
+    """Projected-feature list -> broadcastable polygon records (rings in
+    raw lon/lat NOT required: caller chooses coordinate space; here the
+    rings are whatever space the caller built them in)."""
+    out = []
+    for i, f in enumerate(features):
+        rings = [ln.v[:, 0:2] for ln in f.lines()]
+        out.append({"key": f.fid if f.fid is not None else i,
+                    "rings": rings, "minx": f.minx, "miny": f.miny,
+                    "maxx": f.maxx, "maxy": f.maxy})
+    return out
+
+
+# ------------------------------------------------------------------ kNN
+class KNNPartial:
+    """Per-batch brute-force top-k against a broadcast query matrix.
+
+    Emits (query_id, point_id, dist2) partial top-k rows; the driver (or
+    a tiny follow-up groupby) merges partials — classic scalable top-k:
+    shuffle size is O(batches * queries * k), never O(points)."""
+
+    def __init__(self, queries_ref, k: int, lon_col: str = "lon",
+                 lat_col: str = "lat", id_col: str = "event_id"):
+        import ray
+        q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
+             else queries_ref)
+        self.qid = np.asarray([r[0] for r in q])
+        self.qx = np.asarray([r[1] for r in q], dtype=np.float64)
+        self.qy = np.asarray([r[2] for r in q], dtype=np.float64)
+        self.k = k
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        py = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        pid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        o_q, o_p, o_d = [], [], []
+        for qi in range(len(self.qid)):
+            d2 = (px - self.qx[qi]) ** 2 + (py - self.qy[qi]) ** 2
+            k = min(self.k, len(d2))
+            if k == 0:
+                continue
+            # partial top-k with (dist2, id) tie-break
+            part = np.lexsort((pid, d2))[:k]
+            o_q.extend([self.qid[qi]] * k)
+            o_p.extend(pid[part])
+            o_d.extend(d2[part])
+        return pa.table({
+            "query_id": pa.array(o_q, pa.int64()),
+            "point_id": pa.array(o_p, pa.int64()),
+            "dist2": pa.array(o_d, pa.float64()),
+        })
+
+
+def knn_merge(partials: pa.Table, k: int) -> pa.Table:
+    """Merge partial top-k rows to final (query_id, point_id, rnk)."""
+    import pandas as pd
+    df = partials.to_pandas()
+    if not len(df):
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "point_id": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64())})
+    df = df.sort_values(["query_id", "dist2", "point_id"],
+                        kind="mergesort")
+    df["rnk"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rnk"] <= k]
+    return pa.Table.from_pandas(df[["query_id", "point_id", "rnk"]],
+                                preserve_index=False)

@@ -1,0 +1,634 @@
+"""Named queries over /root/testdata tables + synthesized doc corpora.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table /
+pandas DataFrame. Where an ANSI-SQL oracle exists it lives in
+ORACLE_SQL under the same key with IDENTICAL column names; derived
+point coordinates use integer-mod + exact-decimal arithmetic so the
+float sequence is bit-identical between numpy and DuckDB.
+
+Spatial queries derive deterministic lon/lat from event_id:
+    lon = (event_id % 3600)/10 - 180      lat = (event_id % 1600)/10 - 80
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.spatial import (AssignCells, KNNPartial, PIPJoin, knn_merge)
+from ..functions import dedup as F_dedup
+from ..functions import similarity as F_sim
+from ..functions import text as F_text
+from ..functions.multimodal import MediaFeatures
+from ..sources.docs import synthesize_corpus
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _events_points(sf_dir: str):
+    """events + derived lon/lat columns (bit-exact vs the SQL formulas)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+
+    def add_coords(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon = (ev % 3600).astype(np.float64) / 10.0 - 180.0
+        lat = (ev % 1600).astype(np.float64) / 10.0 - 80.0
+        b = b.append_column("lon", pa.array(lon))
+        return b.append_column("lat", pa.array(lat))
+
+    return ds.map_batches(add_coords, batch_format="pyarrow")
+
+_SQL_POINTS = ("SELECT *, CAST(event_id % 3600 AS DOUBLE)/10.0 - 180.0 AS lon, "
+               "CAST(event_id % 1600 AS DOUBLE)/10.0 - 80.0 AS lat FROM events")
+
+# projectY in SQL, clamped like convert.js:138
+_SQL_MERC_Y = ("LEAST(GREATEST(0.5 - 0.25*ln((1+sin(radians(lat)))/"
+               "(1-sin(radians(lat))))/pi(), 0.0), 1.0)")
+_SQL_MERC_X = "(lon/360.0 + 0.5)"
+
+
+def _sql_cell(level: int) -> str:
+    n = 1 << level
+    ix = f"CAST(LEAST(GREATEST(floor({_SQL_MERC_X} * {n}), 0), {n - 1}) AS BIGINT)"
+    iy = f"CAST(LEAST(GREATEST(floor({_SQL_MERC_Y} * {n}), 0), {n - 1}) AS BIGINT)"
+    return ix, iy
+
+
+# ------------------------------------------------------------- spatial
+def q_tile_assign(sf_dir: str):
+    """Per-event quad-cell assignment at z=10 (S3/M1 as a relational op)."""
+    ds = _events_points(sf_dir).map_batches(AssignCells(10),
+                                            batch_format="pyarrow")
+    return ds.select_columns(["event_id", "cell_x", "cell_y", "cell_id"])
+
+
+def _sql_tile_assign():
+    ix, iy = _sql_cell(10)
+    return (f"SELECT event_id, {ix} AS cell_x, {iy} AS cell_y, "
+            f"(((1::BIGINT << 10) * {iy} + {ix}) * 32) + 10 AS cell_id "
+            f"FROM ({_SQL_POINTS})")
+
+
+def q_cell_count(sf_dir: str):
+    """Events per z=6 cell — partial-aggregate-then-small-groupby shape."""
+    from ray.data.aggregate import Sum
+    ds = _events_points(sf_dir).map_batches(AssignCells(6),
+                                            batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cid = b.column("cell_id").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(cid, return_counts=True)
+        return pa.table({"cell_id": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell_id").aggregate(Sum("n", alias_name="n")))
+
+
+def _sql_cell_count():
+    ix, iy = _sql_cell(6)
+    return (f"SELECT (((1::BIGINT << 6) * {iy} + {ix}) * 32) + 6 AS cell_id, "
+            f"COUNT(*) AS n FROM ({_SQL_POINTS}) GROUP BY 1")
+
+
+def _nation_rects(con=None, sf_dir: str | None = None):
+    """25 deterministic rectangles derived from nation keys (PIP oracle
+    side; the Ray side treats them as real polygons via ray casting)."""
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey"])
+    keys = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    polys = []
+    for k in keys:
+        cx = float(k) * 14.0 - 168.0
+        cy = float(k) * 6.0 - 72.0
+        x0, x1 = cx - 8.05, cx + 8.05
+        y0, y1 = cy - 5.05, cy + 5.05
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        polys.append({"key": int(k), "rings": [ring], "minx": x0,
+                      "miny": y0, "maxx": x1, "maxy": y1})
+    return polys
+
+
+def q_pip_rect(sf_dir: str):
+    """Point-in-polygon join: event points vs nation-derived polygons.
+    Broadcast small side (ray.put) + exact ray-casting kernel."""
+    import ray
+    polys_ref = ray.put(_nation_rects(sf_dir=sf_dir))
+    ds = _events_points(sf_dir).map_batches(
+        PIPJoin(polys_ref, key_col="n_nationkey",
+                keep_cols=("event_id",)),
+        batch_format="pyarrow")
+    return ds.select_columns(["event_id", "n_nationkey"])
+
+
+_SQL_PIP = (
+    "SELECT p.event_id, n.n_nationkey FROM (" + _SQL_POINTS + ") p "
+    "JOIN nation n ON p.lon BETWEEN (n.n_nationkey*14.0 - 168.0) - 8.05 "
+    "AND (n.n_nationkey*14.0 - 168.0) + 8.05 "
+    "AND p.lat BETWEEN (n.n_nationkey*6.0 - 72.0) - 5.05 "
+    "AND (n.n_nationkey*6.0 - 72.0) + 5.05")
+
+
+def q_knn(sf_dir: str):
+    """Top-3 nearest events per region-derived query point: broadcast
+    queries, per-batch partial top-k, tiny merge."""
+    import ray
+    import pyarrow.parquet as pq
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+    queries = [(int(k), float(k) * 30.0 - 60.0, float(k) * 15.0 - 30.0)
+               for k in reg.column("r_regionkey").to_numpy(zero_copy_only=False)]
+    qref = ray.put(queries)
+    partials = _events_points(sf_dir).map_batches(
+        KNNPartial(qref, k=3, id_col="event_id"), batch_format="pyarrow")
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    merged = knn_merge(pa.concat_tables(tables), 3)
+    return merged
+
+
+_SQL_KNN = (
+    "SELECT query_id, point_id, rnk FROM ("
+    " SELECT r.r_regionkey AS query_id, p.event_id AS point_id,"
+    "  ROW_NUMBER() OVER (PARTITION BY r.r_regionkey ORDER BY"
+    "   (p.lon - (r.r_regionkey*30.0 - 60.0))*(p.lon - (r.r_regionkey*30.0 - 60.0))"
+    "   + (p.lat - (r.r_regionkey*15.0 - 30.0))*(p.lat - (r.r_regionkey*15.0 - 30.0)),"
+    "   p.event_id) AS rnk"
+    " FROM (" + _SQL_POINTS + ") p CROSS JOIN region r) WHERE rnk <= 3")
+
+
+def q_raster_overlay(sf_dir: str):
+    """Raster<->vector overlay as an equi-join on the tile key: part-
+    derived raster tiles (z=6 grid) joined to event points' cells."""
+    import ray
+    import pyarrow.parquet as pq
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    raster: dict = {}
+    for k, price in zip(pk, part.column("p_retailprice").to_numpy(zero_copy_only=False)):
+        cell = (int(k) % 64, 3 + int(k) % 57)
+        raster.setdefault(cell, []).append((int(k), float(price)))
+    rref = ray.put(raster)
+
+    class Overlay:
+        def __init__(self):
+            self.raster = ray.get(rref) if isinstance(rref, ray.ObjectRef) else rref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cx = b.column("cell_x").to_numpy(zero_copy_only=False)
+            cy = b.column("cell_y").to_numpy(zero_copy_only=False)
+            ev = b.column("event_id").to_numpy(zero_copy_only=False)
+            o_ev, o_k, o_p = [], [], []
+            for i in range(len(cx)):
+                for key, price in self.raster.get(
+                        (int(cx[i]), int(cy[i])), ()):
+                    o_ev.append(int(ev[i]))
+                    o_k.append(key)
+                    o_p.append(price)
+            return pa.table({"event_id": pa.array(o_ev, pa.int64()),
+                             "p_partkey": pa.array(o_k, pa.int64()),
+                             "p_retailprice": pa.array(o_p, pa.float64())})
+
+    ds = _events_points(sf_dir).map_batches(AssignCells(6),
+                                            batch_format="pyarrow")
+    return ds.map_batches(Overlay, batch_format="pyarrow", concurrency=2)
+
+
+def _sql_raster_overlay():
+    ix, iy = _sql_cell(6)
+    return (f"SELECT p.event_id, r.p_partkey, r.p_retailprice FROM "
+            f"(SELECT event_id, {ix} AS cx, {iy} AS cy FROM ({_SQL_POINTS})) p "
+            f"JOIN (SELECT p_partkey, p_retailprice, p_partkey % 64 AS rx, "
+            f"3 + p_partkey % 57 AS ry FROM part) r "
+            f"ON p.cx = r.rx AND p.cy = r.ry")
+
+
+# ----------------------------------------------------------- relational
+def q_agg_lineitem(sf_dir: str):
+    from ray.data.aggregate import Sum, Count
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("revenue", rev)
+
+    out = (ds.map_batches(revenue, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("revenue", alias_name="sum_rev"),
+                      Count(alias_name="n")))
+    return out
+
+
+_SQL_AGG_LINEITEM = (
+    "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+    "SUM(l_extendedprice * (1.0 - l_discount)) AS sum_rev, "
+    "COUNT(*) AS n FROM lineitem GROUP BY 1, 2")
+
+
+def q_top_revenue(sf_dir: str):
+    """Top-10 orders by revenue: partial per-batch combine then a small
+    groupby + sort + limit."""
+    from ray.data.aggregate import Sum
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = (b.column("l_extendedprice").to_numpy(zero_copy_only=False) *
+               (1.0 - b.column("l_discount").to_numpy(zero_copy_only=False)))
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uniq),
+                         "revenue": pa.array(sums)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("revenue",
+                                               alias_name="revenue")))
+    top = agg.sort(["revenue", "l_orderkey"],
+                   descending=[True, False]).limit(10)
+    return top
+
+
+_SQL_TOP_REVENUE = (
+    "SELECT l_orderkey, SUM(l_extendedprice * (1.0 - l_discount)) AS revenue "
+    "FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10")
+
+
+def q_join_broadcast(sf_dir: str):
+    """Broadcast hash join: orders x customer dimension -> per-segment
+    counts. Small side shipped once via ray.put."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum, Count
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    lut = dict(zip(cust.column("c_custkey").to_pylist(),
+                   cust.column("c_mktsegment").to_pylist()))
+    lref = ray.put(lut)
+
+    class Lookup:
+        def __init__(self):
+            self.lut = ray.get(lref) if isinstance(lref, ray.ObjectRef) else lref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("o_custkey").to_pylist()
+            seg = [self.lut.get(k) for k in keys]
+            return b.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+    return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+            .groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n"),
+                       Sum("o_totalprice", alias_name="total")))
+
+
+_SQL_JOIN_BROADCAST = (
+    "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS total "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY 1")
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1h window aggregate per user (streaming-shaped op on the
+    ordered log; SURVEY §2.8)."""
+    from ray.data.aggregate import Sum, Count
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000  # µs -> hour bucket
+        return b.append_column("hour", pa.array(hour))
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby(["user_id", "hour"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value", alias_name="sum_value")))
+
+
+_SQL_WINDOW = (
+    "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour, "
+    "COUNT(*) AS n, SUM(value) AS sum_value FROM events GROUP BY 1, 2")
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the latest order of the same key
+    at or before its timestamp (custom operator: broadcast sorted order
+    log + vectorized searchsorted per batch)."""
+    import ray
+    import pyarrow.parquet as pq
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    odf = orders.to_pandas().sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"])
+    by_key = {k: (g["o_orderdate"].values.astype("datetime64[us]").astype(np.int64),
+                  g["o_orderkey"].values)
+              for k, g in odf.groupby("o_custkey")}
+    bref = ray.put(by_key)
+
+    class AsOf:
+        def __init__(self):
+            self.by_key = (ray.get(bref) if isinstance(bref, ray.ObjectRef)
+                           else bref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ev = b.column("event_id").to_numpy(zero_copy_only=False)
+            uid = b.column("user_id").to_numpy(zero_copy_only=False)
+            ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            o_ev, o_ord = [], []
+            for i in range(len(ev)):
+                g = self.by_key.get(int(uid[i]))
+                if g is None:
+                    continue
+                dates, keys = g
+                pos = np.searchsorted(dates, ts[i], side="right") - 1
+                if pos >= 0:
+                    o_ev.append(int(ev[i]))
+                    o_ord.append(int(keys[pos]))
+            return pa.table({"event_id": pa.array(o_ev, pa.int64()),
+                             "o_orderkey": pa.array(o_ord, pa.int64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    return ds.map_batches(AsOf, batch_format="pyarrow", concurrency=2)
+
+
+_SQL_ASOF = (
+    "SELECT e.event_id, o.o_orderkey FROM events e JOIN ("
+    " SELECT event_id AS eid, (SELECT o_orderkey FROM orders o"
+    "  WHERE o.o_custkey = e2.user_id AND o.o_orderdate <= e2.ts"
+    "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey"
+    " FROM events e2) o ON e.event_id = o.eid WHERE o.o_orderkey IS NOT NULL")
+
+
+# ------------------------------------------------------ text + dedup
+def q_dedup_exact(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return F_dedup.exact_dedup(ds, id_col="doc_id")
+
+
+_SQL_DEDUP_EXACT = ("SELECT md5(text) AS content_hash, "
+                    "MIN(doc_id) AS keeper_id FROM documents GROUP BY 1")
+
+
+def q_token_counts(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.map_batches(F_text.token_counts, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_tokens_ws", "n_tokens_re"]))
+
+
+_SQL_TOKEN_COUNTS = (
+    "SELECT doc_id, "
+    "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws, "
+    "CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    " AS BIGINT) AS n_tokens_re FROM documents")
+
+
+def q_quality(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def ints_only(b: pa.Table) -> pa.Table:
+        b = F_text.quality_features(b)
+        texts = b.column("text").to_pylist()
+        n_punct = [sum(1 for c in t if not c.isalnum() and not c.isspace())
+                   for t in texts]
+        b = b.append_column("n_punct", pa.array(np.asarray(n_punct, np.int64)))
+        return b.select(["doc_id", "n_words", "n_punct"])
+
+    return ds.map_batches(ints_only, batch_format="pyarrow")
+
+
+_SQL_QUALITY = (
+    "SELECT doc_id, "
+    "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+    "CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)"
+    " AS n_punct FROM documents")
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+_SQL_LANG_COUNTS = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1"
+
+
+def q_ngram_jaccard_adj(sf_dir: str):
+    """Character-set Jaccard between doc i and doc i+1 (DuckDB jaccard()
+    semantics: distinct-character sets)."""
+    import ray
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    # neighbor text lookup broadcast (pairs are (i, i+1))
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    tref = ray.put(texts)
+
+    class AdjJaccard:
+        def __init__(self):
+            self.texts = (ray.get(tref) if isinstance(tref, ray.ObjectRef)
+                          else tref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            txt = b.column("text").to_pylist()
+            o_id, o_j = [], []
+            for i, t in zip(ids, txt):
+                nxt = self.texts.get(int(i) + 1)
+                if nxt is None:
+                    continue
+                sa, sb = set(t), set(nxt)
+                o_id.append(int(i))
+                union = len(sa | sb)
+                o_j.append(len(sa & sb) / union if union else 1.0)
+            return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                             "jacc": pa.array(o_j, pa.float64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(AdjJaccard, batch_format="pyarrow", concurrency=2)
+
+
+_SQL_NGRAM_JACCARD = (
+    "SELECT a.doc_id, jaccard(a.text, b.text) AS jacc "
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1")
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.map_batches(F_dedup.SimHashStage(), batch_format="pyarrow",
+                           concurrency=2)
+            .select_columns(["doc_id", "simhash"]))
+
+
+def q_langid(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.map_batches(F_text.LangId, batch_format="pandas",
+                           concurrency=2)
+            .select_columns(["doc_id", "pred_lang"]))
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.map_batches(F_text.rolling_fingerprint,
+                           batch_format="pyarrow")
+            .select_columns(["doc_id", "fingerprint"]))
+
+
+# --------------------------------------------------------- similarity
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<5."""
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    vals = emb.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False)
+    dim = len(vals) // len(ids)
+    mat = vals.reshape(-1, dim)
+    qmask = ids < 5
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return F_sim.ann_cosine_topk(ds, mat[qmask], ids[qmask], k=5)
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs vs a reference sample (vec_id<50)."""
+    import ray
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    vals = emb.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False)
+    mat = vals.reshape(len(ids), -1).astype(np.float64)
+    ref_mask = ids < 50
+    rref = ray.put(mat[ref_mask])
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        F_dedup.CosineNearDup(rref, ids[ref_mask], threshold=0.9),
+        batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------- multimodal
+def q_media_features(sf_dir: str):
+    """Media decode/feature plumbing over a synthesized interleaved doc
+    corpus (decode stubbed deterministically — see multimodal.py)."""
+    import ray.data as rd
+    n = {"0.001": 100, "0.01": 400}.get(_sf_of(sf_dir), 400)
+    docs = rd.from_arrow(synthesize_corpus(n))
+    out = docs.map_batches(MediaFeatures, batch_format="pyarrow",
+                           concurrency=2, batch_size=64)
+    return out.select_columns(["doc_id", "media_ref", "width", "height",
+                               "n_channels"])
+
+
+def _sf_of(sf_dir: str) -> str:
+    import re
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    return m.group(1) if m else ""
+
+
+# ------------------------------------------------------------- pyramid
+def q_pyramid_tiles(sf_dir: str):
+    """Flagship: slice a synthesized corpus through the quadtree pyramid;
+    returns per-tile feature counts (golden-level conformance is pinned
+    by tests/, not SQL-expressible)."""
+    import tempfile
+    import ray.data as rd
+    from ..config import TileOptions
+    from .pyramid import slice_pyramid
+    n = {"0.001": 60, "0.01": 200}.get(_sf_of(sf_dir), 200)
+    docs = rd.from_arrow(synthesize_corpus(n))
+    opts = TileOptions(max_zoom=14, index_max_zoom=4, index_max_points=2000)
+    with tempfile.TemporaryDirectory() as td:
+        ts = slice_pyramid(docs, opts, td, batch_size=256)
+        import pyarrow.dataset as pads
+        import os
+        tiles_dir = os.path.join(td, "tiles")
+        if not os.path.isdir(tiles_dir):
+            return pa.table({"z": [], "x": [], "y": [], "n_features": []})
+        t = pads.dataset(tiles_dir).to_table(columns=["z", "x", "y"])
+        df = t.to_pandas().groupby(["z", "x", "y"], as_index=False).size()
+        df = df.rename(columns={"size": "n_features"}).sort_values(
+            ["z", "x", "y"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "cell_count": q_cell_count,
+    "pip_rect": q_pip_rect,
+    "knn": q_knn,
+    "raster_overlay": q_raster_overlay,
+    "agg_lineitem": q_agg_lineitem,
+    "top_revenue": q_top_revenue,
+    "join_broadcast": q_join_broadcast,
+    "window_events": q_window_events,
+    "asof_join": q_asof_join,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "lang_counts": q_lang_counts,
+    "ngram_jaccard_adj": q_ngram_jaccard_adj,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "embed_neardup": q_embed_neardup,
+    "media_features": q_media_features,
+    "pyramid_tiles": q_pyramid_tiles,
+}
+
+ORACLE_SQL = {
+    "tile_assign": _sql_tile_assign(),
+    "cell_count": _sql_cell_count(),
+    "pip_rect": _SQL_PIP,
+    "knn": _SQL_KNN,
+    "raster_overlay": _sql_raster_overlay(),
+    "agg_lineitem": _SQL_AGG_LINEITEM,
+    "top_revenue": _SQL_TOP_REVENUE,
+    "join_broadcast": _SQL_JOIN_BROADCAST,
+    "window_events": _SQL_WINDOW,
+    "asof_join": _SQL_ASOF,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "token_counts": _SQL_TOKEN_COUNTS,
+    "quality": _SQL_QUALITY,
+    "lang_counts": _SQL_LANG_COUNTS,
+    "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
+    # minhash_pairs / simhash / langid / fingerprint / ann_topk /
+    # embed_neardup / media_features / pyramid_tiles: not SQL-expressible
+    # (stateful hashing / model scoring / tiling) -> rows-only checks
+}
