@@ -41,6 +41,7 @@ from ..config import TileOptions
 from ..kernels.tileid import tile_id, tile_id_vec, wrap_x
 from ..local_index import LocalIndex
 from ..stages.build import BuildTiles
+from ..stages.fullsplit import FullSplitBuild, tile_coords_partial
 from ..stages.parse import ParseDocs
 from ..stages.split import SplitLevel, level_counts
 from ..stages.wrap import WrapStage
@@ -57,8 +58,17 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
 
     Returns a TileSet over ``out_dir``. ``docs`` must have columns
     (doc_id, seq, spans) per BASELINE.json input_hint.
+
+    With ``index_max_points <= 0`` (the full-split recipe) the stopping
+    aggregate is vacuous, so the whole pyramid runs as ONE barrier-free
+    map_batches pass (stages/fullsplit.py) instead of the per-level loop.
     """
     import ray
+
+    if options.index_max_points <= 0:
+        return _slice_fullsplit(docs, options, out_dir,
+                                batch_size=batch_size,
+                                concurrency=concurrency)
 
     os.makedirs(out_dir, exist_ok=True)
     kw = {"batch_format": "pyarrow", "batch_size": batch_size}
@@ -160,6 +170,81 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     return TileSet(out_dir, options)
 
 
+def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
+                     out_dir: str, *, batch_size: int = 1024,
+                     concurrency=None) -> "TileSet":
+    """Barrier-free full pyramid: parse -> wrap -> FullSplitBuild -> one
+    hive-partitioned write, then a tiny pruned-column aggregate for the
+    manifest."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    kw = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if concurrency:
+        kw["concurrency"] = concurrency
+
+    ds = docs.map_batches(ParseDocs(options), **kw)
+    ds = ds.map_batches(WrapStage(options), **kw)
+    ds = ds.map_batches(FullSplitBuild(options), **kw)
+    comb = os.path.join(out_dir, "combined")
+    ds.write_parquet(comb, partition_cols=["okind", "z"])
+
+    nonempty: dict[int, dict[tuple[int, int], int]] = {}
+    if os.path.isdir(comb) and os.listdir(comb):
+        cds = ray.data.read_parquet(comb, columns=["okind", "z", "x", "y"])
+        pdf = cds.map_batches(tile_coords_partial, batch_format="pyarrow",
+                              batch_size=max(batch_size, 65536)).to_pandas()
+        if len(pdf):
+            agg = pdf.groupby(["z", "x", "y"], as_index=False)["n_rows"].sum()
+            for tz, tx, ty, nr in agg.itertuples(index=False):
+                nonempty.setdefault(int(tz), {})[(int(tx), int(ty))] = int(nr)
+
+    imz = options.index_max_zoom
+    manifest_tiles: list[list] = []
+    levels_meta = []
+    created = [(0, 0, 0)] if nonempty else []
+    z = 0
+    while created:
+        n_leaf = n_split = n_empty = n_rows = 0
+        nxt: list[tuple[int, int, int]] = []
+        lvl = nonempty.get(z, {})
+        for (tz, tx, ty) in created:
+            nr = lvl.get((tx, ty))
+            if nr is None:
+                status = STATUS_EMPTY
+                n_empty += 1
+            elif tz < imz:
+                status = STATUS_SPLIT
+                n_split += 1
+                n_rows += nr
+                nxt.extend([(tz + 1, tx * 2, ty * 2),
+                            (tz + 1, tx * 2, ty * 2 + 1),
+                            (tz + 1, tx * 2 + 1, ty * 2),
+                            (tz + 1, tx * 2 + 1, ty * 2 + 1)])
+            else:
+                status = STATUS_LEAF
+                n_leaf += 1
+                n_rows += nr
+            manifest_tiles.append([tz, tx, ty, status])
+        levels_meta.append({"z": z, "tiles": len(created), "leaf": n_leaf,
+                            "split": n_split, "empty": n_empty,
+                            "rows": n_rows})
+        created = nxt
+        z += 1
+
+    manifest = {
+        "layout": "combined",
+        "options": {f: getattr(options, f) for f in (
+            "max_zoom", "index_max_zoom", "index_max_points", "tolerance",
+            "extent", "buffer", "line_metrics", "promote_id", "generate_id")},
+        "levels": levels_meta,
+        "tiles": manifest_tiles,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return TileSet(out_dir, options)
+
+
 class TileSet:
     """Query surface over a sliced pyramid directory: point tile lookups
     with the reference's drill-down miss path (src/index.js:158-199), and
@@ -178,7 +263,23 @@ class TileSet:
         self._cache: dict[int, list] = {}
 
     # ---- reads -------------------------------------------------------
+    @property
+    def _combined(self) -> bool:
+        return self.manifest.get("layout") == "combined"
+
+    def _read_combined(self, okind: int, z: int, x: int, y: int):
+        import pyarrow.dataset as pads
+        path = os.path.join(self.out_dir, "combined")
+        if not os.path.isdir(path):
+            return None
+        dset = pads.dataset(path, partitioning="hive")
+        flt = ((pads.field("okind") == okind) & (pads.field("z") == z)
+               & (pads.field("x") == x) & (pads.field("y") == y))
+        return dset.to_table(filter=flt)
+
     def _read_tile_rows(self, z: int, x: int, y: int) -> pa.Table:
+        if self._combined:
+            return self._read_combined(0, z, x, y)
         import pyarrow.dataset as pads
         path = os.path.join(self.out_dir, "tiles", f"z={z}")
         if not os.path.isdir(path):
@@ -188,6 +289,8 @@ class TileSet:
         return dset.to_table(filter=flt)
 
     def _read_level_rows(self, z: int, x: int, y: int) -> pa.Table:
+        if self._combined:
+            return self._read_combined(1, z, x, y)
         import pyarrow.dataset as pads
         path = os.path.join(self.out_dir, "levels", f"z={z}")
         if not os.path.isdir(path):

@@ -74,6 +74,47 @@ def test_ray_drill_down_us_states(ray_session, tmp_path, fixtures):
     assert ts.get_tile(25, 200, 200) is None
 
 
+def test_ray_fullsplit_matches_local(ray_session, tmp_path, fixtures):
+    """index_max_points=0 triggers the barrier-free single-pass path
+    (stages/fullsplit.py); its tiles must be identical to the per-level
+    engine's semantics (LocalIndex, itself golden-pinned)."""
+    from geojson_vt_ray.local_index import LocalIndex
+    data = fixtures("us-states.json")
+    opts = {"indexMaxZoom": 4, "indexMaxPoints": 0}
+    ts = _slice(ray_session, tmp_path, data, opts)
+    assert ts.manifest.get("layout") == "combined"
+    got = ts.gen_tiles()
+    expected = LocalIndex(data, opts).gen_tiles()
+    assert set(got) == set(expected)
+    for key in expected:
+        assert got[key] == expected[key], f"tile {key} differs"
+    # drill-down below index_max_zoom reads retained leaf sources
+    local = LocalIndex(data, opts)
+    for (z, x, y) in [(7, 37, 48), (6, 18, 23)]:
+        want = local.get_tile(z, x, y)
+        have = ts.get_tile(z, x, y)
+        assert (have is None) == (want is None)
+        if want is not None:
+            assert have["features"] == want["features"]
+
+
+def test_fullsplit_span_sequence_equality(ray_session, tmp_path, fixtures):
+    import pyarrow.dataset as pads
+    data = fixtures("us-states.json")
+    docs = doc_table_from_geojson(data)
+    ts = _slice(ray_session, tmp_path, data,
+                {"indexMaxZoom": 3, "indexMaxPoints": 0})
+    want = {d: s for d, s in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("spans").to_pylist())}
+    comb = pads.dataset(str(tmp_path / "pyr" / "combined"),
+                        partitioning="hive").to_table(
+        columns=["doc_id", "spans"])
+    assert comb.num_rows > 0
+    for d, s in zip(comb.column("doc_id").to_pylist(),
+                    comb.column("spans").to_pylist()):
+        assert s == want[d], f"span sequence mutated for {d}"
+
+
 def test_span_sequence_equality(ray_session, tmp_path, fixtures):
     """Every tile row must carry its document's span sequence verbatim."""
     import pyarrow.dataset as pads
