@@ -1,0 +1,122 @@
+"""CLI / `ray job submit` entry point (north rule: the pipeline is
+launched via ray job submit on a fixed-size cluster).
+
+    # local
+    python -m geojson_vt_ray slice --input docs/ --out /tmp/pyr \
+        --index-max-zoom 7 --index-max-points 200
+    python -m geojson_vt_ray get-tile --pyramid /tmp/pyr 7 37 48
+
+    # on a cluster (driver container already has RAY_ADDRESS)
+    ray job submit --working-dir . -- python -m geojson_vt_ray slice ...
+
+Ray session ownership: this CLI guards its init (`ray.is_initialized()`)
+so it composes with `ray job submit`'s pre-connected driver; library
+code never calls ray.init (driver contract, __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    return ray
+
+
+def _load_docs(path: str):
+    """Doc-table Dataset from a parquet dir/file, or a GeoJSON .json file
+    (converted to a one-doc-per-feature table, sources/docs.py)."""
+    import ray.data as rd
+    if path.endswith(".json") or path.endswith(".geojson"):
+        from .sources.docs import doc_table_from_geojson
+        with open(path) as f:
+            data = json.load(f)
+        return rd.from_arrow(doc_table_from_geojson(data))
+    return rd.read_parquet(path)
+
+
+def cmd_slice(args) -> int:
+    from .config import TileOptions
+    from .pipelines.pyramid import slice_pyramid
+    _ensure_ray()
+    opts = TileOptions(
+        max_zoom=args.max_zoom, index_max_zoom=args.index_max_zoom,
+        index_max_points=args.index_max_points, tolerance=args.tolerance,
+        extent=args.extent, buffer=args.buffer,
+        line_metrics=args.line_metrics, promote_id=args.promote_id,
+        generate_id=args.generate_id)
+    docs = _load_docs(args.input)
+    if args.repartition:
+        docs = docs.repartition(args.repartition)
+    ts = slice_pyramid(docs, opts, args.out, batch_size=args.batch_size,
+                       resume=args.resume)
+    print(json.dumps({"out": args.out,
+                      "tiles": len(ts.tiles),
+                      "levels": ts.manifest["levels"]}))
+    return 0
+
+
+def cmd_get_tile(args) -> int:
+    from .pipelines.pyramid import TileSet
+    ts = TileSet(args.pyramid)
+    tile = ts.get_tile(args.z, args.x, args.y)
+    if tile is None:
+        print("null")
+        return 1
+    print(json.dumps(tile))
+    return 0
+
+
+def cmd_gen_tiles(args) -> int:
+    from .pipelines.pyramid import TileSet
+    ts = TileSet(args.pyramid)
+    print(json.dumps(ts.gen_tiles()))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="geojson-vt-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("slice", help="slice a doc corpus into a pyramid")
+    sp.add_argument("--input", required=True,
+                    help="parquet doc-table path, or a .json GeoJSON file")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--max-zoom", type=int, default=14)
+    sp.add_argument("--index-max-zoom", type=int, default=5)
+    sp.add_argument("--index-max-points", type=int, default=100000)
+    sp.add_argument("--tolerance", type=float, default=3.0)
+    sp.add_argument("--extent", type=int, default=4096)
+    sp.add_argument("--buffer", type=int, default=64)
+    sp.add_argument("--line-metrics", action="store_true")
+    sp.add_argument("--promote-id", default=None)
+    sp.add_argument("--generate-id", action="store_true")
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.add_argument("--repartition", type=int, default=0)
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from out dir's last level checkpoint")
+    sp.set_defaults(fn=cmd_slice)
+
+    gt = sub.add_parser("get-tile", help="serve one tile (drill-down on miss)")
+    gt.add_argument("--pyramid", required=True)
+    gt.add_argument("z", type=int)
+    gt.add_argument("x", type=int)
+    gt.add_argument("y", type=int)
+    gt.set_defaults(fn=cmd_get_tile)
+
+    ge = sub.add_parser("gen-tiles", help="enumerate every first-pass tile")
+    ge.add_argument("--pyramid", required=True)
+    ge.set_defaults(fn=cmd_gen_tiles)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,6 +92,126 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids, k: int,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _kmeans(sample: np.ndarray, nlist: int, iters: int = 8,
+            seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means (cosine space: rows normalized) for the
+    IVF coarse quantizer. Driver-side on a bounded sample only."""
+    rng = np.random.default_rng(seed)
+    sample = _norm_rows(np.asarray(sample, dtype=np.float64))
+    nlist = min(nlist, len(sample))
+    cent = sample[rng.choice(len(sample), nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class IVFAssign:
+    """map_batches stage: adds ivf_list (nearest coarse centroid) to each
+    vector row. Centroids broadcast once via ray.put."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+        c = (ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef)
+             else centroids_ref)
+        self.cent = np.asarray(c, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = col.values.to_numpy(zero_copy_only=False)
+        m = _norm_rows(vals.reshape(-1, self.cent.shape[1]).astype(np.float64))
+        lst = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lst))
+
+
+class IVFTopKPartial:
+    """Per-batch IVF search: each query only scores vectors whose
+    ivf_list is in the query's nprobe nearest lists — the scale path
+    (prunes ~(1 - nprobe/nlist) of the matmul and, at cluster scale,
+    of the reads when the corpus is written partitioned by ivf_list)."""
+
+    def __init__(self, queries_ref, query_ids, centroids_ref, k: int,
+                 nprobe: int, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+        q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
+             else queries_ref)
+        c = (ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef)
+             else centroids_ref)
+        self.q = _norm_rows(np.asarray(q, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        cent = np.asarray(c, dtype=np.float64)
+        nprobe = min(nprobe, len(cent))
+        qsim = self.q @ cent.T
+        self.probe = np.argsort(-qsim, axis=1, kind="stable")[:, :nprobe]
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = col.values.to_numpy(zero_copy_only=False)
+        m = _norm_rows(vals.reshape(-1, self.q.shape[1]).astype(np.float64))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        lists = batch.column("ivf_list").to_numpy(zero_copy_only=False)
+        o_q, o_id, o_s = [], [], []
+        for qi in range(len(self.q)):
+            cand = np.flatnonzero(np.isin(lists, self.probe[qi]))
+            if len(cand) == 0:
+                continue
+            s = m[cand] @ self.q[qi]
+            k = min(self.k, len(s))
+            part = np.lexsort((ids[cand], -s))[:k]
+            o_q.extend([self.query_ids[qi]] * k)
+            o_id.extend(ids[cand][part])
+            o_s.extend(s[part])
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "vec_id": pa.array(o_id, pa.int64()),
+                         "cosine": pa.array(o_s, pa.float64())})
+
+
+def ann_ivf_topk(ds, queries: np.ndarray, query_ids, k: int,
+                 nlist: int = 16, nprobe: int = 4, train_sample: int = 1024,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 exclude_self: bool = True) -> pa.Table:
+    """IVF (coarse-quantized) ANN: deterministic k-means centroids from a
+    bounded driver-side sample, broadcast assign stage, per-batch probed
+    partial top-k, tiny merge. Same output schema as ann_cosine_topk."""
+    import ray
+    sample = ds.limit(train_sample).to_pandas()[vec_col]
+    cent = _kmeans(np.stack(sample.to_numpy()), nlist)
+    cref = ray.put(cent)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    kk = k + (1 if exclude_self else 0)
+    partials = (ds.map_batches(IVFAssign(cref, vec_col),
+                               batch_format="pyarrow")
+                .map_batches(IVFTopKPartial(qref, query_ids, cref, kk,
+                                            nprobe, vec_col, id_col),
+                             batch_format="pyarrow"))
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64())})
+    merged = topk_merge(pa.concat_tables(tables), kk)
+    df = merged.to_pandas()
+    if exclude_self:
+        df = df[df["query_id"] != df["vec_id"]]
+        df["rnk"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rnk"] <= k]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 class LSHBuckets:
     """Scale path: random-hyperplane LSH bucket assignment; candidates
     restricted to matching buckets before exact re-rank."""

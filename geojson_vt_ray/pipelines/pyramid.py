@@ -53,7 +53,7 @@ STATUS_EMPTY = "empty"
 
 def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                   out_dir: str, *, batch_size: int = 1024,
-                  concurrency=None) -> "TileSet":
+                  concurrency=None, resume: bool = False) -> "TileSet":
     """Run the full first-pass tiling over a doc-table Dataset.
 
     Returns a TileSet over ``out_dir``. ``docs`` must have columns
@@ -62,6 +62,12 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     With ``index_max_points <= 0`` (the full-split recipe) the stopping
     aggregate is vacuous, so the whole pyramid runs as ONE barrier-free
     map_batches pass (stages/fullsplit.py) instead of the per-level loop.
+
+    ``resume=True`` (adaptive path): restart from the last fully
+    checkpointed zoom level in ``out_dir`` (north rule: per-partition
+    lineage + metrics in checkpoint.json after every level; partially
+    written deeper levels are discarded and recomputed from the last
+    complete level's persisted rows + split decision).
     """
     import ray
 
@@ -75,14 +81,45 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     if concurrency:
         kw["concurrency"] = concurrency
 
-    ds = docs.map_batches(ParseDocs(options), **kw)
-    ds = ds.map_batches(WrapStage(options), **kw)
-
     manifest_tiles: dict[int, tuple[int, int, int, str]] = {}
     level_tiles: list[tuple[int, int, int]] = [(0, 0, 0)]
     levels_meta = []
-
     z = 0
+
+    ckpt_path = os.path.join(out_dir, "checkpoint.json")
+    if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
+        return TileSet(out_dir, options)
+    if resume and os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            ck = json.load(f)
+        z0 = ck["last_complete_z"]
+        # discard anything written past the checkpoint (mid-write crash)
+        import shutil
+        for sub in ("levels", "tiles"):
+            base = os.path.join(out_dir, sub)
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    if d.startswith("z=") and int(d[2:]) > z0:
+                        shutil.rmtree(os.path.join(base, d))
+        manifest_tiles = {tile_id(tz, tx, ty): (tz, tx, ty, st)
+                          for tz, tx, ty, st in ck["manifest_tiles"]}
+        levels_meta = ck["levels_meta"]
+        level_tiles = [tuple(t) for t in ck["next_level_tiles"]]
+        split_ids_list = ck["split_ids"]
+        if not split_ids_list:
+            # run had finished all levels; only the manifest write was
+            # lost — rewrite it from the checkpoint and serve
+            _write_manifest(out_dir, options, levels_meta, manifest_tiles)
+            return TileSet(out_dir, options)
+        ds = ray.data.read_parquet(os.path.join(out_dir, "levels",
+                                                f"z={z0}"))
+        ids_ref = ray.put(np.asarray(split_ids_list, dtype=np.int64))
+        ds = ds.map_batches(SplitLevel(options, ids_ref), **kw)
+        z = z0 + 1
+    else:
+        ds = docs.map_batches(ParseDocs(options), **kw)
+        ds = ds.map_batches(WrapStage(options), **kw)
+
     while True:
         lvl_dir = os.path.join(out_dir, "levels", f"z={z}")
         ds.write_parquet(lvl_dir)
@@ -145,6 +182,18 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                             "rows": int(counts["n_rows"].sum()) if len(counts) else 0,
                             "points": int(counts["n_points"].sum()) if len(counts) else 0})
 
+        # per-level checkpoint (north rule): level z's rows + tiles are
+        # durable and the split decision is recorded, so a failed run
+        # resumes at z+1 without recomputing parse/wrap/earlier levels
+        with open(ckpt_path, "w") as f:
+            json.dump({"last_complete_z": z,
+                       "split_ids": sorted(int(t) for t in split_set),
+                       "next_level_tiles": next_tiles,
+                       "manifest_tiles": [[tz, tx, ty, st]
+                                          for tz, tx, ty, st
+                                          in manifest_tiles.values()],
+                       "levels_meta": levels_meta}, f)
+
         if not split_set:
             break
 
@@ -156,9 +205,14 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         level_tiles = next_tiles
         z += 1
 
+    _write_manifest(out_dir, options, levels_meta, manifest_tiles)
+    return TileSet(out_dir, options)
+
+
+def _write_manifest(out_dir: str, options: TileOptions, levels_meta,
+                    manifest_tiles: dict) -> None:
     manifest = {
-        "options": options.__dict__.copy() if hasattr(options, "__dict__")
-        else {f: getattr(options, f) for f in (
+        "options": {f: getattr(options, f) for f in (
             "max_zoom", "index_max_zoom", "index_max_points", "tolerance",
             "extent", "buffer", "line_metrics", "promote_id", "generate_id")},
         "levels": levels_meta,
@@ -167,7 +221,6 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
-    return TileSet(out_dir, options)
 
 
 def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,

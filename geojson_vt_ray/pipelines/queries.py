@@ -178,23 +178,39 @@ def q_raster_overlay(sf_dir: str):
     rref = ray.put(raster)
 
     class Overlay:
+        """Vectorized cell equi-join: raster entries pre-sorted by cell
+        code; per batch two searchsorteds give each point's [start,end)
+        raster span, expanded without a Python row loop."""
+
         def __init__(self):
-            self.raster = ray.get(rref) if isinstance(rref, ray.ObjectRef) else rref
+            raster = ray.get(rref) if isinstance(rref, ray.ObjectRef) else rref
+            codes, keys, prices = [], [], []
+            for (rx, ry), entries in raster.items():
+                for key, price in entries:
+                    codes.append(rx * 64 + ry)
+                    keys.append(key)
+                    prices.append(price)
+            order = np.lexsort((keys, codes))
+            self.r_code = np.asarray(codes, np.int64)[order]
+            self.r_key = np.asarray(keys, np.int64)[order]
+            self.r_price = np.asarray(prices, np.float64)[order]
 
         def __call__(self, b: pa.Table) -> pa.Table:
             cx = b.column("cell_x").to_numpy(zero_copy_only=False)
             cy = b.column("cell_y").to_numpy(zero_copy_only=False)
             ev = b.column("event_id").to_numpy(zero_copy_only=False)
-            o_ev, o_k, o_p = [], [], []
-            for i in range(len(cx)):
-                for key, price in self.raster.get(
-                        (int(cx[i]), int(cy[i])), ()):
-                    o_ev.append(int(ev[i]))
-                    o_k.append(key)
-                    o_p.append(price)
-            return pa.table({"event_id": pa.array(o_ev, pa.int64()),
-                             "p_partkey": pa.array(o_k, pa.int64()),
-                             "p_retailprice": pa.array(o_p, pa.float64())})
+            p_code = cx * 64 + cy
+            start = np.searchsorted(self.r_code, p_code, side="left")
+            end = np.searchsorted(self.r_code, p_code, side="right")
+            counts = end - start
+            total = int(counts.sum())
+            pt_idx = np.repeat(np.arange(len(ev)), counts)
+            cum = np.cumsum(counts) - counts
+            r_idx = (np.arange(total) - np.repeat(cum, counts)
+                     + np.repeat(start, counts))
+            return pa.table({"event_id": pa.array(ev[pt_idx], pa.int64()),
+                             "p_partkey": pa.array(self.r_key[r_idx]),
+                             "p_retailprice": pa.array(self.r_price[r_idx])})
 
     ds = _events_points(sf_dir).map_batches(AssignCells(6),
                                             batch_format="pyarrow")
@@ -276,18 +292,29 @@ def q_join_broadcast(sf_dir: str):
     from ray.data.aggregate import Sum, Count
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    lut = dict(zip(cust.column("c_custkey").to_pylist(),
-                   cust.column("c_mktsegment").to_pylist()))
-    lref = ray.put(lut)
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist())
+    seg_vals, seg_codes = np.unique(segs, return_inverse=True)
+    lut = np.full(int(ck.max()) + 1, -1, dtype=np.int32)
+    lut[ck] = seg_codes
+    lref = ray.put((lut, seg_vals))
 
     class Lookup:
+        """Dense int-key dimension lookup: one fancy-index per batch
+        (no per-row dict probing)."""
+
         def __init__(self):
-            self.lut = ray.get(lref) if isinstance(lref, ray.ObjectRef) else lref
+            self.lut, self.seg_vals = (
+                ray.get(lref) if isinstance(lref, ray.ObjectRef) else lref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("o_custkey").to_pylist()
-            seg = [self.lut.get(k) for k in keys]
-            return b.append_column("c_mktsegment", pa.array(seg, pa.string()))
+            keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            codes = np.where(keys < len(self.lut), self.lut[
+                np.clip(keys, 0, len(self.lut) - 1)], -1)
+            seg = np.where(codes >= 0, self.seg_vals[
+                np.clip(codes, 0, None)], None)
+            return b.append_column("c_mktsegment",
+                                   pa.array(seg.tolist(), pa.string()))
 
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
@@ -336,32 +363,35 @@ def q_asof_join(sf_dir: str):
                            columns=["o_orderkey", "o_custkey", "o_orderdate"])
     odf = orders.to_pandas().sort_values(
         ["o_custkey", "o_orderdate", "o_orderkey"])
-    by_key = {k: (g["o_orderdate"].values.astype("datetime64[us]").astype(np.int64),
-                  g["o_orderkey"].values)
-              for k, g in odf.groupby("o_custkey")}
-    bref = ray.put(by_key)
+    o_ck = odf["o_custkey"].to_numpy(np.int64)
+    o_days = (odf["o_orderdate"].values.astype("datetime64[us]")
+              .astype(np.int64) // 86_400_000_000)
+    o_key = odf["o_orderkey"].to_numpy(np.int64)
+    # composite (custkey, day) key: days < 1e6, so ck*1e6+day is a
+    # strictly lexicographic int64 — one global searchsorted per batch
+    o_comp = o_ck * 1_000_000 + o_days
+    bref = ray.put((o_comp, o_ck, o_key))
 
     class AsOf:
+        """Vectorized as-of join: broadcast composite-sorted order log;
+        per batch one searchsorted finds each event's latest order at or
+        before its timestamp (no Python row loop)."""
+
         def __init__(self):
-            self.by_key = (ray.get(bref) if isinstance(bref, ray.ObjectRef)
-                           else bref)
+            self.o_comp, self.o_ck, self.o_key = (
+                ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ev = b.column("event_id").to_numpy(zero_copy_only=False)
-            uid = b.column("user_id").to_numpy(zero_copy_only=False)
+            uid = b.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
             ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            o_ev, o_ord = [], []
-            for i in range(len(ev)):
-                g = self.by_key.get(int(uid[i]))
-                if g is None:
-                    continue
-                dates, keys = g
-                pos = np.searchsorted(dates, ts[i], side="right") - 1
-                if pos >= 0:
-                    o_ev.append(int(ev[i]))
-                    o_ord.append(int(keys[pos]))
-            return pa.table({"event_id": pa.array(o_ev, pa.int64()),
-                             "o_orderkey": pa.array(o_ord, pa.int64())})
+            e_comp = uid * 1_000_000 + ts // 86_400_000_000
+            pos = np.searchsorted(self.o_comp, e_comp, side="right") - 1
+            ok = (pos >= 0) & (self.o_ck[np.clip(pos, 0, None)] == uid)
+            return pa.table({"event_id": pa.array(ev[ok], pa.int64()),
+                             "o_orderkey": pa.array(
+                                 self.o_key[pos[ok]], pa.int64())})
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
@@ -522,6 +552,23 @@ def q_ann_topk(sf_dir: str):
     return F_sim.ann_cosine_topk(ds, mat[qmask], ids[qmask], k=5)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the scale path): same queries as ann_topk but
+    each query only scores vectors in its nprobe nearest coarse lists."""
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    vals = emb.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False)
+    mat = vals.reshape(len(ids), -1)
+    qmask = ids < 5
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return F_sim.ann_ivf_topk(ds, mat[qmask], ids[qmask], k=5,
+                              nlist=16, nprobe=6)
+
+
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs vs a reference sample (vec_id<50)."""
     import ray
@@ -536,8 +583,11 @@ def q_embed_neardup(sf_dir: str):
     rref = ray.put(mat[ref_mask])
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
+    # 0.35 is just above the null distribution's p99.9 for these random
+    # 64-dim embeddings (max non-self cosine ~0.385 at sf0.01) so the
+    # query returns real near-dup candidates instead of always-empty
     return ds.map_batches(
-        F_dedup.CosineNearDup(rref, ids[ref_mask], threshold=0.9),
+        F_dedup.CosineNearDup(rref, ids[ref_mask], threshold=0.35),
         batch_format="pyarrow", concurrency=2)
 
 
@@ -607,6 +657,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "embed_neardup": q_embed_neardup,
     "media_features": q_media_features,
     "pyramid_tiles": q_pyramid_tiles,

@@ -30,3 +30,9 @@ def load_fixture(name: str):
 @pytest.fixture(scope="session")
 def fixtures():
     return load_fixture
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    from pathlib import Path
+    return Path(FIXTURES)

@@ -115,6 +115,71 @@ def test_fullsplit_span_sequence_equality(ray_session, tmp_path, fixtures):
         assert s == want[d], f"span sequence mutated for {d}"
 
 
+def test_ray_resume_from_checkpoint(ray_session, tmp_path, fixtures,
+                                    monkeypatch):
+    """Kill the run mid-pyramid (split stage raises at z>=4), then
+    resume=True must finish from the last complete level checkpoint and
+    produce tiles identical to an uninterrupted run."""
+    import ray.data as rd
+    import geojson_vt_ray.pipelines.pyramid as pyr
+    from geojson_vt_ray.stages.split import SplitLevel
+
+    data = fixtures("us-states.json")
+    opts = options_from_dict({"indexMaxZoom": 7, "indexMaxPoints": 200})
+    want = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                         opts, str(tmp_path / "full")).gen_tiles()
+
+    class Boom(SplitLevel):
+        def __call__(self, batch):
+            if batch.num_rows and batch.column("z")[0].as_py() >= 4:
+                raise RuntimeError("simulated mid-run crash")
+            return super().__call__(batch)
+
+    out = str(tmp_path / "crash")
+    monkeypatch.setattr(pyr, "SplitLevel", Boom)
+    with pytest.raises(Exception):
+        slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                      opts, out)
+    monkeypatch.setattr(pyr, "SplitLevel", SplitLevel)
+
+    import os
+    assert os.path.exists(os.path.join(out, "checkpoint.json"))
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+    ts = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                       opts, out, resume=True)
+    got = ts.gen_tiles()
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], f"tile {key} differs after resume"
+
+
+def test_cli_slice_and_get_tile(ray_session, tmp_path, fixtures_dir):
+    """End-to-end CLI surface (the ray job submit entry): slice a GeoJSON
+    input, then serve a drill-down tile."""
+    import json as _json
+    from geojson_vt_ray.cli import main
+    import io, contextlib
+
+    out = str(tmp_path / "pyr")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["slice", "--input",
+                   str(fixtures_dir / "us-states.json"), "--out", out,
+                   "--index-max-zoom", "5",
+                   "--index-max-points", "100000"])
+    assert rc == 0
+    summary = _json.loads(buf.getvalue())
+    assert summary["tiles"] > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["get-tile", "--pyramid", out, "7", "37", "48"])
+    assert rc == 0
+    tile = _json.loads(buf.getvalue())
+    assert tile["features"] == _json.loads(
+        (fixtures_dir / "us-states-z7-37-48.json").read_text())
+
+
 def test_span_sequence_equality(ray_session, tmp_path, fixtures):
     """Every tile row must carry its document's span sequence verbatim."""
     import pyarrow.dataset as pads
