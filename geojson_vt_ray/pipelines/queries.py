@@ -136,6 +136,76 @@ _SQL_PIP = (
     "AND (n.n_nationkey*6.0 - 72.0) + 5.05")
 
 
+def q_pip_join_shuffle(sf_dir: str):
+    """Same PIP join as pip_rect but via the shuffle strategy (both sides
+    treated as large): polygons exploded to their covering z=6 cells,
+    Dataset.join on cell_id (hash shuffle), exact ray-casting test
+    post-join. A point lives in exactly one cell, so no pair dedup is
+    needed. Demonstrates the cell-partitioned join path of SURVEY §2.4;
+    same oracle as pip_rect."""
+    import ray.data as rd
+    from ..kernels.project import project_x, project_y
+
+    polys = _nation_rects(sf_dir=sf_dir)
+    level = 6
+    n = 1 << level
+    o_cell, o_key, o_geom = [], [], []
+    for p in polys:
+        x0 = int(np.clip(np.floor(project_x(np.array([p["minx"]]))[0] * n),
+                         0, n - 1))
+        x1 = int(np.clip(np.floor(project_x(np.array([p["maxx"]]))[0] * n),
+                         0, n - 1))
+        # projectY flips: maxy (north) -> smaller y
+        y0 = int(np.clip(np.floor(project_y(np.array([p["maxy"]]))[0] * n),
+                         0, n - 1))
+        y1 = int(np.clip(np.floor(project_y(np.array([p["miny"]]))[0] * n),
+                         0, n - 1))
+        # rings packed to one binary blob per row (Acero joins reject
+        # list-typed payload columns): [n_rings][len_i...][xy f64...]
+        rings = p["rings"]
+        blob = (np.asarray([len(rings)] + [len(r) for r in rings],
+                           np.int32).tobytes()
+                + np.concatenate([r.reshape(-1) for r in rings]).astype(
+                    np.float64).tobytes())
+        for ix in range(x0, x1 + 1):
+            for iy in range(y0, y1 + 1):
+                o_cell.append((((1 << level) * iy + ix) * 32) + level)
+                o_key.append(p["key"])
+                o_geom.append(blob)
+    poly_tbl = pa.table({
+        "cell_id": pa.array(o_cell, pa.int64()),
+        "n_nationkey": pa.array(o_key, pa.int64()),
+        "rings_blob": pa.array(o_geom, pa.binary()),
+    })
+    polys_ds = rd.from_arrow(poly_tbl)
+
+    pts = (_events_points(sf_dir)
+           .map_batches(AssignCells(level), batch_format="pyarrow")
+           .select_columns(["event_id", "lon", "lat", "cell_id"]))
+    joined = pts.join(polys_ds, join_type="inner", num_partitions=16,
+                      on=("cell_id",))
+
+    def exact(b: pa.Table) -> pa.Table:
+        from ..functions.spatial import points_in_polygon
+        px = b.column("lon").to_numpy(zero_copy_only=False)
+        py = b.column("lat").to_numpy(zero_copy_only=False)
+        blobs = b.column("rings_blob").to_pylist()
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i, blob in enumerate(blobs):
+            n_rings = np.frombuffer(blob, np.int32, 1)[0]
+            lens = np.frombuffer(blob, np.int32, n_rings, 4)
+            xy = np.frombuffer(blob, np.float64,
+                               offset=4 * (1 + n_rings)).reshape(-1, 2)
+            rings, off = [], 0
+            for ln in lens:
+                rings.append(xy[off:off + ln])
+                off += ln
+            keep[i] = points_in_polygon(px[i:i + 1], py[i:i + 1], rings)[0]
+        return b.filter(pa.array(keep)).select(["event_id", "n_nationkey"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")
+
+
 def q_knn(sf_dir: str):
     """Top-3 nearest events per region-derived query point: broadcast
     queries, per-batch partial top-k, tiny merge."""
@@ -640,6 +710,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
     "pip_rect": q_pip_rect,
+    "pip_join_shuffle": q_pip_join_shuffle,
     "knn": q_knn,
     "raster_overlay": q_raster_overlay,
     "agg_lineitem": q_agg_lineitem,
@@ -667,6 +738,7 @@ ORACLE_SQL = {
     "tile_assign": _sql_tile_assign(),
     "cell_count": _sql_cell_count(),
     "pip_rect": _SQL_PIP,
+    "pip_join_shuffle": _SQL_PIP,
     "knn": _SQL_KNN,
     "raster_overlay": _sql_raster_overlay(),
     "agg_lineitem": _SQL_AGG_LINEITEM,
