@@ -324,9 +324,11 @@ _SQL_AGG_LINEITEM = (
 
 
 def q_top_revenue(sf_dir: str):
-    """Top-10 orders by revenue: partial per-batch combine then a small
-    groupby + sort + limit."""
-    from ray.data.aggregate import Sum
+    """Top-10 orders by revenue, two-stage top-k: per-batch partial sums,
+    then a COARSE-key shuffle (256 hash buckets, not 150k single-order
+    groups — Ray per-group overhead is ruinous at that group count) with
+    a vectorized within-group combine + local top-10, then a global
+    sort+limit over <=256*10 rows."""
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_extendedprice",
                                      "l_discount"])
@@ -339,13 +341,18 @@ def q_top_revenue(sf_dir: str):
         sums = np.zeros(len(uniq))
         np.add.at(sums, inv, rev)
         return pa.table({"l_orderkey": pa.array(uniq),
-                         "revenue": pa.array(sums)})
+                         "revenue": pa.array(sums),
+                         "pkey": pa.array((uniq & 0xFF).astype(np.int32))})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("l_orderkey").aggregate(Sum("revenue",
-                                               alias_name="revenue")))
-    top = agg.sort(["revenue", "l_orderkey"],
-                   descending=[True, False]).limit(10)
+    def combine_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return agg.sort_values(["revenue", "l_orderkey"],
+                               ascending=[False, True]).head(10)
+
+    top = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pkey").map_groups(combine_topk, batch_format="pandas")
+           .sort(["revenue", "l_orderkey"],
+                 descending=[True, False]).limit(10))
     return top
 
 
