@@ -110,15 +110,14 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
             fps.append([int(h)] * keep)
             continue
         dd = data.astype(np.uint64)
-        pw = B ** np.uint64(window - 1)
-        h = np.uint64(0)
-        hashes = np.empty(len(dd) - window + 1, dtype=np.uint64)
-        for i in range(window):
-            h = h * B + dd[i]
-        hashes[0] = h
-        for i in range(1, len(hashes)):
-            h = (h - dd[i - 1] * pw) * B + dd[i + window - 1]
-            hashes[i] = h
+        # hash_i = sum_j d[i+j] * B^(window-1-j) mod 2^64 — computed as
+        # `window` shifted vector multiply-adds instead of a per-byte
+        # Python rolling loop (identical wraparound arithmetic)
+        weights = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+        n = len(dd) - window + 1
+        hashes = np.zeros(n, dtype=np.uint64)
+        for j in range(window):
+            hashes += dd[j:j + n] * weights[j]
         sel = np.sort(np.unique(hashes))[:keep]
         out = list(int(v) for v in sel)
         out += [0] * (keep - len(out))

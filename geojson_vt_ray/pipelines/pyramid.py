@@ -50,6 +50,10 @@ STATUS_SPLIT = "split"
 STATUS_LEAF = "leaf"
 STATUS_EMPTY = "empty"
 
+# above this many candidate tiles per level, the stopping aggregate is
+# pre-combined distributedly before reaching the driver
+DEEP_LEVEL_COMBINE_THRESHOLD = 20_000
+
 
 def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                   out_dir: str, *, batch_size: int = 1024,
@@ -133,6 +137,24 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
             # stopping aggregate: tiny per-batch partials, combined
             parts = ds.map_batches(level_counts, batch_format="pyarrow",
                                    batch_size=batch_size)
+            if len(level_tiles) > DEEP_LEVEL_COMBINE_THRESHOLD:
+                # deep levels: pre-combine distributedly (coarse-key
+                # shuffle + vectorized per-tile sums — NOT a per-tile
+                # groupby, whose per-group overhead is ruinous at 1e5+
+                # groups) so the driver only receives one row per tile
+                def _coarse(b: pa.Table) -> pa.Table:
+                    tid = b.column("tile_id").to_numpy(zero_copy_only=False)
+                    return b.append_column(
+                        "pkey", pa.array((tid & 0x3FF).astype(np.int32)))
+
+                def _comb(g: pd.DataFrame) -> pd.DataFrame:
+                    return g.groupby("tile_id", as_index=False).agg(
+                        n_points=("n_points", "sum"),
+                        n_rows=("n_rows", "sum"))
+
+                parts = (parts.map_batches(_coarse, batch_format="pyarrow")
+                         .groupby("pkey").map_groups(
+                             _comb, batch_format="pandas"))
             pdf = parts.to_pandas()
         if len(pdf):
             counts = pdf.groupby("tile_id", as_index=False).agg(

@@ -115,6 +115,19 @@ def test_fullsplit_span_sequence_equality(ray_session, tmp_path, fixtures):
         assert s == want[d], f"span sequence mutated for {d}"
 
 
+def test_ray_deep_level_combine_path(ray_session, tmp_path, fixtures,
+                                     monkeypatch):
+    """Force the distributed pre-combine of the stopping aggregate (the
+    deep-zoom path) and require identical tiles to the default path."""
+    import geojson_vt_ray.pipelines.pyramid as pyr
+    data = fixtures("us-states.json")
+    opts = {"indexMaxZoom": 6, "indexMaxPoints": 200}
+    want = _slice(ray_session, tmp_path / "a", data, opts).gen_tiles()
+    monkeypatch.setattr(pyr, "DEEP_LEVEL_COMBINE_THRESHOLD", 0)
+    got = _slice(ray_session, tmp_path / "b", data, opts).gen_tiles()
+    assert got == want
+
+
 def test_ray_resume_from_checkpoint(ray_session, tmp_path, fixtures,
                                     monkeypatch):
     """Kill the run mid-pyramid (split stage raises at z>=4), then

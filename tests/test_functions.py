@@ -1,0 +1,86 @@
+"""Unit tests for the training-data operator kernels (dedup, text,
+similarity) — deterministic behavior and vectorized-vs-reference
+equivalence."""
+
+import numpy as np
+import pyarrow as pa
+
+from geojson_vt_ray.functions.dedup import (_shingle_hashes,
+                                            minhash_signature, simhash64)
+from geojson_vt_ray.functions.text import rolling_fingerprint
+from geojson_vt_ray.functions.similarity import _kmeans
+
+
+def test_fingerprint_matches_scalar_rolling_hash():
+    """The vectorized Karp-Rabin window hash must equal the classic
+    per-byte rolling recurrence (same mod-2^64 algebra)."""
+    def scalar(t, window=16, keep=4):
+        B = np.uint64(1000003)
+        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        dd = data.astype(np.uint64)
+        pw = B ** np.uint64(window - 1)
+        h = np.uint64(0)
+        hashes = np.empty(len(dd) - window + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(window):
+                h = h * B + dd[i]
+            hashes[0] = h
+            for i in range(1, len(hashes)):
+                h = (h - dd[i - 1] * pw) * B + dd[i + window - 1]
+                hashes[i] = h
+        sel = np.sort(np.unique(hashes))[:keep]
+        out = [int(v) for v in sel]
+        return out + [0] * (keep - len(out))
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 4,
+             "abcdefabcdefabcdefabcdef", "zzzz " * 30]
+    got = rolling_fingerprint(pa.table({"text": texts}))
+    assert got["fingerprint"].to_pylist() == [scalar(t) for t in texts]
+
+
+def test_minhash_similar_docs_share_signature_slots():
+    a = "the cat sat on the mat and looked at the hat " * 8
+    b = a + "extra tail words here"
+    c = "completely different content about tile pyramids " * 8
+    sa, sb, sc = (minhash_signature(t) for t in (a, b, c))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.5  # near-dups collide on most permutations
+    assert sim_ac < sim_ab
+    # deterministic across calls
+    assert (minhash_signature(a) == sa).all()
+
+
+def test_shingle_hashes_distinct_and_deterministic():
+    h1 = _shingle_hashes("abcdefgh")
+    h2 = _shingle_hashes("abcdefgh")
+    assert (h1 == h2).all()
+    assert len(h1) == len(set(h1.tolist()))  # unique
+    assert len(_shingle_hashes("ab")) >= 1   # shorter than k: padded
+
+
+def test_simhash_close_for_similar_text():
+    a = "ray data tiles pyramid shuffle " * 6
+    b = a + "one more token"
+    c = "unrelated words entirely disjoint vocabulary set " * 6
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+    assert d_ab <= 12
+
+
+def test_kmeans_deterministic_and_partitions():
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([rng.normal(0, 0.05, (50, 8)) + 1.0,
+                          rng.normal(0, 0.05, (50, 8)) - 1.0])
+    c1 = _kmeans(pts, 2)
+    c2 = _kmeans(pts, 2)
+    assert np.allclose(c1, c2)
+    assert c1.shape == (2, 8)
+    # the two centroids separate the two blobs (cosine sign)
+    sims = (pts / np.linalg.norm(pts, axis=1, keepdims=True)) @ c1.T
+    assign = sims.argmax(axis=1)
+    assert len(set(assign[:50].tolist())) == 1
+    assert len(set(assign[50:].tolist())) == 1
+    assert assign[0] != assign[-1]
