@@ -84,8 +84,12 @@ def run_headline(sf_dir: str) -> dict:
 
     docs = rd.from_arrow(corpus).repartition(128)
     t0 = time.perf_counter()
+    # carry_spans=False: the at-scale layout (tile rows carry doc_id;
+    # spans re-attach from the corpus) — per-row payload carriage is
+    # ~25x write amplification and is covered by the conformance tests
     with tempfile.TemporaryDirectory() as td:
-        ts = slice_pyramid(docs, opts, td, batch_size=64)
+        ts = slice_pyramid(docs, opts, td, batch_size=64,
+                           carry_spans=False)
         n_tiles = len(ts.tiles)
         n_nonempty = sum(1 for _, (_, _, _, st) in ts.tiles.items()
                          if st != "empty")

@@ -32,6 +32,118 @@ def clip_points(line: Line, k1: float, k2: float, axis: int) -> Line | None:
     return Line(line.v[mask].copy())
 
 
+# below this run length the scalar loop (exact port of clip.js:98-170)
+# beats the vectorized kernel's numpy dispatch overhead
+_SCALAR_MAX = 48
+
+
+def _clip_line_scalar(line: Line, k1: float, k2: float, axis: int,
+                      is_polygon: bool, track_metrics: bool) -> list[Line]:
+    """1:1 scalar port of the reference clipLine (src/clip.js:98-170):
+    identical emission order (entry-or-vertex, then exit), identical
+    float arithmetic for intersections and lineMetrics."""
+    from math import sqrt
+
+    v = line.v
+    n = len(v)
+    if n == 0:
+        return []
+    vx = v[:, 0].tolist()
+    vy = v[:, 1].tolist()
+    vz = v[:, 2].tolist()
+
+    out: list[Line] = []
+    pts: list[float] = []
+    sl_start = line.start
+    sl_end = line.end
+    length = line.start
+    seg_len = 0.0
+    t = 0.0
+
+    for i in range(n - 1):
+        ax = vx[i]
+        ay = vy[i]
+        az = vz[i]
+        bx = vx[i + 1]
+        by = vy[i + 1]
+        a = ax if axis == 0 else ay
+        b = bx if axis == 0 else by
+        exited = False
+
+        if track_metrics:
+            seg_len = sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+
+        if a < k1:
+            if b > k1:  # enters from the left
+                t = (k1 - a) / (b - a)
+                if axis == 0:
+                    pts += (k1, ay + (by - ay) * t, 1.0)
+                else:
+                    pts += (ax + (bx - ax) * t, k1, 1.0)
+                if track_metrics:
+                    sl_start = length + seg_len * t
+        elif a > k2:
+            if b < k2:  # enters from the right
+                t = (k2 - a) / (b - a)
+                if axis == 0:
+                    pts += (k2, ay + (by - ay) * t, 1.0)
+                else:
+                    pts += (ax + (bx - ax) * t, k2, 1.0)
+                if track_metrics:
+                    sl_start = length + seg_len * t
+        else:
+            pts += (ax, ay, az)
+        if b < k1 and a >= k1:  # exits to the left
+            t = (k1 - a) / (b - a)
+            if axis == 0:
+                pts += (k1, ay + (by - ay) * t, 1.0)
+            else:
+                pts += (ax + (bx - ax) * t, k1, 1.0)
+            exited = True
+        if b > k2 and a <= k2:  # exits to the right
+            t = (k2 - a) / (b - a)
+            if axis == 0:
+                pts += (k2, ay + (by - ay) * t, 1.0)
+            else:
+                pts += (ax + (bx - ax) * t, k2, 1.0)
+            exited = True
+
+        if not is_polygon and exited:
+            sl = line.copy_meta(
+                np.asarray(pts, dtype=np.float64).reshape(-1, 3))
+            sl.start = sl_start
+            if track_metrics:
+                sl.end = length + seg_len * t
+            else:
+                sl.end = line.end
+            out.append(sl)
+            pts = []
+            sl_start = line.start
+            sl_end = line.end
+
+        if track_metrics:
+            length += seg_len
+
+    # last point
+    ax = vx[n - 1]
+    ay = vy[n - 1]
+    a = ax if axis == 0 else ay
+    if k1 <= a <= k2:
+        pts += (ax, ay, vz[n - 1])
+
+    # close the polygon if clipping separated its endpoints
+    if is_polygon and len(pts) >= 6 and (pts[-3] != pts[0]
+                                         or pts[-2] != pts[1]):
+        pts += (pts[0], pts[1], pts[2])
+
+    if pts:
+        sl = line.copy_meta(np.asarray(pts, dtype=np.float64).reshape(-1, 3))
+        sl.start = sl_start
+        sl.end = sl_end
+        out.append(sl)
+    return out
+
+
 def clip_line(line: Line, k1: float, k2: float, axis: int, is_polygon: bool,
               track_metrics: bool) -> list[Line]:
     """Clip one vertex run against the slab; returns surviving slices."""
@@ -39,6 +151,9 @@ def clip_line(line: Line, k1: float, k2: float, axis: int, is_polygon: bool,
     n = len(v)
     if n == 0:
         return []
+    if n <= _SCALAR_MAX:
+        return _clip_line_scalar(line, k1, k2, axis, is_polygon,
+                                 track_metrics)
     coord = v[:, axis]
     in_range = (coord >= k1) & (coord <= k2)
     if n == 1:

@@ -37,35 +37,96 @@ def _sq_seg_dist(px, py, ax, ay, bx, by):
     return ex * ex + ey * ey
 
 
+# below this range length the scalar loop beats numpy dispatch overhead
+_SCALAR_MAX = 64
+
+
 def simplify_mark(v: np.ndarray, sq_tolerance: float) -> None:
     """Mark DP squared distances in-place on v[:, 2] for interior vertices.
 
     v: (n, 3) float64 array; operates on the full range [0, n-1] like the
     reference call simplify(out, 0, last, tolerance) (src/convert.js:115).
+
+    Hybrid: ranges <= _SCALAR_MAX run the reference's scalar loop 1:1
+    (src/simplify.js:4-39, flat-index midpoint tie-break included) —
+    DP recursion bottoms out in tiny ranges, where per-call numpy
+    dispatch costs ~30us while the scalar loop costs ~1us/vertex. Long
+    ranges use the vectorized distance kernel.
     """
     n = len(v)
     if n < 3:
         return
     xs = v[:, 0]
     ys = v[:, 1]
+    fx = xs.tolist()
+    fy = ys.tolist()
     stack = [(0, n - 1)]
     while stack:
         first, last = stack.pop()
-        if last - first < 2:
+        span = last - first
+        if span < 2:
             continue
-        idx = np.arange(first + 1, last)
-        d = _sq_seg_dist(xs[idx], ys[idx], xs[first], ys[first],
-                         xs[last], ys[last])
+
+        if span <= _SCALAR_MAX:
+            # exact scalar port of the reference loop (flat offsets: the
+            # reference steps i by 3 and measures |i - mid| in the flat
+            # array, so tie distance is |3j - floor(3*span/2)|)
+            ax = fx[first]
+            ay = fy[first]
+            bx = fx[last]
+            by = fy[last]
+            dx0 = bx - ax
+            dy0 = by - ay
+            denom = dx0 * dx0 + dy0 * dy0
+            maxd = sq_tolerance
+            mid3 = 3 * first + ((3 * span) >> 1)
+            minpos = 3 * span
+            pivot = -1
+            for i in range(first + 1, last):
+                px = fx[i]
+                py = fy[i]
+                cx = ax
+                cy = ay
+                if denom != 0.0:
+                    t = ((px - ax) * dx0 + (py - ay) * dy0) / denom
+                    if t > 1.0:
+                        cx = bx
+                        cy = by
+                    elif t > 0.0:
+                        cx = ax + dx0 * t
+                        cy = ay + dy0 * t
+                ex = px - cx
+                ey = py - cy
+                d = ex * ex + ey * ey
+                if d > maxd:
+                    pivot = i
+                    maxd = d
+                elif d == maxd:
+                    pos = abs(3 * i - mid3)
+                    if pos < minpos:
+                        pivot = i
+                        minpos = pos
+            if maxd > sq_tolerance and pivot >= 0:
+                v[pivot, 2] = maxd
+                if last - pivot > 1:
+                    stack.append((pivot, last))
+                if pivot - first > 1:
+                    stack.append((first, pivot))
+            continue
+
+        d = _sq_seg_dist(xs[first + 1:last], ys[first + 1:last],
+                         xs[first], ys[first], xs[last], ys[last])
         dmax = d.max()
         if dmax > sq_tolerance:
-            ties = idx[d == dmax]
-            if len(ties) == 1:
-                pivot = int(ties[0])
+            tie_mask = d == dmax
+            if tie_mask.sum() == 1:
+                pivot = first + 1 + int(np.argmax(d))
             else:
+                ties = first + 1 + np.flatnonzero(tie_mask)
                 # flat-offset midpoint arithmetic matches the reference's
                 # triple-indexed mid (src/simplify.js:6): mid_flat =
                 # 3*first + (3*(last-first))>>1, compared against 3*i
-                mid3 = 3 * first + ((3 * (last - first)) >> 1)
+                mid3 = 3 * first + ((3 * span) >> 1)
                 rest = ties[1:]
                 pivot = int(rest[np.argmin(np.abs(3 * rest - mid3))])
             v[pivot, 2] = dmax

@@ -86,9 +86,9 @@ def _rewind(ring: np.ndarray, clockwise: bool) -> None:
         return
     x = ring[:, 0]
     y = ring[:, 1]
-    xp = np.roll(x, 1)
-    yp = np.roll(y, 1)
-    area = float(np.sum((x - xp) * (y + yp)))
+    # shoelace via slices (np.roll allocates + is slow on small rings)
+    area = float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]))
+                 + (x[0] - x[-1]) * (y[0] + y[-1]))
     if (area > 0) == clockwise:
         ring[:] = ring[::-1]
 

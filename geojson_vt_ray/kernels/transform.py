@@ -16,6 +16,17 @@ import numpy as np
 def quantize(arr: np.ndarray, extent: int, z2: int, tx: int,
              ty: int) -> np.ndarray:
     """(n, 2) world coords -> (n, 2) int32 tile coords."""
+    n = len(arr)
+    if n <= 32:
+        # scalar path: same floor(v + 0.5) arithmetic, no numpy dispatch
+        from math import floor
+        flat = arr.reshape(-1).tolist()
+        out = np.empty((n, 2), dtype=np.int32)
+        o = out.reshape(-1)
+        for i in range(n):
+            o[2 * i] = floor(extent * (flat[2 * i] * z2 - tx) + 0.5)
+            o[2 * i + 1] = floor(extent * (flat[2 * i + 1] * z2 - ty) + 0.5)
+        return out
     out = np.empty_like(arr)
     out[:, 0] = extent * (arr[:, 0] * z2 - tx)
     out[:, 1] = extent * (arr[:, 1] * z2 - ty)

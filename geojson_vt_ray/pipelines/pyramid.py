@@ -55,9 +55,23 @@ STATUS_EMPTY = "empty"
 DEEP_LEVEL_COMBINE_THRESHOLD = 20_000
 
 
+def _strip_spans(batch: pa.Table) -> pa.Table:
+    """Null the spans payload column (carry_spans=False): tile rows keep
+    doc_id, so spans re-attach from the corpus table by key. Duplicating
+    the heaviest payload column onto every tile row is ~25x write
+    amplification at pyramid fan-out — pointing at the corpus is the
+    at-scale layout; per-row carriage (the default) preserves reference
+    fidelity and is what the span-sequence conformance tests pin."""
+    from ..arrowio import SPAN_TYPE
+    i = batch.schema.get_field_index("spans")
+    return batch.set_column(i, "spans",
+                            pa.nulls(batch.num_rows, SPAN_TYPE))
+
+
 def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                   out_dir: str, *, batch_size: int = 1024,
-                  concurrency=None, resume: bool = False) -> "TileSet":
+                  concurrency=None, resume: bool = False,
+                  carry_spans: bool = True) -> "TileSet":
     """Run the full first-pass tiling over a doc-table Dataset.
 
     Returns a TileSet over ``out_dir``. ``docs`` must have columns
@@ -78,7 +92,8 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     if options.index_max_points <= 0:
         return _slice_fullsplit(docs, options, out_dir,
                                 batch_size=batch_size,
-                                concurrency=concurrency)
+                                concurrency=concurrency,
+                                carry_spans=carry_spans)
 
     os.makedirs(out_dir, exist_ok=True)
     kw = {"batch_format": "pyarrow", "batch_size": batch_size}
@@ -123,6 +138,8 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     else:
         ds = docs.map_batches(ParseDocs(options), **kw)
         ds = ds.map_batches(WrapStage(options), **kw)
+        if not carry_spans:
+            ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
 
     while True:
         lvl_dir = os.path.join(out_dir, "levels", f"z={z}")
@@ -247,7 +264,7 @@ def _write_manifest(out_dir: str, options: TileOptions, levels_meta,
 
 def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
                      out_dir: str, *, batch_size: int = 1024,
-                     concurrency=None) -> "TileSet":
+                     concurrency=None, carry_spans: bool = True) -> "TileSet":
     """Barrier-free full pyramid: parse -> wrap -> FullSplitBuild -> one
     hive-partitioned write, then a tiny pruned-column aggregate for the
     manifest."""
@@ -260,6 +277,8 @@ def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
 
     ds = docs.map_batches(ParseDocs(options), **kw)
     ds = ds.map_batches(WrapStage(options), **kw)
+    if not carry_spans:
+        ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
     ds = ds.map_batches(FullSplitBuild(options), **kw)
     comb = os.path.join(out_dir, "combined")
     ds.write_parquet(comb, partition_cols=["okind", "z"])

@@ -70,6 +70,34 @@ def test_simhash_close_for_similar_text():
     assert d_ab <= 12
 
 
+def test_salted_sum_equals_plain_groupby(ray_session):
+    """Skew-safe salted aggregation must be value-identical to the
+    straight partial+groupby path, including on a pathologically hot
+    key."""
+    import pandas as pd
+    import ray.data as rd
+    from geojson_vt_ray.functions.agg import partial_sum_groupby, salted_sum
+
+    rng = np.random.default_rng(7)
+    # hot key 0 owns 90% of rows
+    keys = np.where(rng.random(20_000) < 0.9, 0,
+                    rng.integers(1, 50, 20_000)).astype(np.int64)
+    vals = rng.random(20_000)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(16)
+
+    plain = partial_sum_groupby(ds, "k", "v").to_pandas().sort_values(
+        "k", ignore_index=True)
+    salted = salted_sum(ds, "k", "v", n_salt=8).to_pandas().sort_values(
+        "k", ignore_index=True)
+    assert list(plain["k"]) == list(salted["k"])
+    assert list(plain["n"]) == list(salted["n"])
+    assert np.allclose(plain["v"], salted["v"], rtol=1e-12)
+    # ground truth
+    want = pd.DataFrame({"k": keys, "v": vals}).groupby(
+        "k", as_index=False)["v"].sum()
+    assert np.allclose(plain["v"], want["v"], rtol=1e-9)
+
+
 def test_kmeans_deterministic_and_partitions():
     rng = np.random.default_rng(0)
     pts = np.concatenate([rng.normal(0, 0.05, (50, 8)) + 1.0,
