@@ -55,7 +55,7 @@ def _consume(result) -> int:
     return result.count()  # ray.data.Dataset
 
 
-def run_headline(sf_dir: str) -> dict:
+def run_headline(sf_dir: str, n_docs: int | None = None) -> dict:
     """Full pyramid slice (z0..max over the synthesized corpus) + PIP
     join over the events table. Returns timings + tiles/sec."""
     import ray.data as rd
@@ -65,7 +65,8 @@ def run_headline(sf_dir: str) -> dict:
     from geojson_vt_ray.sources.docs import synthesize_corpus
 
     sf = _sf_of(sf_dir)
-    n_docs = _CORPUS_N.get(sf, 8000)
+    if n_docs is None:
+        n_docs = _CORPUS_N.get(sf, 8000)
 
     # full-split recipe (reference README.md:67: indexMaxZoom high,
     # indexMaxPoints 0) so tile volume, not per-level fixed cost,
@@ -128,12 +129,13 @@ def run_queries(sf_dir: str, only=None) -> dict:
     return out
 
 
-def bench_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
+               n_docs: int | None = None) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
-        head = run_headline(sf_dir)
+        head = run_headline(sf_dir, n_docs=n_docs)
         queries = {} if headline_only else run_queries(sf_dir)
     finally:
         ray.shutdown()
@@ -160,11 +162,15 @@ def bench_scaling(sf_dir: str) -> dict:
     lower efficiency is a single-socket hardware artifact (UDF cpu-time
     inflates ~2x from 8 to 32 concurrent workers on this box — measured
     via ds.stats(), identical task counts and totals otherwise)."""
+    # 4x the default corpus: scaling needs compute (not the fixed ~5s of
+    # write/manifest/scheduling) to dominate at every parallelism level
+    n_docs = 4 * _CORPUS_N.get(_sf_of(sf_dir), 8000)
     results = {}
     for n in (2, 8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only",
-             "--num-cpus", str(n), "--sf-dir", sf_dir, "--quiet-env"],
+             "--num-cpus", str(n), "--sf-dir", sf_dir, "--quiet-env",
+             "--n-docs", str(n_docs)],
             capture_output=True, text=True, timeout=3600,
             env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
         line = [l for l in proc.stdout.strip().splitlines()
@@ -198,12 +204,15 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--quiet-env", action="store_true",
                     help="suppress non-JSON output (used by --scaling)")
+    ap.add_argument("--n-docs", type=int, default=None,
+                    help="override headline corpus size")
     args = ap.parse_args()
 
     if args.scaling:
         out = bench_scaling(args.sf_dir)
     else:
-        out = bench_once(args.sf_dir, args.num_cpus, args.headline_only)
+        out = bench_once(args.sf_dir, args.num_cpus, args.headline_only,
+                         n_docs=args.n_docs)
     print(json.dumps(out))
 
 
