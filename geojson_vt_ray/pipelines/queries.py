@@ -713,6 +713,24 @@ def q_pyramid_tiles(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_pyramid_stats(sf_dir: str):
+    """A3 debug stats: per-zoom tile histogram (tiles/leaf/split/empty/
+    rows) from the pyramid manifest (reference src/index.js:94-97
+    stats side-channel)."""
+    import tempfile
+    import ray.data as rd
+    from ..config import TileOptions
+    from .pyramid import slice_pyramid
+    n = {"0.001": 60, "0.01": 200}.get(_sf_of(sf_dir), 200)
+    docs = rd.from_arrow(synthesize_corpus(n))
+    opts = TileOptions(max_zoom=14, index_max_zoom=4, index_max_points=2000)
+    with tempfile.TemporaryDirectory() as td:
+        ts = slice_pyramid(docs, opts, td, batch_size=256)
+        rows = ts.manifest["levels"]
+    df = pd.DataFrame(rows)[["z", "tiles", "leaf", "split", "empty", "rows"]]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -739,6 +757,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "media_features": q_media_features,
     "pyramid_tiles": q_pyramid_tiles,
+    "pyramid_stats": q_pyramid_stats,
 }
 
 ORACLE_SQL = {
