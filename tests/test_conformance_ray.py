@@ -128,6 +128,30 @@ def test_ray_deep_level_combine_path(ray_session, tmp_path, fixtures,
     assert got == want
 
 
+def test_carry_spans_off_same_tiles(ray_session, tmp_path, fixtures):
+    """carry_spans=False (the at-scale layout) must change ONLY the spans
+    payload column: tiles, drill-down and ordering identical."""
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from geojson_vt_ray.config import options_from_dict
+    data = fixtures("us-states.json")
+    opts = options_from_dict({"indexMaxZoom": 4, "indexMaxPoints": 0})
+
+    def run(sub, **kw):
+        docs = rd.from_arrow(doc_table_from_geojson(data))
+        return slice_pyramid(docs, opts, str(tmp_path / sub), **kw)
+
+    ts_on = run("on")
+    ts_off = run("off", carry_spans=False)
+    assert ts_off.gen_tiles() == ts_on.gen_tiles()
+    assert ts_off.get_tile(7, 37, 48) == ts_on.get_tile(7, 37, 48)
+    comb = pads.dataset(str(tmp_path / "off" / "combined"),
+                        partitioning="hive").to_table(columns=["spans",
+                                                               "doc_id"])
+    assert comb.column("spans").null_count == comb.num_rows
+    assert comb.column("doc_id").null_count == 0  # re-attach key intact
+
+
 def test_ray_resume_from_checkpoint(ray_session, tmp_path, fixtures,
                                     monkeypatch):
     """Kill the run mid-pyramid (split stage raises at z>=4), then
