@@ -97,6 +97,42 @@ class MediaFeatures:
         })
 
 
+class AudioFeatures:
+    """Audio feature-extraction stage shape: per media span, 'decode'
+    (stub) a deterministic sample stream and emit duration + an 8-bin
+    energy histogram. A real torchaudio/ffmpeg decoder injects via
+    ``decoder=`` exactly like MediaFeatures."""
+
+    def __init__(self, decoder=None, sample_rate: int = 16_000):
+        self.decoder = decoder
+        self.sample_rate = sample_rate
+
+    def _decode(self, ref: str) -> np.ndarray:
+        if self.decoder is not None:
+            return self.decoder.decode(ref, None)
+        h = hashlib.sha256(ref.encode()).digest()
+        n = self.sample_rate * (1 + h[3] % 9)  # 1..9 s
+        rng = np.random.default_rng(int.from_bytes(h[4:8], "big"))
+        return rng.standard_normal(n).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        o_ref, o_dur, o_hist = [], [], []
+        for ref in refs:
+            wav = self._decode(ref)
+            o_ref.append(ref)
+            o_dur.append(len(wav) / self.sample_rate)
+            energy = wav * wav
+            hist, _ = np.histogram(energy, bins=8, range=(0.0, 9.0))
+            o_hist.append((hist / max(hist.sum(), 1)).astype(
+                np.float32).tolist())
+        return pa.table({
+            "media_ref": pa.array(o_ref, pa.string()),
+            "duration_sec": pa.array(o_dur, pa.float64()),
+            "energy_hist": pa.array(o_hist, pa.list_(pa.float32())),
+        })
+
+
 class FrameSampler:
     """Video frame-sampling stage shape: emits every Nth synthetic frame
     index per media span (decode stubbed the same way)."""

@@ -681,6 +681,34 @@ def q_media_features(sf_dir: str):
                                "n_channels"])
 
 
+def _media_refs(sf_dir: str):
+    """Distinct media_ref rows of a synthesized corpus (media span
+    explode via the MediaFeatures stage's doc table plumbing)."""
+    import ray.data as rd
+    n = {"0.001": 100, "0.01": 400}.get(_sf_of(sf_dir), 400)
+    docs = rd.from_arrow(synthesize_corpus(n))
+    return (docs.map_batches(MediaFeatures, batch_format="pyarrow",
+                             concurrency=2, batch_size=64)
+            .select_columns(["media_ref"]))
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing: every 30th synthetic frame per
+    media span (decode stubbed deterministically)."""
+    from ..functions.multimodal import FrameSampler
+    return _media_refs(sf_dir).map_batches(
+        FrameSampler(every_n=30), batch_format="pyarrow", concurrency=2)
+
+
+def q_audio_features(sf_dir: str):
+    """Audio decode/feature plumbing: duration + energy histogram per
+    media span (decode stubbed deterministically)."""
+    from ..functions.multimodal import AudioFeatures
+    return _media_refs(sf_dir).map_batches(
+        AudioFeatures(), batch_format="pyarrow", concurrency=2,
+        batch_size=64)
+
+
 def _sf_of(sf_dir: str) -> str:
     import re
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -756,6 +784,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embed_neardup": q_embed_neardup,
     "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
+    "audio_features": q_audio_features,
     "pyramid_tiles": q_pyramid_tiles,
     "pyramid_stats": q_pyramid_stats,
 }
