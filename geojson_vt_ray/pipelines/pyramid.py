@@ -93,7 +93,8 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         return _slice_fullsplit(docs, options, out_dir,
                                 batch_size=batch_size,
                                 concurrency=concurrency,
-                                carry_spans=carry_spans)
+                                carry_spans=carry_spans,
+                                resume=resume)
 
     os.makedirs(out_dir, exist_ok=True)
     kw = {"batch_format": "pyarrow", "batch_size": batch_size}
@@ -264,24 +265,35 @@ def _write_manifest(out_dir: str, options: TileOptions, levels_meta,
 
 def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
                      out_dir: str, *, batch_size: int = 1024,
-                     concurrency=None, carry_spans: bool = True) -> "TileSet":
+                     concurrency=None, carry_spans: bool = True,
+                     resume: bool = False) -> "TileSet":
     """Barrier-free full pyramid: parse -> wrap -> FullSplitBuild -> one
     hive-partitioned write, then a tiny pruned-column aggregate for the
-    manifest."""
+    manifest. Resume granularity: within a run Ray retries failed write
+    tasks; across runs a _COMPLETE marker after the write lets a crashed
+    manifest step rebuild without recomputing the pyramid."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
-    kw = {"batch_format": "pyarrow", "batch_size": batch_size}
-    if concurrency:
-        kw["concurrency"] = concurrency
-
-    ds = docs.map_batches(ParseDocs(options), **kw)
-    ds = ds.map_batches(WrapStage(options), **kw)
-    if not carry_spans:
-        ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
-    ds = ds.map_batches(FullSplitBuild(options), **kw)
     comb = os.path.join(out_dir, "combined")
-    ds.write_parquet(comb, partition_cols=["okind", "z"])
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
+        return TileSet(out_dir, options)
+    if not (resume and os.path.exists(marker)):
+        if os.path.isdir(comb):  # partial write from a crashed run
+            import shutil
+            shutil.rmtree(comb)
+        kw = {"batch_format": "pyarrow", "batch_size": batch_size}
+        if concurrency:
+            kw["concurrency"] = concurrency
+        ds = docs.map_batches(ParseDocs(options), **kw)
+        ds = ds.map_batches(WrapStage(options), **kw)
+        if not carry_spans:
+            ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
+        ds = ds.map_batches(FullSplitBuild(options), **kw)
+        ds.write_parquet(comb, partition_cols=["okind", "z"])
+        with open(marker, "w") as f:
+            f.write("ok")
 
     nonempty: dict[int, dict[tuple[int, int], int]] = {}
     if os.path.isdir(comb) and os.listdir(comb):

@@ -190,6 +190,30 @@ def test_ray_resume_from_checkpoint(ray_session, tmp_path, fixtures,
         assert got[key] == want[key], f"tile {key} differs after resume"
 
 
+def test_fullsplit_resume_manifest_only(ray_session, tmp_path, fixtures):
+    """fullsplit resume: manifest.json lost after a complete write ->
+    resume rebuilds the manifest from the combined data without
+    recomputing; identical tiles."""
+    import os
+    import ray.data as rd
+    data = fixtures("us-states.json")
+    opts = options_from_dict({"indexMaxZoom": 3, "indexMaxPoints": 0})
+    out = str(tmp_path / "pyr")
+    docs = rd.from_arrow(doc_table_from_geojson(data))
+    want = slice_pyramid(docs, opts, out).gen_tiles()
+    os.remove(os.path.join(out, "manifest.json"))
+    mtimes = {f: os.path.getmtime(os.path.join(r, f))
+              for r, _, fs in os.walk(os.path.join(out, "combined"))
+              for f in fs}
+    ts = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                       opts, out, resume=True)
+    assert ts.gen_tiles() == want
+    # the combined data was NOT rewritten
+    for r, _, fs in os.walk(os.path.join(out, "combined")):
+        for f in fs:
+            assert os.path.getmtime(os.path.join(r, f)) == mtimes[f]
+
+
 def test_cli_slice_and_get_tile(ray_session, tmp_path, fixtures_dir):
     """End-to-end CLI surface (the ray job submit entry): slice a GeoJSON
     input, then serve a drill-down tile."""
