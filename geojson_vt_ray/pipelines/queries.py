@@ -741,6 +741,50 @@ def q_pyramid_tiles(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_distinct_users(sf_dir: str):
+    """Per-day distinct users: per-batch pair dedup (the shuffle moves
+    unique (day, user) pairs, not rows), then a small per-day nunique."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        key = day * 10_000_000 + uid
+        uniq = np.unique(key)
+        return pa.table({"day": pa.array(uniq // 10_000_000),
+                         "user_id": pa.array(uniq % 10_000_000)})
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": [int(g["day"].iloc[0])],
+                             "n_users": [int(g["user_id"].nunique())]})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("day").map_groups(nunique, batch_format="pandas"))
+
+
+_SQL_DISTINCT_USERS = (
+    "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+    "COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1")
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog per-day distinct users (functions/sketch.py): the
+    shuffle moves one 4 KiB register array per (batch, day) instead of
+    keys — the at-scale path; ~1.6% relative error at 2^12 registers."""
+    from ..functions.sketch import approx_distinct
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("day", pa.array(ts // 86_400_000_000))
+
+    return approx_distinct(ds.map_batches(add_day, batch_format="pyarrow"),
+                           key_col="user_id", group_col="day")
+
+
 def q_pyramid_stats(sf_dir: str):
     """A3 debug stats: per-zoom tile histogram (tiles/leaf/split/empty/
     rows) from the pyramid manifest (reference src/index.js:94-97
@@ -771,6 +815,8 @@ QUERIES = {
     "join_broadcast": q_join_broadcast,
     "window_events": q_window_events,
     "asof_join": q_asof_join,
+    "distinct_users": q_distinct_users,
+    "approx_distinct_users": q_approx_distinct_users,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "quality": q_quality,
@@ -802,6 +848,9 @@ ORACLE_SQL = {
     "join_broadcast": _SQL_JOIN_BROADCAST,
     "window_events": _SQL_WINDOW,
     "asof_join": _SQL_ASOF,
+    "distinct_users": _SQL_DISTINCT_USERS,
+    # approx_distinct_users: sketch estimate, rows-only (accuracy is
+    # asserted against the exact count in tests/test_functions.py)
     "dedup_exact": _SQL_DEDUP_EXACT,
     "token_counts": _SQL_TOKEN_COUNTS,
     "quality": _SQL_QUALITY,

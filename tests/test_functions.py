@@ -98,6 +98,34 @@ def test_salted_sum_equals_plain_groupby(ray_session):
     assert np.allclose(plain["v"], want["v"], rtol=1e-9)
 
 
+def test_hll_sketch_accuracy_and_mergeability():
+    from geojson_vt_ray.functions.sketch import (hll_estimate, hll_merge,
+                                                 hll_partial)
+    rng = np.random.default_rng(3)
+    for true_n in (50, 1_000, 50_000):
+        keys = rng.choice(10 * true_n, true_n, replace=False)
+        # split into 8 partial sketches, merge, estimate
+        parts = [hll_partial(c) for c in np.array_split(keys, 8)]
+        est = hll_estimate(hll_merge(parts))
+        assert abs(est - true_n) / true_n < 0.06, (true_n, est)
+        # merge must equal the single-pass sketch (register-wise max)
+        assert (hll_merge(parts) == hll_partial(keys)).all()
+        # deterministic
+        assert hll_estimate(hll_partial(keys)) == est
+
+
+def test_approx_distinct_matches_exact_within_error(ray_session):
+    import __ray_entry__ as E
+    qs = E.queries()
+    exact = qs["distinct_users"]("/root/testdata/sf0.001").to_pandas()
+    approx = qs["approx_distinct_users"](
+        "/root/testdata/sf0.001").to_pandas()
+    m = exact.merge(approx, on="day")
+    assert len(m) == len(exact)
+    rel = (m["approx_n"] - m["n_users"]).abs() / m["n_users"].clip(lower=1)
+    assert (rel < 0.10).all(), m[rel >= 0.10]
+
+
 def test_kmeans_deterministic_and_partitions():
     rng = np.random.default_rng(0)
     pts = np.concatenate([rng.normal(0, 0.05, (50, 8)) + 1.0,
