@@ -295,6 +295,18 @@ def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
         with open(marker, "w") as f:
             f.write("ok")
 
+    _rebuild_fullsplit_manifest(out_dir, options, batch_size)
+    return TileSet(out_dir, options)
+
+
+def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
+                                batch_size: int = 1024) -> None:
+    """Distributed pruned-column aggregate over the combined data ->
+    manifest.json (statuses + per-zoom stats). Idempotent; also used by
+    resume and append."""
+    import ray
+
+    comb = os.path.join(out_dir, "combined")
     nonempty: dict[int, dict[tuple[int, int], int]] = {}
     if os.path.isdir(comb) and os.listdir(comb):
         cds = ray.data.read_parquet(comb, columns=["okind", "z", "x", "y"])
@@ -348,6 +360,40 @@ def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
+
+
+def append_to_pyramid(docs: "ray.data.Dataset", out_dir: str, *,
+                      batch_size: int = 1024, concurrency=None,
+                      carry_spans: bool = True) -> "TileSet":
+    """Incremental update (not in the reference): slice a DELTA doc table
+    through the same single-pass pipeline into an EXISTING full-split
+    pyramid and rebuild the manifest over the union.
+
+    Correctness: tile content is a row-set union keyed by ``okey``
+    (ordering restores global input order at read), and the split
+    decision in full-split mode is per-tile "has rows", which is
+    union-monotone — so append(A) then append(B) equals slicing A∪B in
+    one shot (asserted by tests). The adaptive mode's stopping rule is
+    NOT union-monotone (new points can push a leaf over
+    indexMaxPoints), so append requires the full-split layout."""
+    ts = TileSet(out_dir)
+    options = ts.options
+    if ts.manifest.get("layout") != "combined":
+        raise NotImplementedError(
+            "append requires the full-split layout (indexMaxPoints <= 0); "
+            "the adaptive stopping rule is not union-monotone — re-slice")
+    # delta seqs must not collide with existing ones for stable ordering
+    kw = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if concurrency:
+        kw["concurrency"] = concurrency
+    ds = docs.map_batches(ParseDocs(options), **kw)
+    ds = ds.map_batches(WrapStage(options), **kw)
+    if not carry_spans:
+        ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
+    ds = ds.map_batches(FullSplitBuild(options), **kw)
+    comb = os.path.join(out_dir, "combined")
+    ds.write_parquet(comb, partition_cols=["okind", "z"])  # new files only
+    _rebuild_fullsplit_manifest(out_dir, options, batch_size)
     return TileSet(out_dir, options)
 
 

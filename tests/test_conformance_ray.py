@@ -190,6 +190,36 @@ def test_ray_resume_from_checkpoint(ray_session, tmp_path, fixtures,
         assert got[key] == want[key], f"tile {key} differs after resume"
 
 
+def test_append_to_pyramid_equals_one_shot(ray_session, tmp_path, fixtures):
+    """Incremental append: slice(A) + append(B) must serve exactly the
+    tiles of slice(A∪B) — content, ordering and drill-down."""
+    import ray.data as rd
+    from geojson_vt_ray.pipelines.pyramid import append_to_pyramid
+    data = fixtures("us-states.json")
+    opts = options_from_dict({"indexMaxZoom": 4, "indexMaxPoints": 0})
+    all_docs = doc_table_from_geojson(data)
+    a, b = all_docs.slice(0, 30), all_docs.slice(30)
+
+    want = slice_pyramid(rd.from_arrow(all_docs), opts,
+                         str(tmp_path / "oneshot")).gen_tiles()
+
+    out = str(tmp_path / "incr")
+    slice_pyramid(rd.from_arrow(a), opts, out)
+    ts = append_to_pyramid(rd.from_arrow(b), out)
+    got = ts.gen_tiles()
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], f"tile {key} differs after append"
+    # drill-down over the unioned leaf sources
+    one = TileSet(str(tmp_path / "oneshot"))
+    for (z, x, y) in [(7, 37, 48), (6, 18, 23)]:
+        g = ts.get_tile(z, x, y)
+        w = one.get_tile(z, x, y)
+        assert (g is None) == (w is None)
+        if w is not None:
+            assert g["features"] == w["features"]
+
+
 def test_fullsplit_resume_manifest_only(ray_session, tmp_path, fixtures):
     """fullsplit resume: manifest.json lost after a complete write ->
     resume rebuilds the manifest from the combined data without
