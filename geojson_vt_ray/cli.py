@@ -54,8 +54,12 @@ def cmd_slice(args) -> int:
     docs = _load_docs(args.input)
     if args.repartition:
         docs = docs.repartition(args.repartition)
-    ts = slice_pyramid(docs, opts, args.out, batch_size=args.batch_size,
-                       resume=args.resume)
+    if args.append:
+        from .pipelines.pyramid import append_to_pyramid
+        ts = append_to_pyramid(docs, args.out, batch_size=args.batch_size)
+    else:
+        ts = slice_pyramid(docs, opts, args.out, batch_size=args.batch_size,
+                           resume=args.resume)
     print(json.dumps({"out": args.out,
                       "tiles": len(ts.tiles),
                       "levels": ts.manifest["levels"]}))
@@ -101,6 +105,9 @@ def main(argv=None) -> int:
     sp.add_argument("--repartition", type=int, default=0)
     sp.add_argument("--resume", action="store_true",
                     help="resume from out dir's last level checkpoint")
+    sp.add_argument("--append", action="store_true",
+                    help="incremental: slice --input as a delta into the "
+                         "existing full-split pyramid at --out")
     sp.set_defaults(fn=cmd_slice)
 
     gt = sub.add_parser("get-tile", help="serve one tile (drill-down on miss)")
