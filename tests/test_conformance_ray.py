@@ -232,16 +232,19 @@ def test_fullsplit_resume_manifest_only(ray_session, tmp_path, fixtures):
     docs = rd.from_arrow(doc_table_from_geojson(data))
     want = slice_pyramid(docs, opts, out).gen_tiles()
     os.remove(os.path.join(out, "manifest.json"))
-    mtimes = {f: os.path.getmtime(os.path.join(r, f))
+    # key by FULL path: the same base filename appears in every hive
+    # partition dir (one file per task per partition)
+    mtimes = {os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
               for r, _, fs in os.walk(os.path.join(out, "combined"))
               for f in fs}
     ts = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
                        opts, out, resume=True)
     assert ts.gen_tiles() == want
     # the combined data was NOT rewritten
-    for r, _, fs in os.walk(os.path.join(out, "combined")):
-        for f in fs:
-            assert os.path.getmtime(os.path.join(r, f)) == mtimes[f]
+    now = {os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+           for r, _, fs in os.walk(os.path.join(out, "combined"))
+           for f in fs}
+    assert now == mtimes
 
 
 def test_cli_slice_and_get_tile(ray_session, tmp_path, fixtures_dir):
