@@ -741,6 +741,198 @@ def q_pyramid_tiles(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): per-user event
+    sessions with counts. Coarse-key shuffle (256 buckets of users) +
+    fully vectorized per-bucket sort/diff/cumsum — never one Ray group
+    per user."""
+    GAP_US = 1_800_000_000
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pkey",
+                               pa.array((uid & 0xFF).astype(np.int32)))
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > GAP_US
+        new_sess = new_user | gap
+        # per-user session numbering: global cumsum minus the user's base
+        sess_global = np.cumsum(new_sess)
+        base = np.where(new_user, sess_global - 1, 0)
+        base = np.maximum.accumulate(base)
+        out = pd.DataFrame({"user_id": uid,
+                            "session_id": sess_global - base})
+        return (out.groupby(["user_id", "session_id"], as_index=False)
+                .size().rename(columns={"size": "n_events"}))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("pkey").map_groups(sessionize, batch_format="pandas"))
+
+
+_SQL_SESSIONIZE = (
+    "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+    "COUNT(*) AS n_events FROM ("
+    " SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id"
+    "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+    "  SELECT user_id, ts, event_id, CASE WHEN"
+    "   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+    "   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events))"
+    " GROUP BY 1, 2")
+
+
+def q_topk_per_segment(sf_dir: str):
+    """Top-3 orders by price per market segment: broadcast dim lookup,
+    per-batch partial top-k per segment, tiny global re-rank."""
+    import ray
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist())
+    seg_vals, seg_codes = np.unique(segs, return_inverse=True)
+    lut = np.full(int(ck.max()) + 1, -1, dtype=np.int32)
+    lut[ck] = seg_codes
+    lref = ray.put((lut, seg_vals))
+
+    class PartialTopK:
+        def __init__(self):
+            self.lut, self.seg_vals = (
+                ray.get(lref) if isinstance(lref, ray.ObjectRef) else lref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            codes = self.lut[np.clip(keys, 0, len(self.lut) - 1)]
+            o_seg, o_key, o_price = [], [], []
+            for c in range(len(self.seg_vals)):
+                m = np.flatnonzero(codes == c)
+                if not len(m):
+                    continue
+                part = m[np.lexsort((okey[m], -price[m]))[:3]]
+                o_seg.extend([self.seg_vals[c]] * len(part))
+                o_key.extend(okey[part])
+                o_price.extend(price[part])
+            return pa.table({"c_mktsegment": pa.array(o_seg, pa.string()),
+                             "o_orderkey": pa.array(o_key, pa.int64()),
+                             "o_totalprice": pa.array(o_price, pa.float64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_totalprice"])
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
+                              concurrency=2)
+    df = partials.to_pandas().sort_values(
+        ["c_mktsegment", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="mergesort")
+    df["rnk"] = df.groupby("c_mktsegment").cumcount() + 1
+    df = df[df["rnk"] <= 3][["c_mktsegment", "o_orderkey", "rnk"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+_SQL_TOPK_SEGMENT = (
+    "SELECT c_mktsegment, o_orderkey, rnk FROM ("
+    " SELECT c.c_mktsegment, o.o_orderkey, ROW_NUMBER() OVER ("
+    "  PARTITION BY c.c_mktsegment"
+    "  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk"
+    " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+    " WHERE rnk <= 3")
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no orders since 2000-06-01 (anti join): predicate
+    pushed into the probe-side read, distributed unique partials of the
+    order keys -> broadcast key set -> vectorized filter. The shuffle
+    moves distinct keys only."""
+    import ray
+    CUTOFF_US = np.datetime64("2000-06-01").astype(
+        "datetime64[us]").astype(np.int64)
+    keys_ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_orderdate"])
+
+    def uniq(b: pa.Table) -> pa.Table:
+        dt = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = dt >= CUTOFF_US
+        k = np.unique(
+            b.column("o_custkey").to_numpy(zero_copy_only=False)[keep])
+        return pa.table({"o_custkey": pa.array(k)})
+
+    parts = keys_ds.map_batches(uniq, batch_format="pyarrow")
+    have = np.unique(np.concatenate(
+        [ray.get(r).column("o_custkey").to_numpy(zero_copy_only=False)
+         for r in parts.to_arrow_refs()] or [np.empty(0, np.int64)]))
+    href = ray.put(have)
+
+    class AntiFilter:
+        def __init__(self):
+            self.have = (ray.get(href) if isinstance(href, ray.ObjectRef)
+                         else href)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = b.column("c_custkey").to_numpy(zero_copy_only=False)
+            if len(self.have) == 0:
+                return b.select(["c_custkey"])
+            pos = np.clip(np.searchsorted(self.have, k), 0,
+                          len(self.have) - 1)
+            miss = self.have[pos] != k
+            return b.filter(pa.array(miss)).select(["c_custkey"])
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    return cust.map_batches(AntiFilter, batch_format="pyarrow",
+                            concurrency=2)
+
+
+_SQL_ANTI_JOIN = (
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= DATE '2000-06-01')")
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clustering: union-find over the verified MinHash pairs ->
+    (doc_id, cluster_id = min doc id in its cluster), docs appearing in
+    any pair only. The pair set is tiny relative to the corpus (the LSH
+    stage already pruned), so the final union-find is driver-side; at
+    10^12 scale swap for iterative label propagation (join pairs against
+    labels until fixpoint), same output contract."""
+    pairs = F_dedup.minhash_dedup_pairs(
+        _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]), threshold=0.5)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("id_a").to_pylist(),
+                    pairs.column("id_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(set(pairs.column("id_a").to_pylist())
+                     | set(pairs.column("id_b").to_pylist()))
+    return pa.table({
+        "doc_id": pa.array(members, pa.int64()),
+        "cluster_id": pa.array([find(m) for m in members], pa.int64())})
+
+
 def q_distinct_users(sf_dir: str):
     """Per-day distinct users: per-batch pair dedup (the shuffle moves
     unique (day, user) pairs, not rows), then a small per-day nunique."""
@@ -817,6 +1009,10 @@ QUERIES = {
     "asof_join": q_asof_join,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
+    "sessionize": q_sessionize,
+    "topk_per_segment": q_topk_per_segment,
+    "anti_join": q_anti_join,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "quality": q_quality,
@@ -849,8 +1045,12 @@ ORACLE_SQL = {
     "window_events": _SQL_WINDOW,
     "asof_join": _SQL_ASOF,
     "distinct_users": _SQL_DISTINCT_USERS,
+    "sessionize": _SQL_SESSIONIZE,
+    "topk_per_segment": _SQL_TOPK_SEGMENT,
+    "anti_join": _SQL_ANTI_JOIN,
     # approx_distinct_users: sketch estimate, rows-only (accuracy is
     # asserted against the exact count in tests/test_functions.py)
+    # dedup_clusters: union-find over LSH pairs, rows-only
     "dedup_exact": _SQL_DEDUP_EXACT,
     "token_counts": _SQL_TOKEN_COUNTS,
     "quality": _SQL_QUALITY,
