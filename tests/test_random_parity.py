@@ -55,6 +55,10 @@ def _random_collection(seed: int, n: int = 24) -> dict:
          "lineMetrics": True}),                             # metrics path
     (4, {"indexMaxZoom": 4, "indexMaxPoints": 100,
          "buffer": 1024, "tolerance": 0.5}),                # odd options
+    (5, {"indexMaxZoom": 3, "indexMaxPoints": 0,
+         "tolerance": 0}),                                  # no simplification
+    (6, {"indexMaxZoom": 3, "indexMaxPoints": 0,
+         "extent": 512, "buffer": 0, "maxZoom": 10}),       # small extent, no buffer
 ])
 def test_random_geometry_parity(ray_session, tmp_path, seed, opts):
     import ray.data as rd
