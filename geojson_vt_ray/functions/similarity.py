@@ -212,23 +212,112 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids, k: int,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def lsh_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (np.asarray(m, dtype=np.float64) @ planes.T) > 0
+    bucket = np.zeros(len(m), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        bucket |= bits[:, b].astype(np.int64) << b
+    return bucket
+
+
 class LSHBuckets:
     """Scale path: random-hyperplane LSH bucket assignment; candidates
     restricted to matching buckets before exact re-rank."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 42,
                  vec_col: str = "embedding"):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = lsh_planes(dim, n_planes, seed)
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.vec_col)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         vals = col.values.to_numpy(zero_copy_only=False)
-        m = vals.reshape(-1, self.planes.shape[1]).astype(np.float64)
-        bits = (m @ self.planes.T) > 0
-        bucket = np.zeros(len(m), dtype=np.int64)
-        for b in range(self.planes.shape[0]):
-            bucket |= bits[:, b].astype(np.int64) << b
-        return batch.append_column("lsh_bucket", pa.array(bucket))
+        m = vals.reshape(-1, self.planes.shape[1])
+        return batch.append_column(
+            "lsh_bucket", pa.array(lsh_bucket_of(m, self.planes)))
+
+
+class LSHTopKPartial:
+    """Per-batch LSH-probed top-k: a query only scores vectors whose
+    bucket is the query's bucket or 1 bit away (multi-probe)."""
+
+    def __init__(self, queries_ref, query_ids, n_planes: int, k: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 42):
+        import ray
+        q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
+             else queries_ref)
+        self.q = _norm_rows(np.asarray(q, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        planes = lsh_planes(self.q.shape[1], n_planes, seed)
+        qb = lsh_bucket_of(self.q, planes)
+        # multi-probe set per query: own bucket + all 1- and 2-bit flips
+        # (recall/scan-fraction knob; random near-orthogonal embeddings
+        # need the wider probe)
+        flips1 = 1 << np.arange(n_planes)
+        flips2 = np.array([(1 << i) | (1 << j)
+                           for i in range(n_planes)
+                           for j in range(i + 1, n_planes)], dtype=np.int64)
+        self.probes = [np.concatenate(([b], b ^ flips1, b ^ flips2))
+                       for b in qb]
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = col.values.to_numpy(zero_copy_only=False)
+        m = _norm_rows(vals.reshape(-1, self.q.shape[1]).astype(np.float64))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        buckets = batch.column("lsh_bucket").to_numpy(zero_copy_only=False)
+        o_q, o_id, o_s = [], [], []
+        for qi in range(len(self.q)):
+            cand = np.flatnonzero(np.isin(buckets, self.probes[qi]))
+            if len(cand) == 0:
+                continue
+            s = m[cand] @ self.q[qi]
+            k = min(self.k, len(s))
+            part = np.lexsort((ids[cand], -s))[:k]
+            o_q.extend([self.query_ids[qi]] * k)
+            o_id.extend(ids[cand][part])
+            o_s.extend(s[part])
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "vec_id": pa.array(o_id, pa.int64()),
+                         "cosine": pa.array(o_s, pa.float64())})
+
+
+def ann_lsh_topk(ds, queries: np.ndarray, query_ids, k: int,
+                 n_planes: int = 8, vec_col: str = "embedding",
+                 id_col: str = "vec_id", exclude_self: bool = True,
+                 seed: int = 42) -> pa.Table:
+    """LSH-bucketed ANN: assign stage + multi-probe partial top-k +
+    tiny merge. Same output schema as ann_cosine_topk/ann_ivf_topk."""
+    import ray
+    dim = np.asarray(queries).shape[1]
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    kk = k + (1 if exclude_self else 0)
+    partials = (ds.map_batches(LSHBuckets(dim, n_planes, seed, vec_col),
+                               batch_format="pyarrow")
+                .map_batches(LSHTopKPartial(qref, query_ids, n_planes, kk,
+                                            vec_col, id_col, seed),
+                             batch_format="pyarrow"))
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64())})
+    merged = topk_merge(pa.concat_tables(tables), kk)
+    df = merged.to_pandas()
+    if exclude_self:
+        df = df[df["query_id"] != df["vec_id"]]
+        df["rnk"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rnk"] <= k]
+    return pa.Table.from_pandas(df, preserve_index=False)

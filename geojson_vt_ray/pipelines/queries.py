@@ -646,6 +646,23 @@ def q_ann_ivf(sf_dir: str):
                               nlist=16, nprobe=6)
 
 
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (random hyperplanes, multi-probe): same queries
+    as ann_topk, candidates limited to the query's bucket + 1-bit
+    neighbors (~(n_planes+1)/2^n_planes of the corpus scanned)."""
+    import pyarrow.parquet as pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    vals = emb.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False)
+    mat = vals.reshape(len(ids), -1)
+    qmask = ids < 5
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return F_sim.ann_lsh_topk(ds, mat[qmask], ids[qmask], k=5, n_planes=6)
+
+
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs vs a reference sample (vec_id<50)."""
     import ray
@@ -1024,6 +1041,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "embed_neardup": q_embed_neardup,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
