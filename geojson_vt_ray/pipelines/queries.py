@@ -305,21 +305,34 @@ def q_agg_lineitem(sf_dir: str):
                  "l_extendedprice", "l_discount"])
 
     def revenue(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return b.append_column("revenue", rev)
+        # Prices/discounts are 2-decimal; accumulate in exact int64
+        # "cent*pct" units so the parallel Sum is order-independent
+        # (float accumulation order diverges from the oracle's).
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            b.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return b.append_column("revenue_i", rev)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(b.column("sum_rev_i"), pa.float64()),
+                        pa.scalar(10000.0))
+        return b.drop_columns(["sum_rev_i"]).append_column("sum_rev", rev)
 
     out = (ds.map_batches(revenue, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("revenue", alias_name="sum_rev"),
-                      Count(alias_name="n")))
+                      Sum("revenue_i", alias_name="sum_rev_i"),
+                      Count(alias_name="n"))
+           .map_batches(finalize, batch_format="pyarrow"))
     return out
 
 
 _SQL_AGG_LINEITEM = (
     "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
-    "SUM(l_extendedprice * (1.0 - l_discount)) AS sum_rev, "
+    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_rev, "
     "COUNT(*) AS n FROM lineitem GROUP BY 1, 2")
 
 
@@ -393,16 +406,30 @@ def q_join_broadcast(sf_dir: str):
             return b.append_column("c_mktsegment",
                                    pa.array(seg.tolist(), pa.string()))
 
+    def cents(b: pa.Table) -> pa.Table:
+        # exact int64 cents so the parallel Sum is order-independent
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        return b.append_column("total_i", c)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        tot = pc.divide(pc.cast(b.column("total_i"), pa.float64()),
+                        pa.scalar(100.0))
+        return b.drop_columns(["total_i"]).append_column("total", tot)
+
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
     return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+            .map_batches(cents, batch_format="pyarrow")
             .groupby("c_mktsegment")
             .aggregate(Count(alias_name="n"),
-                       Sum("o_totalprice", alias_name="total")))
+                       Sum("total_i", alias_name="total_i"))
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 _SQL_JOIN_BROADCAST = (
-    "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS total "
+    "SELECT c.c_mktsegment, COUNT(*) AS n, "
+    "SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "GROUP BY 1")
 
