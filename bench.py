@@ -151,6 +151,21 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
     }
 
 
+def _parse_child_json(proc, n_cpus: int) -> dict:
+    """Last parseable JSON line of the child's stdout; on failure raise
+    with the child's stderr tail attached instead of a bare IndexError."""
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise RuntimeError(
+        f"scaling child (num_cpus={n_cpus}) produced no JSON result "
+        f"(exit {proc.returncode}); stderr tail:\n"
+        + "\n".join(proc.stderr.strip().splitlines()[-15:]))
+
+
 def bench_scaling(sf_dir: str) -> dict:
     """Same headline job at several parallelism levels in fresh processes
     (sandbox stand-in for N vs 4N nodes — see BASELINE.md).
@@ -173,9 +188,7 @@ def bench_scaling(sf_dir: str) -> dict:
              "--n-docs", str(n_docs)],
             capture_output=True, text=True, timeout=3600,
             env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
-        line = [l for l in proc.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
-        results[n] = json.loads(line)
+        results[n] = _parse_child_json(proc, n)
 
     def eff(lo, hi):
         tp_lo = results[lo]["tiles_per_sec"]
@@ -203,10 +216,16 @@ def main():
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--quiet-env", action="store_true",
-                    help="suppress non-JSON output (used by --scaling)")
+                    help="route Ray/Data logs away from stdio (used by "
+                         "--scaling so the JSON line stays parseable)")
     ap.add_argument("--n-docs", type=int, default=None,
                     help="override headline corpus size")
     args = ap.parse_args()
+    if args.quiet_env:
+        os.environ.setdefault("RAY_DEDUP_LOGS", "0")
+        os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+        import logging
+        logging.getLogger("ray").setLevel(logging.CRITICAL)
 
     if args.scaling:
         out = bench_scaling(args.sf_dir)

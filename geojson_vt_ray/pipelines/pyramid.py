@@ -55,6 +55,34 @@ STATUS_EMPTY = "empty"
 DEEP_LEVEL_COMBINE_THRESHOLD = 20_000
 
 
+_OPT_FIELDS = ("max_zoom", "index_max_zoom", "index_max_points", "tolerance",
+               "extent", "buffer", "line_metrics", "promote_id",
+               "generate_id")
+
+
+def _options_dict(options: TileOptions) -> dict:
+    return {f: getattr(options, f) for f in _OPT_FIELDS}
+
+
+def _clear_run_state(out_dir: str) -> None:
+    """Fresh (resume=False) run: drop every completion/lineage artifact
+    from a prior run BEFORE touching data, so a crash mid-rewrite can
+    never leave a stale _COMPLETE/manifest/checkpoint next to partial
+    data that a later resume would trust."""
+    for name in ("_COMPLETE", "manifest.json", "checkpoint.json"):
+        p = os.path.join(out_dir, name)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def _check_resume_options(recorded, options: TileOptions, what: str) -> None:
+    want = _options_dict(options)
+    if recorded is not None and dict(recorded) != want:
+        raise ValueError(
+            f"resume=True but {what} was written with different "
+            f"TileOptions: {recorded} != {want}; rerun with resume=False")
+
+
 def _strip_spans(batch: pa.Table) -> pa.Table:
     """Null the spans payload column (carry_spans=False): tile rows keep
     doc_id, so spans re-attach from the corpus table by key. Duplicating
@@ -107,11 +135,17 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     z = 0
 
     ckpt_path = os.path.join(out_dir, "checkpoint.json")
+    if not resume:
+        _clear_run_state(out_dir)
     if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            _check_resume_options(json.load(f).get("options"), options,
+                                  "manifest.json")
         return TileSet(out_dir, options)
     if resume and os.path.exists(ckpt_path):
         with open(ckpt_path) as f:
             ck = json.load(f)
+        _check_resume_options(ck.get("options"), options, "checkpoint.json")
         z0 = ck["last_complete_z"]
         # discard anything written past the checkpoint (mid-write crash)
         import shutil
@@ -226,7 +260,8 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         # durable and the split decision is recorded, so a failed run
         # resumes at z+1 without recomputing parse/wrap/earlier levels
         with open(ckpt_path, "w") as f:
-            json.dump({"last_complete_z": z,
+            json.dump({"options": _options_dict(options),
+                       "last_complete_z": z,
                        "split_ids": sorted(int(t) for t in split_set),
                        "next_level_tiles": next_tiles,
                        "manifest_tiles": [[tz, tx, ty, st]
@@ -252,9 +287,7 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
 def _write_manifest(out_dir: str, options: TileOptions, levels_meta,
                     manifest_tiles: dict) -> None:
     manifest = {
-        "options": {f: getattr(options, f) for f in (
-            "max_zoom", "index_max_zoom", "index_max_points", "tolerance",
-            "extent", "buffer", "line_metrics", "promote_id", "generate_id")},
+        "options": _options_dict(options),
         "levels": levels_meta,
         "tiles": [[tz, tx, ty, st]
                   for tz, tx, ty, st in manifest_tiles.values()],
@@ -277,7 +310,12 @@ def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
     os.makedirs(out_dir, exist_ok=True)
     comb = os.path.join(out_dir, "combined")
     marker = os.path.join(out_dir, "_COMPLETE")
+    if not resume:
+        _clear_run_state(out_dir)
     if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            _check_resume_options(json.load(f).get("options"), options,
+                                  "manifest.json")
         return TileSet(out_dir, options)
     if not (resume and os.path.exists(marker)):
         if os.path.isdir(comb):  # partial write from a crashed run
@@ -352,9 +390,7 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
 
     manifest = {
         "layout": "combined",
-        "options": {f: getattr(options, f) for f in (
-            "max_zoom", "index_max_zoom", "index_max_points", "tolerance",
-            "extent", "buffer", "line_metrics", "promote_id", "generate_id")},
+        "options": _options_dict(options),
         "levels": levels_meta,
         "tiles": manifest_tiles,
     }

@@ -859,7 +859,10 @@ def q_topk_per_segment(sf_dir: str):
             keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
             okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
             price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
-            codes = self.lut[np.clip(keys, 0, len(self.lut) - 1)]
+            # out-of-range keys map to -1 (no segment), not to the last
+            # customer's slot — same guard as Lookup in q_join_broadcast
+            codes = np.where(keys < len(self.lut), self.lut[
+                np.clip(keys, 0, len(self.lut) - 1)], -1)
             o_seg, o_key, o_price = [], [], []
             for c in range(len(self.seg_vals)):
                 m = np.flatnonzero(codes == c)
