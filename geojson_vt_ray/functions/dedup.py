@@ -133,29 +133,52 @@ def _ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+from .shuffle import coarse_mask as _coarse_mask_fn
+from .shuffle import num_join_partitions as _num_join_partitions
+
+
+class ShingleBytes:
+    """map_batches stage: text -> (id, sh) where sh is the document's
+    sorted distinct shingle-hash set as raw uint64 bytes (large_binary —
+    fixed 8 B/shingle, join-shippable; Arrow joins reject list columns
+    as payload)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column(self.text_col).to_pylist()
+        sh = [_shingle_hashes(t).tobytes() for t in texts]
+        return pa.table({self.id_col: b.column(self.id_col),
+                         "sh": pa.array(sh, pa.large_binary())})
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                         id_col: str = "doc_id"):
     """Dataset -> verified near-dup pairs (id_a < id_b, jaccard >= thr).
 
     LSH bucket join: groupby (band_id, band_hash); only bucket members
-    pair up. Verification re-reads the pair texts via a broadcast of the
-    candidate id set (candidates are rare; at larger scales swap for a
-    hash-join of candidates against the corpus)."""
+    pair up. Verification is a distributed double hash-join of the
+    (tiny) candidate-pair table against the corpus's shingle-set table —
+    nothing corpus-sized ever touches the driver."""
     import ray
 
     bands = ds.map_batches(MinHashBands(text_col, id_col),
                            batch_format="pyarrow")
 
-    # Shuffle by a COARSE key (256 hash buckets), not per LSH bucket:
-    # Ray's per-group overhead is ruinous at ~1e5 tiny groups, so each
-    # coarse group handles ~hundreds of LSH buckets with a vectorized
-    # pandas groupby + triu pair expansion inside one task. A pair that
-    # collides in several bands is emitted more than once; dedup happens
-    # on the (tiny) verified output, not via an extra all-to-all.
+    # Shuffle by a COARSE key (cluster-scaled bucket count), not per LSH
+    # bucket: Ray's per-group overhead is ruinous at ~1e5 tiny groups,
+    # so each coarse group handles ~hundreds of LSH buckets with a
+    # vectorized pandas groupby + triu pair expansion inside one task. A
+    # pair that collides in several bands is emitted more than once;
+    # dedup happens on the (tiny) verified output, not an extra shuffle.
+    cmask = _coarse_mask_fn()
+
     def add_coarse(b: pa.Table) -> pa.Table:
         bh = b.column("band_hash").to_numpy(zero_copy_only=False)
         return b.append_column(
-            "pkey", pa.array((bh & 0xFF).astype(np.int32)))
+            "pkey", pa.array((bh & cmask).astype(np.int32)))
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -178,40 +201,44 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
             .groupby("pkey").map_groups(pairs_in_group,
                                         batch_format="pandas"))
 
-    # shingle-hash sets for every doc, broadcast once (fixed-width int64
-    # arrays, ~8B/shingle): exact jaccard verification then runs as a
-    # parallel map_batches over the candidate pairs, not a driver loop
-    shingles: dict = {}
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b.column(id_col).to_pylist(),
-                        b.column(text_col).to_pylist()):
-            shingles[i] = _shingle_hashes(t)
-    sref = ray.put(shingles)
+    # exact-jaccard verification WITHOUT driver materialization: double
+    # hash-join of the candidate pairs (tiny left side) against the
+    # corpus shingle-set table (doc_id, sh bytes). Each join is one
+    # all-to-all keyed shuffle; the shuffle payload is 8 B/shingle, and
+    # the driver never sees a corpus-sized object.
+    nparts = _num_join_partitions()
+    sh_ds = ds.map_batches(ShingleBytes(text_col, id_col),
+                           batch_format="pyarrow")
 
-    class VerifyPairs:
-        def __init__(self):
-            self.sh = (ray.get(sref) if isinstance(sref, ray.ObjectRef)
-                       else sref)
-            self.thr = threshold
+    def _rename_sh_a(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["sh_a" if c == "sh" else c for c in b.column_names])
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ia = b.column("id_a").to_pylist()
-            ib = b.column("id_b").to_pylist()
-            o_a, o_b, o_j = [], [], []
-            for a, b_ in zip(ia, ib):
-                sa, sb = self.sh[a], self.sh[b_]
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter) if inter else 0.0
-                if j >= self.thr:
-                    o_a.append(a)
-                    o_b.append(b_)
-                    o_j.append(j)
-            return pa.table({"id_a": pa.array(o_a, pa.int64()),
-                             "id_b": pa.array(o_b, pa.int64()),
-                             "jaccard": pa.array(o_j, pa.float64())})
+    j = (uniq.join(sh_ds, "inner", nparts, on=("id_a",),
+                   right_on=(id_col,))
+         .map_batches(_rename_sh_a, batch_format="pyarrow")
+         .join(sh_ds, "inner", nparts, on=("id_b",), right_on=(id_col,)))
 
-    out = uniq.map_batches(VerifyPairs, batch_format="pyarrow",
-                           concurrency=(2, 16))
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_pylist()
+        ib = b.column("id_b").to_pylist()
+        sha = b.column("sh_a").to_pylist()
+        shb = b.column("sh").to_pylist()
+        o_a, o_b, o_j = [], [], []
+        for a, b_, ra, rb in zip(ia, ib, sha, shb):
+            sa = np.frombuffer(ra, np.uint64)
+            sb = np.frombuffer(rb, np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+            if jac >= threshold:
+                o_a.append(a)
+                o_b.append(b_)
+                o_j.append(jac)
+        return pa.table({"id_a": pa.array(o_a, pa.int64()),
+                         "id_b": pa.array(o_b, pa.int64()),
+                         "jaccard": pa.array(o_j, pa.float64())})
+
+    out = j.map_batches(verify, batch_format="pyarrow")
     df = out.to_pandas()
     if not len(df):
         return pa.table({"id_a": pa.array([], pa.int64()),
@@ -221,6 +248,75 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
           .sort_values(["id_a", "id_b"], ignore_index=True))
     return pa.Table.from_pandas(df[["id_a", "id_b", "jaccard"]],
                                 preserve_index=False)
+
+
+# ----------------------------------------------- connected components
+def label_propagation_clusters(pairs, max_iters: int = 50):
+    """Distributed connected components over near-dup pairs via min-label
+    propagation: label(x) starts at x; each round every node takes the
+    min of its own label and its neighbors' labels (join edges against
+    labels, union, groupby-min) until the label sum stops decreasing.
+    Converges in O(component diameter) rounds; every step is a keyed
+    Ray Data shuffle — no driver-side union-find.
+
+    ``pairs``: Dataset or pa.Table with int64 id_a < id_b columns.
+    Returns pa.Table (doc_id, cluster_id = min doc id in its component),
+    one row per doc appearing in any pair, sorted by doc_id — the same
+    contract as a driver union-find.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    if isinstance(pairs, pa.Table):
+        pairs_ds = rd.from_arrow(pairs.select(["id_a", "id_b"]))
+        n_pairs = pairs.num_rows
+    else:
+        pairs_ds = pairs.select_columns(["id_a", "id_b"])
+        n_pairs = None
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    if n_pairs == 0:
+        return empty
+    nparts = _num_join_partitions()
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        c = b.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, c])),
+                         "nbr": pa.array(np.concatenate([c, a]))})
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return empty
+
+    def self_label(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "label": b.column("node")})
+
+    labels = (edges.map_batches(self_label, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_iters):
+        cand = (edges.join(labels, "inner", nparts, on=("nbr",),
+                           right_on=("node",))
+                .select_columns(["node", "label"])
+                .union(labels))
+        labels = (cand.groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        # min-propagation labels only decrease; an unchanged sum is an
+        # unchanged labelling (cheap scalar fixpoint test, no diff join)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    df = labels.to_pandas().sort_values("node", ignore_index=True)
+    return pa.table({"doc_id": pa.array(df["node"], pa.int64()),
+                     "cluster_id": pa.array(df["label"], pa.int64())})
 
 
 # -------------------------------------------------------------- simhash

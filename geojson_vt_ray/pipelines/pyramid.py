@@ -194,10 +194,13 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                 # shuffle + vectorized per-tile sums — NOT a per-tile
                 # groupby, whose per-group overhead is ruinous at 1e5+
                 # groups) so the driver only receives one row per tile
+                from ..functions.shuffle import coarse_mask
+                cmask = coarse_mask()
+
                 def _coarse(b: pa.Table) -> pa.Table:
                     tid = b.column("tile_id").to_numpy(zero_copy_only=False)
                     return b.append_column(
-                        "pkey", pa.array((tid & 0x3FF).astype(np.int32)))
+                        "pkey", pa.array((tid & cmask).astype(np.int32)))
 
                 def _comb(g: pd.DataFrame) -> pd.DataFrame:
                     return g.groupby("tile_id", as_index=False).agg(

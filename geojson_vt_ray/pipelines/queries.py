@@ -30,6 +30,14 @@ def _rd():
     return rd
 
 
+def _coarse_mask() -> int:
+    """Cluster-scaled coarse-shuffle bucket mask (functions/shuffle.py):
+    never groupby the natural key directly — Ray per-group overhead is
+    ruinous at 1e5+ tiny groups."""
+    from ..functions.shuffle import coarse_mask
+    return coarse_mask()
+
+
 def _events_points(sf_dir: str):
     """events + derived lon/lat columns (bit-exact vs the SQL formulas)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -182,7 +190,8 @@ def q_pip_join_shuffle(sf_dir: str):
     pts = (_events_points(sf_dir)
            .map_batches(AssignCells(level), batch_format="pyarrow")
            .select_columns(["event_id", "lon", "lat", "cell_id"]))
-    joined = pts.join(polys_ds, join_type="inner", num_partitions=16,
+    joined = pts.join(polys_ds, join_type="inner",
+                      num_partitions=F_dedup._num_join_partitions(),
                       on=("cell_id",))
 
     def exact(b: pa.Table) -> pa.Table:
@@ -345,6 +354,7 @@ def q_top_revenue(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_extendedprice",
                                      "l_discount"])
+    mask = _coarse_mask()
 
     def partial(b: pa.Table) -> pa.Table:
         key = b.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -355,7 +365,7 @@ def q_top_revenue(sf_dir: str):
         np.add.at(sums, inv, rev)
         return pa.table({"l_orderkey": pa.array(uniq),
                          "revenue": pa.array(sums),
-                         "pkey": pa.array((uniq & 0xFF).astype(np.int32))})
+                         "pkey": pa.array((uniq & mask).astype(np.int32))})
 
     def combine_topk(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("l_orderkey", as_index=False)["revenue"].sum()
@@ -458,9 +468,82 @@ _SQL_WINDOW = (
 
 
 def q_asof_join(sf_dir: str):
-    """As-of join: each event matched to the latest order of the same key
-    at or before its timestamp (custom operator: broadcast sorted order
-    log + vectorized searchsorted per batch)."""
+    """As-of join: each event matched to the latest order of the same
+    key at or before its timestamp.
+
+    Large-large path (default): both sides are hash-bucketed on the key
+    (coarse mask scaled to cluster size), unioned, and merge-joined
+    inside map_groups with one vectorized searchsorted per bucket —
+    neither side is ever broadcast or driver-collected, so it holds
+    when orders is a fact table. ``q_asof_join_broadcast`` keeps the
+    small-build-side variant (contract: orders must fit in one worker's
+    heap) for dimension-sized builds."""
+    mask = _coarse_mask()
+
+    def orders_part(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = (b.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "pkey": pa.array((ck & mask).astype(np.int32)),
+            "role": pa.array(np.ones(len(ck), np.int8)),
+            "key": pa.array(ck.astype(np.int64)),
+            "day": pa.array(day),
+            "rid": b.column("o_orderkey").cast(pa.int64())})
+
+    def events_part(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "role": pa.array(np.zeros(len(uid), np.int8)),
+            "key": pa.array(uid),
+            "day": pa.array(day),
+            "rid": b.column("event_id").cast(pa.int64())})
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_part, batch_format="pyarrow")
+    events = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"]).map_batches(
+            events_part, batch_format="pyarrow")
+
+    def merge_asof(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["role"] == 1]
+        e = g[g["role"] == 0]
+        if not len(e):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "o_orderkey": pd.Series([], dtype="int64")})
+        # composite (key, day) int64: days < 1e6 so key*1e6+day is
+        # strictly lexicographic; ties on day resolve to the max
+        # orderkey (searchsorted right - 1 after a stable sort),
+        # matching the oracle's ORDER BY ... DESC LIMIT 1
+        o_comp = (o["key"].to_numpy() * 1_000_000 + o["day"].to_numpy())
+        order = np.lexsort((o["rid"].to_numpy(), o_comp))
+        o_comp = o_comp[order]
+        o_key = o["key"].to_numpy()[order]
+        o_rid = o["rid"].to_numpy()[order]
+        e_comp = e["key"].to_numpy() * 1_000_000 + e["day"].to_numpy()
+        pos = np.searchsorted(o_comp, e_comp, side="right") - 1
+        ok = (pos >= 0) & (o_key[np.clip(pos, 0, None)]
+                           == e["key"].to_numpy())
+        return pd.DataFrame({
+            "event_id": e["rid"].to_numpy()[ok],
+            "o_orderkey": o_rid[pos[ok]]})
+
+    return (orders.union(events).groupby("pkey")
+            .map_groups(merge_asof, batch_format="pandas"))
+
+
+def q_asof_join_broadcast(sf_dir: str):
+    """As-of join, small-build-side variant: broadcast sorted order log
+    (ray.put once, read per actor) + vectorized searchsorted per event
+    batch. Size contract: the orders side must fit in a worker heap —
+    use q_asof_join (bucketed merge) when it is a fact table."""
     import ray
     import pyarrow.parquet as pq
     orders = pq.read_table(f"{sf_dir}/orders.parquet",
@@ -569,39 +652,35 @@ _SQL_LANG_COUNTS = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1"
 
 def q_ngram_jaccard_adj(sf_dir: str):
     """Character-set Jaccard between doc i and doc i+1 (DuckDB jaccard()
-    semantics: distinct-character sets)."""
-    import ray
-    import pyarrow.parquet as pq
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    # neighbor text lookup broadcast (pairs are (i, i+1))
-    texts = dict(zip(docs.column("doc_id").to_pylist(),
-                     docs.column("text").to_pylist()))
-    tref = ray.put(texts)
-
-    class AdjJaccard:
-        def __init__(self):
-            self.texts = (ray.get(tref) if isinstance(tref, ray.ObjectRef)
-                          else tref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            txt = b.column("text").to_pylist()
-            o_id, o_j = [], []
-            for i, t in zip(ids, txt):
-                nxt = self.texts.get(int(i) + 1)
-                if nxt is None:
-                    continue
-                sa, sb = set(t), set(nxt)
-                o_id.append(int(i))
-                union = len(sa | sb)
-                o_j.append(len(sa & sb) / union if union else 1.0)
-            return pa.table({"doc_id": pa.array(o_id, pa.int64()),
-                             "jacc": pa.array(o_j, pa.float64())})
-
+    semantics: distinct-character sets). The (i, i+1) pairing is a
+    self-equi-join on doc_id = doc_id + 1 — a keyed Ray Data shuffle
+    join, not a whole-table text broadcast."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return ds.map_batches(AdjJaccard, batch_format="pyarrow", concurrency=2)
+
+    def as_next(b: pa.Table) -> pa.Table:
+        # doc i+1 keyed by i so it lands next to doc i in the join
+        return pa.table({
+            "jkey": pc.subtract(b.column("doc_id"), pa.scalar(1)),
+            "text_b": b.column("text")})
+
+    right = ds.map_batches(as_next, batch_format="pyarrow")
+    j = ds.join(right, "inner", F_dedup._num_join_partitions(),
+                on=("doc_id",), right_on=("jkey",))
+
+    def jac(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ta = b.column("text").to_pylist()
+        tb = b.column("text_b").to_pylist()
+        o_j = []
+        for a, bb in zip(ta, tb):
+            sa, sb = set(a), set(bb)
+            union = len(sa | sb)
+            o_j.append(len(sa & sb) / union if union else 1.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "jacc": pa.array(o_j, pa.float64())})
+
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 _SQL_NGRAM_JACCARD = (
@@ -795,10 +874,12 @@ def q_sessionize(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
 
+    mask = _coarse_mask()
+
     def add_bucket(b: pa.Table) -> pa.Table:
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
         return b.append_column("pkey",
-                               pa.array((uid & 0xFF).astype(np.int32)))
+                               pa.array((uid & mask).astype(np.int32)))
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -902,9 +983,8 @@ _SQL_TOPK_SEGMENT = (
 def q_anti_join(sf_dir: str):
     """Customers with no orders since 2000-06-01 (anti join): predicate
     pushed into the probe-side read, distributed unique partials of the
-    order keys -> broadcast key set -> vectorized filter. The shuffle
-    moves distinct keys only."""
-    import ray
+    order keys -> left_anti hash join. The shuffle moves distinct keys
+    only, and nothing is collected on the driver."""
     CUTOFF_US = np.datetime64("2000-06-01").astype(
         "datetime64[us]").astype(np.int64)
     keys_ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
@@ -918,30 +998,15 @@ def q_anti_join(sf_dir: str):
             b.column("o_custkey").to_numpy(zero_copy_only=False)[keep])
         return pa.table({"o_custkey": pa.array(k)})
 
-    parts = keys_ds.map_batches(uniq, batch_format="pyarrow")
-    have = np.unique(np.concatenate(
-        [ray.get(r).column("o_custkey").to_numpy(zero_copy_only=False)
-         for r in parts.to_arrow_refs()] or [np.empty(0, np.int64)]))
-    href = ray.put(have)
-
-    class AntiFilter:
-        def __init__(self):
-            self.have = (ray.get(href) if isinstance(href, ray.ObjectRef)
-                         else href)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            k = b.column("c_custkey").to_numpy(zero_copy_only=False)
-            if len(self.have) == 0:
-                return b.select(["c_custkey"])
-            pos = np.clip(np.searchsorted(self.have, k), 0,
-                          len(self.have) - 1)
-            miss = self.have[pos] != k
-            return b.filter(pa.array(miss)).select(["c_custkey"])
-
+    # shuffle anti-join: per-batch distinct partials shrink the probe
+    # side, then Ray's left_anti hash join — the key set is never
+    # collected on the driver (at 100x scale distinct custkeys ~= the
+    # whole customer table, so a driver set would OOM)
+    probe = keys_ds.map_batches(uniq, batch_format="pyarrow")
     cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey"])
-    return cust.map_batches(AntiFilter, batch_format="pyarrow",
-                            concurrency=2)
+    return cust.join(probe, "left_anti", F_dedup._num_join_partitions(),
+                     on=("c_custkey",), right_on=("o_custkey",))
 
 
 _SQL_ANTI_JOIN = (
@@ -950,16 +1015,10 @@ _SQL_ANTI_JOIN = (
     "AND o.o_orderdate >= DATE '2000-06-01')")
 
 
-def q_dedup_clusters(sf_dir: str):
-    """Near-dup clustering: union-find over the verified MinHash pairs ->
-    (doc_id, cluster_id = min doc id in its cluster), docs appearing in
-    any pair only. The pair set is tiny relative to the corpus (the LSH
-    stage already pruned), so the final union-find is driver-side; at
-    10^12 scale swap for iterative label propagation (join pairs against
-    labels until fixpoint), same output contract."""
-    pairs = F_dedup.minhash_dedup_pairs(
-        _rd().read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]), threshold=0.5)
+def _union_find_clusters(pairs: pa.Table) -> pa.Table:
+    """Driver-side union-find over a (tiny, already-materialized) pair
+    table — kept as the test cross-check for the distributed
+    label-propagation path, not the production operator."""
     parent: dict[int, int] = {}
 
     def find(x):
@@ -978,6 +1037,18 @@ def q_dedup_clusters(sf_dir: str):
     return pa.table({
         "doc_id": pa.array(members, pa.int64()),
         "cluster_id": pa.array([find(m) for m in members], pa.int64())})
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clustering: distributed min-label propagation over the
+    verified MinHash pairs -> (doc_id, cluster_id = min doc id in its
+    connected component), docs appearing in any pair only. Every round
+    is a keyed Ray Data join + groupby-min; converges in O(component
+    diameter) rounds (dedup.label_propagation_clusters)."""
+    pairs = F_dedup.minhash_dedup_pairs(
+        _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]), threshold=0.5)
+    return F_dedup.label_propagation_clusters(pairs)
 
 
 def q_distinct_users(sf_dir: str):
@@ -1054,6 +1125,7 @@ QUERIES = {
     "join_broadcast": q_join_broadcast,
     "window_events": q_window_events,
     "asof_join": q_asof_join,
+    "asof_join_broadcast": q_asof_join_broadcast,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
     "sessionize": q_sessionize,
@@ -1092,6 +1164,7 @@ ORACLE_SQL = {
     "join_broadcast": _SQL_JOIN_BROADCAST,
     "window_events": _SQL_WINDOW,
     "asof_join": _SQL_ASOF,
+    "asof_join_broadcast": _SQL_ASOF,
     "distinct_users": _SQL_DISTINCT_USERS,
     "sessionize": _SQL_SESSIONIZE,
     "topk_per_segment": _SQL_TOPK_SEGMENT,
