@@ -29,7 +29,9 @@ _STOPWORDS = frozenset(
 
 class LangId:
     """N-gram/stopword language scorer (actor-pool stage: profiles and
-    regexes built once in __init__)."""
+    regexes built once in __init__). Arrow-native: the CJK codepoint
+    test runs as one vectorized RE2 kernel over the batch; only the
+    non-CJK docs hit the per-doc stopword/bigram scorer."""
 
     def __init__(self):
         self.profiles = {}
@@ -41,6 +43,9 @@ class LangId:
     def classify(self, text: str) -> str:
         if any("一" <= c <= "鿿" for c in text[:200]):
             return "zh"
+        return self._score(text)
+
+    def _score(self, text: str) -> str:
         toks = self.word_re.findall(text.lower())[:200]
         if not toks:
             return "und"
@@ -55,43 +60,65 @@ class LangId:
                 best, best_score = lang, score
         return best
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["pred_lang"] = [self.classify(t) for t in batch["text"]]
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column("text")
+        head = pc.utf8_slice_codeunits(col, 0, 200)
+        is_cjk = pc.greater(
+            pc.count_substring_regex(head, r"[\x{4E00}-\x{9FFF}]"), 0
+        ).to_numpy(zero_copy_only=False)
+        texts = col.to_pylist()
+        preds = ["zh" if c else self._score(t)
+                 for c, t in zip(is_cjk, texts)]
+        return batch.append_column("pred_lang",
+                                   pa.array(preds, pa.string()))
 
 
 def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized quality metrics: word count, mean word length,
-    stopword ratio, punctuation ratio."""
-    texts = batch.column(text_col).to_pylist()
-    n_words = np.zeros(len(texts), dtype=np.int64)
-    mean_wl = np.zeros(len(texts))
+    """Quality metrics, vectorized as RE2 count kernels over the whole
+    batch (the same patterns the DuckDB oracle uses, so engine == oracle
+    by construction): word count (``\\S+``), mean word length
+    (``\\S`` chars / words), punct count/ratio (``[^A-Za-z0-9\\s]``).
+    Only the stopword ratio keeps a per-doc loop (set membership against
+    split() tokens has no regex equivalent with identical semantics)."""
+    import pyarrow.compute as pc
+    col = batch.column(text_col)
+    n_words = pc.count_substring_regex(col, r"\S+").cast(pa.int64())
+    n_chars = pc.count_substring_regex(col, r"\S").cast(pa.int64())
+    n_punct = pc.count_substring_regex(
+        col, r"[^A-Za-z0-9\s]").cast(pa.int64())
+    n_len = pc.utf8_length(col).cast(pa.int64())
+    nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+    mean_wl = np.divide(n_chars.to_numpy(zero_copy_only=False), nw,
+                        out=np.zeros(len(nw)), where=nw > 0)
+    nl = n_len.to_numpy(zero_copy_only=False).astype(np.float64)
+    punct_r = np.divide(n_punct.to_numpy(zero_copy_only=False), nl,
+                        out=np.zeros(len(nl)), where=nl > 0)
+    texts = col.to_pylist()
     stop_r = np.zeros(len(texts))
-    punct_r = np.zeros(len(texts))
     for i, t in enumerate(texts):
         words = t.split()
-        n_words[i] = len(words)
         if words:
-            mean_wl[i] = sum(len(w) for w in words) / len(words)
-            stop_r[i] = sum(1 for w in words if w.lower() in _STOPWORDS) / len(words)
-        if t:
-            punct_r[i] = sum(1 for c in t if not c.isalnum() and not c.isspace()) / len(t)
-    batch = batch.append_column("n_words", pa.array(n_words))
+            stop_r[i] = sum(1 for w in words
+                            if w.lower() in _STOPWORDS) / len(words)
+    batch = batch.append_column("n_words", n_words)
     batch = batch.append_column("mean_word_len", pa.array(mean_wl))
     batch = batch.append_column("stopword_ratio", pa.array(stop_r))
-    return batch.append_column("punct_ratio", pa.array(punct_r))
+    batch = batch.append_column("punct_ratio", pa.array(punct_r))
+    return batch.append_column("n_punct", n_punct)
 
 
 def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace + BPE-ish regex token counts (oracle: DuckDB
-    regexp_extract_all length on the same pattern)."""
-    texts = batch.column(text_col).to_pylist()
-    ws = np.fromiter((len(t.split()) for t in texts), dtype=np.int64,
-                     count=len(texts))
-    rx = np.fromiter((len(_WORD_RE.findall(t)) for t in texts),
-                     dtype=np.int64, count=len(texts))
-    batch = batch.append_column("n_tokens_ws", pa.array(ws))
-    return batch.append_column("n_tokens_re", pa.array(rx))
+    """Whitespace + BPE-ish regex token counts — one RE2 count kernel
+    per column over the whole batch (oracle: DuckDB regexp_extract_all
+    length on the same patterns)."""
+    import pyarrow.compute as pc
+    col = batch.column(text_col)
+    ws = pc.count_substring_regex(col, r"\S+").cast(pa.int64())
+    rx = pc.count_substring_regex(
+        col, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]").cast(pa.int64())
+    batch = batch.append_column("n_tokens_ws", ws)
+    return batch.append_column("n_tokens_re", rx)
 
 
 def rolling_fingerprint(batch: pa.Table, text_col: str = "text",

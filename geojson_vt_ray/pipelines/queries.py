@@ -623,12 +623,8 @@ def q_quality(sf_dir: str):
                             columns=["doc_id", "text"])
 
     def ints_only(b: pa.Table) -> pa.Table:
-        b = F_text.quality_features(b)
-        texts = b.column("text").to_pylist()
-        n_punct = [sum(1 for c in t if not c.isalnum() and not c.isspace())
-                   for t in texts]
-        b = b.append_column("n_punct", pa.array(np.asarray(n_punct, np.int64)))
-        return b.select(["doc_id", "n_words", "n_punct"])
+        return F_text.quality_features(b).select(
+            ["doc_id", "n_words", "n_punct"])
 
     return ds.map_batches(ints_only, batch_format="pyarrow")
 
@@ -705,17 +701,30 @@ def q_simhash(sf_dir: str):
 def q_langid(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return (ds.map_batches(F_text.LangId, batch_format="pandas",
+    return (ds.map_batches(F_text.LangId, batch_format="pyarrow",
                            concurrency=2)
             .select_columns(["doc_id", "pred_lang"]))
 
 
 def q_fingerprint(sf_dir: str):
+    """Winnowing fingerprint, flattened to 4 scalar uint64 columns
+    (fp0..fp3) so the committed-fixture oracle can sort/hash rows —
+    list columns don't survive the driver's value compare."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    return (ds.map_batches(F_text.rolling_fingerprint,
-                           batch_format="pyarrow")
-            .select_columns(["doc_id", "fingerprint"]))
+
+    def flatten(b: pa.Table) -> pa.Table:
+        b = F_text.rolling_fingerprint(b)
+        col = b.column("fingerprint")
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        vals = col.values.to_numpy(zero_copy_only=False).reshape(-1, 4)
+        out = {"doc_id": b.column("doc_id")}
+        for i in range(4):
+            out[f"fp{i}"] = pa.array(vals[:, i], pa.uint64())
+        return pa.table(out)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- similarity
@@ -733,6 +742,17 @@ def q_ann_topk(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     return F_sim.ann_cosine_topk(ds, mat[qmask], ids[qmask], k=5)
+
+
+_SQL_ANN_TOPK = (
+    "SELECT query_id, vec_id, rnk FROM ("
+    " SELECT q.vec_id AS query_id, v.vec_id AS vec_id, ROW_NUMBER() OVER ("
+    "  PARTITION BY q.vec_id ORDER BY list_cosine_similarity("
+    "   CAST(v.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,"
+    "  v.vec_id) AS rnk"
+    " FROM embeddings v, (SELECT vec_id, embedding FROM embeddings"
+    "  WHERE vec_id < 5) q WHERE v.vec_id <> q.vec_id)"
+    " WHERE rnk <= 5")
 
 
 def q_ann_ivf(sf_dir: str):
@@ -785,10 +805,21 @@ def q_embed_neardup(sf_dir: str):
                             columns=["vec_id", "embedding"])
     # 0.35 is just above the null distribution's p99.9 for these random
     # 64-dim embeddings (max non-self cosine ~0.385 at sf0.01) so the
-    # query returns real near-dup candidates instead of always-empty
+    # query returns real near-dup candidates instead of always-empty.
+    # Output is the id pairs only: the cosine value is kept out of the
+    # oracled schema because numpy (normalize-then-dot) and DuckDB
+    # (dot-then-divide) differ in the last ulp.
     return ds.map_batches(
         F_dedup.CosineNearDup(rref, ids[ref_mask], threshold=0.35),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow",
+        concurrency=2).select_columns(["id_a", "id_b"])
+
+
+_SQL_EMBED_NEARDUP = (
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, "
+    "embeddings b WHERE b.vec_id < 50 AND a.vec_id < b.vec_id AND "
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.35")
 
 
 # ---------------------------------------------------------- multimodal
@@ -825,11 +856,13 @@ def q_frame_sample(sf_dir: str):
 
 def q_audio_features(sf_dir: str):
     """Audio decode/feature plumbing: duration + energy histogram per
-    media span (decode stubbed deterministically)."""
+    media span (decode stubbed deterministically). The registered query
+    keeps the scalar columns (the list-typed energy_hist stays an
+    operator output but can't survive the driver's sort/hash compare)."""
     from ..functions.multimodal import AudioFeatures
-    return _media_refs(sf_dir).map_batches(
+    return (_media_refs(sf_dir).map_batches(
         AudioFeatures(), batch_format="pyarrow", concurrency=2,
-        batch_size=64)
+        batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -839,29 +872,45 @@ def _sf_of(sf_dir: str) -> str:
 
 
 # ------------------------------------------------------------- pyramid
-def q_pyramid_tiles(sf_dir: str):
-    """Flagship: slice a synthesized corpus through the quadtree pyramid;
-    returns per-tile feature counts (golden-level conformance is pinned
-    by tests/, not SQL-expressible)."""
+_PYRAMID_CACHE: dict[str, object] = {}
+
+
+def _sliced_pyramid(sf_dir: str):
+    """One pyramid slice per sf per process, shared by q_pyramid_tiles
+    and q_pyramid_stats (each used to re-run the whole slice into its
+    own temp dir — 2x the most expensive stage of the query sweep)."""
     import tempfile
     import ray.data as rd
     from ..config import TileOptions
     from .pyramid import slice_pyramid
-    n = {"0.001": 60, "0.01": 200}.get(_sf_of(sf_dir), 200)
-    docs = rd.from_arrow(synthesize_corpus(n))
-    opts = TileOptions(max_zoom=14, index_max_zoom=4, index_max_points=2000)
-    with tempfile.TemporaryDirectory() as td:
+    sf = _sf_of(sf_dir)
+    ts = _PYRAMID_CACHE.get(sf)
+    if ts is None:
+        n = {"0.001": 60, "0.01": 200}.get(sf, 200)
+        docs = rd.from_arrow(synthesize_corpus(n))
+        opts = TileOptions(max_zoom=14, index_max_zoom=4,
+                           index_max_points=2000)
+        td = tempfile.mkdtemp(prefix=f"pyramid-sf{sf}-")
         ts = slice_pyramid(docs, opts, td, batch_size=256)
-        import pyarrow.dataset as pads
-        import os
-        tiles_dir = os.path.join(td, "tiles")
-        if not os.path.isdir(tiles_dir):
-            return pa.table({"z": [], "x": [], "y": [], "n_features": []})
-        t = pads.dataset(tiles_dir).to_table(columns=["z", "x", "y"])
-        df = t.to_pandas().groupby(["z", "x", "y"], as_index=False).size()
-        df = df.rename(columns={"size": "n_features"}).sort_values(
-            ["z", "x", "y"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        _PYRAMID_CACHE[sf] = ts
+    return ts
+
+
+def q_pyramid_tiles(sf_dir: str):
+    """Flagship: slice a synthesized corpus through the quadtree pyramid;
+    returns per-tile feature counts (golden-level conformance is pinned
+    by tests/; driver check is a committed expected-output fixture)."""
+    import pyarrow.dataset as pads
+    import os
+    ts = _sliced_pyramid(sf_dir)
+    tiles_dir = os.path.join(ts.out_dir, "tiles")
+    if not os.path.isdir(tiles_dir):
+        return pa.table({"z": [], "x": [], "y": [], "n_features": []})
+    t = pads.dataset(tiles_dir).to_table(columns=["z", "x", "y"])
+    df = t.to_pandas().groupby(["z", "x", "y"], as_index=False).size()
+    df = df.rename(columns={"size": "n_features"}).sort_values(
+        ["z", "x", "y"])
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def q_sessionize(sf_dir: str):
@@ -1098,17 +1147,9 @@ def q_approx_distinct_users(sf_dir: str):
 def q_pyramid_stats(sf_dir: str):
     """A3 debug stats: per-zoom tile histogram (tiles/leaf/split/empty/
     rows) from the pyramid manifest (reference src/index.js:94-97
-    stats side-channel)."""
-    import tempfile
-    import ray.data as rd
-    from ..config import TileOptions
-    from .pyramid import slice_pyramid
-    n = {"0.001": 60, "0.01": 200}.get(_sf_of(sf_dir), 200)
-    docs = rd.from_arrow(synthesize_corpus(n))
-    opts = TileOptions(max_zoom=14, index_max_zoom=4, index_max_points=2000)
-    with tempfile.TemporaryDirectory() as td:
-        ts = slice_pyramid(docs, opts, td, batch_size=256)
-        rows = ts.manifest["levels"]
+    stats side-channel). Shares q_pyramid_tiles' cached slice."""
+    ts = _sliced_pyramid(sf_dir)
+    rows = ts.manifest["levels"]
     df = pd.DataFrame(rows)[["z", "tiles", "leaf", "split", "empty", "rows"]]
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -1177,7 +1218,47 @@ ORACLE_SQL = {
     "quality": _SQL_QUALITY,
     "lang_counts": _SQL_LANG_COUNTS,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
-    # minhash_pairs / simhash / langid / fingerprint / ann_topk /
-    # embed_neardup / media_features / pyramid_tiles: not SQL-expressible
-    # (stateful hashing / model scoring / tiling) -> rows-only checks
+    "ann_topk": _SQL_ANN_TOPK,
+    "embed_neardup": _SQL_EMBED_NEARDUP,
 }
+
+
+def _sql_fixture(name: str, cols: str) -> str:
+    """Committed expected-output oracle (tools/gen_oracle_fixtures.py):
+    the fixture parquet holds rows for BOTH sf levels the driver runs,
+    discriminated by the sf's events row count (the only table whose
+    cardinality differs between sf0.001 and sf0.01). Where a slow
+    independent reimplementation exists (simhash, fingerprint,
+    minhash brute-force all-pairs jaccard, union-find clusters) the
+    generator asserts engine == reimplementation before writing."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "..", "tests", "fixtures", "oracle",
+                        f"{name}.parquet")
+    return (f"SELECT {cols} FROM read_parquet('{os.path.normpath(path)}') "
+            "WHERE n_events = (SELECT COUNT(*) FROM events)")
+
+
+ORACLE_SQL.update({
+    "simhash": _sql_fixture("simhash", "doc_id, simhash"),
+    "fingerprint": _sql_fixture("fingerprint",
+                                "doc_id, fp0, fp1, fp2, fp3"),
+    "langid": _sql_fixture("langid", "doc_id, pred_lang"),
+    "minhash_pairs": _sql_fixture("minhash_pairs", "id_a, id_b, jaccard"),
+    "dedup_clusters": _sql_fixture("dedup_clusters", "doc_id, cluster_id"),
+    "media_features": _sql_fixture(
+        "media_features", "doc_id, media_ref, width, height, n_channels"),
+    "frame_sample": _sql_fixture("frame_sample", "media_ref, frame_idx"),
+    "audio_features": _sql_fixture("audio_features",
+                                   "media_ref, duration_sec"),
+    "pyramid_tiles": _sql_fixture("pyramid_tiles", "z, x, y, n_features"),
+    "pyramid_stats": _sql_fixture(
+        "pyramid_stats", 'z, tiles, leaf, split, "empty", "rows"'),
+})
+
+# Remaining no-oracle entries, each with a reason:
+# - approx_distinct_users: HyperLogLog ESTIMATE — inherently inexact;
+#   accuracy vs the exact count is asserted in tests/test_functions.py.
+# - ann_ivf / ann_lsh: approximate-by-design probed searches; their
+#   quality gate is recall-vs-brute-force, asserted in
+#   tests/test_functions.py, not row equality.
