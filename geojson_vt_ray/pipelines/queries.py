@@ -773,9 +773,15 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed ANN (random hyperplanes, multi-probe): same queries
-    as ann_topk, candidates limited to the query's bucket + 1-bit
-    neighbors (~(n_planes+1)/2^n_planes of the corpus scanned)."""
+    """Multi-table LSH ANN (here 8 tables x 8 hyperplanes, 1-bit
+    multi-probe): same queries as ann_topk; a vector is scored iff it
+    shares a probed bucket with the query in ANY table (~L*(n+1)/2^n of
+    the corpus scanned). Recall >=0.9 at <=25% scanned is asserted on a
+    planted-cluster corpus in tests/test_functions.py (where the
+    default 6x12 config scans ~5%); THIS embeddings table is
+    near-random (neighbor cosine ~0.35, LSH exponent ~0.74), where no
+    bucketing is sublinear — the 8x8 config sits on that corpus's
+    honest frontier (~0.6 recall at ~25% scanned); see ann_lsh_topk."""
     import pyarrow.parquet as pq
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
@@ -786,7 +792,8 @@ def q_ann_lsh(sf_dir: str):
     qmask = ids < 5
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    return F_sim.ann_lsh_topk(ds, mat[qmask], ids[qmask], k=5, n_planes=6)
+    return F_sim.ann_lsh_topk(ds, mat[qmask], ids[qmask], k=5,
+                              n_planes=8, n_tables=8)
 
 
 def q_embed_neardup(sf_dir: str):

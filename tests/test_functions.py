@@ -140,3 +140,53 @@ def test_kmeans_deterministic_and_partitions():
     assert len(set(assign[:50].tolist())) == 1
     assert len(set(assign[50:].tolist())) == 1
     assert assign[0] != assign[-1]
+
+
+def test_ann_lsh_recall_on_clustered_corpus(ray_session):
+    """Multi-table LSH must reach recall >=0.9 vs brute force at <=25%
+    of the corpus scanned on a corpus with neighbor structure (planted
+    clusters, member cosine ~0.9). Near-random corpora are excluded by
+    design: at neighbor cosine ~0.35 the LSH exponent is ~0.74 and no
+    bucketing scheme is sublinear (see ann_lsh_topk docstring)."""
+    import ray.data as rd
+    from geojson_vt_ray.functions.similarity import (ann_cosine_topk,
+                                                     ann_lsh_topk)
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((50, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = centers.repeat(10, axis=0) + 0.05 * rng.standard_normal((500, 64))
+    ids = np.arange(500, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        [row.astype(np.float32) for row in m],
+                        pa.list_(pa.float32()))})
+    qmask = ids < 25
+    ds = rd.from_arrow(tbl)
+    brute = ann_cosine_topk(ds, m[qmask], ids[qmask], k=5).to_pandas()
+    approx, stats = ann_lsh_topk(rd.from_arrow(tbl), m[qmask], ids[qmask],
+                                 k=5, return_stats=True)
+    approx = approx.to_pandas()
+    want = brute.groupby("query_id")["vec_id"].apply(set)
+    got = approx.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean([len(want[q] & got.get(q, set())) / len(want[q])
+                      for q in want.index])
+    assert recall >= 0.9, (recall, stats)
+    assert stats["scan_frac"] <= 0.25, stats
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    """LP connected components over a chain + triangle + singleton-pair
+    graph (chain forces >1 propagation round) must equal union-find."""
+    from geojson_vt_ray.functions.dedup import label_propagation_clusters
+    from geojson_vt_ray.pipelines.queries import _union_find_clusters
+    pairs = pa.table({
+        "id_a": pa.array([10, 11, 12, 13, 20, 21, 20, 30], pa.int64()),
+        "id_b": pa.array([11, 12, 13, 14, 21, 22, 22, 31], pa.int64())})
+    lp = label_propagation_clusters(pairs)
+    uf = _union_find_clusters(pairs)
+    assert lp.equals(uf)
+    # chain 10-14 collapses to min label 10
+    df = lp.to_pandas().set_index("doc_id")["cluster_id"]
+    assert all(df[i] == 10 for i in (10, 11, 12, 13, 14))
+    assert all(df[i] == 20 for i in (20, 21, 22))
+    assert df[30] == 30 and df[31] == 30
