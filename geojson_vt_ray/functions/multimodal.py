@@ -2,13 +2,14 @@
 binary/media_ref columns with typed metadata, processed by actor-pool
 map_batches stages.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are STUBS behind ``decoder=`` injection: the
-default DeterministicFakeDecoder synthesizes stable pixel/sample
-metadata from the media_ref hash, so the Ray-side plumbing — schema,
-batch sizing, actor lifecycle, output layout — is real and tested, and
-a real decoder drops in without touching the pipeline. A strict decoder
-raising NotImplementedError is provided for production wiring."""
+Decoders inject via ``decoder=``: the default DeterministicFakeDecoder
+synthesizes stable pixel/sample metadata from the media_ref hash (fast,
+dependency-free tests), while ``mediacodec.PngFileDecoder`` /
+``WavFileDecoder`` are REAL pure-python decoders (zlib PNG unfilter,
+RIFF PCM) exercised over the committed fixture set in
+tests/test_mediacodec.py — the pipeline code is identical either way.
+PIL/ffmpeg-backed decoders drop into the same slot
+(RealDecoderUnavailable marks that wire point)."""
 
 from __future__ import annotations
 

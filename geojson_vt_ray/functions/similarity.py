@@ -212,6 +212,95 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids, k: int,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def ann_ivf_build(ds, out_dir: str, nlist: int = 16,
+                  train_sample: int = 1024, vec_col: str = "embedding",
+                  id_col: str = "vec_id", seed: int = 42) -> np.ndarray:
+    """Build a persistent IVF store: k-means centroids from a bounded
+    driver-side sample, then the corpus written hive-partitioned by
+    ivf_list (one directory per coarse list). At cluster scale this is
+    what makes nprobe search SUBLINEAR IN READS, not just in matmul: a
+    query touches only its nprobe partitions' files. Centroids are
+    persisted next to the data. Returns the centroid matrix."""
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    sample = ds.limit(train_sample).to_pandas()[vec_col]
+    cent = _kmeans(np.stack(sample.to_numpy()), nlist, seed=seed)
+    cref = ray.put(cent)
+    assigned = ds.map_batches(IVFAssign(cref, vec_col),
+                              batch_format="pyarrow")
+    assigned.write_parquet(out_dir, partition_cols=["ivf_list"])
+    pq.write_table(
+        pa.table({"list_id": pa.array(np.arange(len(cent)), pa.int32()),
+                  "centroid": pa.array([c.tolist() for c in cent],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(out_dir, "_centroids.parquet"))
+    return cent
+
+
+def ann_ivf_search(store_dir: str, queries: np.ndarray, query_ids,
+                   k: int, nprobe: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id", exclude_self: bool = True,
+                   return_stats: bool = False):
+    """Search an ann_ivf_build store reading ONLY the probed partitions:
+    the union of every query's nprobe nearest lists is resolved against
+    the hive layout and the other directories are never opened. Same
+    output schema as ann_cosine_topk; with return_stats=True also
+    returns {"lists_read", "nlist"}."""
+    import os
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    ct = pq.read_table(os.path.join(store_dir, "_centroids.parquet"))
+    cent = np.stack([np.asarray(c)
+                     for c in ct.column("centroid").to_pylist()])
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(cent))
+    probe = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    need = sorted(set(int(l) for row in probe for l in row))
+    dirs = [os.path.join(store_dir, f"ivf_list={l}") for l in need]
+    dirs = [p for p in dirs if os.path.isdir(p)]
+    # read_parquet accepts one directory or a list of FILES — expand the
+    # probed partitions to their files (everything else is never opened)
+    import glob
+    files = [f for d in dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    ds = ray.data.read_parquet(files)
+    cref = ray.put(cent)
+    qref = ray.put(q)
+    kk = k + (1 if exclude_self else 0)
+
+    def drop_hive_col(b: pa.Table) -> pa.Table:
+        # the hive partition column comes back as string/dictionary —
+        # drop it and re-derive the list id from the vectors (same
+        # centroids, so the assignment is identical)
+        if "ivf_list" in b.column_names:
+            b = b.drop_columns(["ivf_list"])
+        return b
+
+    assigned = ds.map_batches(drop_hive_col, batch_format="pyarrow") \
+        .map_batches(IVFAssign(cref, vec_col), batch_format="pyarrow")
+    partials = assigned.map_batches(
+        IVFTopKPartial(qref, query_ids, cref, kk, nprobe, vec_col, id_col),
+        batch_format="pyarrow")
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64())})
+    stats = {"lists_read": len(dirs), "nlist": len(cent)}
+    if not tables:
+        return (empty, stats) if return_stats else empty
+    merged = topk_merge(pa.concat_tables(tables), kk)
+    df = merged.to_pandas()
+    if exclude_self:
+        df = df[df["query_id"] != df["vec_id"]]
+        df["rnk"] = df.groupby("query_id").cumcount() + 1
+        df = df[df["rnk"] <= k]
+    out = pa.Table.from_pandas(df, preserve_index=False)
+    return (out, stats) if return_stats else out
+
+
 def lsh_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

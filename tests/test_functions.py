@@ -190,3 +190,38 @@ def test_label_propagation_matches_union_find(ray_session):
     assert all(df[i] == 10 for i in (10, 11, 12, 13, 14))
     assert all(df[i] == 20 for i in (20, 21, 22))
     assert df[30] == 30 and df[31] == 30
+
+
+def test_ivf_partitioned_store_prunes_reads(ray_session, tmp_path):
+    """ann_ivf_build writes one hive partition per coarse list;
+    ann_ivf_search must read only the union of the queries' probed
+    lists and return exactly what the in-memory IVF path returns."""
+    import os
+    import ray.data as rd
+    from geojson_vt_ray.functions.similarity import (ann_ivf_build,
+                                                     ann_ivf_search,
+                                                     ann_ivf_topk)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    store = str(tmp_path / "ivf_store")
+    cent = ann_ivf_build(ds, store, nlist=16)
+    assert cent.shape[0] == 16
+    parts = [d for d in os.listdir(store) if d.startswith("ivf_list=")]
+    assert len(parts) == 16
+
+    import pyarrow.parquet as pq
+    emb = pq.read_table(src)
+    ids = emb.column("vec_id").to_numpy()
+    vals = emb.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False).reshape(len(ids), -1)
+    qmask = ids < 5
+    got, stats = ann_ivf_search(store, vals[qmask], ids[qmask], k=5,
+                                nprobe=6, return_stats=True)
+    assert stats["lists_read"] < stats["nlist"], stats
+    want = ann_ivf_topk(
+        rd.read_parquet(src, columns=["vec_id", "embedding"]),
+        vals[qmask], ids[qmask], k=5, nlist=16, nprobe=6)
+    assert got.to_pandas().sort_values(
+        ["query_id", "rnk"], ignore_index=True).equals(
+        want.to_pandas().sort_values(
+            ["query_id", "rnk"], ignore_index=True))
