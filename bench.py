@@ -55,7 +55,8 @@ def _consume(result) -> int:
     return result.count()  # ray.data.Dataset
 
 
-def run_headline(sf_dir: str, n_docs: int | None = None) -> dict:
+def run_headline(sf_dir: str, n_docs: int | None = None,
+                 num_cpus: int | None = None) -> dict:
     """Full pyramid slice (z0..max over the synthesized corpus) + PIP
     join over the events table. Returns timings + tiles/sec."""
     import ray.data as rd
@@ -67,6 +68,12 @@ def run_headline(sf_dir: str, n_docs: int | None = None) -> dict:
     sf = _sf_of(sf_dir)
     if n_docs is None:
         n_docs = _CORPUS_N.get(sf, 8000)
+    if num_cpus is None:
+        num_cpus = DEFAULT_CPUS
+    # 2 blocks per core (2 waves, low scheduling overhead) with one
+    # batch per block where possible — measured best at 32 CPUs
+    n_blocks = max(16, 2 * num_cpus)
+    batch_size = min(512, max(64, -(-n_docs // n_blocks)))
 
     # full-split recipe (reference README.md:67: indexMaxZoom high,
     # indexMaxPoints 0) so tile volume, not per-level fixed cost,
@@ -83,13 +90,13 @@ def run_headline(sf_dir: str, n_docs: int | None = None) -> dict:
     corpus = synthesize_corpus(n_docs)
     t_synth = time.perf_counter() - t0
 
-    docs = rd.from_arrow(corpus).repartition(128)
+    docs = rd.from_arrow(corpus).repartition(n_blocks)
     t0 = time.perf_counter()
     # carry_spans=False: the at-scale layout (tile rows carry doc_id;
     # spans re-attach from the corpus) — per-row payload carriage is
     # ~25x write amplification and is covered by the conformance tests
     with tempfile.TemporaryDirectory() as td:
-        ts = slice_pyramid(docs, opts, td, batch_size=64,
+        ts = slice_pyramid(docs, opts, td, batch_size=batch_size,
                            carry_spans=False)
         n_tiles = len(ts.tiles)
         n_nonempty = sum(1 for _, (_, _, _, st) in ts.tiles.items()
@@ -135,7 +142,7 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
-        head = run_headline(sf_dir, n_docs=n_docs)
+        head = run_headline(sf_dir, n_docs=n_docs, num_cpus=num_cpus)
         queries = {} if headline_only else run_queries(sf_dir)
     finally:
         ray.shutdown()

@@ -349,7 +349,21 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
 
     comb = os.path.join(out_dir, "combined")
     nonempty: dict[int, dict[tuple[int, int], int]] = {}
-    if os.path.isdir(comb) and os.listdir(comb):
+    stats_dir = os.path.join(comb, "okind=2")
+    if os.path.isdir(stats_dir):
+        # fast path: the slicing pass emitted per-batch per-tile row
+        # counts as okind=2 rows (counts in `seq`) — a few KB read
+        # instead of a second full scan of every tile row
+        import pyarrow.dataset as pads
+        st = pads.dataset(stats_dir, partitioning="hive").to_table(
+            columns=["z", "x", "y", "seq"])
+        pdf = st.to_pandas()
+        pdf["z"] = pdf["z"].astype("int64")
+        agg = pdf.groupby(["z", "x", "y"], as_index=False)["seq"].sum()
+        for tz, tx, ty, nr in agg.itertuples(index=False):
+            nonempty.setdefault(int(tz), {})[(int(tx), int(ty))] = int(nr)
+    elif os.path.isdir(comb) and os.listdir(comb):
+        # legacy layout without the side-channel: distributed aggregate
         cds = ray.data.read_parquet(comb, columns=["okind", "z", "x", "y"])
         pdf = cds.map_batches(tile_coords_partial, batch_format="pyarrow",
                               batch_size=max(batch_size, 65536)).to_pandas()

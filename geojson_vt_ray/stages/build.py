@@ -52,7 +52,13 @@ class TileRowAccum:
         self.o_z, self.o_x, self.o_y, self.o_tid = [], [], [], []
         self.o_okey, self.o_seq, self.o_type = [], [], []
         self.o_ring_lens, self.o_tags = [], []
-        self.xy_chunks = []
+        # quantization is DEFERRED: world-coord rings + per-ring
+        # (z2, tx, ty) accumulate here and table() does ONE vectorized
+        # floor(extent*(v*z2-t)+0.5) over the concatenation instead of
+        # thousands of tiny per-ring numpy dispatches (bit-identical
+        # arithmetic: same float64 op order as the scalar path)
+        self.ring_world = []
+        self.ring_z2, self.ring_tx, self.ring_ty = [], [], []
         self.src_idx = []
 
     def add(self, f, zi: int, xi: int, yi: int, tags_json: str | None,
@@ -63,12 +69,7 @@ class TileRowAccum:
         tf = add_feature_to_tile(self.scratch, f, tolerance, opts)
         if tf is None:
             return False
-        z2 = 1 << zi
-        if tf.type == 1:
-            rings = [quantize(tf.geometry, opts.extent, z2, xi, yi)]
-        else:
-            rings = [quantize(r, opts.extent, z2, xi, yi)
-                     for r in tf.geometry]
+        rings = [tf.geometry] if tf.type == 1 else tf.geometry
 
         tj = tags_json
         if opts.line_metrics and f.gtype == GT_LINESTRING:
@@ -86,8 +87,12 @@ class TileRowAccum:
         self.o_seq.append(f.seq)
         self.o_type.append(tf.type)
         self.o_ring_lens.append([len(r) for r in rings])
+        z2 = float(1 << zi)
         for r in rings:
-            self.xy_chunks.append(r.reshape(-1))
+            self.ring_world.append(r)
+            self.ring_z2.append(z2)
+            self.ring_tx.append(float(xi))
+            self.ring_ty.append(float(yi))
         self.o_tags.append(tj)
         self.src_idx.append(src_idx)
         return True
@@ -95,10 +100,33 @@ class TileRowAccum:
     def __len__(self):
         return len(self.o_z)
 
+    def _quantize_all(self) -> np.ndarray:
+        """One vectorized quantize over every accumulated ring: repeat
+        each ring's (z2, tx, ty) over its points, then a single
+        floor(extent * (v * z2 - t) + 0.5) pass. Identical IEEE float64
+        operation order to kernels.transform.quantize."""
+        if not self.ring_world:
+            return np.empty(0, dtype=np.int32)
+        extent = float(self.options.extent)
+        lens = np.fromiter((len(r) for r in self.ring_world),
+                           dtype=np.int64, count=len(self.ring_world))
+        pts = np.concatenate(self.ring_world, axis=0) \
+            if len(self.ring_world) > 1 else self.ring_world[0]
+        z2 = np.repeat(np.asarray(self.ring_z2), lens)
+        tx = np.repeat(np.asarray(self.ring_tx), lens)
+        ty = np.repeat(np.asarray(self.ring_ty), lens)
+        out = np.empty((len(pts), 2), dtype=np.float64)
+        np.multiply(pts[:, 0], z2, out=out[:, 0])
+        np.subtract(out[:, 0], tx, out=out[:, 0])
+        np.multiply(pts[:, 1], z2, out=out[:, 1])
+        np.subtract(out[:, 1], ty, out=out[:, 1])
+        out *= extent
+        np.floor(out + 0.5, out=out)
+        return out.astype(np.int32).reshape(-1)
+
     def table(self, carry: pa.Table) -> pa.Table:
         n = len(self.o_z)
-        xy_flat = (np.concatenate(self.xy_chunks) if self.xy_chunks
-                   else np.empty(0, dtype=np.int32))
+        xy_flat = self._quantize_all()
         xy_lens = [sum(rl) * 2 for rl in self.o_ring_lens]
         offsets = np.zeros(n + 1, dtype=np.int64)
         if n:

@@ -65,6 +65,26 @@ def _pad_to_combined(t: pa.Table, okind: int) -> pa.Table:
     return pa.table({f.name: cols[f.name] for f in COMBINED_SCHEMA})
 
 
+def _stats_partial(tile_table: pa.Table) -> pa.Table:
+    """Distinct (z, x, y) of this batch's tile rows with row counts
+    carried in the ``seq`` column (okind=2 manifest side-channel)."""
+    import numpy as np
+    z = tile_table.column("z").to_numpy(zero_copy_only=False).astype(np.int64)
+    x = tile_table.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+    y = tile_table.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (z << 58) | (y << 29) | x
+    uniq, inv = np.unique(key, return_inverse=True)
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, inv, 1)
+    return pa.table({
+        "z": pa.array((uniq >> 58).astype(np.int16), pa.int16()),
+        "x": pa.array((uniq & ((1 << 29) - 1)).astype(np.int32), pa.int32()),
+        "y": pa.array(((uniq >> 29) & ((1 << 29) - 1)).astype(np.int32),
+                      pa.int32()),
+        "seq": pa.array(cnt, pa.int64()),
+    })
+
+
 class FullSplitBuild:
     """map_batches callable: wrapped feature rows -> all tile rows of the
     full pyramid (+ leaf source rows), one pass, no barriers."""
@@ -137,7 +157,13 @@ class FullSplitBuild:
 
         parts = []
         if len(tiles):
-            parts.append(_pad_to_combined(tiles.table(carry=batch), 0))
+            tile_table = tiles.table(carry=batch)
+            parts.append(_pad_to_combined(tile_table, 0))
+            # okind=2 side-channel: this batch's per-tile row counts
+            # (count in `seq`), so the manifest aggregate reads a few KB
+            # from combined/okind=2/ instead of re-scanning every tile
+            # row — the manifest step stops costing a second full read
+            parts.append(_pad_to_combined(_stats_partial(tile_table), 2))
         if sources is not None and len(sources):
             parts.append(_pad_to_combined(sources.table(carry=batch), 1))
         if not parts:

@@ -108,7 +108,8 @@ def test_fullsplit_span_sequence_equality(ray_session, tmp_path, fixtures):
                                  docs.column("spans").to_pylist())}
     comb = pads.dataset(str(tmp_path / "pyr" / "combined"),
                         partitioning="hive").to_table(
-        columns=["doc_id", "spans"])
+        columns=["doc_id", "spans"],
+        filter=pads.field("okind") < 2)  # okind=2 = manifest stats rows
     assert comb.num_rows > 0
     for d, s in zip(comb.column("doc_id").to_pylist(),
                     comb.column("spans").to_pylist()):
@@ -146,8 +147,9 @@ def test_carry_spans_off_same_tiles(ray_session, tmp_path, fixtures):
     assert ts_off.gen_tiles() == ts_on.gen_tiles()
     assert ts_off.get_tile(7, 37, 48) == ts_on.get_tile(7, 37, 48)
     comb = pads.dataset(str(tmp_path / "off" / "combined"),
-                        partitioning="hive").to_table(columns=["spans",
-                                                               "doc_id"])
+                        partitioning="hive").to_table(
+        columns=["spans", "doc_id"],
+        filter=pads.field("okind") < 2)  # okind=2 = manifest stats rows
     assert comb.column("spans").null_count == comb.num_rows
     assert comb.column("doc_id").null_count == 0  # re-attach key intact
 
