@@ -176,7 +176,9 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         if not carry_spans:
             ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
 
+    import time as _time
     while True:
+        _t_level0 = _time.perf_counter()
         lvl_dir = os.path.join(out_dir, "levels", f"z={z}")
         ds.write_parquet(lvl_dir)
         if not os.path.isdir(lvl_dir) or not os.listdir(lvl_dir):
@@ -257,7 +259,12 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                             "leaf": n_leaf, "split": n_split,
                             "empty": n_empty,
                             "rows": int(counts["n_rows"].sum()) if len(counts) else 0,
-                            "points": int(counts["n_points"].sum()) if len(counts) else 0})
+                            "points": int(counts["n_points"].sum()) if len(counts) else 0,
+                            # per-level wall time: the debug timing
+                            # side-channel (reference src/index.js debug
+                            # console.time per splitTile pass)
+                            "t_sec": round(_time.perf_counter()
+                                           - _t_level0, 3)})
 
         # per-level checkpoint (north rule): level z's rows + tiles are
         # durable and the split decision is recorded, so a failed run
@@ -320,32 +327,50 @@ def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
             _check_resume_options(json.load(f).get("options"), options,
                                   "manifest.json")
         return TileSet(out_dir, options)
+    metrics = None
     if not (resume and os.path.exists(marker)):
+        import time
         if os.path.isdir(comb):  # partial write from a crashed run
             import shutil
             shutil.rmtree(comb)
         kw = {"batch_format": "pyarrow", "batch_size": batch_size}
         if concurrency:
             kw["concurrency"] = concurrency
+        t0 = time.perf_counter()
         ds = docs.map_batches(ParseDocs(options), **kw)
         ds = ds.map_batches(WrapStage(options), **kw)
         if not carry_spans:
             ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
         ds = ds.map_batches(FullSplitBuild(options), **kw)
         ds.write_parquet(comb, partition_cols=["okind", "z"])
+        t1 = time.perf_counter()
+        # reference debug side-channel (src/index.js:27,39-44: the
+        # 'preprocess data'/'generate tiles' console.time pair) — here
+        # the streaming executor fuses the stages, so the split is
+        # slice+write wall vs manifest wall, plus Ray's own per-operator
+        # stats string for per-stage depth
+        metrics = {"t_slice_write_sec": round(t1 - t0, 3)}
         with open(marker, "w") as f:
             f.write("ok")
 
-    _rebuild_fullsplit_manifest(out_dir, options, batch_size)
+    _rebuild_fullsplit_manifest(out_dir, options, batch_size,
+                                metrics=metrics)
     return TileSet(out_dir, options)
 
 
 def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
-                                batch_size: int = 1024) -> None:
+                                batch_size: int = 1024,
+                                metrics: dict | None = None) -> None:
     """Distributed pruned-column aggregate over the combined data ->
     manifest.json (statuses + per-zoom stats). Idempotent; also used by
-    resume and append."""
+    resume and append. ``metrics`` (slicing wall times from the caller)
+    is recorded under manifest["metrics"] together with this step's own
+    wall time — the reference's debug timing side-channel
+    (src/index.js:27,39-44)."""
+    import time
     import ray
+
+    t_manifest0 = time.perf_counter()
 
     comb = os.path.join(out_dir, "combined")
     nonempty: dict[int, dict[tuple[int, int], int]] = {}
@@ -411,6 +436,9 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
         "levels": levels_meta,
         "tiles": manifest_tiles,
     }
+    m = dict(metrics or {})
+    m["t_manifest_sec"] = round(time.perf_counter() - t_manifest0, 3)
+    manifest["metrics"] = m
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
 
