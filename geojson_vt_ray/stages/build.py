@@ -20,6 +20,7 @@ import pyarrow as pa
 
 from ..arrowio import SPAN_TYPE, decode_features
 from ..config import TileOptions
+from ._gctune import tune_gc
 from ..kernels.geom import GT_LINESTRING
 from ..kernels.tile import Tile, add_feature_to_tile
 from ..kernels.tileid import tile_id
@@ -157,6 +158,7 @@ class BuildTiles:
         self.options = options
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tune_gc()  # per-worker, no-op after first batch
         z = batch.column("z").to_numpy(zero_copy_only=False)
         x = batch.column("x").to_numpy(zero_copy_only=False)
         y = batch.column("y").to_numpy(zero_copy_only=False)

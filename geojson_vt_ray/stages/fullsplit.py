@@ -37,6 +37,7 @@ import pyarrow as pa
 
 from ..arrowio import FEATURE_SCHEMA, FeatureRowBuilder, decode_features
 from ..config import TileOptions
+from ._gctune import tune_gc
 from ..kernels.clip import clip_feature
 from .build import TILE_SCHEMA, TileRowAccum
 
@@ -96,6 +97,7 @@ class FullSplitBuild:
         self.keep_sources = keep_sources
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tune_gc()  # per-worker, no-op after first batch
         opts = self.options
         imz = opts.index_max_zoom
         lm = opts.line_metrics

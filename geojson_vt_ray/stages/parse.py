@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 from ..arrowio import FeatureRowBuilder
 from ..config import TileOptions
+from ._gctune import tune_gc
 from ..kernels.convert import convert_geojson
 
 
@@ -30,6 +31,7 @@ class ParseDocs:
         self.options = options
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tune_gc()  # per-worker, no-op after first batch
         opts = self.options
         spans = batch.column("spans")
         spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans

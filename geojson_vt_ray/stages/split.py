@@ -24,6 +24,7 @@ import pyarrow as pa
 
 from ..arrowio import FeatureRowBuilder, decode_features
 from ..config import TileOptions
+from ._gctune import tune_gc
 from ..kernels.clip import clip_feature
 from ..kernels.tileid import tile_id_vec
 
@@ -72,6 +73,7 @@ class SplitLevel:
         return ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tune_gc()  # per-worker, no-op after first batch
         opts = self.options
         lm = opts.line_metrics
         k1f = 0.5 * opts.buffer / opts.extent

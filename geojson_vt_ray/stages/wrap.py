@@ -17,6 +17,7 @@ import pyarrow as pa
 
 from ..arrowio import FeatureRowBuilder, decode_features
 from ..config import TileOptions
+from ._gctune import tune_gc
 from ..kernels.clip import clip_feature
 from ..kernels.wrap import shift_feature
 
@@ -26,6 +27,7 @@ class WrapStage:
         self.options = options
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tune_gc()  # per-worker, no-op after first batch
         opts = self.options
         b = opts.buffer / opts.extent
         lm = opts.line_metrics
