@@ -30,15 +30,17 @@ def _ensure_ray():
 
 
 def _load_docs(path: str):
-    """Doc-table Dataset from a parquet dir/file, or a GeoJSON .json file
-    (converted to a one-doc-per-feature table, sources/docs.py)."""
+    """Doc-table Dataset from a Lance dataset (``*.lance``, gated on the
+    lance package — sources/lance_source.py), a parquet dir/file, or a
+    GeoJSON .json file (converted to a one-doc-per-feature table)."""
     import ray.data as rd
     if path.endswith(".json") or path.endswith(".geojson"):
         from .sources.docs import doc_table_from_geojson
         with open(path) as f:
             data = json.load(f)
         return rd.from_arrow(doc_table_from_geojson(data))
-    return rd.read_parquet(path)
+    from .sources.lance_source import read_docs
+    return read_docs(path)
 
 
 def cmd_slice(args) -> int:

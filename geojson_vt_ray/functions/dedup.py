@@ -277,7 +277,9 @@ def label_propagation_clusters(pairs, max_iters: int = 50):
                       "cluster_id": pa.array([], pa.int64())})
     if n_pairs == 0:
         return empty
-    nparts = _num_join_partitions()
+    # the pair graph is LSH-pruned tiny relative to the corpus; a small
+    # fixed fan-out keeps each round's join-aggregator actor pool cheap
+    nparts = max(2, min(4, _num_join_partitions()))
 
     def to_edges(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False)
