@@ -313,27 +313,53 @@ def q_agg_lineitem(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
 
-    def revenue(b: pa.Table) -> pa.Table:
-        # Prices/discounts are 2-decimal; accumulate in exact int64
-        # "cent*pct" units so the parallel Sum is order-independent
-        # (float accumulation order diverges from the oracle's).
+    def partial(b: pa.Table) -> pa.Table:
+        # Per-batch combiner: ~6 distinct (flag, status) groups, so the
+        # wide groupby shuffles a handful of partial rows per batch
+        # instead of every lineitem row. Prices/discounts are 2-decimal;
+        # revenue accumulates in exact int64 "cent*pct" units so the
+        # parallel Sum is order-independent (float accumulation order
+        # diverges from the oracle's). Quantities are integral, summed
+        # as int64 and divided back out at finalize for the same reason.
         cents = pc.cast(pc.round(pc.multiply(
             b.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
         disc = pc.cast(pc.round(pc.multiply(
             b.column("l_discount"), pa.scalar(100.0))), pa.int64())
-        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
-        return b.append_column("revenue_i", rev)
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc)).to_numpy(
+            zero_copy_only=False)
+        qty = pc.cast(pc.round(b.column("l_quantity")),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        flags = b.column("l_returnflag").to_pylist()
+        stats = b.column("l_linestatus").to_pylist()
+        keys = np.asarray([f + "\x00" + s for f, s in zip(flags, stats)])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        s_rev = np.zeros(len(uniq), np.int64)
+        s_qty = np.zeros(len(uniq), np.int64)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(s_rev, inv, rev)
+        np.add.at(s_qty, inv, qty)
+        np.add.at(cnt, inv, 1)
+        fl, st = zip(*(k.split("\x00") for k in uniq))
+        return pa.table({"l_returnflag": pa.array(fl, pa.string()),
+                         "l_linestatus": pa.array(st, pa.string()),
+                         "qty_i": pa.array(s_qty),
+                         "rev_i": pa.array(s_rev),
+                         "cnt": pa.array(cnt)})
 
     def finalize(b: pa.Table) -> pa.Table:
         rev = pc.divide(pc.cast(b.column("sum_rev_i"), pa.float64()),
                         pa.scalar(10000.0))
-        return b.drop_columns(["sum_rev_i"]).append_column("sum_rev", rev)
+        qty = pc.cast(b.column("sum_qty_i"), pa.float64())
+        return (b.drop_columns(["sum_rev_i", "sum_qty_i"])
+                .append_column("sum_qty", qty)
+                .append_column("sum_rev", rev))
 
-    out = (ds.map_batches(revenue, batch_format="pyarrow")
+    out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("revenue_i", alias_name="sum_rev_i"),
-                      Count(alias_name="n"))
+           .aggregate(Sum("qty_i", alias_name="sum_qty_i"),
+                      Sum("rev_i", alias_name="sum_rev_i"),
+                      Sum("cnt", alias_name="n"))
            .map_batches(finalize, batch_format="pyarrow"))
     return out
 
@@ -416,11 +442,29 @@ def q_join_broadcast(sf_dir: str):
             return b.append_column("c_mktsegment",
                                    pa.array(seg.tolist(), pa.string()))
 
-    def cents(b: pa.Table) -> pa.Table:
-        # exact int64 cents so the parallel Sum is order-independent
+    def partial(b: pa.Table) -> pa.Table:
+        # per-batch combiner (5 segments): the shuffle moves a few
+        # partial rows per batch, not every order row; exact int64
+        # cents so the parallel Sum is order-independent
         c = pc.cast(pc.round(pc.multiply(
-            b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
-        return b.append_column("total_i", c)
+            b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        seg_list = b.column("c_mktsegment").to_pylist()
+        valid = np.asarray([s is not None for s in seg_list])
+        segs = np.asarray([s for s in seg_list if s is not None])
+        if not len(segs):
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "tot_i": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        c = c[valid]
+        uniq, inv = np.unique(segs, return_inverse=True)
+        s_tot = np.zeros(len(uniq), np.int64)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(s_tot, inv, c)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"c_mktsegment": pa.array(uniq, pa.string()),
+                         "tot_i": pa.array(s_tot),
+                         "cnt": pa.array(cnt)})
 
     def finalize(b: pa.Table) -> pa.Table:
         tot = pc.divide(pc.cast(b.column("total_i"), pa.float64()),
@@ -430,10 +474,10 @@ def q_join_broadcast(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
     return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
-            .map_batches(cents, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
             .groupby("c_mktsegment")
-            .aggregate(Count(alias_name="n"),
-                       Sum("total_i", alias_name="total_i"))
+            .aggregate(Sum("cnt", alias_name="n"),
+                       Sum("tot_i", alias_name="total_i"))
             .map_batches(finalize, batch_format="pyarrow"))
 
 
