@@ -346,6 +346,92 @@ class SimHashStage:
         return batch
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    bitwise_count): byte-view + 256-entry LUT, summed per 8 bytes."""
+    return _POP8[a.view(np.uint8).reshape(len(a), 8)].sum(
+        axis=1).astype(np.int64)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Dataset -> SimHash near-dup pairs (id_a < id_b,
+    hamming(simhash) <= max_hamming), complete by pigeonhole: <=3
+    differing bits across the 4x16-bit bands leave at least one band
+    intact, so banded blocking has recall 1 for the default radius.
+    Same coarse-key bucket shuffle as the MinHash path; fingerprints
+    ride along with the band rows so verification needs no second join.
+    """
+    st = ds.map_batches(SimHashStage(text_col), batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        sh = b.column("simhash").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        o_band = np.repeat(np.arange(4, dtype=np.int8), n)
+        o_val = np.concatenate([
+            b.column(f"sim_band{t}").to_numpy(zero_copy_only=False)
+            for t in range(4)])
+        return pa.table({
+            "band": pa.array(o_band),
+            "bval": pa.array(o_val.astype(np.int32)),
+            id_col: pa.array(np.tile(ids, 4)),
+            "simhash": pa.array(np.tile(sh, 4))})
+
+    cmask = _coarse_mask_fn()
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        bv = b.column("bval").to_numpy(zero_copy_only=False).astype(np.int64)
+        bd = b.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "pkey", pa.array(((bv * 4 + bd) & cmask).astype(np.int32)))
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_ha, out_hb = [], [], [], []
+        for _, sub in g.groupby(["band", "bval"], sort=False):
+            if len(sub) < 2:
+                continue
+            order = np.argsort(sub[id_col].to_numpy())
+            ids = sub[id_col].to_numpy()[order]
+            hs = sub["simhash"].to_numpy()[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_ha.append(hs[ii])
+            out_hb.append(hs[jj])
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64")})
+        a = np.concatenate(out_a)
+        b_ = np.concatenate(out_b)
+        ham = _popcount64(np.concatenate(out_ha).astype(np.uint64)
+                          ^ np.concatenate(out_hb).astype(np.uint64))
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": a[keep], "id_b": b_[keep],
+                             "hamming": ham[keep]}).drop_duplicates(
+            ["id_a", "id_b"])
+
+    out = (st.map_batches(explode, batch_format="pyarrow")
+           .map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("pkey").map_groups(pairs_in_group,
+                                       batch_format="pandas"))
+    df = out.to_pandas()
+    if not len(df):
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    df = (df.drop_duplicates(["id_a", "id_b"])
+          .sort_values(["id_a", "id_b"], ignore_index=True))
+    return pa.table({"id_a": pa.array(df["id_a"], pa.int64()),
+                     "id_b": pa.array(df["id_b"], pa.int64()),
+                     "hamming": pa.array(df["hamming"], pa.int64())})
+
+
 # ------------------------------------------------- embedding near-dup
 class CosineNearDup:
     """Per-batch embedding near-dup candidates against a broadcast

@@ -856,6 +856,16 @@ def q_minhash_pairs(sf_dir: str):
     return _minhash_pairs_cached(sf_dir)
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at Hamming radius 3 (banded blocking is
+    complete at this radius by pigeonhole — dedup.simhash_pairs). Oracle
+    is a cross join over the independently-verified simhash fixture
+    with DuckDB bit_count(xor(...))."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return F_dedup.simhash_pairs(ds, max_hamming=3)
+
+
 def q_simhash(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -1352,6 +1362,7 @@ QUERIES = {
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
@@ -1413,8 +1424,25 @@ def _sql_fixture(name: str, cols: str) -> str:
             "WHERE n_events = (SELECT COUNT(*) FROM events)")
 
 
+def _sql_simhash_pairs() -> str:
+    import os
+    path = os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "..", "tests", "fixtures", "oracle", "simhash.parquet"))
+    return (
+        f"WITH fx AS (SELECT doc_id, simhash FROM read_parquet('{path}')"
+        " WHERE n_events = (SELECT COUNT(*) FROM events))"
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming"
+        " FROM fx a, fx b WHERE b.doc_id > a.doc_id"
+        " AND bit_count(xor(a.simhash, b.simhash)) <= 3")
+
+
 ORACLE_SQL.update({
     "simhash": _sql_fixture("simhash", "doc_id, simhash"),
+    # brute-force cross join over the (scalar-reimpl-verified) simhash
+    # fixture: exact because 4x16 banding is complete at radius 3
+    "simhash_pairs": _sql_simhash_pairs(),
     "fingerprint": _sql_fixture("fingerprint",
                                 "doc_id, fp0, fp1, fp2, fp3"),
     "langid": _sql_fixture("langid", "doc_id, pred_lang"),
