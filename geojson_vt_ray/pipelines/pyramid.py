@@ -375,7 +375,16 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
     comb = os.path.join(out_dir, "combined")
     nonempty: dict[int, dict[tuple[int, int], int]] = {}
     stats_dir = os.path.join(comb, "okind=2")
-    if os.path.isdir(stats_dir):
+    # the okind=2 fast path is only sound if EVERY slice that wrote into
+    # this dir emitted the side-channel: a pyramid written before the
+    # side-channel existed and appended to afterwards has stats for the
+    # delta only — detected via the manifest flag, forcing a full scan
+    prior_manifest = os.path.join(out_dir, "manifest.json")
+    stats_complete = True
+    if os.path.exists(prior_manifest):
+        with open(prior_manifest) as f:
+            stats_complete = bool(json.load(f).get("stats_side_channel"))
+    if os.path.isdir(stats_dir) and stats_complete:
         # fast path: the slicing pass emitted per-batch per-tile row
         # counts as okind=2 rows (counts in `seq`) — a few KB read
         # instead of a second full scan of every tile row
@@ -435,6 +444,9 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
         "options": _options_dict(options),
         "levels": levels_meta,
         "tiles": manifest_tiles,
+        # every row in combined/ has a matching okind=2 stats partial
+        # (true whenever this engine version wrote all of the data)
+        "stats_side_channel": os.path.isdir(stats_dir) and stats_complete,
     }
     m = dict(metrics or {})
     m["t_manifest_sec"] = round(time.perf_counter() - t_manifest0, 3)
