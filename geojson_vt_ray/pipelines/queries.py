@@ -383,30 +383,46 @@ def q_top_revenue(sf_dir: str):
     mask = _coarse_mask()
 
     def partial(b: pa.Table) -> pa.Table:
+        # exact int64 cents*pct partials (like agg_lineitem) so the
+        # parallel sum — and therefore the top-10 ordering — is
+        # bit-identical to the oracle regardless of accumulation order
         key = b.column("l_orderkey").to_numpy(zero_copy_only=False)
-        rev = (b.column("l_extendedprice").to_numpy(zero_copy_only=False) *
-               (1.0 - b.column("l_discount").to_numpy(zero_copy_only=False)))
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(
+            b.column("l_discount"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rev = cents * (100 - disc)
         uniq, inv = np.unique(key, return_inverse=True)
-        sums = np.zeros(len(uniq))
+        sums = np.zeros(len(uniq), np.int64)
         np.add.at(sums, inv, rev)
         return pa.table({"l_orderkey": pa.array(uniq),
-                         "revenue": pa.array(sums),
+                         "rev_i": pa.array(sums),
                          "pkey": pa.array((uniq & mask).astype(np.int32))})
 
     def combine_topk(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("l_orderkey", as_index=False)["revenue"].sum()
-        return agg.sort_values(["revenue", "l_orderkey"],
+        agg = g.groupby("l_orderkey", as_index=False)["rev_i"].sum()
+        return agg.sort_values(["rev_i", "l_orderkey"],
                                ascending=[False, True]).head(10)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(b.column("rev_i"), pa.float64()),
+                        pa.scalar(10000.0))
+        return b.drop_columns(["rev_i"]).append_column("revenue", rev)
 
     top = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("pkey").map_groups(combine_topk, batch_format="pandas")
-           .sort(["revenue", "l_orderkey"],
-                 descending=[True, False]).limit(10))
+           .sort(["rev_i", "l_orderkey"],
+                 descending=[True, False]).limit(10)
+           .map_batches(finalize, batch_format="pyarrow"))
     return top
 
 
 _SQL_TOP_REVENUE = (
-    "SELECT l_orderkey, SUM(l_extendedprice * (1.0 - l_discount)) AS revenue "
+    "SELECT l_orderkey, "
+    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue "
     "FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10")
 
 
