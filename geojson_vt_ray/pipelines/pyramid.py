@@ -384,13 +384,17 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
     if os.path.exists(prior_manifest):
         with open(prior_manifest) as f:
             stats_complete = bool(json.load(f).get("stats_side_channel"))
-    if os.path.isdir(stats_dir) and stats_complete:
+    import glob as _glob
+    stats_dirs = ([stats_dir] if os.path.isdir(stats_dir) else []) + \
+        sorted(_glob.glob(os.path.join(comb, "shard=*", "okind=2")))
+    if stats_dirs and stats_complete:
         # fast path: the slicing pass emitted per-batch per-tile row
         # counts as okind=2 rows (counts in `seq`) — a few KB read
         # instead of a second full scan of every tile row
         import pyarrow.dataset as pads
-        st = pads.dataset(stats_dir, partitioning="hive").to_table(
-            columns=["z", "x", "y", "seq"])
+        st = pa.concat_tables([
+            pads.dataset(d, partitioning="hive").to_table(
+                columns=["z", "x", "y", "seq"]) for d in stats_dirs])
         pdf = st.to_pandas()
         pdf["z"] = pdf["z"].astype("int64")
         agg = pdf.groupby(["z", "x", "y"], as_index=False)["seq"].sum()
@@ -446,13 +450,88 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
         "tiles": manifest_tiles,
         # every row in combined/ has a matching okind=2 stats partial
         # (true whenever this engine version wrote all of the data)
-        "stats_side_channel": os.path.isdir(stats_dir) and stats_complete,
+        "stats_side_channel": bool(stats_dirs) and stats_complete,
     }
     m = dict(metrics or {})
     m["t_manifest_sec"] = round(time.perf_counter() - t_manifest0, 3)
     manifest["metrics"] = m
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
+
+
+def slice_pyramid_sharded(docs: "ray.data.Dataset", options: TileOptions,
+                          out_dir: str, *, n_shards: int = 8,
+                          batch_size: int = 1024, concurrency=None,
+                          carry_spans: bool = True,
+                          resume: bool = False) -> "TileSet":
+    """Per-SHARD checkpointed full-split slicing (north rule:
+    per-partition lineage + metrics for resumable runs).
+
+    The doc table is split into ``n_shards`` deterministic shards
+    (seq % n_shards); each shard runs the single-pass fullsplit pipeline
+    into its own hive subtree ``combined/shard=K/`` and records a
+    lineage marker ``shards/K.json`` (doc count, wall time, engine
+    options) AFTER its write completes. ``resume=True`` skips completed
+    shards and deletes+recomputes any partially-written one — correct
+    because the full-split split rule is union-monotone (append tests),
+    so slicing shard-by-shard equals slicing the union. Requires
+    ``index_max_points <= 0``; readers are unchanged (the hive
+    partitioning exposes shard as one more pruned column)."""
+    import shutil
+    import time
+    import ray  # noqa: F401
+
+    if options.index_max_points > 0:
+        raise ValueError("sharded slicing requires index_max_points <= 0 "
+                         "(the adaptive stopping rule is not "
+                         "union-monotone)")
+    os.makedirs(out_dir, exist_ok=True)
+    shards_dir = os.path.join(out_dir, "shards")
+    os.makedirs(shards_dir, exist_ok=True)
+    if not resume:
+        _clear_run_state(out_dir)
+        if os.path.isdir(os.path.join(out_dir, "combined")):
+            shutil.rmtree(os.path.join(out_dir, "combined"))
+        for f in os.listdir(shards_dir):
+            os.remove(os.path.join(shards_dir, f))
+
+    kw = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if concurrency:
+        kw["concurrency"] = concurrency
+
+    for k in range(n_shards):
+        marker = os.path.join(shards_dir, f"{k}.json")
+        shard_dir = os.path.join(out_dir, "combined", f"shard={k}")
+        if resume and os.path.exists(marker):
+            with open(marker) as f:
+                _check_resume_options(json.load(f).get("options"),
+                                      options, f"shard {k} lineage")
+            continue
+        if os.path.isdir(shard_dir):  # partial write from a crashed run
+            shutil.rmtree(shard_dir)
+        t0 = time.perf_counter()
+
+        def pick_shard(b: pa.Table, *, _k=k) -> pa.Table:
+            seq = b.column("seq").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(seq % n_shards == _k))
+
+        ds = docs.map_batches(pick_shard, batch_format="pyarrow")
+        n_docs = ds.count()
+        ds = ds.map_batches(ParseDocs(options), **kw)
+        ds = ds.map_batches(WrapStage(options), **kw)
+        if not carry_spans:
+            ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
+        ds = ds.map_batches(FullSplitBuild(options), **kw)
+        ds.write_parquet(shard_dir, partition_cols=["okind", "z"])
+        with open(marker, "w") as f:
+            json.dump({"shard": k, "n_shards": n_shards,
+                       "n_docs": int(n_docs),
+                       "t_sec": round(time.perf_counter() - t0, 3),
+                       "options": _options_dict(options)}, f)
+
+    _rebuild_fullsplit_manifest(out_dir, options, batch_size,
+                                metrics={"n_shards": n_shards})
+    return TileSet(out_dir, options)
 
 
 def append_to_pyramid(docs: "ray.data.Dataset", out_dir: str, *,

@@ -293,3 +293,47 @@ def test_span_sequence_equality(ray_session, tmp_path, fixtures):
     assert len(got_docs) > 0
     for d, s in zip(got_docs, got_spans):
         assert s == want[d], f"span sequence mutated for {d}"
+
+
+def test_sharded_slice_equals_oneshot_and_resumes(ray_session, tmp_path,
+                                                  fixtures):
+    """Per-shard checkpointed slicing (north rule: per-partition lineage
+    + metrics): shard-by-shard full-split equals the one-shot slice
+    (union-monotone split rule); resume skips completed shards and
+    recomputes a partially-written one."""
+    import json
+    import os
+    import shutil
+    import ray.data as rd
+    from geojson_vt_ray.config import options_from_dict
+    from geojson_vt_ray.pipelines.pyramid import (slice_pyramid,
+                                                  slice_pyramid_sharded)
+    data = fixtures("us-states.json")
+    opts = options_from_dict({"indexMaxZoom": 3, "indexMaxPoints": 0})
+    docs = rd.from_arrow(doc_table_from_geojson(data))
+    want = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                         opts, str(tmp_path / "oneshot")).gen_tiles()
+
+    out = str(tmp_path / "sharded")
+    ts = slice_pyramid_sharded(docs, opts, out, n_shards=4)
+    assert ts.gen_tiles() == want
+    lineage = [json.load(open(os.path.join(out, "shards", f"{k}.json")))
+               for k in range(4)]
+    assert sum(sh["n_docs"] for sh in lineage) == docs.count()
+    assert all("t_sec" in sh and sh["options"] for sh in lineage)
+
+    # simulate a crash: shard 2 half-written (marker gone, files there),
+    # shard 3 fully lost; resume must redo exactly those two
+    os.remove(os.path.join(out, "shards", "2.json"))
+    os.remove(os.path.join(out, "shards", "3.json"))
+    shutil.rmtree(os.path.join(out, "combined", "shard=3"))
+    os.remove(os.path.join(out, "manifest.json"))
+    kept = {k: os.path.getmtime(os.path.join(out, "shards", f"{k}.json"))
+            for k in (0, 1)}
+    ts2 = slice_pyramid_sharded(
+        rd.from_arrow(doc_table_from_geojson(data)), opts, out,
+        n_shards=4, resume=True)
+    assert ts2.gen_tiles() == want
+    for k, mt in kept.items():  # completed shards untouched
+        assert os.path.getmtime(
+            os.path.join(out, "shards", f"{k}.json")) == mt
