@@ -59,6 +59,12 @@ def cmd_slice(args) -> int:
     if args.append:
         from .pipelines.pyramid import append_to_pyramid
         ts = append_to_pyramid(docs, args.out, batch_size=args.batch_size)
+    elif args.shards:
+        from .pipelines.pyramid import slice_pyramid_sharded
+        ts = slice_pyramid_sharded(docs, opts, args.out,
+                                   n_shards=args.shards,
+                                   batch_size=args.batch_size,
+                                   resume=args.resume)
     else:
         ts = slice_pyramid(docs, opts, args.out, batch_size=args.batch_size,
                            resume=args.resume)
@@ -107,6 +113,10 @@ def main(argv=None) -> int:
     sp.add_argument("--repartition", type=int, default=0)
     sp.add_argument("--resume", action="store_true",
                     help="resume from out dir's last level checkpoint")
+    sp.add_argument("--shards", type=int, default=0,
+                    help="per-shard checkpointed full-split slicing "
+                         "(requires --index-max-points <= 0); with "
+                         "--resume, completed shards are skipped")
     sp.add_argument("--append", action="store_true",
                     help="incremental: slice --input as a delta into the "
                          "existing full-split pyramid at --out")
