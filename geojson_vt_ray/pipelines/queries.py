@@ -706,6 +706,78 @@ def q_asof_join(sf_dir: str):
             .map_groups(merge_asof, batch_format="pandas"))
 
 
+def q_range_join(sf_dir: str):
+    """Range join (custom operator): per order, the count of its line
+    items shipped within [o_orderdate, o_orderdate + 30 days]. Both
+    sides are hash-bucketed on the key and merge inside map_groups with
+    two vectorized searchsorteds on a composite (key, day) int64 — the
+    interval predicate never becomes a cross join, and neither side is
+    broadcast. Timestamp bounds reduce exactly to integer day bounds
+    because both date columns are midnight-aligned."""
+    mask = _coarse_mask()
+
+    def lineitem_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        day = (b.column("l_shipdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "pkey": pa.array((ok & mask).astype(np.int32)),
+            "role": pa.array(np.ones(len(ok), np.int8)),
+            "key": pa.array(ok.astype(np.int64)),
+            "lo": pa.array(day), "hi": pa.array(day),
+            "rid": pa.array(np.zeros(len(ok), np.int64))})
+
+    def orders_part(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        day = (b.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "pkey": pa.array((ok & mask).astype(np.int32)),
+            "role": pa.array(np.zeros(len(ok), np.int8)),
+            "key": pa.array(ok),
+            "lo": pa.array(day), "hi": pa.array(day + 30),
+            "rid": pa.array(ok)})
+
+    items = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+            lineitem_part, batch_format="pyarrow")
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+            orders_part, batch_format="pyarrow")
+
+    def merge_range(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 1]
+        o = g[g["role"] == 0]
+        if not len(o):
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "n_shipped_30d": pd.Series([], dtype="int64")})
+        # composite (key, day): days < 1e6 so key*1e6+day is strictly
+        # lexicographic and overflow-safe for key <= ~9e12
+        li_comp = np.sort(li["key"].to_numpy() * 1_000_000
+                          + li["lo"].to_numpy())
+        ok = o["key"].to_numpy() * 1_000_000
+        n = (np.searchsorted(li_comp, ok + o["hi"].to_numpy(),
+                             side="right")
+             - np.searchsorted(li_comp, ok + o["lo"].to_numpy(),
+                               side="left"))
+        return pd.DataFrame({"o_orderkey": o["rid"].to_numpy(),
+                             "n_shipped_30d": n.astype(np.int64)})
+
+    return (items.union(orders).groupby("pkey")
+            .map_groups(merge_range, batch_format="pandas"))
+
+
+_SQL_RANGE_JOIN = (
+    "SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS "
+    "n_shipped_30d FROM orders o LEFT JOIN lineitem l "
+    "ON l.l_orderkey = o.o_orderkey AND l.l_shipdate BETWEEN "
+    "o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY GROUP BY 1")
+
+
 def q_asof_join_broadcast(sf_dir: str):
     """As-of join, small-build-side variant: broadcast sorted order log
     (ray.put once, read per actor) + vectorized searchsorted per event
@@ -1365,6 +1437,7 @@ QUERIES = {
     "user_overlap": q_user_overlap,
     "asof_join": q_asof_join,
     "asof_join_broadcast": q_asof_join_broadcast,
+    "range_join": q_range_join,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
     "sessionize": q_sessionize,
@@ -1407,6 +1480,7 @@ ORACLE_SQL = {
     "user_overlap": _SQL_USER_OVERLAP,
     "asof_join": _SQL_ASOF,
     "asof_join_broadcast": _SQL_ASOF,
+    "range_join": _SQL_RANGE_JOIN,
     "distinct_users": _SQL_DISTINCT_USERS,
     "sessionize": _SQL_SESSIONIZE,
     "topk_per_segment": _SQL_TOPK_SEGMENT,
