@@ -833,6 +833,28 @@ _SQL_ASOF = (
 
 
 # ------------------------------------------------------ text + dedup
+def q_sample_docs(sf_dir: str):
+    """Deterministic ~1/8 sample: keep docs whose md5(text) first hex
+    nibble < 2. Hash-based Bernoulli sampling is the reproducible,
+    cluster-order-independent way to sample at 100 TB (ds.random_sample
+    is seed-per-task); md5 matches DuckDB's md5() so it oracles
+    exactly."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        b = F_dedup.add_content_hash(b)
+        keep = pc.less(pc.utf8_slice_codeunits(
+            b.column("content_hash"), 0, 1), pa.scalar("2"))
+        return b.filter(keep).select(["doc_id"])
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+_SQL_SAMPLE_DOCS = ("SELECT doc_id FROM documents WHERE "
+                    "substr(md5(text), 1, 1) < '2'")
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -1444,6 +1466,7 @@ QUERIES = {
     "topk_per_segment": q_topk_per_segment,
     "anti_join": q_anti_join,
     "dedup_clusters": q_dedup_clusters,
+    "sample_docs": q_sample_docs,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "quality": q_quality,
@@ -1488,6 +1511,7 @@ ORACLE_SQL = {
     # approx_distinct_users: sketch estimate, rows-only (accuracy is
     # asserted against the exact count in tests/test_functions.py)
     # dedup_clusters: union-find over LSH pairs, rows-only
+    "sample_docs": _SQL_SAMPLE_DOCS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "token_counts": _SQL_TOKEN_COUNTS,
     "quality": _SQL_QUALITY,
