@@ -207,8 +207,10 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     # all-to-all keyed shuffle; the shuffle payload is 8 B/shingle, and
     # the driver never sees a corpus-sized object.
     nparts = _num_join_partitions()
+    # materialize: the shingle table is the build side of BOTH joins —
+    # without this the corpus is re-read and re-shingled per join
     sh_ds = ds.map_batches(ShingleBytes(text_col, id_col),
-                           batch_format="pyarrow")
+                           batch_format="pyarrow").materialize()
 
     def _rename_sh_a(b: pa.Table) -> pa.Table:
         return b.rename_columns(

@@ -179,7 +179,11 @@ class PngFileDecoder:
 
 class WavFileDecoder:
     """Real audio decoder for AudioFeatures: same resolution contract as
-    PngFileDecoder; returns float32 mono samples."""
+    PngFileDecoder; returns float32 mono samples. AudioFeatures computes
+    duration as len(samples)/its own sample_rate, so a file whose actual
+    rate differs from ``sample_rate`` is REJECTED rather than silently
+    producing a wrong duration (a 44.1 kHz file would read as ~2.8x its
+    real length at the 16 kHz default)."""
 
     def __init__(self, root_dir: str | None = None,
                  sample_rate: int = 16_000):
@@ -194,4 +198,9 @@ class WavFileDecoder:
             with open(os.path.join(self.root_dir, media_ref), "rb") as f:
                 payload = f.read()
         samples, sr = wav_decode(payload)
+        if sr != self.sample_rate:
+            raise ValueError(
+                f"{media_ref!r} is {sr} Hz but this decoder was built "
+                f"for {self.sample_rate} Hz; construct WavFileDecoder("
+                f"sample_rate={sr}) (and AudioFeatures to match)")
         return samples

@@ -265,6 +265,12 @@ def ann_ivf_search(store_dir: str, queries: np.ndarray, query_ids,
     import glob
     files = [f for d in dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64())})
+    if not files:  # every probed list was empty (no directory written)
+        stats = {"lists_read": 0, "nlist": len(cent)}
+        return (empty, stats) if return_stats else empty
     ds = ray.data.read_parquet(files)
     cref = ray.put(cent)
     qref = ray.put(q)

@@ -80,7 +80,13 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     by construction): word count (``\\S+``), mean word length
     (``\\S`` chars / words), punct count/ratio (``[^A-Za-z0-9\\s]``).
     Only the stopword ratio keeps a per-doc loop (set membership against
-    split() tokens has no regex equivalent with identical semantics)."""
+    split() tokens has no regex equivalent with identical semantics).
+
+    SEMANTICS NOTE: the punct pattern is ASCII-anchored BY CONTRACT
+    (it is the oracle's definition) — non-ASCII letters count as
+    punctuation and RE2's ``\\s`` is ASCII whitespace. For multilingual
+    quality scoring pair this with LangId and per-language thresholds,
+    or swap the pattern per corpus; don't assume unicode isalnum()."""
     import pyarrow.compute as pc
     col = batch.column(text_col)
     n_words = pc.count_substring_regex(col, r"\S+").cast(pa.int64())

@@ -137,6 +137,14 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     ckpt_path = os.path.join(out_dir, "checkpoint.json")
     if not resume:
         _clear_run_state(out_dir)
+        # also drop prior DATA: write_parquet appends new UUID-named
+        # files beside old ones, so a fresh rerun into a used out_dir
+        # would read doubled rows and corrupt every split decision
+        import shutil
+        for sub in ("levels", "tiles"):
+            p = os.path.join(out_dir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
     if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
         with open(os.path.join(out_dir, "manifest.json")) as f:
             _check_resume_options(json.load(f).get("options"), options,
@@ -499,6 +507,19 @@ def slice_pyramid_sharded(docs: "ray.data.Dataset", options: TileOptions,
     if concurrency:
         kw["concurrency"] = concurrency
 
+    # one cheap pass for every shard's doc count (lineage), instead of a
+    # full count() re-execution of the pipeline per shard
+    import numpy as np
+
+    def shard_counts(b: pa.Table) -> pa.Table:
+        seq = b.column("seq").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(seq % n_shards, minlength=n_shards)
+        return pa.table({"shard": pa.array(np.arange(n_shards, dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cdf = docs.map_batches(shard_counts, batch_format="pyarrow").to_pandas()
+    per_shard_docs = cdf.groupby("shard")["n"].sum().to_dict()
+
     for k in range(n_shards):
         marker = os.path.join(shards_dir, f"{k}.json")
         shard_dir = os.path.join(out_dir, "combined", f"shard={k}")
@@ -516,7 +537,7 @@ def slice_pyramid_sharded(docs: "ray.data.Dataset", options: TileOptions,
             return b.filter(pa.array(seq % n_shards == _k))
 
         ds = docs.map_batches(pick_shard, batch_format="pyarrow")
-        n_docs = ds.count()
+        n_docs = int(per_shard_docs.get(k, 0))
         ds = ds.map_batches(ParseDocs(options), **kw)
         ds = ds.map_batches(WrapStage(options), **kw)
         if not carry_spans:

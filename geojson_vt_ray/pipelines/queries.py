@@ -682,7 +682,9 @@ def q_asof_join(sf_dir: str):
     def merge_asof(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["role"] == 1]
         e = g[g["role"] == 0]
-        if not len(e):
+        if not len(e) or not len(o):
+            # a bucket can hold events whose keys match no order at all
+            # (keys outside the custkey range); they have no as-of match
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "o_orderkey": pd.Series([], dtype="int64")})
         # composite (key, day) int64: days < 1e6 so key*1e6+day is

@@ -24,7 +24,6 @@ from ._gctune import tune_gc
 from ..kernels.geom import GT_LINESTRING
 from ..kernels.tile import Tile, add_feature_to_tile
 from ..kernels.tileid import tile_id
-from ..kernels.transform import quantize
 
 TILE_SCHEMA = pa.schema([
     ("z", pa.int16()),

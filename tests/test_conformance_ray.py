@@ -337,3 +337,19 @@ def test_sharded_slice_equals_oneshot_and_resumes(ray_session, tmp_path,
     for k, mt in kept.items():  # completed shards untouched
         assert os.path.getmtime(
             os.path.join(out, "shards", f"{k}.json")) == mt
+
+
+def test_fresh_adaptive_rerun_no_stale_data(ray_session, tmp_path,
+                                            fixtures):
+    """A resume=False adaptive rerun into a used out_dir must not read
+    the previous run's parquet (write_parquet appends UUID files, so
+    stale files would double every row and corrupt split decisions)."""
+    import ray.data as rd
+    data = fixtures("us-states.json")
+    opts = options_from_dict({"indexMaxZoom": 3, "indexMaxPoints": 200})
+    out = str(tmp_path / "pyr")
+    first = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                          opts, out).gen_tiles()
+    second = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                           opts, out).gen_tiles()
+    assert second == first

@@ -88,3 +88,33 @@ def test_entry_smoke(ray_session):
     import __ray_entry__ as e
     res = _to_pandas(e.entry())
     assert len(res) >= 0
+
+
+def test_asof_join_bucket_without_orders(ray_session):
+    """A coarse-hash bucket holding events whose keys match no order
+    must yield no match, not an IndexError on the empty orders array
+    (testdata only avoids this because user_ids are a custkey subset)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os, shutil
+    from geojson_vt_ray.pipelines.queries import q_asof_join
+    td = tempfile.mkdtemp()
+    try:
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2024-01-01", "us")])}),
+            os.path.join(td, "orders.parquet"))
+        pq.write_table(pa.table({
+            "event_id": pa.array([10, 11], pa.int64()),
+            # user 7 matches; user 100007 shares no bucket orders at all
+            "user_id": pa.array([7, 1_000_007], pa.int64()),
+            "ts": pa.array([np.datetime64("2024-01-02", "us")] * 2)}),
+            os.path.join(td, "events.parquet"))
+        got = q_asof_join(td).to_pandas()
+        assert got["event_id"].tolist() == [10]
+        assert got["o_orderkey"].tolist() == [1]
+    finally:
+        shutil.rmtree(td)
