@@ -64,15 +64,27 @@ def _options_dict(options: TileOptions) -> dict:
     return {f: getattr(options, f) for f in _OPT_FIELDS}
 
 
-def _clear_run_state(out_dir: str) -> None:
+def _clear_run_state(out_dir: str, data: bool = False) -> None:
     """Fresh (resume=False) run: drop every completion/lineage artifact
     from a prior run BEFORE touching data, so a crash mid-rewrite can
     never leave a stale _COMPLETE/manifest/checkpoint next to partial
-    data that a later resume would trust."""
+    data that a later resume would trust.
+
+    ``data=True`` additionally removes ALL prior data subtrees (every
+    layout's: levels/tiles/combined/shards) — write_parquet appends new
+    UUID-named files beside old ones, so a rerun into a used out_dir
+    would otherwise read doubled rows (or, on a layout switch, leave the
+    other layout's tree on disk indefinitely)."""
     for name in ("_COMPLETE", "manifest.json", "checkpoint.json"):
         p = os.path.join(out_dir, name)
         if os.path.exists(p):
             os.remove(p)
+    if data:
+        import shutil
+        for sub in ("levels", "tiles", "combined", "shards"):
+            p = os.path.join(out_dir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
 
 def _check_resume_options(recorded, options: TileOptions, what: str) -> None:
@@ -136,15 +148,14 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
 
     ckpt_path = os.path.join(out_dir, "checkpoint.json")
     if not resume:
-        _clear_run_state(out_dir)
-        # also drop prior DATA: write_parquet appends new UUID-named
-        # files beside old ones, so a fresh rerun into a used out_dir
-        # would read doubled rows and corrupt every split decision
-        import shutil
-        for sub in ("levels", "tiles"):
-            p = os.path.join(out_dir, sub)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+        _clear_run_state(out_dir, data=True)
+    elif not (os.path.exists(ckpt_path) or os.path.exists(
+            os.path.join(out_dir, "manifest.json"))):
+        # resume=True but nothing completed: a crash DURING level 0's
+        # write (the first checkpoint only lands after level 0) left
+        # partial parquet with no lineage — restart clean, else the new
+        # write appends beside the stale files and doubles every row
+        _clear_run_state(out_dir, data=True)
     if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
         with open(os.path.join(out_dir, "manifest.json")) as f:
             _check_resume_options(json.load(f).get("options"), options,
@@ -329,7 +340,7 @@ def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
     comb = os.path.join(out_dir, "combined")
     marker = os.path.join(out_dir, "_COMPLETE")
     if not resume:
-        _clear_run_state(out_dir)
+        _clear_run_state(out_dir, data=True)
     if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
         with open(os.path.join(out_dir, "manifest.json")) as f:
             _check_resume_options(json.load(f).get("options"), options,
@@ -494,31 +505,35 @@ def slice_pyramid_sharded(docs: "ray.data.Dataset", options: TileOptions,
                          "(the adaptive stopping rule is not "
                          "union-monotone)")
     os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        _clear_run_state(out_dir, data=True)
     shards_dir = os.path.join(out_dir, "shards")
     os.makedirs(shards_dir, exist_ok=True)
-    if not resume:
-        _clear_run_state(out_dir)
-        if os.path.isdir(os.path.join(out_dir, "combined")):
-            shutil.rmtree(os.path.join(out_dir, "combined"))
-        for f in os.listdir(shards_dir):
-            os.remove(os.path.join(shards_dir, f))
 
     kw = {"batch_format": "pyarrow", "batch_size": batch_size}
     if concurrency:
         kw["concurrency"] = concurrency
 
-    # one cheap pass for every shard's doc count (lineage), instead of a
-    # full count() re-execution of the pipeline per shard
-    import numpy as np
+    # one cheap pass for every PENDING shard's doc count (lineage),
+    # instead of a full count() re-execution of the pipeline per shard;
+    # skipped entirely when resume finds every shard complete
+    def _count_per_shard() -> dict:
+        def shard_counts(b: pa.Table) -> pa.Table:
+            seq = b.column("seq").to_numpy(zero_copy_only=False)
+            cnt = np.bincount(seq % n_shards, minlength=n_shards)
+            return pa.table({
+                "shard": pa.array(np.arange(n_shards, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
 
-    def shard_counts(b: pa.Table) -> pa.Table:
-        seq = b.column("seq").to_numpy(zero_copy_only=False)
-        cnt = np.bincount(seq % n_shards, minlength=n_shards)
-        return pa.table({"shard": pa.array(np.arange(n_shards, dtype=np.int64)),
-                         "n": pa.array(cnt.astype(np.int64))})
+        cdf = docs.map_batches(shard_counts,
+                               batch_format="pyarrow").to_pandas()
+        if not len(cdf):  # zero-block input dataset
+            return {}
+        return cdf.groupby("shard")["n"].sum().to_dict()
 
-    cdf = docs.map_batches(shard_counts, batch_format="pyarrow").to_pandas()
-    per_shard_docs = cdf.groupby("shard")["n"].sum().to_dict()
+    pending = [k for k in range(n_shards) if not (
+        resume and os.path.exists(os.path.join(shards_dir, f"{k}.json")))]
+    per_shard_docs = _count_per_shard() if pending else {}
 
     for k in range(n_shards):
         marker = os.path.join(shards_dir, f"{k}.json")

@@ -353,3 +353,27 @@ def test_fresh_adaptive_rerun_no_stale_data(ray_session, tmp_path,
     second = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
                            opts, out).gen_tiles()
     assert second == first
+
+
+def test_resume_with_no_checkpoint_restarts_clean(ray_session, tmp_path,
+                                                  fixtures):
+    """resume=True after a crash DURING level 0's write (partial parquet,
+    no checkpoint/manifest yet) must restart clean rather than append
+    beside the stale files and double every row."""
+    import os
+    import ray.data as rd
+    data = fixtures("us-states.json")
+    opts = options_from_dict({"indexMaxZoom": 3, "indexMaxPoints": 200})
+    out = str(tmp_path / "pyr")
+    want = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                         opts, str(tmp_path / "clean")).gen_tiles()
+    # simulate the crashed state: some level-0 parquet, no lineage files
+    lvl0 = os.path.join(out, "levels", "z=0")
+    os.makedirs(lvl0)
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    pq.write_table(pa.table({"junk": [1, 2, 3]}),
+                   os.path.join(lvl0, "partial-crashed.parquet"))
+    ts = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
+                       opts, out, resume=True)
+    assert ts.gen_tiles() == want
