@@ -225,3 +225,32 @@ def test_ivf_partitioned_store_prunes_reads(ray_session, tmp_path):
         ["query_id", "rnk"], ignore_index=True).equals(
         want.to_pandas().sort_values(
             ["query_id", "rnk"], ignore_index=True))
+
+
+def test_ann_ivf_recall_on_clustered_corpus(ray_session):
+    """IVF must reach recall >=0.9 vs brute force while probing <=25%
+    of the coarse lists on a corpus with neighbor structure (same
+    planted clusters as the LSH gate)."""
+    import ray.data as rd
+    from geojson_vt_ray.functions.similarity import (ann_cosine_topk,
+                                                     ann_ivf_topk)
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((50, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = centers.repeat(10, axis=0) + 0.05 * rng.standard_normal((500, 64))
+    ids = np.arange(500, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        [row.astype(np.float32) for row in m],
+                        pa.list_(pa.float32()))})
+    qmask = ids < 25
+    brute = ann_cosine_topk(rd.from_arrow(tbl), m[qmask], ids[qmask],
+                            k=5).to_pandas()
+    nlist, nprobe = 32, 8  # 25% of lists probed
+    approx = ann_ivf_topk(rd.from_arrow(tbl), m[qmask], ids[qmask], k=5,
+                          nlist=nlist, nprobe=nprobe).to_pandas()
+    want = brute.groupby("query_id")["vec_id"].apply(set)
+    got = approx.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean([len(want[q] & got.get(q, set())) / len(want[q])
+                      for q in want.index])
+    assert recall >= 0.9, recall
