@@ -10,8 +10,10 @@ Scale shapes:
   shuffle moves fixed-width band rows only.
 - SimHash: 64-bit fingerprint per doc; Hamming-adjacent candidates via
   4x16-bit band blocking.
-All hashing is seed-fixed (blake2b keyed) — deterministic across runs
-and workers.
+All hashing is seed-fixed and deterministic across runs and workers:
+shingles use an FNV-style polynomial rolling hash (fast, NOT
+cryptographic — dedup here assumes non-adversarial input), simhash
+tokens use keyed blake2b, band keys use unkeyed blake2b.
 """
 
 from __future__ import annotations
@@ -53,14 +55,6 @@ _N_PERM = 64
 _N_BANDS = 16  # 16 bands x 4 rows
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    data = text.encode("utf-8", "ignore")
-    if len(data) < k:
-        data = data + b"\x00" * (k - len(data))
-    out = {data[i:i + k] for i in range(len(data) - k + 1)}
-    return out
-
-
 def _hash64(items, seed: int) -> np.ndarray:
     key = seed.to_bytes(8, "big")
     return np.fromiter(
@@ -95,9 +89,17 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 def minhash_signature(text: str) -> np.ndarray:
     base = _shingle_hashes(text)
-    # 64 cheap permutations of one base hash (standard MinHash trick),
-    # one (n_shingles x 64) broadcast instead of a Python perm loop
-    return (base[:, None] * _A[None, :] + _B[None, :]).min(axis=0)
+    # 64 cheap permutations of one base hash (standard MinHash trick).
+    # The broadcast product is 512 B/shingle transient, so accumulate
+    # the column minima over bounded blocks: a 10 MB document (~10M
+    # shingles) peaks at ~32 MB instead of ~5 GB.
+    out = np.full(_N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    BLOCK = 65536
+    for i in range(0, len(base), BLOCK):
+        chunk = base[i:i + BLOCK]
+        np.minimum(out, (chunk[:, None] * _A[None, :]
+                         + _B[None, :]).min(axis=0), out=out)
+    return out
 
 
 class MinHashBands:
@@ -123,14 +125,6 @@ class MinHashBands:
         return pa.table({"band_id": pa.array(o_band, pa.int32()),
                          "band_hash": pa.array(o_hash, pa.int64()),
                          self.id_col: pa.array(o_id)})
-
-
-def _ngram_jaccard(a: str, b: str, k: int = 5) -> float:
-    sa, sb = _shingles(a, k), _shingles(b, k)
-    if not sa and not sb:
-        return 1.0
-    inter = len(sa & sb)
-    return inter / (len(sa) + len(sb) - inter)
 
 
 from .shuffle import coarse_mask as _coarse_mask_fn
@@ -253,13 +247,17 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
 
 # ----------------------------------------------- connected components
-def label_propagation_clusters(pairs, max_iters: int = 50):
+def label_propagation_clusters(pairs, max_iters: int = 64):
     """Distributed connected components over near-dup pairs via min-label
-    propagation: label(x) starts at x; each round every node takes the
-    min of its own label and its neighbors' labels (join edges against
-    labels, union, groupby-min) until the label sum stops decreasing.
-    Converges in O(component diameter) rounds; every step is a keyed
-    Ray Data shuffle — no driver-side union-find.
+    propagation WITH pointer jumping: each round every node takes the
+    min of its own label, its neighbors' labels (join edges against
+    labels), and its label's label (join labels against themselves —
+    the classic doubling shortcut), until the label sum stops
+    decreasing. Pointer jumping makes convergence O(log diameter)
+    rounds, so a 1e6-hop duplicate chain needs ~20 rounds, not 1e6;
+    exhausting ``max_iters`` RAISES rather than silently returning a
+    partially-merged clustering. Every step is a keyed Ray Data shuffle
+    — no driver-side union-find.
 
     ``pairs``: Dataset or pa.Table with int64 id_a < id_b columns.
     Returns pa.Table (doc_id, cluster_id = min doc id in its component),
@@ -303,10 +301,33 @@ def label_propagation_clusters(pairs, max_iters: int = 50):
               .materialize())
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 
+    converged = False
     for _ in range(max_iters):
-        cand = (edges.join(labels, "inner", nparts, on=("nbr",),
-                           right_on=("node",))
-                .select_columns(["node", "label"])
+        nbr_label = (edges.join(labels, "inner", nparts, on=("nbr",),
+                                right_on=("node",))
+                     .select_columns(["node", "label"]))
+
+        # pointer jumping: node -> label(label(node)); labels keyed by
+        # label on the left, by node on the right
+        def as_jump_probe(b: pa.Table) -> pa.Table:
+            return pa.table({"jnode": b.column("node"),
+                             "label": b.column("label")})
+
+        jump = (labels.map_batches(as_jump_probe, batch_format="pyarrow")
+                .join(labels, "inner", nparts, on=("label",),
+                      right_on=("node",), left_suffix="_l",
+                      right_suffix="_r"))
+
+        def jump_out(b: pa.Table) -> pa.Table:
+            # after the join: jnode (original node), label_r = label of
+            # this node's label
+            cols = b.column_names
+            lab = "label_r" if "label_r" in cols else "label"
+            return pa.table({"node": b.column("jnode"),
+                             "label": b.column(lab)})
+
+        cand = (nbr_label
+                .union(jump.map_batches(jump_out, batch_format="pyarrow"))
                 .union(labels))
         labels = (cand.groupby("node")
                   .aggregate(Min("label", alias_name="label"))
@@ -315,8 +336,14 @@ def label_propagation_clusters(pairs, max_iters: int = 50):
         # min-propagation labels only decrease; an unchanged sum is an
         # unchanged labelling (cheap scalar fixpoint test, no diff join)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "— with pointer jumping this needs a component of diameter "
+            f"> 2^{max_iters}; raise max_iters")
 
     df = labels.to_pandas().sort_values("node", ignore_index=True)
     return pa.table({"doc_id": pa.array(df["node"], pa.int64()),
@@ -442,9 +469,10 @@ class CosineNearDup:
     def __init__(self, ref_matrix_ref, ref_ids, threshold: float = 0.95,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
         import ray
+        from .similarity import _norm_rows
         m = (ray.get(ref_matrix_ref)
              if isinstance(ref_matrix_ref, ray.ObjectRef) else ref_matrix_ref)
-        self.ref = m / np.linalg.norm(m, axis=1, keepdims=True)
+        self.ref = _norm_rows(np.asarray(m, dtype=np.float64))
         self.ref_ids = np.asarray(ref_ids)
         self.threshold = threshold
         self.vec_col = vec_col
@@ -454,9 +482,11 @@ class CosineNearDup:
         col = batch.column(self.vec_col)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         vals = col.values.to_numpy(zero_copy_only=False)
+        from .similarity import _norm_rows
         dim = self.ref.shape[1]
-        m = vals.reshape(-1, dim).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # zero vectors normalize to zero (cosine 0 to everything)
+        # instead of NaN-ing and silently dropping their pairs
+        m = _norm_rows(vals.reshape(-1, dim).astype(np.float64))
         sims = m @ self.ref.T
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         ii, jj = np.nonzero(sims >= self.threshold)

@@ -11,6 +11,12 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _empty_topk() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "rnk": pa.array([], pa.int64())})
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -55,9 +61,7 @@ class CosineTopKPartial:
 def topk_merge(partials: pa.Table, k: int) -> pa.Table:
     df = partials.to_pandas()
     if not len(df):
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "rnk": pa.array([], pa.int64())})
+        return _empty_topk()
     df = df.sort_values(["query_id", "cosine", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
     df["rnk"] = df.groupby("query_id").cumcount() + 1
@@ -79,9 +83,7 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids, k: int,
     tables = [ray.get(r) for r in partials.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]
     if not tables:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "rnk": pa.array([], pa.int64())})
+        return _empty_topk()
     merged = topk_merge(pa.concat_tables(tables),
                         k + (1 if exclude_self else 0))
     df = merged.to_pandas()
@@ -200,9 +202,7 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids, k: int,
     tables = [ray.get(r) for r in partials.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]
     if not tables:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "rnk": pa.array([], pa.int64())})
+        return _empty_topk()
     merged = topk_merge(pa.concat_tables(tables), kk)
     df = merged.to_pandas()
     if exclude_self:
@@ -265,9 +265,7 @@ def ann_ivf_search(store_dir: str, queries: np.ndarray, query_ids,
     import glob
     files = [f for d in dirs
              for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64()),
-                      "rnk": pa.array([], pa.int64())})
+    empty = _empty_topk()
     if not files:  # every probed list was empty (no directory written)
         stats = {"lists_read": 0, "nlist": len(cent)}
         return (empty, stats) if return_stats else empty
@@ -291,9 +289,7 @@ def ann_ivf_search(store_dir: str, queries: np.ndarray, query_ids,
         batch_format="pyarrow")
     tables = [ray.get(r) for r in partials.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64()),
-                      "rnk": pa.array([], pa.int64())})
+    empty = _empty_topk()
     stats = {"lists_read": len(dirs), "nlist": len(cent)}
     if not tables:
         return (empty, stats) if return_stats else empty
@@ -438,9 +434,7 @@ def ann_lsh_topk(ds, queries: np.ndarray, query_ids, k: int,
     partials = assigned.map_batches(partial, batch_format="pyarrow")
     tables = [ray.get(r) for r in partials.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64()),
-                      "rnk": pa.array([], pa.int64())})
+    empty = _empty_topk()
     if not tables:
         return (empty, {"scan_frac": 0.0, "n_rows": 0}) \
             if return_stats else empty

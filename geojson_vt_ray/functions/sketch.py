@@ -88,11 +88,18 @@ def approx_distinct(ds, key_col: str, group_col: str | None = None):
                 "sketch": pa.array([hll_partial(keys).tobytes()],
                                    pa.binary())})
         groups = b.column(group_col).to_numpy(zero_copy_only=False)
-        uniq = np.unique(groups)
+        # one sort-based segmentation instead of a full boolean scan of
+        # the batch per distinct group (O(n log n) vs O(groups * n))
+        order = np.argsort(groups, kind="stable")
+        sg = groups[order]
+        sk = keys[order]
+        uniq, starts = np.unique(sg, return_index=True)
+        bounds = np.append(starts, len(sg))
         return pa.table({
             "g": pa.array(uniq),
             "sketch": pa.array(
-                [hll_partial(keys[groups == g]).tobytes() for g in uniq],
+                [hll_partial(sk[bounds[i]:bounds[i + 1]]).tobytes()
+                 for i in range(len(uniq))],
                 pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")

@@ -254,3 +254,17 @@ def test_ann_ivf_recall_on_clustered_corpus(ray_session):
     recall = np.mean([len(want[q] & got.get(q, set())) / len(want[q])
                       for q in want.index])
     assert recall >= 0.9, recall
+
+
+def test_label_propagation_long_chain(ray_session):
+    """A 120-hop duplicate chain (diameter >> the old per-round budget)
+    must collapse to ONE cluster — pointer jumping converges in
+    O(log diameter) rounds instead of silently truncating."""
+    from geojson_vt_ray.functions.dedup import label_propagation_clusters
+    n = 120
+    pairs = pa.table({
+        "id_a": pa.array(list(range(n - 1)), pa.int64()),
+        "id_b": pa.array(list(range(1, n)), pa.int64())})
+    lp = label_propagation_clusters(pairs).to_pandas()
+    assert len(lp) == n
+    assert (lp["cluster_id"] == 0).all(), lp["cluster_id"].nunique()
