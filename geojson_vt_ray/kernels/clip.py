@@ -144,9 +144,10 @@ def _clip_line_scalar(line: Line, k1: float, k2: float, axis: int,
     return out
 
 
-def clip_line(line: Line, k1: float, k2: float, axis: int, is_polygon: bool,
-              track_metrics: bool) -> list[Line]:
-    """Clip one vertex run against the slab; returns surviving slices."""
+def _clip_line_py(line: Line, k1: float, k2: float, axis: int,
+                  is_polygon: bool, track_metrics: bool) -> list[Line]:
+    """Pure-Python clip_line (scalar port + vectorized path); kept as the
+    no-gcc fallback and the parity baseline for the C kernel."""
     v = line.v
     n = len(v)
     if n == 0:
@@ -172,7 +173,11 @@ def clip_line(line: Line, k1: float, k2: float, axis: int, is_polygon: bool,
 
     if not enter_any.any() and not exit_any.any():
         if in_range[0]:
-            # fully inside: one slice, values copied verbatim
+            # fully inside: one slice, values copied verbatim — but the
+            # scalar port still re-closes an open polygon ring, so match it
+            if is_polygon and (v[-1, 0] != v[0, 0] or v[-1, 1] != v[0, 1]):
+                return [line.copy_meta(
+                    np.concatenate([v, v[0:1]], axis=0))]
             return [line.copy_meta(v.copy())]
         return []  # fully outside
 
@@ -243,7 +248,10 @@ def clip_line(line: Line, k1: float, k2: float, axis: int, is_polygon: bool,
         seg_dx = v[1:, 0] - v[:-1, 0]
         seg_dy = v[1:, 1] - v[:-1, 1]
         seg_len = np.sqrt(seg_dx * seg_dx + seg_dy * seg_dy)
-        len_before = line.start + np.concatenate(([0.0], np.cumsum(seg_len)[:-1]))
+        # seed the cumsum with line.start so the float64 association is
+        # ((start + s0) + s1) + ... — bit-identical to the scalar path's
+        # running `length += seg_len` (and to the C kernel)
+        len_before = np.cumsum(np.concatenate(([line.start], seg_len)))[:-1]
 
     # position (in compacted coords) just after each slot
     after = np.cumsum(present)
@@ -274,6 +282,14 @@ def clip_line(line: Line, k1: float, k2: float, axis: int, is_polygon: bool,
                 sl.end = len_before[j] + seg_len[j] * t_exit[j]
         slices.append(sl)
     return slices
+
+
+from . import native as _native  # noqa: E402  (needs Line defined above via geom)
+
+if _native.LIB is not None:
+    clip_line = _native.clip_line_native
+else:  # pragma: no cover - exercised via GVT_NO_NATIVE parity tests
+    clip_line = _clip_line_py
 
 
 def clip_feature(feature: PFeature, k1: float, k2: float, axis: int,

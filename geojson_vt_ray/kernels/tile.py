@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import TileOptions
+from . import native as _native
 from .geom import (GT_LINESTRING, GT_MULTILINESTRING, GT_MULTIPOINT,
                    GT_MULTIPOLYGON, GT_POINT, GT_POLYGON, Line, PFeature)
 
@@ -66,6 +67,12 @@ def _thin_line(ln: Line, tolerance: float, sq_tolerance: float,
     if tolerance > 0.0 and ln.size < (sq_tolerance if is_polygon else tolerance):
         tile.num_points += n
         return None
+    if _native.LIB is not None:
+        keep = _native.thin_rewind_native(ln, tolerance == 0.0, sq_tolerance,
+                                          is_polygon, is_outer)
+        tile.num_simplified += n if tolerance == 0.0 else len(keep)
+        tile.num_points += n
+        return keep
     if tolerance == 0.0:
         keep = ln.v[:, 0:2].copy()
         tile.num_simplified += n
