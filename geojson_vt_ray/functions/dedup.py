@@ -127,6 +127,7 @@ class MinHashBands:
                          self.id_col: pa.array(o_id)})
 
 
+from .shuffle import _cpus
 from .shuffle import coarse_mask as _coarse_mask_fn
 from .shuffle import num_join_partitions as _num_join_partitions
 
@@ -158,15 +159,22 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     nothing corpus-sized ever touches the driver."""
     import ray
 
+    # Block sizing: a tiny corpus read still defaults to ~2 blocks/CPU,
+    # and Ray's sort-shuffle pays a fixed per-block cost that dwarfs the
+    # data at bench scale (64 blocks of 78 docs: ~6s of pure shuffle
+    # overhead). Bundling the map into ~2 tasks/CPU via batch_size keeps
+    # compute parallelism while collapsing the block count the groupby
+    # sees; at real scale n_docs/(2*cpus) rows per block is exactly the
+    # right amortization. (ds.count() on a parquet-backed dataset is a
+    # metadata read, not a scan.)
+    bands_bs = max(256, -(-ds.count() // (2 * _cpus())))
     bands = ds.map_batches(MinHashBands(text_col, id_col),
-                           batch_format="pyarrow")
+                           batch_format="pyarrow", batch_size=bands_bs)
 
     # Shuffle by a COARSE key (cluster-scaled bucket count), not per LSH
     # bucket: Ray's per-group overhead is ruinous at ~1e5 tiny groups,
     # so each coarse group handles ~hundreds of LSH buckets with a
-    # vectorized pandas groupby + triu pair expansion inside one task. A
-    # pair that collides in several bands is emitted more than once;
-    # dedup happens on the (tiny) verified output, not an extra shuffle.
+    # vectorized pandas groupby + triu pair expansion inside one task.
     cmask = _coarse_mask_fn()
 
     def add_coarse(b: pa.Table) -> pa.Table:
@@ -191,8 +199,34 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
             "id_a": np.concatenate(out_a),
             "id_b": np.concatenate(out_b)}).drop_duplicates()
 
-    uniq = (bands.map_batches(add_coarse, batch_format="pyarrow")
+    cand = (bands.map_batches(add_coarse, batch_format="pyarrow")
             .groupby("pkey").map_groups(pairs_in_group,
+                                        batch_format="pandas"))
+
+    # Dedup candidate pairs BEFORE the shingle joins: a pair colliding
+    # in several bands is emitted once per band (different band_hash ->
+    # different pkey, so the per-group drop_duplicates can't see the
+    # copies) — an exact-duplicate cluster collides in ALL bands, a
+    # ~bands-fold join/verify payload multiplier without this stage.
+    # The pre-shuffle repartition to the JOIN fan-out is scale-safe
+    # (the joins hash cand into nparts partitions regardless; 16 B/row
+    # payload) and collapses the per-block shuffle overhead that
+    # otherwise dominates a tiny-row groupby.
+    nparts = _num_join_partitions()
+
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
+        return b.append_column(
+            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
+
+    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+
+    uniq = (cand.repartition(nparts)
+            .map_batches(add_pair_key, batch_format="pyarrow")
+            .groupby("vkey").map_groups(dedup_pairs_group,
                                         batch_format="pandas"))
 
     # exact-jaccard verification WITHOUT driver materialization: double
@@ -200,11 +234,11 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     # corpus shingle-set table (doc_id, sh bytes). Each join is one
     # all-to-all keyed shuffle; the shuffle payload is 8 B/shingle, and
     # the driver never sees a corpus-sized object.
-    nparts = _num_join_partitions()
     # materialize: the shingle table is the build side of BOTH joins —
     # without this the corpus is re-read and re-shingled per join
     sh_ds = ds.map_batches(ShingleBytes(text_col, id_col),
-                           batch_format="pyarrow").materialize()
+                           batch_format="pyarrow",
+                           batch_size=bands_bs).materialize()
 
     def _rename_sh_a(b: pa.Table) -> pa.Table:
         return b.rename_columns(
