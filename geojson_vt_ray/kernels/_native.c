@@ -173,6 +173,91 @@ int64_t gvt_clip_line(const double *v, int64_t n, double k1, double k2,
     return nsl;
 }
 
+/* Douglas-Peucker MARKING pass: write each chosen pivot's max squared
+ * segment distance into v[3i+2], in place.  Exact C port of
+ * simplify.py:simplify_mark's scalar branch (itself the 1:1 port of
+ * reference src/simplify.js:4-39 including the flat-offset midpoint
+ * tie-break of issue #104); run for every span, since the C scalar
+ * loop beats the vectorized numpy path at all sizes.
+ *
+ * stack    : scratch, capacity >= 2 * n int64 (pairs pushed flat).
+ */
+void gvt_simplify(double *v, int64_t n, double sq_tolerance, int64_t *stack)
+{
+    int64_t sp = 0;
+    if (n < 3)
+        return;
+    stack[sp++] = 0;
+    stack[sp++] = n - 1;
+    while (sp > 0) {
+        int64_t last = stack[--sp];
+        int64_t first = stack[--sp];
+        int64_t span = last - first;
+        if (span < 2)
+            continue;
+
+        double ax = v[3 * first];
+        double ay = v[3 * first + 1];
+        double bx = v[3 * last];
+        double by = v[3 * last + 1];
+        double dx0 = bx - ax;
+        double dy0 = by - ay;
+        double denom = dx0 * dx0 + dy0 * dy0;
+        double maxd = sq_tolerance;
+        int64_t mid3 = 3 * first + ((3 * span) >> 1);
+        int64_t minpos = 3 * span;
+        int64_t pivot = -1;
+        int64_t i;
+
+        for (i = first + 1; i < last; i++) {
+            double px = v[3 * i];
+            double py = v[3 * i + 1];
+            double cx = ax;
+            double cy = ay;
+            double ex, ey, d;
+            if (denom != 0.0) {
+                double t = ((px - ax) * dx0 + (py - ay) * dy0) / denom;
+                if (t > 1.0) {
+                    cx = bx;
+                    cy = by;
+                } else if (t > 0.0) {
+                    cx = ax + dx0 * t;
+                    cy = ay + dy0 * t;
+                }
+            }
+            ex = px - cx;
+            ey = py - cy;
+            d = ex * ex + ey * ey;
+            if (d > maxd) {
+                pivot = i;
+                maxd = d;
+            } else if (d == maxd) {
+                int64_t pos = 3 * i - mid3;
+                if (pos < 0)
+                    pos = -pos;
+                if (pos < minpos) {
+                    pivot = i;
+                    minpos = pos;
+                }
+            }
+        }
+
+        if (maxd > sq_tolerance && pivot >= 0) {
+            v[3 * pivot + 2] = maxd;
+            /* push right first so the left interval pops first,
+             * matching the reference's in-order recursion */
+            if (last - pivot > 1) {
+                stack[sp++] = pivot;
+                stack[sp++] = last;
+            }
+            if (pivot - first > 1) {
+                stack[sp++] = first;
+                stack[sp++] = pivot;
+            }
+        }
+    }
+}
+
 /* Thin one ring/line by sqdist and (for polygon rings) enforce winding.
  *
  * v        : n rows of [x, y, sqdist], C-contiguous.

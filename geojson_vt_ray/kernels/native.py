@@ -75,6 +75,8 @@ def _build() -> ctypes.CDLL | None:
     lib.gvt_thin.argtypes = [
         vp, ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, vp]
+    lib.gvt_simplify.restype = None
+    lib.gvt_simplify.argtypes = [vp, ctypes.c_int64, ctypes.c_double, vp]
     return lib
 
 
@@ -133,6 +135,24 @@ def clip_line_native(line: Line, k1: float, k2: float, axis: int,
         slices.append(sl)
         lo = hi
     return slices
+
+
+def simplify_mark_native(v: np.ndarray, sq_tolerance: float) -> None:
+    """C path of kernels.simplify.simplify_mark — marks v[:, 2] in place.
+
+    v MUST be the feature's own C-contiguous float64 (n, 3) array (the
+    convert stage builds it that way); the marks land directly in it.
+    """
+    n = len(v)
+    if n < 3:
+        return
+    cap = 2 * n + 8
+    s = _scratch
+    if getattr(s, "cap_stk", 0) < cap:
+        s.cap_stk = max(cap, 4096)
+        s.stk = np.empty(s.cap_stk, dtype=np.int64)
+        s.stk_p = s.stk.ctypes.data
+    LIB.gvt_simplify(v.ctypes.data, n, sq_tolerance, s.stk_p)
 
 
 def thin_rewind_native(ln: Line, keep_all: bool, sq_tolerance: float,

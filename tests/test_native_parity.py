@@ -112,6 +112,37 @@ def test_thin_rewind_fuzz(is_polygon: bool, is_outer: bool) -> None:
                 f"poly={is_polygon} outer={is_outer}")
 
 
+def test_simplify_mark_fuzz() -> None:
+    """C DP-marking vs the Python fallback, bit-exact — including the
+    degenerate collinear/duplicate inputs that exercise the reference's
+    stale-minpos tie-break (simplify.js issue #104 workaround)."""
+    from geojson_vt_ray.kernels.simplify import simplify_mark
+
+    rng = np.random.default_rng(3)
+    for trial in range(150):
+        n = int(rng.integers(3, 500))
+        v = np.zeros((n, 3))
+        v[:, 0] = np.cumsum(rng.normal(0, 0.05, n))
+        v[:, 1] = np.cumsum(rng.normal(0, 0.05, n))
+        if trial % 5 == 0:  # collinear + duplicated point
+            v[:, 1] = 0.0
+            v[rng.integers(0, n)] = v[0]
+        if trial % 7 == 0:  # heavy exact duplicates
+            v[:, 0] = np.round(v[:, 0], 1)
+            v[:, 1] = np.round(v[:, 1], 1)
+        tol = float(rng.choice([0.0, 1e-8, 1e-4, 1e-2]))
+        a = v.copy()
+        b = v.copy()
+        simplify_mark(a, tol)  # native (LIB is non-None per skipif)
+        real = native.LIB
+        try:
+            native.LIB = None
+            simplify_mark(b, tol)
+        finally:
+            native.LIB = real
+        assert a.tobytes() == b.tobytes(), f"trial={trial} n={n} tol={tol}"
+
+
 def test_thin_line_stats_parity() -> None:
     """tile.num_points / num_simplified bookkeeping must not depend on
     which kernel ran (the manifest/stats oracle reads these)."""
