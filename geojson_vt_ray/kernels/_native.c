@@ -173,6 +173,25 @@ int64_t gvt_clip_line(const double *v, int64_t n, double k1, double k2,
     return nsl;
 }
 
+/* Fold one vertex run's x/y extents into bb = [minx, miny, maxx, maxy]
+ * (in/out).  Replaces four numpy reductions per ring in
+ * geom._bbox_lines — rings average 10-50 points, where numpy's
+ * per-reduction dispatch costs more than the whole scan. */
+void gvt_bbox(const double *v, int64_t n, double *bb)
+{
+    double minx = bb[0], miny = bb[1], maxx = bb[2], maxy = bb[3];
+    int64_t i;
+    for (i = 0; i < n; i++) {
+        double x = v[3 * i];
+        double y = v[3 * i + 1];
+        if (x < minx) minx = x;
+        if (x > maxx) maxx = x;
+        if (y < miny) miny = y;
+        if (y > maxy) maxy = y;
+    }
+    bb[0] = minx; bb[1] = miny; bb[2] = maxx; bb[3] = maxy;
+}
+
 /* Douglas-Peucker MARKING pass: write each chosen pivot's max squared
  * segment distance into v[3i+2], in place.  Exact C port of
  * simplify.py:simplify_mark's scalar branch (itself the 1:1 port of

@@ -96,6 +96,20 @@ class PFeature:
 
 
 def _bbox_lines(lines) -> tuple[float, float, float, float]:
+    if _native.LIB is not None:
+        bb = np.array([np.inf, np.inf, -np.inf, -np.inf])
+        fold = _native.LIB.gvt_bbox
+        bbp = bb.ctypes.data
+        for ln in lines:
+            v = ln.v
+            if len(v) and v.dtype == np.float64 and v.flags.c_contiguous:
+                fold(v.ctypes.data, len(v), bbp)
+            elif len(v):
+                bb[0] = min(bb[0], v[:, 0].min())
+                bb[2] = max(bb[2], v[:, 0].max())
+                bb[1] = min(bb[1], v[:, 1].min())
+                bb[3] = max(bb[3], v[:, 1].max())
+        return bb[0], bb[1], bb[2], bb[3]
     minx = miny = np.inf
     maxx = maxy = -np.inf
     for ln in lines:
@@ -135,3 +149,8 @@ def create_feature(fid, gtype: int, geometry, tags,
         f.okey = like.okey
         f.spans = like.spans
     return f
+
+
+from . import native as _native  # noqa: E402  (native itself imports Line
+#                                  from this module; by this point Line is
+#                                  defined, so the circular import resolves)

@@ -77,6 +77,8 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int32, ctypes.c_int32, vp]
     lib.gvt_simplify.restype = None
     lib.gvt_simplify.argtypes = [vp, ctypes.c_int64, ctypes.c_double, vp]
+    lib.gvt_bbox.restype = None
+    lib.gvt_bbox.argtypes = [vp, ctypes.c_int64, vp]
     return lib
 
 
