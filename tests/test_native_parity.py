@@ -11,6 +11,10 @@ payload (``tobytes()``), not approx.
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -168,3 +172,16 @@ def test_thin_line_stats_parity() -> None:
             assert r_nat is None
         else:
             assert r_nat.tobytes() == r_py.tobytes()
+
+
+def test_fallback_suite_without_native() -> None:
+    """The pure-Python kernels must stay golden on a gcc-less node:
+    rerun the kernel + local-conformance suites with GVT_NO_NATIVE=1
+    (these are the non-Ray suites, a few seconds total)."""
+    env = {**os.environ, "GVT_NO_NATIVE": "1"}
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         "tests/test_kernels.py", "tests/test_conformance_local.py"],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, (r.stdout or "")[-2000:] + (r.stderr or "")[-500:]
