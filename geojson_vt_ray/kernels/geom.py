@@ -41,7 +41,7 @@ GT_CODE = {v: k for k, v in GT_NAME.items()}
 class Line:
     """A run of vertices: (n, 3) float64 [x, y, sqdist] + ring metadata."""
 
-    __slots__ = ("v", "size", "start", "end")
+    __slots__ = ("v", "size", "start", "end", "vp")
 
     def __init__(self, v: np.ndarray, size: float = 0.0, start: float = 0.0,
                  end: float = 0.0):
@@ -49,9 +49,24 @@ class Line:
         self.size = size
         self.start = start
         self.end = end
+        # lazily-cached raw data pointer for the C kernels: a Line's
+        # buffer is never reassigned after construction (simplify marks
+        # in place, same allocation), and ndarray.ctypes costs ~1.5us
+        # per lookup — a visible fraction of a 20-point ring's kernel
+        self.vp = None
 
     def __len__(self) -> int:
         return len(self.v)
+
+    def data_ptr(self) -> int:
+        """Raw float64 pointer; 0 when v needs the numpy fallback."""
+        p = self.vp
+        if p is None:
+            v = self.v
+            p = (v.ctypes.data
+                 if v.dtype == np.float64 and v.flags.c_contiguous else 0)
+            self.vp = p
+        return p
 
     def copy_meta(self, v: np.ndarray) -> "Line":
         return Line(v, self.size, self.start, self.end)
@@ -101,10 +116,14 @@ def _bbox_lines(lines) -> tuple[float, float, float, float]:
         fold = _native.LIB.gvt_bbox
         bbp = bb.ctypes.data
         for ln in lines:
-            v = ln.v
-            if len(v) and v.dtype == np.float64 and v.flags.c_contiguous:
-                fold(v.ctypes.data, len(v), bbp)
-            elif len(v):
+            n = len(ln.v)
+            if n == 0:
+                continue
+            p = ln.data_ptr()
+            if p:
+                fold(p, n, bbp)
+            else:
+                v = ln.v
                 bb[0] = min(bb[0], v[:, 0].min())
                 bb[2] = max(bb[2], v[:, 0].max())
                 bb[1] = min(bb[1], v[:, 1].min())

@@ -110,15 +110,16 @@ def _buffers(n: int):
 def clip_line_native(line: Line, k1: float, k2: float, axis: int,
                      is_polygon: bool, track_metrics: bool) -> list[Line]:
     """C path of kernels.clip.clip_line — identical output, bit-exact."""
-    v = line.v
-    n = len(v)
+    n = len(line.v)
     if n == 0:
         return []
-    if not (v.dtype == np.float64 and v.flags.c_contiguous):
-        v = np.ascontiguousarray(v, dtype=np.float64)
+    vp = line.data_ptr()
+    if vp == 0:
+        v = np.ascontiguousarray(line.v, dtype=np.float64)
+        vp = v.ctypes.data
     s = _buffers(n)
     nsl = LIB.gvt_clip_line(
-        v.ctypes.data, n, k1, k2, axis,
+        vp, n, k1, k2, axis,
         1 if is_polygon else 0, 1 if track_metrics else 0,
         line.start, line.end,
         s.out_p, s.bounds_p, s.starts_p, s.ends_p)
@@ -164,13 +165,14 @@ def thin_rewind_native(ln: Line, keep_all: bool, sq_tolerance: float,
     Returns the kept (k, 2) float64 array (possibly empty); the caller
     handles the tiny-ring drop test and tile stats.
     """
-    v = ln.v
-    n = len(v)
-    if not (v.dtype == np.float64 and v.flags.c_contiguous):
-        v = np.ascontiguousarray(v, dtype=np.float64)
+    n = len(ln.v)
+    vp = ln.data_ptr()
+    if vp == 0:
+        v = np.ascontiguousarray(ln.v, dtype=np.float64)
+        vp = v.ctypes.data
     out = np.empty((n, 2), dtype=np.float64)
     k = LIB.gvt_thin(
-        v.ctypes.data, n, sq_tolerance,
+        vp, n, sq_tolerance,
         1 if keep_all else 0, 1 if is_polygon else 0,
         1 if is_outer else 0, out.ctypes.data)
     if k == n:
