@@ -164,10 +164,12 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     # data at bench scale (64 blocks of 78 docs: ~6s of pure shuffle
     # overhead). Bundling the map into ~2 tasks/CPU via batch_size keeps
     # compute parallelism while collapsing the block count the groupby
-    # sees; at real scale n_docs/(2*cpus) rows per block is exactly the
-    # right amortization. (ds.count() on a parquet-backed dataset is a
-    # metadata read, not a scan.)
-    bands_bs = max(256, -(-ds.count() // (2 * _cpus())))
+    # sees. The 64k cap keeps per-task memory bounded at scale: the
+    # band/shingle stages materialize their batch's texts, so an
+    # uncapped corpus/(2*cpus) batch would grow linearly with corpus
+    # size. (ds.count() on a parquet-backed dataset is a metadata read,
+    # not a scan.)
+    bands_bs = min(65536, max(256, -(-ds.count() // (2 * _cpus()))))
     bands = ds.map_batches(MinHashBands(text_col, id_col),
                            batch_format="pyarrow", batch_size=bands_bs)
 

@@ -11,11 +11,9 @@
  * Bit-exactness contract: compiled with -O2 -ffp-contract=off and no
  * -ffast-math, every float64 operation here runs in the same order as
  * the Python scalar path, so outputs are bit-identical (the golden
- * conformance suite and tests/test_native_parity.py pin this).  The
- * one deliberate divergence: gvt_thin's shoelace area uses sequential
- * summation (like the reference JS) where the numpy path uses pairwise
- * summation — only the SIGN of the area is consumed, and parity tests
- * cover degenerate rings.
+ * conformance suite and tests/test_native_parity.py pin this).
+ * gvt_thin's shoelace area uses sequential summation like the
+ * reference JS — the Python fallback's _rewind matches via cumsum.
  */
 
 #include <math.h>

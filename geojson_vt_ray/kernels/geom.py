@@ -110,36 +110,27 @@ class PFeature:
         return sum(len(ln) for ln in self.lines())
 
 
+def _bbox_fold_np(bb: np.ndarray, v: np.ndarray) -> None:
+    bb[0] = min(bb[0], v[:, 0].min())
+    bb[2] = max(bb[2], v[:, 0].max())
+    bb[1] = min(bb[1], v[:, 1].min())
+    bb[3] = max(bb[3], v[:, 1].max())
+
+
 def _bbox_lines(lines) -> tuple[float, float, float, float]:
-    if _native.LIB is not None:
-        bb = np.array([np.inf, np.inf, -np.inf, -np.inf])
-        fold = _native.LIB.gvt_bbox
-        bbp = bb.ctypes.data
-        for ln in lines:
-            n = len(ln.v)
-            if n == 0:
-                continue
-            p = ln.data_ptr()
-            if p:
-                fold(p, n, bbp)
-            else:
-                v = ln.v
-                bb[0] = min(bb[0], v[:, 0].min())
-                bb[2] = max(bb[2], v[:, 0].max())
-                bb[1] = min(bb[1], v[:, 1].min())
-                bb[3] = max(bb[3], v[:, 1].max())
-        return bb[0], bb[1], bb[2], bb[3]
-    minx = miny = np.inf
-    maxx = maxy = -np.inf
+    bb = np.array([np.inf, np.inf, -np.inf, -np.inf])
+    native_fold = None if _native.LIB is None else _native.LIB.gvt_bbox
+    bbp = bb.ctypes.data
     for ln in lines:
-        if len(ln):
-            xs = ln.v[:, 0]
-            ys = ln.v[:, 1]
-            minx = min(minx, xs.min())
-            maxx = max(maxx, xs.max())
-            miny = min(miny, ys.min())
-            maxy = max(maxy, ys.max())
-    return minx, miny, maxx, maxy
+        n = len(ln.v)
+        if n == 0:
+            continue
+        p = ln.data_ptr() if native_fold is not None else 0
+        if p:
+            native_fold(p, n, bbp)
+        else:
+            _bbox_fold_np(bb, ln.v)
+    return bb[0], bb[1], bb[2], bb[3]
 
 
 def create_feature(fid, gtype: int, geometry, tags,

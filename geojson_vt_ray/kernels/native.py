@@ -45,8 +45,20 @@ def _build() -> ctypes.CDLL | None:
     except OSError:
         return None
     tag = hashlib.sha256(src + " ".join(_CFLAGS).encode()).hexdigest()[:16]
+    # per-uid 0700 cache dir: the path under a shared tmpdir is
+    # predictable, so never dlopen a library another user could have
+    # planted — own the directory or refuse
+    cache_dir = os.path.join(tempfile.gettempdir(),
+                             f"gvt_native_uid{os.getuid()}")
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            return None
+    except OSError:
+        return None
     so_path = os.path.join(
-        tempfile.gettempdir(),
+        cache_dir,
         f"gvt_native_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".build.{os.getpid()}"

@@ -7,12 +7,15 @@ per-zoom threshold (src/tile.js:96). Endpoints are forced to 1 by the
 caller (src/convert.js:114-116).
 
 The reference recurses; we run an explicit stack. Pivot choice on
-equal-distance ties prefers the candidate closest to the midpoint
-(src/simplify.js:22-31, the issue-#104 degenerate-input guard): the first
-strictly-greater candidate wins, and among subsequent exact ties the one
-nearest the midpoint wins. With vectorized distances that is: first index
-attaining the max, unless later indices tie, in which case the tied index
-(excluding the first) with minimal |i - mid| wins.
+equal-distance ties follows src/simplify.js:22-31 (the issue-#104
+degenerate-input guard) EXACTLY, including its subtlety: the
+closest-to-midpoint distance (`minPosToMid`) is never reset when a new
+strict maximum is found, so ties at the final max are judged against a
+possibly-stale bound from earlier max levels. Only a sequential scan
+reproduces that, so tied ranges always run the scalar loop
+(`scalar_pick`); the vectorized distance kernel is used solely when the
+range's maximum is attained exactly once, where the subtlety is
+unreachable.
 """
 
 from __future__ import annotations
@@ -60,7 +63,10 @@ def simplify_mark(v: np.ndarray, sq_tolerance: float) -> None:
     ranges use the vectorized distance kernel.
     """
     if (_native.LIB is not None and v.dtype == np.float64
-            and v.flags.c_contiguous):
+            and v.flags.c_contiguous and v.flags.writeable):
+        # writeable matters: the C kernel writes through a raw pointer,
+        # so a read-only zero-copy Arrow view must take the Python path
+        # (which raises loudly instead of corrupting a shared buffer)
         return _native.simplify_mark_native(v, sq_tolerance)
     n = len(v)
     if n < 3:

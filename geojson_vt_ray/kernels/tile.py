@@ -93,9 +93,13 @@ def _rewind(ring: np.ndarray, clockwise: bool) -> None:
         return
     x = ring[:, 0]
     y = ring[:, 1]
-    # shoelace via slices (np.roll allocates + is slow on small rings)
-    area = float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]))
-                 + (x[0] - x[-1]) * (y[0] + y[-1]))
+    # shoelace via slices (np.roll allocates + is slow on small rings).
+    # Summation is SEQUENTIAL (cumsum, not np.sum's pairwise tree) so the
+    # sign matches the reference's running `sum +=` — and the C kernel —
+    # bit-for-bit even on near-zero-area degenerate rings.
+    terms = (x[1:] - x[:-1]) * (y[1:] + y[:-1])
+    seq = float(np.cumsum(terms)[-1]) if len(terms) else 0.0
+    area = seq + (x[0] - x[-1]) * (y[0] + y[-1])
     if (area > 0) == clockwise:
         ring[:] = ring[::-1]
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import ctypes
 import gc
+import os
 
 _done = False
 
@@ -37,9 +38,15 @@ def tune_gc() -> None:
     _done = True
     gc.freeze()
     gc.set_threshold(100_000, 50, 50)
+    if os.environ.get("GVT_NO_MALLOPT"):
+        return
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
-        libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+        # trim threshold 64 MiB, not unbounded: still amortizes the
+        # per-batch mmap/fault/munmap churn, but bounds how much idle
+        # heap a long-lived pooled worker retains (32 workers x 64 MiB
+        # worst case, vs. peak-forever with trim disabled)
+        libc.mallopt(_M_TRIM_THRESHOLD, 64 << 20)
     except Exception:
         pass  # non-glibc platform: skip, pure perf tweak

@@ -66,7 +66,16 @@ def main():
         proc = subprocess.run(["node", drv, gj], capture_output=True,
                               text=True, timeout=1800)
         node_wall = time.perf_counter() - t0
-        node = json.loads(proc.stdout.strip().splitlines()[-1])
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            # the reference died (typically V8 heap exhaustion on large
+            # corpora at indexMaxPoints=0) — still run our side and
+            # report the capacity failure instead of crashing the race
+            node = {"slice_sec": None, "tiles": None,
+                    "error": (proc.stderr or "no output").strip()[-400:],
+                    "returncode": proc.returncode}
+        else:
+            node = json.loads(lines[-1])
 
         import ray
         ray.init(address="local", num_cpus=args.num_cpus,
@@ -95,17 +104,24 @@ def main():
         ours_sec = time.perf_counter() - t0
         ray.shutdown()
 
+    ref = {"incl_parse_wall_sec": round(node_wall, 2), "tiles": node["tiles"]}
+    if node["slice_sec"] is None:
+        ref["error"] = node["error"]
+        ref["slice_sec"] = None
+    else:
+        ref["slice_sec"] = round(node["slice_sec"], 2)
     print(json.dumps({
         "n_features": args.n,
-        "reference_node": {"slice_sec": round(node["slice_sec"], 2),
-                           "incl_parse_wall_sec": round(node_wall, 2),
-                           "tiles": node["tiles"]},
+        "reference_node": ref,
         "ray_tileslice": {"wall_sec": round(ours_sec, 2),
                           "tiles": ours_tiles,
                           "num_cpus": args.num_cpus,
                           "persists_output": True},
-        "tiles_equal": ours_tiles == node["tiles"],
-        "ratio_vs_reference_slice": round(ours_sec / node["slice_sec"], 2),
+        "tiles_equal": (ours_tiles == node["tiles"]
+                        if node["tiles"] is not None else None),
+        "ratio_vs_reference_slice": (
+            round(ours_sec / node["slice_sec"], 2)
+            if node["slice_sec"] else None),
     }))
 
 
