@@ -157,3 +157,36 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
         fps.append(out)
     return batch.append_column(
         "fingerprint", pa.array(fps, pa.list_(pa.uint64())))
+
+
+# RE2's default \S is the complement of [\t\n\f\r ] (ASCII, no \v) —
+# spelled out so the Python tokenizer agrees byte-for-byte with the
+# DuckDB/RE2 oracle's regexp_extract_all(text, '\S+')
+_RE2_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
+
+
+def term_stats_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial for corpus term statistics: one output row per
+    distinct term in the batch with its document frequency (number of
+    the batch's docs containing it) and term frequency (total
+    occurrences). Mergeable by summation — the pre-aggregation step
+    that keeps the term shuffle proportional to the batch vocabulary,
+    not the token stream."""
+    from collections import Counter
+    import zlib
+
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = _RE2_TOKEN_RE.findall(t)
+        tf.update(toks)
+        df.update(frozenset(toks))
+    terms = sorted(tf.keys())
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array([df[t] for t in terms], pa.int64()),
+        "tf": pa.array([tf[t] for t in terms], pa.int64()),
+        # stable shuffle key (process-independent, unlike hash())
+        "tkey": pa.array([zlib.crc32(t.encode("utf-8")) for t in terms],
+                         pa.uint32()),
+    })

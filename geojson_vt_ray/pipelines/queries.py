@@ -881,6 +881,55 @@ _SQL_TOKEN_COUNTS = (
     " AS BIGINT) AS n_tokens_re FROM documents")
 
 
+def q_term_stats(sf_dir: str, k: int = 50):
+    """Corpus-wide term statistics (the integer-exact core of TF-IDF):
+    top-k terms by document frequency, with term frequency carried.
+
+    Shape for scale: per-batch PARTIAL (term, df, tf) tables collapse
+    the token stream to the batch vocabulary before anything shuffles;
+    the term merge is a coarse-keyed groupby (crc32(term) & mask, all
+    rows of a term land in one group); top-k is two-level — per-block
+    top-k then a driver merge of <= blocks*k rows, never the vocabulary.
+    """
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    cmask = _coarse_mask()
+
+    part = ds.map_batches(F_text.term_stats_partial, batch_format="pyarrow")
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        tk = b.column("tkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((tk & cmask).astype(np.int32)))
+
+    def merge_terms(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False, as_index=False)[
+            ["df", "tf"]].sum()
+
+    agg = (part.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("pkey").map_groups(merge_terms, batch_format="pandas"))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        t = (b.to_pandas()
+             .sort_values(["df", "term"], ascending=[False, True],
+                          kind="mergesort").head(k))
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    tops = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    out = (tops.sort_values(["df", "term"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(out[["term", "df", "tf"]],
+                                preserve_index=False)
+
+
+_SQL_TERM_STATS = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents), "
+    "s AS (SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf "
+    "FROM toks GROUP BY term) "
+    "SELECT term, df, tf FROM s ORDER BY df DESC, term ASC LIMIT 50")
+
+
 def q_quality(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -1471,6 +1520,7 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
+    "term_stats": q_term_stats,
     "quality": q_quality,
     "lang_counts": q_lang_counts,
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
@@ -1516,6 +1566,7 @@ ORACLE_SQL = {
     "sample_docs": _SQL_SAMPLE_DOCS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "token_counts": _SQL_TOKEN_COUNTS,
+    "term_stats": _SQL_TERM_STATS,
     "quality": _SQL_QUALITY,
     "lang_counts": _SQL_LANG_COUNTS,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
