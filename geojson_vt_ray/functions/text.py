@@ -190,3 +190,30 @@ def term_stats_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "tkey": pa.array([zlib.crc32(t.encode("utf-8")) for t in terms],
                          pa.uint32()),
     })
+
+
+def ngram_stats_partial(batch: pa.Table, n: int = 8,
+                        text_col: str = "text") -> pa.Table:
+    """Per-batch partial for cross-document duplicated-passage
+    detection: one row per distinct word n-gram in the batch with the
+    number of the batch's docs containing it and its total occurrence
+    count. Same mergeable shape as term_stats_partial, so the shuffle
+    carries batch-distinct grams, never the token stream."""
+    from collections import Counter
+    import zlib
+
+    occ: Counter = Counter()
+    docs: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = _RE2_TOKEN_RE.findall(t)
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        occ.update(grams)
+        docs.update(frozenset(grams))
+    grams = sorted(occ.keys())
+    return pa.table({
+        "gram": pa.array(grams, pa.string()),
+        "n_docs": pa.array([docs[g] for g in grams], pa.int64()),
+        "n_occ": pa.array([occ[g] for g in grams], pa.int64()),
+        "tkey": pa.array([zlib.crc32(g.encode("utf-8")) for g in grams],
+                         pa.uint32()),
+    })

@@ -930,6 +930,63 @@ _SQL_TERM_STATS = (
     "SELECT term, df, tf FROM s ORDER BY df DESC, term ASC LIMIT 50")
 
 
+def q_dup_ngrams(sf_dir: str, n: int = 8, k: int = 100):
+    """Cross-document duplicated-passage detection (the discovery pass
+    of substring-level training-data dedup): word n-grams appearing in
+    >= 2 distinct documents, top-k by document count.
+
+    Same scale shape as q_term_stats — per-batch partial gram tables,
+    coarse-keyed merge, two-level top-k — with the >= 2 filter applied
+    after each gram's full merge (its group holds all partials), so
+    the post-merge stream is already only the duplicated grams.
+    """
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    cmask = _coarse_mask()
+
+    part = ds.map_batches(
+        lambda b: F_text.ngram_stats_partial(b, n=n),
+        batch_format="pyarrow")
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        tk = b.column("tkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((tk & cmask).astype(np.int32)))
+
+    def merge_grams(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("gram", sort=False, as_index=False)[
+            ["n_docs", "n_occ"]].sum()
+        return m[m["n_docs"] >= 2]
+
+    agg = (part.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("pkey").map_groups(merge_grams, batch_format="pandas"))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        t = (b.to_pandas()
+             .sort_values(["n_docs", "gram"], ascending=[False, True],
+                          kind="mergesort").head(k))
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    tops = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    out = (tops.sort_values(["n_docs", "gram"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(out[["gram", "n_docs", "n_occ"]],
+                                preserve_index=False)
+
+
+_SQL_DUP_NGRAMS = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts "
+    "FROM documents), "
+    "idx AS (SELECT doc_id, ts, "
+    "unnest(range(1, greatest(1, len(ts)-6))) AS i FROM toks), "
+    "grams AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram "
+    "FROM idx), "
+    "d AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, "
+    "COUNT(*) AS n_occ FROM grams GROUP BY gram) "
+    "SELECT gram, n_docs, n_occ FROM d WHERE n_docs >= 2 "
+    "ORDER BY n_docs DESC, gram ASC LIMIT 100")
+
+
 def q_quality(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -1521,6 +1578,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "term_stats": q_term_stats,
+    "dup_ngrams": q_dup_ngrams,
     "quality": q_quality,
     "lang_counts": q_lang_counts,
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
@@ -1567,6 +1625,7 @@ ORACLE_SQL = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "token_counts": _SQL_TOKEN_COUNTS,
     "term_stats": _SQL_TERM_STATS,
+    "dup_ngrams": _SQL_DUP_NGRAMS,
     "quality": _SQL_QUALITY,
     "lang_counts": _SQL_LANG_COUNTS,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
