@@ -118,6 +118,10 @@ def _bbox_fold_np(bb: np.ndarray, v: np.ndarray) -> None:
 
 
 def _bbox_lines(lines) -> tuple[float, float, float, float]:
+    if _native.EXT is not None:
+        ext_bb = _native.bbox_lines_ext(lines)
+        if ext_bb is not None:
+            return ext_bb
     bb = np.array([np.inf, np.inf, -np.inf, -np.inf])
     native_fold = None if _native.LIB is None else _native.LIB.gvt_bbox
     bbp = bb.ctypes.data

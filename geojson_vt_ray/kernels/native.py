@@ -31,40 +31,50 @@ import numpy as np
 
 from .geom import Line
 
-_C_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native.c")
+_KDIR = os.path.dirname(os.path.abspath(__file__))
+_C_SRC = os.path.join(_KDIR, "_native.c")
+_PYEXT_SRC = os.path.join(_KDIR, "_pyext.c")
 
 _CFLAGS = ["-O2", "-fPIC", "-shared", "-ffp-contract=off", "-fno-fast-math"]
 
 
-def _build() -> ctypes.CDLL | None:
-    if os.environ.get("GVT_NO_NATIVE"):
-        return None
-    try:
-        with open(_C_SRC, "rb") as f:
-            src = f.read()
-    except OSError:
-        return None
-    tag = hashlib.sha256(src + " ".join(_CFLAGS).encode()).hexdigest()[:16]
+def _cache_dir() -> str | None:
     # per-uid 0700 cache dir: the path under a shared tmpdir is
     # predictable, so never dlopen a library another user could have
     # planted — own the directory or refuse
-    cache_dir = os.path.join(tempfile.gettempdir(),
-                             f"gvt_native_uid{os.getuid()}")
+    d = os.path.join(tempfile.gettempdir(), f"gvt_native_uid{os.getuid()}")
     try:
-        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
-        st = os.stat(cache_dir)
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
         if st.st_uid != os.getuid() or (st.st_mode & 0o077):
             return None
     except OSError:
         return None
+    return d
+
+
+def _compile(sources: list[str], extra_flags: list[str],
+             stem: str) -> str | None:
+    """Compile sources into the per-uid cache (content-addressed, atomic
+    rename so concurrent Ray workers race safely); returns the .so path
+    or None on any failure."""
+    try:
+        blob = b"".join(open(p, "rb").read() for p in sources)
+    except OSError:
+        return None
+    tag = hashlib.sha256(
+        blob + " ".join(_CFLAGS + extra_flags).encode()).hexdigest()[:16]
+    cache_dir = _cache_dir()
+    if cache_dir is None:
+        return None
     so_path = os.path.join(
         cache_dir,
-        f"gvt_native_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so")
+        f"{stem}_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".build.{os.getpid()}"
         try:
             subprocess.run(
-                ["gcc", *_CFLAGS, "-o", tmp, _C_SRC],
+                ["gcc", *_CFLAGS, *extra_flags, "-o", tmp, sources[0]],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, so_path)  # atomic; losers overwrite identically
         except Exception:
@@ -73,6 +83,15 @@ def _build() -> ctypes.CDLL | None:
             except OSError:
                 pass
             return None
+    return so_path
+
+
+def _build() -> ctypes.CDLL | None:
+    if os.environ.get("GVT_NO_NATIVE"):
+        return None
+    so_path = _compile([_C_SRC], [], "gvt_native")
+    if so_path is None:
+        return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:
@@ -95,6 +114,41 @@ def _build() -> ctypes.CDLL | None:
 
 
 LIB = _build()
+
+
+def _build_ext():
+    """Build + load the CPython fastcall extension (_pyext.c).
+
+    It wraps the very same compute functions as the ctypes path (the
+    extension ``#include``s _native.c, so bit-exactness carries over)
+    but does argument passing and slice assembly in C: the ctypes
+    marshalling (~2.6us/call) rivals the kernel itself on a 10-50 point
+    ring.  Loaded via an explicit ExtensionFileLoader because the cached
+    filename is content-tagged while the init symbol is fixed.
+    ``GVT_NO_PYEXT=1`` keeps the ctypes path (parity testing)."""
+    if LIB is None or os.environ.get("GVT_NO_PYEXT"):
+        return None
+    try:
+        import sysconfig
+        inc = ["-I" + sysconfig.get_paths()["include"],
+               "-I" + np.get_include()]
+    except Exception:
+        return None
+    so_path = _compile([_PYEXT_SRC, _C_SRC], inc, "gvt_native_ext")
+    if so_path is None:
+        return None
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "gvt_native_ext", so_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
+EXT = _build_ext()
 
 # per-thread scratch buffers, grown geometrically (slices are copied out,
 # so reuse across calls is safe)
@@ -125,6 +179,15 @@ def clip_line_native(line: Line, k1: float, k2: float, axis: int,
     n = len(line.v)
     if n == 0:
         return []
+    if EXT is not None:
+        try:
+            parts = EXT.clip_line(line.v, k1, k2, axis, is_polygon,
+                                  track_metrics, line.start, line.end)
+        except TypeError:  # non-contiguous/odd dtype: ctypes path copies
+            parts = None
+        if parts is not None:
+            size = line.size
+            return [Line(arr, size, s, e) for arr, s, e in parts]
     vp = line.data_ptr()
     if vp == 0:
         v = np.ascontiguousarray(line.v, dtype=np.float64)
@@ -161,6 +224,11 @@ def simplify_mark_native(v: np.ndarray, sq_tolerance: float) -> None:
     n = len(v)
     if n < 3:
         return
+    if EXT is not None:
+        try:
+            return EXT.simplify(v, sq_tolerance)
+        except TypeError:
+            pass
     cap = 2 * n + 8
     s = _scratch
     if getattr(s, "cap_stk", 0) < cap:
@@ -178,6 +246,12 @@ def thin_rewind_native(ln: Line, keep_all: bool, sq_tolerance: float,
     handles the tiny-ring drop test and tile stats.
     """
     n = len(ln.v)
+    if EXT is not None:
+        try:
+            return EXT.thin(ln.v, keep_all, sq_tolerance, is_polygon,
+                            is_outer)
+        except TypeError:
+            pass
     vp = ln.data_ptr()
     if vp == 0:
         v = np.ascontiguousarray(ln.v, dtype=np.float64)
@@ -190,3 +264,16 @@ def thin_rewind_native(ln: Line, keep_all: bool, sq_tolerance: float,
     if k == n:
         return out
     return out[:k].copy()
+
+
+def bbox_lines_ext(lines) -> tuple[float, float, float, float] | None:
+    """One extension call folding the bbox over every Line's verts.
+
+    Returns (minx, miny, maxx, maxy) or None when any array can't take
+    the C path (caller keeps its per-line ctypes/numpy fold).  Empty
+    input folds to (+inf, +inf, -inf, -inf), same as the numpy path.
+    """
+    try:
+        return EXT.bbox([ln.v for ln in lines])
+    except TypeError:
+        return None

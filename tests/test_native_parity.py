@@ -185,3 +185,44 @@ def test_fallback_suite_without_native() -> None:
         env=env, capture_output=True, text=True, timeout=600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, (r.stdout or "")[-2000:] + (r.stderr or "")[-500:]
+
+
+def test_pyext_vs_ctypes_parity() -> None:
+    """The fastcall extension and the ctypes binding wrap the same C
+    functions; their wrapper-level outputs must be bit-identical (the
+    main fuzz suites above exercise whichever path is preferred, so this
+    pins the OTHER one by disabling EXT in-process)."""
+    if native.EXT is None:
+        pytest.skip("pyext unavailable")
+    from geojson_vt_ray.kernels.geom import _bbox_lines
+
+    rng = np.random.default_rng(42)
+    real_ext = native.EXT
+    for trial in range(30):
+        n = int(rng.integers(1, 300))
+        closed = bool(trial % 2)
+        ln = _rand_line(rng, n, closed=closed)
+        lo = float(rng.uniform(-0.2, 1.0))
+        hi = lo + float(rng.uniform(0.0, 0.9))
+        args = [(ln, lo, hi, trial % 2, closed, (not closed) and trial % 3 == 0)]
+        for a in args:
+            ext_clip = native.clip_line_native(*a)
+            ext_thin = native.thin_rewind_native(ln, trial % 4 == 0, 2e-8,
+                                                 closed, True)
+            ext_bb = _bbox_lines([ln])
+            vx = ln.v.copy()
+            native.simplify_mark_native(vx, 1e-9)
+            try:
+                native.EXT = None
+                ct_clip = native.clip_line_native(*a)
+                ct_thin = native.thin_rewind_native(ln, trial % 4 == 0, 2e-8,
+                                                    closed, True)
+                ct_bb = _bbox_lines([ln])
+                vy = ln.v.copy()
+                native.simplify_mark_native(vy, 1e-9)
+            finally:
+                native.EXT = real_ext
+            _assert_slices_equal(ext_clip, ct_clip, f"trial={trial} clip")
+            assert ext_thin.tobytes() == ct_thin.tobytes(), f"trial={trial}"
+            assert ext_bb == ct_bb, f"trial={trial}"
+            assert vx.tobytes() == vy.tobytes(), f"trial={trial} simplify"
