@@ -19,6 +19,7 @@
 #include <Python.h>
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
 #include <numpy/arrayobject.h>
+#include <pthread.h>
 
 #include "_native.c"
 
@@ -30,56 +31,124 @@ check_v3(PyObject *o, PyArrayObject **out, int need_writeable)
         return -1;
     }
     PyArrayObject *a = (PyArrayObject *)o;
+    /* byte-swapped or unaligned data would silently compute garbage */
     if (PyArray_TYPE(a) != NPY_FLOAT64 || !PyArray_IS_C_CONTIGUOUS(a) ||
+        !PyArray_ISNOTSWAPPED(a) || !PyArray_ISALIGNED(a) ||
         PyArray_NDIM(a) != 2 || PyArray_DIM(a, 1) != 3 ||
         (need_writeable && !PyArray_ISWRITEABLE(a))) {
         PyErr_SetString(PyExc_TypeError,
-                        "expected C-contiguous float64 (n, 3) array");
+                        "expected C-contiguous native float64 (n, 3) array");
         return -1;
     }
     *out = a;
     return 0;
 }
 
-/* grow-only per-thread scratch for clip outputs */
-static _Thread_local double *t_out = NULL;
-static _Thread_local int64_t *t_bounds = NULL;
-static _Thread_local double *t_starts = NULL;
-static _Thread_local double *t_ends = NULL;
-static _Thread_local int64_t t_cap_pts = 0;
-static _Thread_local int64_t t_cap_sl = 0;
+/* Grow-only per-thread scratch, handed out via a steal/deposit protocol:
+ * building the output ndarrays can trigger GC, which can run arbitrary
+ * finalizers that re-enter these wrappers on the SAME thread — so a
+ * wrapper must never read a shared buffer across a Python allocation.
+ * acquire() steals the cached buffers (leaving the cache empty, so a
+ * reentrant call simply allocates fresh ones) and release() deposits
+ * them back, or frees them if a reentrant call got there first.  A
+ * pthread key destructor frees whatever is cached when a thread dies
+ * (plain _Thread_local pointers would leak on thread exit). */
+typedef struct {
+    double *out;        /* cap_pts * 3 doubles */
+    int64_t *bounds;    /* cap_sl */
+    double *starts;     /* cap_sl */
+    double *ends;       /* cap_sl */
+    int64_t *stack;     /* cap_stk (simplify recursion stack) */
+    int64_t cap_pts, cap_sl, cap_stk;
+} scratch_t;
+
+static _Thread_local scratch_t t_cache;
+static _Thread_local int t_registered;
+static pthread_key_t scratch_key;
+static pthread_once_t scratch_key_once = PTHREAD_ONCE_INIT;
+
+static void
+scratch_clear(scratch_t *s)
+{
+    free(s->out);
+    free(s->bounds);
+    free(s->starts);
+    free(s->ends);
+    free(s->stack);
+    memset(s, 0, sizeof(*s));
+}
+
+static void
+scratch_key_dtor(void *p)
+{
+    scratch_clear((scratch_t *)p);
+}
+
+static void
+scratch_make_key(void)
+{
+    (void)pthread_key_create(&scratch_key, scratch_key_dtor);
+}
 
 static int
-ensure_scratch(int64_t n)
+scratch_acquire(int64_t need_pts, int64_t need_sl, int64_t need_stk,
+                scratch_t *s)
 {
-    int64_t need_pts = 2 * n + 2;
-    int64_t need_sl = n + 2;
-    if (need_pts > t_cap_pts) {
-        int64_t cap = need_pts < 4096 ? 4096 : need_pts;
-        double *p = realloc(t_out, (size_t)cap * 3 * sizeof(double));
-        if (!p) { PyErr_NoMemory(); return -1; }
-        t_out = p;
-        t_cap_pts = cap;
+    if (!t_registered) {
+        pthread_once(&scratch_key_once, scratch_make_key);
+        (void)pthread_setspecific(scratch_key, &t_cache);
+        t_registered = 1;
     }
-    if (need_sl > t_cap_sl) {
+    *s = t_cache;
+    memset(&t_cache, 0, sizeof(t_cache));
+    if (need_pts > s->cap_pts) {
+        int64_t cap = need_pts < 4096 ? 4096 : need_pts;
+        double *p = realloc(s->out, (size_t)cap * 3 * sizeof(double));
+        if (!p)
+            goto oom;
+        s->out = p;
+        s->cap_pts = cap;
+    }
+    if (need_sl > s->cap_sl) {
         int64_t cap = need_sl < 1024 ? 1024 : need_sl;
-        int64_t *b = realloc(t_bounds, (size_t)cap * sizeof(int64_t));
-        double *s = realloc(t_starts, (size_t)cap * sizeof(double));
-        double *e = realloc(t_ends, (size_t)cap * sizeof(double));
-        if (!b || !s || !e) {
-            /* keep whichever grew; sizes re-checked next call */
-            if (b) t_bounds = b;
-            if (s) t_starts = s;
-            if (e) t_ends = e;
-            PyErr_NoMemory();
-            return -1;
-        }
-        t_bounds = b;
-        t_starts = s;
-        t_ends = e;
-        t_cap_sl = cap;
+        int64_t *b = realloc(s->bounds, (size_t)cap * sizeof(int64_t));
+        if (b)
+            s->bounds = b;
+        double *st = realloc(s->starts, (size_t)cap * sizeof(double));
+        if (st)
+            s->starts = st;
+        double *en = realloc(s->ends, (size_t)cap * sizeof(double));
+        if (en)
+            s->ends = en;
+        if (!b || !st || !en)
+            goto oom;
+        s->cap_sl = cap;
+    }
+    if (need_stk > s->cap_stk) {
+        int64_t cap = need_stk < 1024 ? 1024 : need_stk;
+        int64_t *k = realloc(s->stack, (size_t)cap * sizeof(int64_t));
+        if (!k)
+            goto oom;
+        s->stack = k;
+        s->cap_stk = cap;
     }
     return 0;
+oom:
+    scratch_clear(s);
+    PyErr_NoMemory();
+    return -1;
+}
+
+static void
+scratch_release(scratch_t *s)
+{
+    if (t_cache.out == NULL && t_cache.bounds == NULL &&
+        t_cache.stack == NULL && t_cache.cap_pts == 0 &&
+        t_cache.cap_sl == 0 && t_cache.cap_stk == 0)
+        t_cache = *s;       /* deposit back for the next call */
+    else
+        scratch_clear(s);   /* a reentrant call re-populated the cache */
+    memset(s, 0, sizeof(*s));
 }
 
 /* clip_line(v, k1, k2, axis, is_polygon, track_metrics, start, end)
@@ -107,40 +176,54 @@ ext_clip_line(PyObject *self, PyObject *const *args, Py_ssize_t nargs)
     int64_t n = (int64_t)PyArray_DIM(v, 0);
     if (n == 0)
         return PyList_New(0);
-    if (ensure_scratch(n) < 0)
+    scratch_t s;
+    if (scratch_acquire(2 * n + 2, n + 2, 0, &s) < 0)
         return NULL;
 
     int64_t nsl = gvt_clip_line(
         (const double *)PyArray_DATA(v), n, k1, k2,
         (int32_t)axis, (int32_t)is_poly, (int32_t)track,
-        start, end, t_out, t_bounds, t_starts, t_ends);
+        start, end, s.out, s.bounds, s.starts, s.ends);
 
     PyObject *list = PyList_New(nsl);
     if (!list)
-        return NULL;
+        goto fail;
     int64_t lo = 0;
     for (int64_t i = 0; i < nsl; i++) {
-        int64_t hi = t_bounds[i];
+        int64_t hi = s.bounds[i];
         npy_intp dims[2] = {(npy_intp)(hi - lo), 3};
         PyObject *arr = PyArray_SimpleNew(2, dims, NPY_FLOAT64);
-        if (!arr) {
-            Py_DECREF(list);
-            return NULL;
-        }
-        memcpy(PyArray_DATA((PyArrayObject *)arr), t_out + 3 * lo,
+        if (!arr)
+            goto fail;
+        memcpy(PyArray_DATA((PyArrayObject *)arr), s.out + 3 * lo,
                (size_t)(hi - lo) * 3 * sizeof(double));
-        PyObject *tup = Py_BuildValue("(Ndd)", arr,
-                                      track ? t_starts[i] : start,
-                                      track ? t_ends[i] : end);
+        /* manual tuple build: Py_BuildValue's "N" double-frees the
+         * array if a later element's allocation fails */
+        PyObject *tup = PyTuple_New(3);
         if (!tup) {
             Py_DECREF(arr);
-            Py_DECREF(list);
-            return NULL;
+            goto fail;
         }
+        PyTuple_SET_ITEM(tup, 0, arr);
+        PyObject *f1 = PyFloat_FromDouble(track ? s.starts[i] : start);
+        PyObject *f2 = PyFloat_FromDouble(track ? s.ends[i] : end);
+        if (!f1 || !f2) {
+            Py_XDECREF(f1);
+            Py_XDECREF(f2);
+            Py_DECREF(tup);
+            goto fail;
+        }
+        PyTuple_SET_ITEM(tup, 1, f1);
+        PyTuple_SET_ITEM(tup, 2, f2);
         PyList_SET_ITEM(list, i, tup);
         lo = hi;
     }
+    scratch_release(&s);
     return list;
+fail:
+    scratch_release(&s);
+    Py_XDECREF(list);
+    return NULL;
 }
 
 /* thin(v, keep_all, sq_tolerance, is_polygon, clockwise)
@@ -163,17 +246,18 @@ ext_thin(PyObject *self, PyObject *const *args, Py_ssize_t nargs)
         return NULL;
 
     int64_t n = (int64_t)PyArray_DIM(v, 0);
-    if (ensure_scratch(n) < 0)  /* reuse t_out: capacity >= 2n >= n pairs */
+    scratch_t s;  /* out capacity (2n+2)*3 doubles >= (n+1)*2 pairs */
+    if (scratch_acquire(2 * n + 2, 0, 0, &s) < 0)
         return NULL;
     int64_t k = gvt_thin((const double *)PyArray_DATA(v), n, sq_tol,
                          (int32_t)keep_all, (int32_t)is_poly,
-                         (int32_t)clockwise, t_out);
+                         (int32_t)clockwise, s.out);
     npy_intp dims[2] = {(npy_intp)k, 2};
     PyObject *arr = PyArray_SimpleNew(2, dims, NPY_FLOAT64);
-    if (!arr)
-        return NULL;
-    memcpy(PyArray_DATA((PyArrayObject *)arr), t_out,
-           (size_t)k * 2 * sizeof(double));
+    if (arr)
+        memcpy(PyArray_DATA((PyArrayObject *)arr), s.out,
+               (size_t)k * 2 * sizeof(double));
+    scratch_release(&s);
     return arr;
 }
 
@@ -193,17 +277,11 @@ ext_simplify(PyObject *self, PyObject *const *args, Py_ssize_t nargs)
         return NULL;
     int64_t n = (int64_t)PyArray_DIM(v, 0);
     if (n >= 3) {
-        if (ensure_scratch(n) < 0)
+        scratch_t s;
+        if (scratch_acquire(0, 0, 2 * n + 8, &s) < 0)
             return NULL;
-        /* stack scratch: 2n+8 int64 <= bounds capacity? bounds is n+2.
-         * use a dedicated local allocation to keep capacities honest */
-        int64_t *stack = malloc((size_t)(2 * n + 8) * sizeof(int64_t));
-        if (!stack) {
-            PyErr_NoMemory();
-            return NULL;
-        }
-        gvt_simplify((double *)PyArray_DATA(v), n, sq_tol, stack);
-        free(stack);
+        gvt_simplify((double *)PyArray_DATA(v), n, sq_tol, s.stack);
+        scratch_release(&s);
     }
     Py_RETURN_NONE;
 }

@@ -119,6 +119,7 @@ def _bbox_fold_np(bb: np.ndarray, v: np.ndarray) -> None:
 
 def _bbox_lines(lines) -> tuple[float, float, float, float]:
     if _native.EXT is not None:
+        lines = list(lines)  # ext may consume a generator before raising
         ext_bb = _native.bbox_lines_ext(lines)
         if ext_bb is not None:
             return ext_bb

@@ -53,13 +53,16 @@ def _cache_dir() -> str | None:
     return d
 
 
-def _compile(sources: list[str], extra_flags: list[str],
+def _compile(main_src: str, include_deps: list[str], extra_flags: list[str],
              stem: str) -> str | None:
-    """Compile sources into the per-uid cache (content-addressed, atomic
+    """Compile main_src into the per-uid cache (content-addressed, atomic
     rename so concurrent Ray workers race safely); returns the .so path
-    or None on any failure."""
+    or None on any failure.  include_deps are files main_src #includes —
+    they participate in the cache tag only, gcc never sees them directly
+    (passing them too would duplicate every symbol)."""
     try:
-        blob = b"".join(open(p, "rb").read() for p in sources)
+        blob = b"".join(open(p, "rb").read()
+                        for p in [main_src, *include_deps])
     except OSError:
         return None
     tag = hashlib.sha256(
@@ -74,7 +77,7 @@ def _compile(sources: list[str], extra_flags: list[str],
         tmp = so_path + f".build.{os.getpid()}"
         try:
             subprocess.run(
-                ["gcc", *_CFLAGS, *extra_flags, "-o", tmp, sources[0]],
+                ["gcc", *_CFLAGS, *extra_flags, "-o", tmp, main_src],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, so_path)  # atomic; losers overwrite identically
         except Exception:
@@ -89,7 +92,7 @@ def _compile(sources: list[str], extra_flags: list[str],
 def _build() -> ctypes.CDLL | None:
     if os.environ.get("GVT_NO_NATIVE"):
         return None
-    so_path = _compile([_C_SRC], [], "gvt_native")
+    so_path = _compile(_C_SRC, [], [], "gvt_native")
     if so_path is None:
         return None
     try:
@@ -131,10 +134,10 @@ def _build_ext():
     try:
         import sysconfig
         inc = ["-I" + sysconfig.get_paths()["include"],
-               "-I" + np.get_include()]
+               "-I" + np.get_include(), "-pthread"]
     except Exception:
         return None
-    so_path = _compile([_PYEXT_SRC, _C_SRC], inc, "gvt_native_ext")
+    so_path = _compile(_PYEXT_SRC, [_C_SRC], inc, "gvt_native_ext")
     if so_path is None:
         return None
     try:

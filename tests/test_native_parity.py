@@ -226,3 +226,38 @@ def test_pyext_vs_ctypes_parity() -> None:
             assert ext_thin.tobytes() == ct_thin.tobytes(), f"trial={trial}"
             assert ext_bb == ct_bb, f"trial={trial}"
             assert vx.tobytes() == vy.tobytes(), f"trial={trial} simplify"
+
+
+def test_pyext_rejects_swapped_dtype() -> None:
+    """A byte-swapped float64 array must fall back (TypeError inside the
+    ext), not be reinterpreted as native-endian garbage."""
+    if native.EXT is None:
+        pytest.skip("pyext unavailable")
+    from geojson_vt_ray.kernels.geom import _bbox_lines
+
+    rng = np.random.default_rng(3)
+    ln = _rand_line(rng, 20, closed=False)
+    swapped = Line(ln.v.astype(">f8"), ln.size, ln.start, ln.end)
+
+    ref_clip = native.clip_line_native(ln, 0.3, 0.7, 0, False, True)
+    sw_clip = native.clip_line_native(swapped, 0.3, 0.7, 0, False, True)
+    _assert_slices_equal(ref_clip, sw_clip, "swapped clip")
+
+    ref_thin = native.thin_rewind_native(ln, False, 1e-8, False, True)
+    sw_thin = native.thin_rewind_native(swapped, False, 1e-8, False, True)
+    assert ref_thin.tobytes() == sw_thin.tobytes()
+
+    assert _bbox_lines([ln]) == _bbox_lines([swapped])
+
+
+def test_bbox_lines_accepts_generator() -> None:
+    """_bbox_lines must not silently fold nothing when handed a generator
+    whose first array forces the ext to fall back mid-iteration."""
+    from geojson_vt_ray.kernels.geom import _bbox_lines
+
+    rng = np.random.default_rng(4)
+    lines = [_rand_line(rng, 10, closed=False) for _ in range(3)]
+    lines[0] = Line(lines[0].v.astype(">f8"), 0.0, 0.0, 0.0)
+    expect = _bbox_lines(list(lines))
+    got = _bbox_lines(iter(lines))
+    assert got == expect and np.isfinite(expect[0])
