@@ -282,6 +282,210 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                                 preserve_index=False)
 
 
+# ------------------------------------- exact similarity join (AllPairs)
+def _gram_hashes(text: str, n_tokens: int) -> np.ndarray:
+    """Sorted distinct 64-bit hashes of the document's word n-grams.
+
+    Tokenizer is the pinned RE2-parity one (functions.text) so the gram
+    universe matches the DuckDB oracle's regexp_extract_all(text,'\\S+');
+    each token gets a blake2b64, grams combine them with the same
+    vectorized polynomial rolling hash as _shingle_hashes (one crypto
+    hash per token, not per gram)."""
+    from .text import _RE2_TOKEN_RE
+
+    toks = _RE2_TOKEN_RE.findall(text)
+    if len(toks) < n_tokens:
+        return np.empty(0, np.uint64)
+    th = _hash64([t.encode("utf-8") for t in toks], seed=29)
+    m = len(th) - n_tokens + 1
+    g = np.zeros(m, np.uint64)
+    for j in range(n_tokens):
+        g = g * _FNV + th[j:j + m]
+    return np.unique(g)
+
+
+class GramPrefix:
+    """map_batches stage: text -> (gh, doc_id, set_size) rows for the
+    PREFIX of each document's sorted gram-hash set only.
+
+    AllPairs prefix filter: under any fixed global token order, two sets
+    with Jaccard >= t must share a token inside both prefixes of length
+    |S| - ceil(t*|S|) + 1. Hash-ascending is that order here (frequency-
+    ascending would prune harder but needs a df pre-pass; at 100 TB add
+    it as a first aggregate and an order-index join)."""
+
+    def __init__(self, n_tokens: int, t_num: int, t_den: int,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.n_tokens = n_tokens
+        self.t_num = t_num
+        self.t_den = t_den
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column(self.id_col).to_pylist()
+        texts = b.column(self.text_col).to_pylist()
+        o_gh, o_id, o_sz = [], [], []
+        for doc_id, t in zip(ids, texts):
+            s = _gram_hashes(t, self.n_tokens)
+            size = len(s)
+            if size == 0:
+                continue
+            # prefix len = size - ceil(t*size) + 1, t = t_num/t_den
+            plen = size - (self.t_num * size + self.t_den - 1) \
+                // self.t_den + 1
+            o_gh.append(s[:plen])
+            o_id.append(np.full(plen, doc_id, np.int64))
+            o_sz.append(np.full(plen, size, np.int64))
+        if not o_gh:
+            return pa.table({"gh": pa.array([], pa.uint64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "set_size": pa.array([], pa.int64())})
+        return pa.table({"gh": pa.array(np.concatenate(o_gh)),
+                         self.id_col: pa.array(np.concatenate(o_id)),
+                         "set_size": pa.array(np.concatenate(o_sz))})
+
+
+class GramSetBytes:
+    """map_batches stage: text -> (id, gs) with the FULL sorted gram-hash
+    set as raw uint64 bytes (join payload, same trick as ShingleBytes)."""
+
+    def __init__(self, n_tokens: int, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.n_tokens = n_tokens
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column(self.text_col).to_pylist()
+        gs = [_gram_hashes(t, self.n_tokens).tobytes() for t in texts]
+        return pa.table({self.id_col: b.column(self.id_col),
+                         "gs": pa.array(gs, pa.large_binary())})
+
+
+def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
+                       n_tokens: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """EXACT all-pairs similarity join: pairs (id_a < id_b) whose word
+    n-gram sets have Jaccard >= t_num/t_den, plus the exact intersection
+    and union sizes (ints — the threshold test is integer-exact:
+    t_den * |inter| >= t_num * |union|).
+
+    The exact complement of minhash_dedup_pairs: same three-stage shape
+    (candidate generation -> pair dedup -> join-verify), but candidates
+    come from the lossless AllPairs prefix filter instead of LSH, so
+    recall is 1 by construction. Shuffles move (gh, id, size) prefix
+    rows and 8 B/gram set payloads; nothing corpus-sized on the driver.
+    """
+    assert 0 < t_num <= t_den
+
+    bs = min(65536, max(256, -(-ds.count() // (2 * _cpus()))))
+    prefix = ds.map_batches(GramPrefix(n_tokens, t_num, t_den,
+                                       text_col, id_col),
+                            batch_format="pyarrow", batch_size=bs)
+
+    cmask = _coarse_mask_fn()
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        gh = b.column("gh").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((gh & np.uint64(cmask)).astype(np.int32)))
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby("gh", sort=False):
+            if len(sub) < 2:
+                continue
+            order = np.argsort(sub[id_col].to_numpy())
+            ids = sub[id_col].to_numpy()[order]
+            szs = sub["set_size"].to_numpy()[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            # length filter: J <= min/max, so need
+            # t_den * min_size >= t_num * max_size
+            lo = np.minimum(szs[ii], szs[jj])
+            hi = np.maximum(szs[ii], szs[jj])
+            keep = t_den * lo >= t_num * hi
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b)}).drop_duplicates()
+
+    cand = (prefix.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("pkey").map_groups(pairs_in_group,
+                                        batch_format="pandas"))
+
+    # global pair dedup before the verify joins (a pair can share many
+    # prefix grams landing in different coarse buckets)
+    nparts = _num_join_partitions()
+
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
+        return b.append_column(
+            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
+
+    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+
+    uniq = (cand.repartition(nparts)
+            .map_batches(add_pair_key, batch_format="pyarrow")
+            .groupby("vkey").map_groups(dedup_pairs_group,
+                                        batch_format="pandas"))
+
+    gs_ds = ds.map_batches(GramSetBytes(n_tokens, text_col, id_col),
+                           batch_format="pyarrow",
+                           batch_size=bs).materialize()
+
+    def _rename_gs_a(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["gs_a" if c == "gs" else c for c in b.column_names])
+
+    j = (uniq.join(gs_ds, "inner", nparts, on=("id_a",),
+                   right_on=(id_col,))
+         .map_batches(_rename_gs_a, batch_format="pyarrow")
+         .join(gs_ds, "inner", nparts, on=("id_b",), right_on=(id_col,)))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_pylist()
+        ib = b.column("id_b").to_pylist()
+        ga = b.column("gs_a").to_pylist()
+        gb = b.column("gs").to_pylist()
+        o_a, o_b, o_i, o_u = [], [], [], []
+        for a, b_, ra, rb in zip(ia, ib, ga, gb):
+            sa = np.frombuffer(ra, np.uint64)
+            sb = np.frombuffer(rb, np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if t_den * inter >= t_num * union and union > 0:
+                o_a.append(a)
+                o_b.append(b_)
+                o_i.append(inter)
+                o_u.append(union)
+        return pa.table({"id_a": pa.array(o_a, pa.int64()),
+                         "id_b": pa.array(o_b, pa.int64()),
+                         "n_inter": pa.array(o_i, pa.int64()),
+                         "n_union": pa.array(o_u, pa.int64())})
+
+    out = j.map_batches(verify, batch_format="pyarrow")
+    df = out.to_pandas()
+    if not len(df):
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "n_inter": pa.array([], pa.int64()),
+                         "n_union": pa.array([], pa.int64())})
+    df = (df.drop_duplicates(["id_a", "id_b"])
+          .sort_values(["id_a", "id_b"], ignore_index=True))
+    return pa.table({"id_a": pa.array(df["id_a"], pa.int64()),
+                     "id_b": pa.array(df["id_b"], pa.int64()),
+                     "n_inter": pa.array(df["n_inter"], pa.int64()),
+                     "n_union": pa.array(df["n_union"], pa.int64())})
+
+
 # ----------------------------------------------- connected components
 def label_propagation_clusters(pairs, max_iters: int = 64):
     """Distributed connected components over near-dup pairs via min-label

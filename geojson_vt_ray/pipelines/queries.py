@@ -1074,6 +1074,33 @@ def q_minhash_pairs(sf_dir: str):
     return _minhash_pairs_cached(sf_dir)
 
 
+def q_jaccard_join(sf_dir: str):
+    """EXACT all-pairs near-dup join: word-5-gram Jaccard >= 1/2 via the
+    lossless AllPairs prefix filter (dedup.jaccard_join_exact) — the
+    exact counterpart of the MinHash pipeline, recall 1 by construction.
+    Output is integer-only (n_inter, n_union) so the integer threshold
+    test matches the cross-join oracle bit-for-bit."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return F_dedup.jaccard_join_exact(ds, t_num=1, t_den=2, n_tokens=5)
+
+
+_SQL_JACCARD_JOIN = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts "
+    "FROM documents), "
+    "idx AS (SELECT doc_id, ts, "
+    "unnest(range(1, greatest(1, len(ts)-3))) AS i FROM toks), "
+    "grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') "
+    "AS g FROM idx), "
+    "sets AS (SELECT doc_id, list(g) AS s FROM grams GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter, "
+    "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) "
+    "AS n_union FROM sets a JOIN sets b ON a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, n_inter, n_union FROM pairs "
+    "WHERE 2 * n_inter >= n_union ORDER BY id_a, id_b")
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs at Hamming radius 3 (banded blocking is
     complete at this radius by pigeonhole — dedup.simhash_pairs). Oracle
@@ -1583,6 +1610,7 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
     "minhash_pairs": q_minhash_pairs,
+    "jaccard_join": q_jaccard_join,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1629,6 +1657,7 @@ ORACLE_SQL = {
     "quality": _SQL_QUALITY,
     "lang_counts": _SQL_LANG_COUNTS,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
+    "jaccard_join": _SQL_JACCARD_JOIN,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
 }

@@ -268,3 +268,51 @@ def test_label_propagation_long_chain(ray_session):
     lp = label_propagation_clusters(pairs).to_pandas()
     assert len(lp) == n
     assert (lp["cluster_id"] == 0).all(), lp["cluster_id"].nunique()
+
+
+def test_jaccard_join_exact_matches_brute_force(ray_session):
+    """The AllPairs prefix filter must be lossless: engine pairs ==
+    brute-force all-pairs gram-set Jaccard on a corpus with planted
+    near-dups, borderline pairs, and unrelated docs."""
+    import itertools
+
+    import ray.data as rd
+
+    from geojson_vt_ray.functions.dedup import (_gram_hashes,
+                                                jaccard_join_exact)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(vocab, 30)))
+    # planted near-dups: copy with small perturbations
+    for i in range(8):
+        base = docs[i].split()
+        j = int(rng.integers(0, len(base)))
+        base[j] = "zz"
+        docs.append(" ".join(base))
+    # an exact duplicate (jaccard 1.0) and a short doc (no grams)
+    docs.append(docs[3])
+    docs.append("a b c")
+    ids = list(range(len(docs)))
+
+    t_num, t_den, n_tok = 1, 2, 5
+    sets = {i: _gram_hashes(t, n_tok) for i, t in zip(ids, docs)}
+    expect = set()
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if union > 0 and t_den * inter >= t_num * union:
+            expect.add((a, b, inter, union))
+
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in zip(ids, docs)])
+    out = jaccard_join_exact(ds, t_num, t_den, n_tok)
+    got = set(zip(out.column("id_a").to_pylist(),
+                  out.column("id_b").to_pylist(),
+                  out.column("n_inter").to_pylist(),
+                  out.column("n_union").to_pylist()))
+    assert expect, "test corpus must produce matching pairs"
+    assert got == expect
