@@ -23,14 +23,45 @@ from .kernels.wrap import wrap_features
 
 def tile_to_json(tile: Tile, extent: int) -> list[dict]:
     """Serve-format one tile: quantized features in reference JSON shape
-    ({geometry, type, tags, id?}, src/tile.js:72-81 + transform.js)."""
-    out = []
-    for g, f in transform_tile_features(tile.features, tile.z, tile.x,
-                                        tile.y, extent):
+    ({geometry, type, tags, id?}, src/tile.js:72-81 + transform.js).
+
+    Quantizes the WHOLE tile in one vectorized pass (same float64 op
+    order as kernels.transform.quantize, so bit-exact vs the per-ring
+    paths) and converts to Python lists with a single tolist() + list
+    slicing — per-ring numpy dispatch was ~1 ms/tile at serve time.
+    """
+    import numpy as np
+
+    feats = tile.features
+    if not feats:
+        return []
+    arrs = []
+    for f in feats:
         if f.type == 1:
-            geometry = g.tolist()
+            arrs.append(f.geometry)
         else:
-            geometry = [r.tolist() for r in g]
+            arrs.extend(f.geometry)
+    big: list = []
+    if arrs:
+        cat = np.concatenate(arrs, axis=0) if len(arrs) > 1 else arrs[0]
+        z2 = 1 << tile.z
+        q = np.empty((len(cat), 2), dtype=np.float64)
+        q[:, 0] = extent * (cat[:, 0] * z2 - tile.x)
+        q[:, 1] = extent * (cat[:, 1] * z2 - tile.y)
+        big = np.floor(q + 0.5).astype(np.int32).tolist()
+    out = []
+    pos = 0
+    for f in feats:
+        if f.type == 1:
+            n = len(f.geometry)
+            geometry = big[pos:pos + n]
+            pos += n
+        else:
+            geometry = []
+            for r in f.geometry:
+                n = len(r)
+                geometry.append(big[pos:pos + n])
+                pos += n
         d = {"geometry": geometry, "type": f.type, "tags": f.tags}
         if f.fid is not None:
             d["id"] = f.fid
