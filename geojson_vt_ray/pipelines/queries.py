@@ -1074,6 +1074,39 @@ def q_minhash_pairs(sf_dir: str):
     return _minhash_pairs_cached(sf_dir)
 
 
+def q_group_percentiles(sf_dir: str):
+    """Exact per-group order statistics (p50/p90/p99 of order value in
+    integer cents, grouped by priority) via two-pass histogram
+    selection — no global sort, no driver data pass
+    (functions/percentile.py). Integer-exact vs percentile_disc."""
+    from ..functions.percentile import group_percentiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": pa.array(np.round(v * 100).astype(np.int64))})
+
+    return group_percentiles(ds.map_batches(to_cents,
+                                            batch_format="pyarrow"),
+                             "o_orderpriority", "cents",
+                             ps=(0.5, 0.9, 0.99))
+
+
+_SQL_GROUP_PERCENTILES = (
+    "SELECT o_orderpriority, "
+    "CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY "
+    "CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p50, "
+    "CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY "
+    "CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p90, "
+    "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY "
+    "CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p99 "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+
+
 def q_jaccard_join(sf_dir: str):
     """EXACT all-pairs near-dup join: word-5-gram Jaccard >= 1/2 via the
     lossless AllPairs prefix filter (dedup.jaccard_join_exact) — the
@@ -1611,6 +1644,7 @@ QUERIES = {
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
     "minhash_pairs": q_minhash_pairs,
     "jaccard_join": q_jaccard_join,
+    "group_percentiles": q_group_percentiles,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1658,6 +1692,7 @@ ORACLE_SQL = {
     "lang_counts": _SQL_LANG_COUNTS,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
     "jaccard_join": _SQL_JACCARD_JOIN,
+    "group_percentiles": _SQL_GROUP_PERCENTILES,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
 }

@@ -316,3 +316,32 @@ def test_jaccard_join_exact_matches_brute_force(ray_session):
                   out.column("n_union").to_pylist()))
     assert expect, "test corpus must produce matching pairs"
     assert got == expect
+
+
+def test_group_percentiles_exact_vs_sorted(ray_session):
+    """Two-pass histogram selection must equal percentile_disc semantics
+    (rank = ceil(p*N), 1-indexed) on skewed data with heavy ties,
+    single-element groups, and values straddling bucket boundaries."""
+    import ray.data as rd
+
+    from geojson_vt_ray.functions.percentile import group_percentiles
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # group a: heavy ties; b: zipf-ish skew; c: single element
+    rows += [{"g": "a", "v": int(v)} for v in
+             rng.choice([7, 7, 7, 100, 100, 5000], 4000)]
+    rows += [{"g": "b", "v": int(v)} for v in
+             (rng.zipf(1.3, 3000) % 100000)]
+    rows += [{"g": "c", "v": 42}]
+    ps = (0.5, 0.9, 0.99)
+    out = group_percentiles(rd.from_items(rows), "g", "v",
+                            ps=ps, n_buckets=64).to_pandas()
+
+    import math
+    for grp in ("a", "b", "c"):
+        vals = np.sort([r["v"] for r in rows if r["g"] == grp])
+        row = out[out["g"] == grp].iloc[0]
+        for p in ps:
+            expect = int(vals[max(1, math.ceil(p * len(vals))) - 1])
+            assert row[f"p{int(p * 100)}"] == expect, (grp, p)
