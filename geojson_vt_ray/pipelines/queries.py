@@ -930,6 +930,92 @@ _SQL_TERM_STATS = (
     "SELECT term, df, tf FROM s ORDER BY df DESC, term ASC LIMIT 50")
 
 
+def q_tfidf_top(sf_dir: str, k: int = 3):
+    """Per-document top-k salient terms by tf-idf-lite score tf/df
+    (monotone-equivalent to tf * (N/df) per doc; a single correctly-
+    rounded IEEE division, so numpy and DuckDB order IDENTICALLY —
+    unlike log-idf, where libm ulp differences could flip near-ties).
+    Ties break on term ASC. Output is int+string only.
+
+    Shape for scale: per-batch (doc, term, tf) partials with the batch
+    vocabulary collapsed; a distributed (term, df) aggregate (same
+    coarse-key merge as term_stats — the vocabulary at web scale is NOT
+    broadcastable); a hash join on term; then a coarse-keyed per-doc
+    top-k. No driver pass over anything corpus-sized."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+
+    def doc_tf(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        o_id, o_term, o_tf = [], [], []
+        for doc_id, t in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            c = Counter(F_text._RE2_TOKEN_RE.findall(t))
+            o_id.extend([doc_id] * len(c))
+            o_term.extend(c.keys())
+            o_tf.extend(c.values())
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "term": pa.array(o_term, pa.string()),
+                         "tf": pa.array(o_tf, pa.int64())})
+
+    tf_ds = ds.map_batches(doc_tf, batch_format="pyarrow")
+
+    part = ds.map_batches(F_text.term_stats_partial, batch_format="pyarrow")
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        tk = b.column("tkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((tk & cmask).astype(np.int32)))
+
+    def merge_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False, as_index=False)["df"].sum()
+        return out[["term", "df"]]
+
+    df_ds = (part.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("pkey").map_groups(merge_df, batch_format="pandas"))
+
+    joined = tf_ds.join(df_ds, "inner", nparts, on=("term",))
+
+    def add_dkey(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dkey", pa.array((d & cmask).astype(np.int32)))
+
+    def topk_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["tf"].to_numpy(np.float64) \
+            / g["df"].to_numpy(np.float64)
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rnk"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g[g["rnk"] <= k]
+        return g[["doc_id", "rnk", "term"]]
+
+    out = (joined.map_batches(add_dkey, batch_format="pyarrow")
+           .groupby("dkey").map_groups(topk_per_doc,
+                                       batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["doc_id", "rnk"], ignore_index=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "rnk": pa.array(out["rnk"], pa.int64()),
+                     "term": pa.array(out["term"], pa.string())})
+
+
+_SQL_TFIDF_TOP = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), "
+    "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks "
+    "GROUP BY 1), "
+    "scored AS (SELECT doc_id, term, ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE)/df DESC, term ASC) "
+    "AS rnk FROM tf JOIN df USING(term)) "
+    "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term FROM scored "
+    "WHERE rnk <= 3 ORDER BY doc_id, rnk")
+
+
 def q_dup_ngrams(sf_dir: str, n: int = 8, k: int = 100):
     """Cross-document duplicated-passage detection (the discovery pass
     of substring-level training-data dedup): word n-grams appearing in
@@ -1645,6 +1731,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "jaccard_join": q_jaccard_join,
     "group_percentiles": q_group_percentiles,
+    "tfidf_top": q_tfidf_top,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1693,6 +1780,7 @@ ORACLE_SQL = {
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
     "jaccard_join": _SQL_JACCARD_JOIN,
     "group_percentiles": _SQL_GROUP_PERCENTILES,
+    "tfidf_top": _SQL_TFIDF_TOP,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
 }
