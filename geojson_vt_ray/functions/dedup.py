@@ -132,6 +132,72 @@ from .shuffle import coarse_mask as _coarse_mask_fn
 from .shuffle import num_join_partitions as _num_join_partitions
 
 
+def _bundle_batch_size(ds) -> int:
+    """Map batch size ~= rows/(2*cpus), capped: keeps compute parallel
+    while collapsing the block count the downstream shuffle sees (Ray's
+    sort-shuffle pays per-block overhead that dwarfs tiny blocks), and
+    the 64k cap bounds per-task memory for text-materializing stages.
+    (ds.count() on a parquet-backed dataset is a metadata read.)"""
+    return min(65536, max(256, -(-ds.count() // (2 * _cpus()))))
+
+
+def _dedup_candidate_pairs(cand, nparts: int, cmask: int):
+    """Globally dedup an (id_a, id_b) candidate Dataset.
+
+    A pair surfaced by several buckets/bands lands in different coarse
+    groups upstream, so per-group drop_duplicates can't see the copies;
+    one more coarse shuffle keyed on a mix of BOTH ids makes every copy
+    co-resident. The pre-shuffle repartition to the join fan-out is
+    scale-safe (16 B/row payload) and collapses per-block overhead."""
+
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
+        return b.append_column(
+            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
+
+    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+
+    return (cand.repartition(nparts)
+            .map_batches(add_pair_key, batch_format="pyarrow")
+            .groupby("vkey").map_groups(dedup_pairs_group,
+                                        batch_format="pandas"))
+
+
+def _join_pair_payload(uniq, payload_ds, nparts: int, id_col: str,
+                       payload_col: str):
+    """Double hash-join of a deduped (id_a, id_b) pair Dataset against a
+    per-doc payload table (id_col, payload_col) — the de-drivered verify
+    shape: each join is one keyed shuffle, the payload is bytes-per-doc,
+    and nothing corpus-sized ever touches the driver. Output rows carry
+    the a-side payload as f"{payload_col}_a" and the b-side under the
+    original name."""
+
+    def rename_a(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [f"{payload_col}_a" if c == payload_col else c
+             for c in b.column_names])
+
+    return (uniq.join(payload_ds, "inner", nparts, on=("id_a",),
+                      right_on=(id_col,))
+            .map_batches(rename_a, batch_format="pyarrow")
+            .join(payload_ds, "inner", nparts, on=("id_b",),
+                  right_on=(id_col,)))
+
+
+def _pairs_result(out, schema: list[tuple[str, pa.DataType]]) -> pa.Table:
+    """Driver tail for a verified-pair Dataset (tiny by construction):
+    collect, drop cross-batch duplicate pairs, sort by (id_a, id_b)."""
+    df = out.to_pandas()
+    if not len(df):
+        return pa.table({c: pa.array([], t) for c, t in schema})
+    df = (df.drop_duplicates(["id_a", "id_b"])
+          .sort_values(["id_a", "id_b"], ignore_index=True))
+    return pa.table({c: pa.array(df[c], t) for c, t in schema})
+
+
 class ShingleBytes:
     """map_batches stage: text -> (id, sh) where sh is the document's
     sorted distinct shingle-hash set as raw uint64 bytes (large_binary —
@@ -157,19 +223,7 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     pair up. Verification is a distributed double hash-join of the
     (tiny) candidate-pair table against the corpus's shingle-set table —
     nothing corpus-sized ever touches the driver."""
-    import ray
-
-    # Block sizing: a tiny corpus read still defaults to ~2 blocks/CPU,
-    # and Ray's sort-shuffle pays a fixed per-block cost that dwarfs the
-    # data at bench scale (64 blocks of 78 docs: ~6s of pure shuffle
-    # overhead). Bundling the map into ~2 tasks/CPU via batch_size keeps
-    # compute parallelism while collapsing the block count the groupby
-    # sees. The 64k cap keeps per-task memory bounded at scale: the
-    # band/shingle stages materialize their batch's texts, so an
-    # uncapped corpus/(2*cpus) batch would grow linearly with corpus
-    # size. (ds.count() on a parquet-backed dataset is a metadata read,
-    # not a scan.)
-    bands_bs = min(65536, max(256, -(-ds.count() // (2 * _cpus()))))
+    bands_bs = _bundle_batch_size(ds)
     bands = ds.map_batches(MinHashBands(text_col, id_col),
                            batch_format="pyarrow", batch_size=bands_bs)
 
@@ -205,51 +259,19 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
             .groupby("pkey").map_groups(pairs_in_group,
                                         batch_format="pandas"))
 
-    # Dedup candidate pairs BEFORE the shingle joins: a pair colliding
-    # in several bands is emitted once per band (different band_hash ->
-    # different pkey, so the per-group drop_duplicates can't see the
-    # copies) — an exact-duplicate cluster collides in ALL bands, a
-    # ~bands-fold join/verify payload multiplier without this stage.
-    # The pre-shuffle repartition to the JOIN fan-out is scale-safe
-    # (the joins hash cand into nparts partitions regardless; 16 B/row
-    # payload) and collapses the per-block shuffle overhead that
-    # otherwise dominates a tiny-row groupby.
+    # Dedup candidate pairs BEFORE the shingle joins: an exact-duplicate
+    # cluster collides in ALL bands, a ~bands-fold join/verify payload
+    # multiplier without this stage.
     nparts = _num_join_partitions()
+    uniq = _dedup_candidate_pairs(cand, nparts, cmask)
 
-    def add_pair_key(b: pa.Table) -> pa.Table:
-        ia = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ib = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
-        return b.append_column(
-            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
-
-    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
-
-    uniq = (cand.repartition(nparts)
-            .map_batches(add_pair_key, batch_format="pyarrow")
-            .groupby("vkey").map_groups(dedup_pairs_group,
-                                        batch_format="pandas"))
-
-    # exact-jaccard verification WITHOUT driver materialization: double
-    # hash-join of the candidate pairs (tiny left side) against the
-    # corpus shingle-set table (doc_id, sh bytes). Each join is one
-    # all-to-all keyed shuffle; the shuffle payload is 8 B/shingle, and
-    # the driver never sees a corpus-sized object.
+    # exact-jaccard verification via the de-drivered double-join.
     # materialize: the shingle table is the build side of BOTH joins —
     # without this the corpus is re-read and re-shingled per join
     sh_ds = ds.map_batches(ShingleBytes(text_col, id_col),
                            batch_format="pyarrow",
                            batch_size=bands_bs).materialize()
-
-    def _rename_sh_a(b: pa.Table) -> pa.Table:
-        return b.rename_columns(
-            ["sh_a" if c == "sh" else c for c in b.column_names])
-
-    j = (uniq.join(sh_ds, "inner", nparts, on=("id_a",),
-                   right_on=(id_col,))
-         .map_batches(_rename_sh_a, batch_format="pyarrow")
-         .join(sh_ds, "inner", nparts, on=("id_b",), right_on=(id_col,)))
+    j = _join_pair_payload(uniq, sh_ds, nparts, id_col, "sh")
 
     def verify(b: pa.Table) -> pa.Table:
         ia = b.column("id_a").to_pylist()
@@ -271,15 +293,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                          "jaccard": pa.array(o_j, pa.float64())})
 
     out = j.map_batches(verify, batch_format="pyarrow")
-    df = out.to_pandas()
-    if not len(df):
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    df = (df.drop_duplicates(["id_a", "id_b"])
-          .sort_values(["id_a", "id_b"], ignore_index=True))
-    return pa.Table.from_pandas(df[["id_a", "id_b", "jaccard"]],
-                                preserve_index=False)
+    return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("jaccard", pa.float64())])
 
 
 # ------------------------------------- exact similarity join (AllPairs)
@@ -379,7 +394,7 @@ def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
     """
     assert 0 < t_num <= t_den
 
-    bs = min(65536, max(256, -(-ds.count() // (2 * _cpus()))))
+    bs = _bundle_batch_size(ds)
     prefix = ds.map_batches(GramPrefix(n_tokens, t_num, t_den,
                                        text_col, id_col),
                             batch_format="pyarrow", batch_size=bs)
@@ -421,34 +436,12 @@ def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
     # global pair dedup before the verify joins (a pair can share many
     # prefix grams landing in different coarse buckets)
     nparts = _num_join_partitions()
-
-    def add_pair_key(b: pa.Table) -> pa.Table:
-        ia = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ib = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
-        return b.append_column(
-            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
-
-    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
-
-    uniq = (cand.repartition(nparts)
-            .map_batches(add_pair_key, batch_format="pyarrow")
-            .groupby("vkey").map_groups(dedup_pairs_group,
-                                        batch_format="pandas"))
+    uniq = _dedup_candidate_pairs(cand, nparts, cmask)
 
     gs_ds = ds.map_batches(GramSetBytes(n_tokens, text_col, id_col),
                            batch_format="pyarrow",
                            batch_size=bs).materialize()
-
-    def _rename_gs_a(b: pa.Table) -> pa.Table:
-        return b.rename_columns(
-            ["gs_a" if c == "gs" else c for c in b.column_names])
-
-    j = (uniq.join(gs_ds, "inner", nparts, on=("id_a",),
-                   right_on=(id_col,))
-         .map_batches(_rename_gs_a, batch_format="pyarrow")
-         .join(gs_ds, "inner", nparts, on=("id_b",), right_on=(id_col,)))
+    j = _join_pair_payload(uniq, gs_ds, nparts, id_col, "gs")
 
     def verify(b: pa.Table) -> pa.Table:
         ia = b.column("id_a").to_pylist()
@@ -472,18 +465,9 @@ def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
                          "n_union": pa.array(o_u, pa.int64())})
 
     out = j.map_batches(verify, batch_format="pyarrow")
-    df = out.to_pandas()
-    if not len(df):
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "n_inter": pa.array([], pa.int64()),
-                         "n_union": pa.array([], pa.int64())})
-    df = (df.drop_duplicates(["id_a", "id_b"])
-          .sort_values(["id_a", "id_b"], ignore_index=True))
-    return pa.table({"id_a": pa.array(df["id_a"], pa.int64()),
-                     "id_b": pa.array(df["id_b"], pa.int64()),
-                     "n_inter": pa.array(df["n_inter"], pa.int64()),
-                     "n_union": pa.array(df["n_union"], pa.int64())})
+    return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("n_inter", pa.int64()),
+                               ("n_union", pa.int64())])
 
 
 # ----------------------------------------------- connected components
@@ -689,16 +673,8 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
            .map_batches(add_coarse, batch_format="pyarrow")
            .groupby("pkey").map_groups(pairs_in_group,
                                        batch_format="pandas"))
-    df = out.to_pandas()
-    if not len(df):
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    df = (df.drop_duplicates(["id_a", "id_b"])
-          .sort_values(["id_a", "id_b"], ignore_index=True))
-    return pa.table({"id_a": pa.array(df["id_a"], pa.int64()),
-                     "id_b": pa.array(df["id_b"], pa.int64()),
-                     "hamming": pa.array(df["hamming"], pa.int64())})
+    return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("hamming", pa.int64())])
 
 
 # ------------------------------------------------- embedding near-dup

@@ -85,11 +85,13 @@ def group_percentiles(ds, group_col: str, value_col: str,
                                         batch_format="pandas")
             .to_pandas())
 
-    # per-group CDF walk -> (group, bucket) -> [(p, within_rank)]
+    # per-group CDF walk -> (group, bucket) -> [(p, within_rank)]: one
+    # sorted groupby over the tiny histogram, not a per-group rescan
     targets: dict[tuple[str, int], list[tuple[float, int]]] = {}
-    groups = sorted(hist["grp"].unique())
-    for grp in groups:
-        sub = hist[hist["grp"] == grp].sort_values("bucket")
+    hist = hist.sort_values(["grp", "bucket"], ignore_index=True)
+    groups = []
+    for grp, sub in hist.groupby("grp", sort=True):
+        groups.append(grp)
         counts = sub["cnt"].to_numpy()
         buckets = sub["bucket"].to_numpy()
         cum = np.cumsum(counts)
@@ -101,24 +103,22 @@ def group_percentiles(ds, group_col: str, value_col: str,
             targets.setdefault((grp, int(buckets[i])), []).append(
                 (p, within))
 
-    # group -> ndarray of its target buckets (G x |ps| entries total)
-    by_group: dict[str, np.ndarray] = {}
-    for (grp, bucket) in targets:
-        by_group.setdefault(grp, []).append(bucket)  # type: ignore[arg-type]
-    by_group = {g_: np.asarray(sorted(bs)) for g_, bs in by_group.items()}
+    # composite (crc(grp), bucket) keys of the G x |ps| target buckets:
+    # one np.isin membership test per batch. A crc collision only adds a
+    # false-positive row — resolve() discards non-target (grp, bucket)s.
+    target_ukeys = np.unique(np.asarray(
+        [int(_crc_keys([grp])[0]) * n_buckets + bucket
+         for grp, bucket in targets], dtype=np.uint64))
 
     def extract(b: pa.Table) -> pa.Table:
-        g = pd.Series(b.column(group_col).to_pylist())
+        g = b.column(group_col).to_pylist()
         v = b.column(value_col).to_numpy(zero_copy_only=False)
         bk = (v - lo) // width
-        keep = np.zeros(len(g), dtype=bool)
-        for grp, bs in by_group.items():  # <= G vectorized passes
-            keep |= (g == grp).to_numpy() & np.isin(bk, bs)
-        kept_g = list(g[keep])
-        ck = (_crc_keys(kept_g) * np.uint64(n_buckets)
-              + bk[keep].astype(np.uint64)) & np.uint64(cmask)
+        uk = _crc_keys(g) * np.uint64(n_buckets) + bk.astype(np.uint64)
+        keep = np.isin(uk, target_ukeys)
+        ck = uk[keep] & np.uint64(cmask)
         return pa.table({
-            "grp": pa.array(kept_g, pa.string()),
+            "grp": pa.array(np.asarray(g, dtype=object)[keep], pa.string()),
             "bucket": pa.array(bk[keep], pa.int64()),
             "val": pa.array(v[keep], pa.int64()),
             "ckey": pa.array(ck.astype(np.int32))})

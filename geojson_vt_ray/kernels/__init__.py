@@ -13,5 +13,4 @@ from .convert import convert_geojson  # noqa: F401
 from .clip import clip_features  # noqa: F401
 from .wrap import wrap_features  # noqa: F401
 from .tile import Tile, create_tile  # noqa: F401
-from .transform import transform_tile_features  # noqa: F401
 from .tileid import tile_id, ancestor  # noqa: F401

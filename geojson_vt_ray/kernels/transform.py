@@ -15,7 +15,13 @@ import numpy as np
 
 def quantize(arr: np.ndarray, extent: int, z2: int, tx: int,
              ty: int) -> np.ndarray:
-    """(n, 2) world coords -> (n, 2) int32 tile coords."""
+    """(n, 2) world coords -> (n, 2) int32 tile coords.
+
+    Canonical reference-parity kernel. The hot paths inline the SAME
+    float64 op order (extent * (v * z2 - t), floor(+0.5)) over whole
+    tiles at once — stages/build.py TileRowAccum (deferred quantize)
+    and local_index.py tile_to_json — and the golden conformance suite
+    pins their output byte-exactly; change one, change all three."""
     n = len(arr)
     if n <= 32:
         # scalar path: same floor(v + 0.5) arithmetic, no numpy dispatch
@@ -31,19 +37,3 @@ def quantize(arr: np.ndarray, extent: int, z2: int, tx: int,
     out[:, 0] = extent * (arr[:, 0] * z2 - tx)
     out[:, 1] = extent * (arr[:, 1] * z2 - ty)
     return np.floor(out + 0.5).astype(np.int32)
-
-
-def transform_tile_features(features, z: int, x: int, y: int,
-                            extent: int) -> list:
-    """Quantize built TFeatures' geometry in a new list of (geometry, ...)
-    tuples; point geometry is one (n,2) array, line/polygon geometry a
-    list of (n,2) ring arrays (transform.js:11-29)."""
-    z2 = 1 << z
-    out = []
-    for f in features:
-        if f.type == 1:
-            g = quantize(f.geometry, extent, z2, x, y)
-        else:
-            g = [quantize(r, extent, z2, x, y) for r in f.geometry]
-        out.append((g, f))
-    return out

@@ -17,7 +17,6 @@ from .kernels.clip import clip_features
 from .kernels.convert import convert_geojson
 from .kernels.tile import Tile, create_tile
 from .kernels.tileid import tile_id, wrap_x
-from .kernels.transform import transform_tile_features
 from .kernels.wrap import wrap_features
 
 

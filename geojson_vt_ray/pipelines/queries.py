@@ -930,7 +930,12 @@ _SQL_TERM_STATS = (
     "SELECT term, df, tf FROM s ORDER BY df DESC, term ASC LIMIT 50")
 
 
-def q_tfidf_top(sf_dir: str, k: int = 3):
+# default top-k, shared with _SQL_TFIDF_TOP so the oracle tracks the
+# registry default; callers passing another k must not use that oracle
+_TFIDF_K = 3
+
+
+def q_tfidf_top(sf_dir: str, k: int = _TFIDF_K):
     """Per-document top-k salient terms by tf-idf-lite score tf/df
     (monotone-equivalent to tf * (N/df) per doc; a single correctly-
     rounded IEEE division, so numpy and DuckDB order IDENTICALLY —
@@ -1013,7 +1018,7 @@ _SQL_TFIDF_TOP = (
     "PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE)/df DESC, term ASC) "
     "AS rnk FROM tf JOIN df USING(term)) "
     "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term FROM scored "
-    "WHERE rnk <= 3 ORDER BY doc_id, rnk")
+    f"WHERE rnk <= {_TFIDF_K} ORDER BY doc_id, rnk")
 
 
 def q_dup_ngrams(sf_dir: str, n: int = 8, k: int = 100):
