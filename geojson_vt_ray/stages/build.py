@@ -121,14 +121,18 @@ class TileRowAccum:
         z2 = np.repeat(np.asarray(self.ring_z2), lens)
         tx = np.repeat(np.asarray(self.ring_tx), lens)
         ty = np.repeat(np.asarray(self.ring_ty), lens)
-        out = np.empty((len(pts), 2), dtype=np.float64)
-        np.multiply(pts[:, 0], z2, out=out[:, 0])
-        np.subtract(out[:, 0], tx, out=out[:, 0])
-        np.multiply(pts[:, 1], z2, out=out[:, 1])
-        np.subtract(out[:, 1], ty, out=out[:, 1])
-        out *= extent
-        np.floor(out + 0.5, out=out)
-        return out.astype(np.int32).reshape(-1)
+        # in place over pts (same float64 op order, just no second
+        # buffer): fresh first-touch pages cost ~ms/MB on shared VMs,
+        # so avoiding the (n,2) out array and the out+0.5 temp cuts
+        # the batch's fresh allocations by ~40%
+        np.multiply(pts[:, 0], z2, out=pts[:, 0])
+        np.subtract(pts[:, 0], tx, out=pts[:, 0])
+        np.multiply(pts[:, 1], z2, out=pts[:, 1])
+        np.subtract(pts[:, 1], ty, out=pts[:, 1])
+        pts *= extent
+        pts += 0.5
+        np.floor(pts, out=pts)
+        return pts.astype(np.int32).reshape(-1)
 
     def table(self, carry: pa.Table) -> pa.Table:
         n = len(self.o_z)
