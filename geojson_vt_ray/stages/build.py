@@ -14,6 +14,7 @@ unconditionally after the tiny-ring check).
 from __future__ import annotations
 
 import json
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -40,6 +41,24 @@ TILE_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("spans", SPAN_TYPE),
 ])
+
+
+# Pooled quantize scratch, grown geometrically and never shrunk: the
+# per-batch buffers here are the engine's biggest transient allocations,
+# and freed blocks past glibc's trim threshold go back to the OS — on
+# shared VMs the re-fault of tens of MB per batch can cost seconds.
+# Per-thread so concurrent map threads can't alias.
+_QPOOL = threading.local()
+
+
+def _qpool(tot: int):
+    s = _QPOOL
+    if getattr(s, "cap", 0) < tot:
+        s.cap = max(4096, 1 << max(0, int(tot - 1).bit_length()))
+        s.pts = np.empty((s.cap, 2), np.float64)
+        s.ridx = np.empty(s.cap, np.int64)
+        s.param = np.empty(s.cap, np.float64)
+    return s
 
 
 class TileRowAccum:
@@ -108,27 +127,38 @@ class TileRowAccum:
         if not self.ring_world:
             return np.empty(0, dtype=np.int32)
         extent = float(self.options.extent)
+        nr = len(self.ring_world)
         lens = np.fromiter((len(r) for r in self.ring_world),
-                           dtype=np.int64, count=len(self.ring_world))
+                           dtype=np.int64, count=nr)
+        tot = int(lens.sum())
+        s = _qpool(tot)
         # preallocated fill: np.concatenate over tens of thousands of
         # tiny ring arrays costs ~30us PER ARRAY; slice-assign is ~2us
-        pts = np.empty((int(lens.sum()), 2), np.float64)
+        pts = s.pts[:tot]
         off = 0
         for r in self.ring_world:
             n = len(r)
             pts[off:off + n] = r
             off += n
-        z2 = np.repeat(np.asarray(self.ring_z2), lens)
-        tx = np.repeat(np.asarray(self.ring_tx), lens)
-        ty = np.repeat(np.asarray(self.ring_ty), lens)
-        # in place over pts (same float64 op order, just no second
-        # buffer): fresh first-touch pages cost ~ms/MB on shared VMs,
-        # so avoiding the (n,2) out array and the out+0.5 temp cuts
-        # the batch's fresh allocations by ~40%
-        np.multiply(pts[:, 0], z2, out=pts[:, 0])
-        np.subtract(pts[:, 0], tx, out=pts[:, 0])
-        np.multiply(pts[:, 1], z2, out=pts[:, 1])
-        np.subtract(pts[:, 1], ty, out=pts[:, 1])
+        # per-point ring index without np.repeat (which allocates fresh
+        # per call): mark ring starts, prefix-sum in the pooled buffer.
+        # add.at keeps stacked marks from zero-length rings additive.
+        ridx = s.ridx[:tot]
+        ridx[:] = 0
+        if nr > 1:
+            starts = np.cumsum(lens[:-1])
+            np.add.at(ridx, starts[starts < tot], 1)
+        np.cumsum(ridx, out=ridx)
+        param = s.param[:tot]
+        # in place over pts, one staged param vector at a time: identical
+        # per-element float64 op order to kernels.transform.quantize
+        np.take(np.asarray(self.ring_z2), ridx, out=param)
+        np.multiply(pts[:, 0], param, out=pts[:, 0])
+        np.multiply(pts[:, 1], param, out=pts[:, 1])
+        np.take(np.asarray(self.ring_tx), ridx, out=param)
+        np.subtract(pts[:, 0], param, out=pts[:, 0])
+        np.take(np.asarray(self.ring_ty), ridx, out=param)
+        np.subtract(pts[:, 1], param, out=pts[:, 1])
         pts *= extent
         pts += 0.5
         np.floor(pts, out=pts)
