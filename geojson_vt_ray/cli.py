@@ -52,7 +52,7 @@ def cmd_slice(args) -> int:
         index_max_points=args.index_max_points, tolerance=args.tolerance,
         extent=args.extent, buffer=args.buffer,
         line_metrics=args.line_metrics, promote_id=args.promote_id,
-        generate_id=args.generate_id)
+        generate_id=args.generate_id, debug=args.debug)
     docs = _load_docs(args.input)
     if args.repartition:
         docs = docs.repartition(args.repartition)
@@ -68,9 +68,12 @@ def cmd_slice(args) -> int:
     else:
         ts = slice_pyramid(docs, opts, args.out, batch_size=args.batch_size,
                            resume=args.resume)
-    print(json.dumps({"out": args.out,
-                      "tiles": len(ts.tiles),
-                      "levels": ts.manifest["levels"]}))
+    out = {"out": args.out,
+           "tiles": len(ts.tiles),
+           "levels": ts.manifest["levels"]}
+    if args.debug:  # reference debug console output (src/index.js:39-44)
+        out["metrics"] = ts.manifest.get("metrics", {})
+    print(json.dumps(out))
     return 0
 
 
@@ -109,6 +112,10 @@ def main(argv=None) -> int:
     sp.add_argument("--line-metrics", action="store_true")
     sp.add_argument("--promote-id", default=None)
     sp.add_argument("--generate-id", action="store_true")
+    sp.add_argument("--debug", type=int, default=0, choices=(0, 1, 2),
+                    help="timing/stats verbosity: 1 records Ray's "
+                         "per-operator stats in the manifest metrics, "
+                         "2 adds per-level operator detail")
     sp.add_argument("--batch-size", type=int, default=64)
     sp.add_argument("--repartition", type=int, default=0)
     sp.add_argument("--resume", action="store_true",

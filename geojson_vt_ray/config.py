@@ -21,6 +21,13 @@ class TileOptions:
     line_metrics: bool = False  # track mapbox_clip_start / mapbox_clip_end
     promote_id: str | None = None   # property name promoted to feature id
     generate_id: bool = False   # generate ids from input index
+    debug: int = 0              # 0/1/2 timing+stats verbosity (index.js:18)
+    # debug >= 1: manifest["metrics"] additionally records Ray's
+    # per-operator stats string (the distributed analogue of the
+    # reference's console.time 'preprocess data'/'generate tiles' pair,
+    # src/index.js:27,39-44); phase wall times and the per-zoom tile
+    # histogram are always recorded. debug has no effect on results and
+    # is excluded from resume-compatibility checks.
 
     def __post_init__(self) -> None:
         if self.max_zoom < 0 or self.max_zoom > 24:
@@ -54,7 +61,5 @@ def options_from_dict(d: dict | None) -> TileOptions:
     }
     kw = {}
     for k, v in d.items():
-        if k == "debug":
-            continue
-        kw[m.get(k, k)] = v
+        kw[m.get(k, k)] = int(v) if k == "debug" else v
     return TileOptions(**kw)

@@ -200,6 +200,12 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         _t_level0 = _time.perf_counter()
         lvl_dir = os.path.join(out_dir, "levels", f"z={z}")
         ds.write_parquet(lvl_dir)
+        lvl_stats = None
+        if options.debug >= 2:  # per-level operator detail (index.js:90-98)
+            try:
+                lvl_stats = ds.stats()
+            except Exception:
+                pass
         if not os.path.isdir(lvl_dir) or not os.listdir(lvl_dir):
             # zero-row level: no tiles created at all (index.js:51)
             if z == 0:
@@ -283,7 +289,9 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                             # side-channel (reference src/index.js debug
                             # console.time per splitTile pass)
                             "t_sec": round(_time.perf_counter()
-                                           - _t_level0, 3)})
+                                           - _t_level0, 3),
+                            **({"ray_stats": lvl_stats}
+                               if lvl_stats else {})})
 
         # per-level checkpoint (north rule): level z's rows + tiles are
         # durable and the split decision is recorded, so a failed run
@@ -369,6 +377,11 @@ def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
         # slice+write wall vs manifest wall, plus Ray's own per-operator
         # stats string for per-stage depth
         metrics = {"t_slice_write_sec": round(t1 - t0, 3)}
+        if options.debug >= 1:
+            try:
+                metrics["ray_stats"] = ds.stats()
+            except Exception:
+                pass  # stats are best-effort debug output
         with open(marker, "w") as f:
             f.write("ok")
 

@@ -377,3 +377,32 @@ def test_resume_with_no_checkpoint_restarts_clean(ray_session, tmp_path,
     ts = slice_pyramid(rd.from_arrow(doc_table_from_geojson(data)),
                        opts, out, resume=True)
     assert ts.gen_tiles() == want
+
+
+def test_debug_option_records_ray_stats(ray_session, tmp_path, fixtures):
+    """debug>=1 (src/index.js:18,39-44 parity): metrics gain Ray's
+    per-operator stats; debug>=2 on the adaptive path adds per-level
+    operator detail. Results are unaffected."""
+    import ray.data as rd
+    data = fixtures("us-states.json")
+    docs = rd.from_arrow(doc_table_from_geojson(data))
+
+    # fullsplit path, debug=1
+    opts = options_from_dict({"indexMaxZoom": 3, "indexMaxPoints": 0,
+                              "debug": 1})
+    ts = slice_pyramid(docs, opts, str(tmp_path / "dbg1"))
+    m = ts.manifest["metrics"]
+    assert "t_slice_write_sec" in m
+    assert isinstance(m.get("ray_stats"), str) and "Operator" in m["ray_stats"]
+
+    # adaptive path, debug=2: per-level ray_stats detail
+    opts2 = options_from_dict({"indexMaxZoom": 2, "indexMaxPoints": 200,
+                               "debug": 2})
+    ts2 = slice_pyramid(docs, opts2, str(tmp_path / "dbg2"))
+    levels = ts2.manifest["levels"]
+    assert levels and all("t_sec" in lv for lv in levels)
+    assert any(isinstance(lv.get("ray_stats"), str) for lv in levels)
+
+    # debug changes no results: same tiles as a debug=0 run
+    ts0 = slice_pyramid(docs, opts.with_(debug=0), str(tmp_path / "dbg0"))
+    assert ts.gen_tiles() == ts0.gen_tiles()
