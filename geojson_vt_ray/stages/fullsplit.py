@@ -31,14 +31,18 @@ slabs (index.js:126-129), per-feature bbox trivial accept/reject
 
 from __future__ import annotations
 
+import os
 from collections import deque
 
+import numpy as np
 import pyarrow as pa
 
 from ..arrowio import FEATURE_SCHEMA, FeatureRowBuilder, decode_features
 from ..config import TileOptions
 from ._gctune import tune_gc
+from ..kernels import native as _native
 from ..kernels.clip import clip_feature
+from ..kernels.tileid import tile_id_vec
 from .build import TILE_SCHEMA, TileRowAccum
 
 _SHARED = ("z", "x", "y", "okey", "seq", "fid_json", "tags_json",
@@ -98,6 +102,16 @@ class FullSplitBuild:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tune_gc()  # per-worker, no-op after first batch
+        # C fast path: the whole per-feature BFS (clip + thin + quantize
+        # + leaf emission) in one extension call per batch, bit-exact vs
+        # this Python loop (tests/test_fullsplit_native.py pins table
+        # equality).  line_metrics stays on the Python path (per-slice
+        # okey suffixes + tag injection).
+        if (_native.EXT is not None
+                and hasattr(_native.EXT, "split_batch")
+                and not self.options.line_metrics
+                and not os.environ.get("GVT_NO_SPLITC")):
+            return self._call_native(batch)
         opts = self.options
         imz = opts.index_max_zoom
         lm = opts.line_metrics
@@ -168,6 +182,109 @@ class FullSplitBuild:
             parts.append(_pad_to_combined(_stats_partial(tile_table), 2))
         if sources is not None and len(sources):
             parts.append(_pad_to_combined(sources.table(carry=batch), 1))
+        if not parts:
+            return COMBINED_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    def _call_native(self, batch: pa.Table) -> pa.Table:
+        """One split_batch extension call; Arrow assembly by take/offsets
+        (zero Python work per feature/row)."""
+        opts = self.options
+
+        def flat(name):
+            arr = batch.column(name)
+            arr = (arr.combine_chunks()
+                   if isinstance(arr, pa.ChunkedArray) else arr)
+            return (arr.offsets.to_numpy(zero_copy_only=False),
+                    arr.values.to_numpy(zero_copy_only=False))
+
+        def col_np(name, dtype):
+            a = batch.column(name).to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(a, dtype=dtype)
+
+        pl_off, pl_vals = flat("part_lens")
+        _, pi_vals = flat("poly_idx")
+        _, sz_vals = flat("sizes")
+        _, st_vals = flat("starts")
+        _, en_vals = flat("ends")
+        xz_off, xz_vals = flat("xyz")
+
+        res = _native.EXT.split_batch(
+            col_np("gtype", np.uint8),
+            np.ascontiguousarray(pl_off, np.int32),
+            np.ascontiguousarray(pl_vals, np.int32),
+            np.ascontiguousarray(pi_vals, np.int32),
+            np.ascontiguousarray(sz_vals, np.float64),
+            np.ascontiguousarray(st_vals, np.float64),
+            np.ascontiguousarray(en_vals, np.float64),
+            np.ascontiguousarray(xz_off, np.int32),
+            np.ascontiguousarray(xz_vals, np.float64),
+            col_np("minx", np.float64), col_np("miny", np.float64),
+            col_np("maxx", np.float64), col_np("maxy", np.float64),
+            col_np("z", np.int32), col_np("x", np.int32),
+            col_np("y", np.int32),
+            opts.index_max_zoom, opts.max_zoom, float(opts.tolerance),
+            opts.extent, opts.buffer, bool(self.keep_sources))
+        (tsrc, tz, tx, ty, ttype, tnr, tnp, tring, txy,
+         lsrc, lz, lx, ly, lgt, lnr, lnp, lbb, lring, lpoly,
+         lsize, lstart, lend, lxyz) = res
+
+        def list_arr(vals: np.ndarray, counts: np.ndarray,
+                     pa_type) -> pa.ListArray:
+            offs = np.zeros(len(counts) + 1, dtype=np.int32)
+            if len(counts):
+                offs[1:] = np.cumsum(counts, dtype=np.int64).astype(np.int32)
+            return pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(vals, pa_type))
+
+        parts = []
+        if len(tsrc):
+            idx = pa.array(tsrc)
+            tile_table = pa.table({
+                "z": pa.array(tz.astype(np.int16), pa.int16()),
+                "x": pa.array(tx, pa.int32()),
+                "y": pa.array(ty, pa.int32()),
+                "tile_id": pa.array(tile_id_vec(tz, tx, ty), pa.int64()),
+                "okey": batch.column("okey").take(idx),
+                "seq": batch.column("seq").take(idx),
+                "fid_json": batch.column("fid_json").take(idx),
+                "type": pa.array(ttype, pa.uint8()),
+                "ring_lens": list_arr(tring, tnr, pa.int32()),
+                "xy": list_arr(txy, 2 * tnp.astype(np.int64), pa.int32()),
+                "tags_json": batch.column("tags_json").take(idx),
+                "doc_id": batch.column("doc_id").take(idx),
+                "spans": batch.column("spans").take(idx),
+            })
+            parts.append(_pad_to_combined(tile_table, 0))
+            parts.append(_pad_to_combined(_stats_partial(tile_table), 2))
+        if self.keep_sources and len(lsrc):
+            idx = pa.array(lsrc)
+            bb = lbb.reshape(-1, 4)
+            src_table = pa.table({
+                "doc_id": batch.column("doc_id").take(idx),
+                "seq": batch.column("seq").take(idx),
+                "okey": batch.column("okey").take(idx),
+                "fid_json": batch.column("fid_json").take(idx),
+                "gtype": pa.array(lgt, pa.uint8()),
+                "part_lens": list_arr(lring, lnr, pa.int32()),
+                "poly_idx": list_arr(lpoly, lnr, pa.int32()),
+                "xyz": list_arr(lxyz, 3 * lnp.astype(np.int64),
+                                pa.float64()),
+                "sizes": list_arr(lsize, lnr, pa.float64()),
+                "starts": list_arr(lstart, lnr, pa.float64()),
+                "ends": list_arr(lend, lnr, pa.float64()),
+                "minx": pa.array(bb[:, 0], pa.float64()),
+                "miny": pa.array(bb[:, 1], pa.float64()),
+                "maxx": pa.array(bb[:, 2], pa.float64()),
+                "maxy": pa.array(bb[:, 3], pa.float64()),
+                "tags_json": batch.column("tags_json").take(idx),
+                "spans": batch.column("spans").take(idx),
+                "n_points": pa.array(lnp, pa.int32()),
+                "z": pa.array(lz.astype(np.int16), pa.int16()),
+                "x": pa.array(lx, pa.int32()),
+                "y": pa.array(ly, pa.int32()),
+            })
+            parts.append(_pad_to_combined(src_table, 1))
         if not parts:
             return COMBINED_SCHEMA.empty_table()
         return pa.concat_tables(parts)
