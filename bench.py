@@ -184,15 +184,16 @@ def bench_scaling(sf_dir: str) -> dict:
     lower efficiency is a single-socket hardware artifact (UDF cpu-time
     inflates ~2x from 8 to 32 concurrent workers on this box — measured
     via ds.stats(), identical task counts and totals otherwise)."""
-    # 24x the default corpus: scaling needs compute (not the fixed ~5s
+    # 48x the default corpus: scaling needs compute (not the fixed ~5s
     # of write/manifest/scheduling) to dominate at every parallelism
     # level, and this shared VM stalls intermittently for 1-2s — longer
-    # runs average the stalls out of the ratio. (Was 6x, then 12x; each
-    # native-kernel round halves per-core compute, which drops the 2->8
-    # ratio below 0.8 purely from the fixed-overhead share — the corpus
-    # multiplier tracks the kernel speedups to keep the measurement
-    # about the ENGINE, not the constant.)
-    n_docs = 24 * _CORPUS_N.get(_sf_of(sf_dir), 8000)
+    # runs average the stalls out of the ratio. (Was 6x, 12x, then 24x;
+    # each native-kernel round halves per-core compute, which drops the
+    # 2->8 ratio below 0.8 purely from the fixed-overhead share — the
+    # corpus multiplier tracks the kernel speedups to keep the
+    # measurement about the ENGINE, not the constant. 48x follows the
+    # C split_batch BFS, which halved the split stage again.)
+    n_docs = 48 * _CORPUS_N.get(_sf_of(sf_dir), 8000)
     results = {}
     for n in (2, 8, 32):
         # best of 2 fresh processes per level: this shared VM stalls

@@ -169,6 +169,17 @@ class FeatureRowBuilder:
         return pa.table({k: cols[k] for k in FEATURE_SCHEMA.names})
 
 
+def flat_list_column(batch: pa.Table, name: str):
+    """(offsets, values) numpy views of a list column; offsets are
+    parent-relative, values are the unsliced child (the pyarrow
+    .offsets/.values contract both decode_features and the native
+    split stage rely on)."""
+    arr = batch.column(name)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return (arr.offsets.to_numpy(zero_copy_only=False),
+            arr.values.to_numpy(zero_copy_only=False))
+
+
 def _list_from_flat(flat: np.ndarray, lens: list[int]) -> pa.ListArray:
     offsets = np.zeros(len(lens) + 1, dtype=np.int32)
     if lens:
@@ -195,19 +206,12 @@ def decode_features(batch: pa.Table, with_tags: bool = False) -> list[PFeature]:
     maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
     maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
 
-    def _flat(col_name):
-        arr = batch.column(col_name)
-        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        offs = arr.offsets.to_numpy(zero_copy_only=False)
-        vals = arr.values.to_numpy(zero_copy_only=False)
-        return offs, vals
-
-    pl_off, pl_vals = _flat("part_lens")
-    _, pi_vals = _flat("poly_idx")
-    _, sz_vals = _flat("sizes")
-    _, st_vals = _flat("starts")
-    _, en_vals = _flat("ends")
-    xz_off, xz_vals = _flat("xyz")
+    pl_off, pl_vals = flat_list_column(batch, "part_lens")
+    _, pi_vals = flat_list_column(batch, "poly_idx")
+    _, sz_vals = flat_list_column(batch, "sizes")
+    _, st_vals = flat_list_column(batch, "starts")
+    _, en_vals = flat_list_column(batch, "ends")
+    xz_off, xz_vals = flat_list_column(batch, "xyz")
 
     feats: list[PFeature] = []
     for i in range(n):

@@ -22,12 +22,17 @@ class TileOptions:
     promote_id: str | None = None   # property name promoted to feature id
     generate_id: bool = False   # generate ids from input index
     debug: int = 0              # 0/1/2 timing+stats verbosity (index.js:18)
-    # debug >= 1: manifest["metrics"] additionally records Ray's
-    # per-operator stats string (the distributed analogue of the
-    # reference's console.time 'preprocess data'/'generate tiles' pair,
-    # src/index.js:27,39-44); phase wall times and the per-zoom tile
-    # histogram are always recorded. debug has no effect on results and
-    # is excluded from resume-compatibility checks.
+    # debug >= 1 records Ray's per-operator stats string (the
+    # distributed analogue of the reference's console.time 'preprocess
+    # data'/'generate tiles' pair, src/index.js:27,39-44): fullsplit +
+    # adaptive put it in manifest["metrics"]["ray_stats"] (adaptive: the
+    # final level's), sharded puts each shard's in its shards/K.json
+    # lineage marker; debug >= 2 (adaptive) adds per-level stats in
+    # manifest["levels"]. Phase wall times and the per-zoom histogram
+    # are always recorded. append_to_pyramid restores options from the
+    # existing manifest (debug is not persisted there), so appends run
+    # at debug=0. debug has no effect on results and is excluded from
+    # resume-compatibility checks.
 
     def __post_init__(self) -> None:
         if self.max_zoom < 0 or self.max_zoom > 24:

@@ -144,6 +144,7 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     manifest_tiles: dict[int, tuple[int, int, int, str]] = {}
     level_tiles: list[tuple[int, int, int]] = [(0, 0, 0)]
     levels_meta = []
+    last_lvl_stats = None
     z = 0
 
     ckpt_path = os.path.join(out_dir, "checkpoint.json")
@@ -201,11 +202,15 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         lvl_dir = os.path.join(out_dir, "levels", f"z={z}")
         ds.write_parquet(lvl_dir)
         lvl_stats = None
-        if options.debug >= 2:  # per-level operator detail (index.js:90-98)
+        if options.debug >= 1:  # per-level operator detail (index.js:90-98)
             try:
                 lvl_stats = ds.stats()
+                last_lvl_stats = lvl_stats
             except Exception:
                 pass
+            if options.debug < 2:
+                lvl_stats = None  # summary only: manifest metrics get
+                #                   the final level's stats, not each one
         if not os.path.isdir(lvl_dir) or not os.listdir(lvl_dir):
             # zero-row level: no tiles created at all (index.js:51)
             if z == 0:
@@ -317,18 +322,24 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         level_tiles = next_tiles
         z += 1
 
-    _write_manifest(out_dir, options, levels_meta, manifest_tiles)
+    metrics = None
+    if options.debug >= 1 and last_lvl_stats is not None:
+        metrics = {"ray_stats": last_lvl_stats}
+    _write_manifest(out_dir, options, levels_meta, manifest_tiles,
+                    metrics=metrics)
     return TileSet(out_dir, options)
 
 
 def _write_manifest(out_dir: str, options: TileOptions, levels_meta,
-                    manifest_tiles: dict) -> None:
+                    manifest_tiles: dict, metrics: dict | None = None) -> None:
     manifest = {
         "options": _options_dict(options),
         "levels": levels_meta,
         "tiles": [[tz, tx, ty, st]
                   for tz, tx, ty, st in manifest_tiles.values()],
     }
+    if metrics:
+        manifest["metrics"] = metrics
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
 
@@ -572,11 +583,17 @@ def slice_pyramid_sharded(docs: "ray.data.Dataset", options: TileOptions,
             ds = ds.map_batches(_strip_spans, batch_format="pyarrow")
         ds = ds.map_batches(FullSplitBuild(options), **kw)
         ds.write_parquet(shard_dir, partition_cols=["okind", "z"])
+        lineage = {"shard": k, "n_shards": n_shards,
+                   "n_docs": int(n_docs),
+                   "t_sec": round(time.perf_counter() - t0, 3),
+                   "options": _options_dict(options)}
+        if options.debug >= 1:  # per-shard operator stats (debug contract)
+            try:
+                lineage["ray_stats"] = ds.stats()
+            except Exception:
+                pass
         with open(marker, "w") as f:
-            json.dump({"shard": k, "n_shards": n_shards,
-                       "n_docs": int(n_docs),
-                       "t_sec": round(time.perf_counter() - t0, 3),
-                       "options": _options_dict(options)}, f)
+            json.dump(lineage, f)
 
     _rebuild_fullsplit_manifest(out_dir, options, batch_size,
                                 metrics={"n_shards": n_shards})

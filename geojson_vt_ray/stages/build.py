@@ -53,7 +53,8 @@ _QPOOL = threading.local()
 
 def _qpool(tot: int):
     s = _QPOOL
-    if getattr(s, "cap", 0) < tot:
+    # default -1 so a fresh thread initializes even for tot == 0
+    if getattr(s, "cap", -1) < tot:
         s.cap = max(4096, 1 << max(0, int(tot - 1).bit_length()))
         s.pts = np.empty((s.cap, 2), np.float64)
         s.ridx = np.empty(s.cap, np.int64)
@@ -131,6 +132,8 @@ class TileRowAccum:
         lens = np.fromiter((len(r) for r in self.ring_world),
                            dtype=np.int64, count=nr)
         tot = int(lens.sum())
+        if tot == 0:  # all rings empty (preserved 0-len artifacts)
+            return np.empty(0, dtype=np.int32)
         s = _qpool(tot)
         # preallocated fill: np.concatenate over tens of thousands of
         # tiny ring arrays costs ~30us PER ARRAY; slice-assign is ~2us

@@ -191,12 +191,10 @@ class FullSplitBuild:
         (zero Python work per feature/row)."""
         opts = self.options
 
+        from ..arrowio import flat_list_column
+
         def flat(name):
-            arr = batch.column(name)
-            arr = (arr.combine_chunks()
-                   if isinstance(arr, pa.ChunkedArray) else arr)
-            return (arr.offsets.to_numpy(zero_copy_only=False),
-                    arr.values.to_numpy(zero_copy_only=False))
+            return flat_list_column(batch, name)
 
         def col_np(name, dtype):
             a = batch.column(name).to_numpy(zero_copy_only=False)

@@ -395,13 +395,26 @@ def test_debug_option_records_ray_stats(ray_session, tmp_path, fixtures):
     assert "t_slice_write_sec" in m
     assert isinstance(m.get("ray_stats"), str) and "Operator" in m["ray_stats"]
 
-    # adaptive path, debug=2: per-level ray_stats detail
+    # adaptive path, debug=2: per-level ray_stats detail + final-level
+    # stats in the manifest metrics
     opts2 = options_from_dict({"indexMaxZoom": 2, "indexMaxPoints": 200,
                                "debug": 2})
     ts2 = slice_pyramid(docs, opts2, str(tmp_path / "dbg2"))
     levels = ts2.manifest["levels"]
     assert levels and all("t_sec" in lv for lv in levels)
     assert any(isinstance(lv.get("ray_stats"), str) for lv in levels)
+    assert isinstance(ts2.manifest["metrics"].get("ray_stats"), str)
+
+    # sharded path, debug=1: per-shard lineage markers carry stats
+    import json as _json
+    import os as _os
+    from geojson_vt_ray.pipelines.pyramid import slice_pyramid_sharded
+    ts3 = slice_pyramid_sharded(docs, opts, str(tmp_path / "dbg3"),
+                                n_shards=2)
+    for k in range(2):
+        with open(_os.path.join(str(tmp_path / "dbg3"),
+                                "shards", f"{k}.json")) as f:
+            assert isinstance(_json.load(f).get("ray_stats"), str)
 
     # debug changes no results: same tiles as a debug=0 run
     ts0 = slice_pyramid(docs, opts.with_(debug=0), str(tmp_path / "dbg0"))

@@ -3,7 +3,6 @@ every row, same order) of stages/fullsplit.FullSplitBuild on mixed
 geometry, including the types the random-parity corpus lacks
 (MultiPoint, MultiPolygon) and the tolerance==0 / no-sources edges."""
 
-import os
 
 import numpy as np
 import pytest
@@ -81,18 +80,16 @@ def _mixed_collection(seed: int, n: int = 30) -> dict:
     (15, {"indexMaxZoom": 5, "indexMaxPoints": 0,
           "extent": 512, "buffer": 0}, False),
 ])
-def test_split_batch_matches_python(seed, opts, keep_sources):
+def test_split_batch_matches_python(seed, opts, keep_sources, monkeypatch):
     data = _mixed_collection(seed)
     options = options_from_dict(dict({"indexMaxPoints": 0}, **opts))
     batch = WrapStage(options)(ParseDocs(options)(
         doc_table_from_geojson(data)))
     stage = FullSplitBuild(options, keep_sources=keep_sources)
 
-    os.environ["GVT_NO_SPLITC"] = "1"
-    try:
-        py = stage(batch)
-    finally:
-        del os.environ["GVT_NO_SPLITC"]
+    monkeypatch.setenv("GVT_NO_SPLITC", "1")
+    py = stage(batch)
+    monkeypatch.delenv("GVT_NO_SPLITC")
     cc = stage(batch)
 
     assert py.schema.equals(cc.schema)

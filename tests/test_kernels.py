@@ -172,3 +172,34 @@ def test_projection_values():
     assert project_y(90.0) == 0.0
     assert project_y(-90.0) == 1.0
     assert project_y(0.0) == 0.5
+
+
+def test_quantize_pool_all_empty_rings():
+    """Regression: _quantize_all with only zero-length rings must return
+    an empty array (not crash initializing the pool on a fresh thread)."""
+    import threading
+
+    import numpy as np
+
+    from geojson_vt_ray.config import TileOptions
+    from geojson_vt_ray.stages.build import TileRowAccum
+
+    acc = TileRowAccum(TileOptions())
+    acc.ring_world = [np.empty((0, 2)), np.empty((0, 2))]
+    acc.ring_z2 = [1.0, 1.0]
+    acc.ring_tx = [0.0, 0.0]
+    acc.ring_ty = [0.0, 0.0]
+
+    out = {}
+
+    def run():
+        try:
+            out["res"] = acc._quantize_all()
+        except Exception as e:  # pragma: no cover - the regression
+            out["err"] = e
+
+    t = threading.Thread(target=run)  # fresh thread -> fresh pool
+    t.start()
+    t.join()
+    assert "err" not in out, out.get("err")
+    assert out["res"].dtype == np.int32 and len(out["res"]) == 0
