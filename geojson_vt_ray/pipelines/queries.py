@@ -1021,6 +1021,106 @@ _SQL_TFIDF_TOP = (
     f"WHERE rnk <= {_TFIDF_K} ORDER BY doc_id, rnk")
 
 
+# co-occurrence defaults, shared with _SQL_COOCCUR (same contract as
+# _TFIDF_K: change here and the oracle tracks)
+_COOCCUR_V = 64
+_COOCCUR_K = 50
+
+
+def q_cooccur(sf_dir: str, v: int = _COOCCUR_V, k: int = _COOCCUR_K):
+    """Vocabulary-pruned term co-occurrence: among the ``v`` highest-df
+    terms, the top-``k`` unordered pairs by the number of documents
+    containing both (the counting core of PMI/word-graph features).
+
+    Shape for scale: the UNPRUNED pair space is |vocab|^2 and can never
+    be materialized — so phase 1 is the distributed df aggregate
+    (reuses q_term_stats' partial/coarse-merge/two-level-top-k), whose
+    top-v result is a tiny broadcastable dict; phase 2 streams the
+    corpus once, each batch folding its documents into a dense
+    v*v upper-triangle count vector (a per-batch COMBINER — at most
+    v*(v-1)/2 partial rows leave a batch regardless of batch size);
+    the merge shuffles only those fixed-cardinality partials. Output is
+    int+string only, ties broken lexicographically — bit-exact vs SQL.
+    """
+    vocab_tbl = q_term_stats(sf_dir, k=v)
+    terms = vocab_tbl.column("term").to_pylist()
+    vidx = {t: i for i, t in enumerate(terms)}
+    nv = len(terms)
+    cmask = _coarse_mask()
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    class PairPartial:
+        def __init__(self, vidx, nv):
+            self.vidx = vidx
+            self.nv = nv
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nv = self.nv
+            vidx = self.vidx
+            counts = np.zeros(nv * nv, np.int64)
+            for t in b.column("text").to_pylist():
+                ids = {vidx[w] for w in F_text._RE2_TOKEN_RE.findall(t)
+                       if w in vidx}
+                if len(ids) < 2:
+                    continue
+                a = np.fromiter(ids, np.int64, len(ids))
+                a.sort()
+                ii, jj = np.triu_indices(len(a), 1)
+                # distinct sorted ids -> pair codes are unique per doc,
+                # so fancy-index increment is safe (no np.add.at needed)
+                counts[a[ii] * nv + a[jj]] += 1
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "pcode": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz]),
+                "pkey": pa.array((nz & cmask).astype(np.int32))})
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pcode", sort=False, as_index=False)["n"].sum()
+
+    merged = (ds.map_batches(PairPartial(vidx, nv), batch_format="pyarrow")
+              .groupby("pkey").map_groups(merge_pairs,
+                                          batch_format="pandas")
+              .to_pandas())  # <= v*(v-1)/2 rows by construction
+    if not len(merged):
+        return pa.table({"term_a": pa.array([], pa.string()),
+                         "term_b": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    ta_i = (merged["pcode"] // nv).to_numpy()
+    tb_i = (merged["pcode"] % nv).to_numpy()
+    # pair codes order by df-rank; the SQL orders a.term < b.term, so
+    # normalize each pair lexicographically before the final sort
+    t1 = np.asarray([terms[i] for i in ta_i], dtype=object)
+    t2 = np.asarray([terms[i] for i in tb_i], dtype=object)
+    lo = np.minimum(t1, t2)
+    hi = np.maximum(t1, t2)
+    out = pd.DataFrame({"term_a": lo, "term_b": hi,
+                        "n_docs": merged["n"].to_numpy()})
+    out = (out.sort_values(["n_docs", "term_a", "term_b"],
+                           ascending=[False, True, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return pa.table({"term_a": pa.array(out["term_a"], pa.string()),
+                     "term_b": pa.array(out["term_b"], pa.string()),
+                     "n_docs": pa.array(out["n_docs"], pa.int64())})
+
+
+_SQL_COOCCUR = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents), "
+    "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks "
+    "GROUP BY term), "
+    f"vocab AS (SELECT term FROM df ORDER BY df DESC, term ASC "
+    f"LIMIT {_COOCCUR_V}), "
+    "vt AS (SELECT DISTINCT doc_id, term FROM toks "
+    "WHERE term IN (SELECT term FROM vocab)), "
+    "p AS (SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs "
+    "FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term "
+    "GROUP BY 1, 2) "
+    "SELECT term_a, term_b, CAST(n_docs AS BIGINT) AS n_docs FROM p "
+    f"ORDER BY n_docs DESC, term_a, term_b LIMIT {_COOCCUR_K}")
+
+
 def q_dup_ngrams(sf_dir: str, n: int = 8, k: int = 100):
     """Cross-document duplicated-passage detection (the discovery pass
     of substring-level training-data dedup): word n-grams appearing in
@@ -1737,6 +1837,7 @@ QUERIES = {
     "jaccard_join": q_jaccard_join,
     "group_percentiles": q_group_percentiles,
     "tfidf_top": q_tfidf_top,
+    "cooccur": q_cooccur,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1786,6 +1887,7 @@ ORACLE_SQL = {
     "jaccard_join": _SQL_JACCARD_JOIN,
     "group_percentiles": _SQL_GROUP_PERCENTILES,
     "tfidf_top": _SQL_TFIDF_TOP,
+    "cooccur": _SQL_COOCCUR,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
 }
