@@ -857,6 +857,65 @@ _SQL_SAMPLE_DOCS = ("SELECT doc_id FROM documents WHERE "
                     "substr(md5(text), 1, 1) < '2'")
 
 
+# fixed per-stratum sample size, shared with _SQL_STRATIFIED
+_STRAT_N = 20
+
+
+def q_stratified_sample(sf_dir: str, n: int = _STRAT_N):
+    """Deterministic fixed-n-per-stratum sample: for every language
+    stratum, the n docs with the smallest md5(doc_id) — the
+    reproducible, cluster-order-independent way to build balanced
+    eval/training subsets (hash rank, not random state).
+
+    Shape for scale: per-batch top-n per stratum is a COMBINER (at most
+    strata*n rows leave any batch); the crc-coarse merge re-applies the
+    same top-n per stratum, so the driver only ever sees strata*n rows.
+    Ties (md5 collisions) break on doc_id; output is int+string only.
+    """
+    import hashlib
+    import zlib
+
+    cmask = _coarse_mask()
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["doc_id", "lang"]).to_pandas()
+        df["hk"] = [hashlib.md5(str(d).encode()).hexdigest()
+                    for d in df["doc_id"]]
+        df = (df.sort_values(["lang", "hk", "doc_id"], kind="mergesort")
+              .groupby("lang", sort=False).head(n))
+        pk = np.fromiter((zlib.crc32(s.encode()) & cmask
+                          for s in df["lang"]), np.int64, len(df))
+        return pa.table({"lang": pa.array(df["lang"], pa.string()),
+                         "hk": pa.array(df["hk"], pa.string()),
+                         "doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "pkey": pa.array(pk.astype(np.int32))})
+
+    def merge_top(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["lang", "hk", "doc_id"], kind="mergesort")
+                .groupby("lang", sort=False).head(n)
+                [["lang", "hk", "doc_id"]])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pkey").map_groups(merge_top, batch_format="pandas")
+           .to_pandas())  # <= strata * n rows by construction
+    out = out.sort_values(["lang", "hk", "doc_id"], ignore_index=True)
+    out["rnk"] = out.groupby("lang", sort=False).cumcount() + 1
+    return pa.table({"lang": pa.array(out["lang"], pa.string()),
+                     "rnk": pa.array(out["rnk"], pa.int64()),
+                     "doc_id": pa.array(out["doc_id"], pa.int64())})
+
+
+_SQL_STRATIFIED = (
+    "WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk "
+    "FROM documents), "
+    "r AS (SELECT lang, doc_id, ROW_NUMBER() OVER ("
+    "PARTITION BY lang ORDER BY hk, doc_id) AS rnk FROM h) "
+    f"SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r "
+    f"WHERE rnk <= {_STRAT_N} ORDER BY lang, rnk")
+
+
 def q_dedup_exact(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -1838,6 +1897,7 @@ QUERIES = {
     "group_percentiles": q_group_percentiles,
     "tfidf_top": q_tfidf_top,
     "cooccur": q_cooccur,
+    "stratified_sample": q_stratified_sample,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1888,6 +1948,7 @@ ORACLE_SQL = {
     "group_percentiles": _SQL_GROUP_PERCENTILES,
     "tfidf_top": _SQL_TFIDF_TOP,
     "cooccur": _SQL_COOCCUR,
+    "stratified_sample": _SQL_STRATIFIED,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
 }
