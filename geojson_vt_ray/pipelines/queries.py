@@ -634,6 +634,85 @@ _SQL_USER_OVERLAP = (
     " d0.user_id) AS BIGINT) AS both FROM d0")
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention matrix: for every ordered day pair
+    (day_a < day_b) of the events table, the number of users active on
+    BOTH days — the classic cohort/retention analytics primitive.
+
+    Shape for scale: per-batch distinct (user, day) pairs; a coarse
+    user-keyed groupby ORs each user's days into one int64 bitmask (the
+    table spans 30 days, so a single word holds a user's whole
+    activity); a second map_batches folds masks into a dense
+    days*days triangle count vector (per-batch combiner — at most
+    days*(days-1)/2 partial rows leave a batch); the final merge is a
+    driver sum over those fixed-cardinality partials. The shuffle moves
+    (user, day) and (user, mask) ints only — never events."""
+    mask = _coarse_mask()
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    n_days = 64  # one int64 bitmask word; events span 30 days
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000 - _EVENTS_DAY0
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        key = uid.astype(np.int64) * n_days + day
+        uniq = np.unique(key)
+        u = uniq // n_days
+        return pa.table({
+            "user_id": pa.array(u),
+            "day": pa.array(uniq % n_days),
+            "ukey": pa.array((u & mask).astype(np.int32))})
+
+    def or_masks(g: pd.DataFrame) -> pd.DataFrame:
+        bits = np.int64(1) << g["day"].to_numpy().astype(np.int64)
+        gg = pd.DataFrame({"user_id": g["user_id"], "bits": bits})
+        return gg.groupby("user_id", as_index=False)["bits"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy()))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        counts = np.zeros(n_days * n_days, np.int64)
+        for m in b.column("bits").to_numpy(zero_copy_only=False):
+            days = np.flatnonzero(
+                (np.int64(m) >> np.arange(n_days, dtype=np.int64)) & 1)
+            if len(days) < 2:
+                continue
+            ii, jj = np.triu_indices(len(days), 1)
+            counts[days[ii] * n_days + days[jj]] += 1
+        nz = np.flatnonzero(counts)
+        return pa.table({"pcode": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(counts[nz])})
+
+    parts = (ds.map_batches(day_pairs, batch_format="pyarrow")
+             .groupby("ukey").map_groups(or_masks, batch_format="pandas")
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .to_pandas())  # <= days^2/2 rows per block by construction
+    if not len(parts):
+        return pa.table({"day_a": pa.array([], pa.int64()),
+                         "day_b": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    agg = parts.groupby("pcode", as_index=False)["n"].sum()
+    out = pd.DataFrame({
+        "day_a": agg["pcode"].to_numpy() // n_days,
+        "day_b": agg["pcode"].to_numpy() % n_days,
+        "n_users": agg["n"].to_numpy()})
+    out = out.sort_values(["day_a", "day_b"], ignore_index=True)
+    return pa.table({"day_a": pa.array(out["day_a"], pa.int64()),
+                     "day_b": pa.array(out["day_b"], pa.int64()),
+                     "n_users": pa.array(out["n_users"], pa.int64())})
+
+
+_SQL_RETENTION = (
+    "WITH du AS (SELECT DISTINCT user_id, "
+    f"CAST(floor(epoch(ts)/86400) AS BIGINT) - {_EVENTS_DAY0} AS day "
+    "FROM events), "
+    "p AS (SELECT a.day AS day_a, b.day AS day_b, COUNT(*) AS n_users "
+    "FROM du a JOIN du b ON a.user_id = b.user_id AND a.day < b.day "
+    "GROUP BY 1, 2) "
+    "SELECT day_a, day_b, CAST(n_users AS BIGINT) AS n_users FROM p "
+    "ORDER BY day_a, day_b")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each event matched to the latest order of the same
     key at or before its timestamp.
@@ -1898,6 +1977,7 @@ QUERIES = {
     "tfidf_top": q_tfidf_top,
     "cooccur": q_cooccur,
     "stratified_sample": q_stratified_sample,
+    "retention": q_retention,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1949,6 +2029,7 @@ ORACLE_SQL = {
     "tfidf_top": _SQL_TFIDF_TOP,
     "cooccur": _SQL_COOCCUR,
     "stratified_sample": _SQL_STRATIFIED,
+    "retention": _SQL_RETENTION,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
 }
