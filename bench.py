@@ -56,9 +56,14 @@ def _consume(result) -> int:
 
 
 def run_headline(sf_dir: str, n_docs: int | None = None,
-                 num_cpus: int | None = None) -> dict:
+                 num_cpus: int | None = None,
+                 corpus_file: str | None = None) -> dict:
     """Full pyramid slice (z0..max over the synthesized corpus) + PIP
-    join over the events table. Returns timings + tiles/sec."""
+    join over the events table. Returns timings + tiles/sec.
+
+    ``corpus_file``: pre-synthesized corpus parquet (written by the
+    scaling parent so each fresh-process child skips the single-threaded
+    synthesis — at 48x corpus that is minutes of dead time per child)."""
     import ray.data as rd
     from geojson_vt_ray.config import TileOptions
     from geojson_vt_ray.pipelines.pyramid import slice_pyramid
@@ -87,10 +92,13 @@ def run_headline(sf_dir: str, n_docs: int | None = None,
                       opts, td, batch_size=64)
 
     t0 = time.perf_counter()
-    corpus = synthesize_corpus(n_docs)
+    if corpus_file:
+        docs = rd.read_parquet(corpus_file)
+    else:
+        docs = rd.from_arrow(synthesize_corpus(n_docs))
     t_synth = time.perf_counter() - t0
 
-    docs = rd.from_arrow(corpus).repartition(n_blocks)
+    docs = docs.repartition(n_blocks)
     t0 = time.perf_counter()
     # carry_spans=False: the at-scale layout (tile rows carry doc_id;
     # spans re-attach from the corpus) — per-row payload carriage is
@@ -137,12 +145,14 @@ def run_queries(sf_dir: str, only=None) -> dict:
 
 
 def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
-               n_docs: int | None = None) -> dict:
+               n_docs: int | None = None,
+               corpus_file: str | None = None) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
-        head = run_headline(sf_dir, n_docs=n_docs, num_cpus=num_cpus)
+        head = run_headline(sf_dir, n_docs=n_docs, num_cpus=num_cpus,
+                            corpus_file=corpus_file)
         queries = {} if headline_only else run_queries(sf_dir)
     finally:
         ray.shutdown()
@@ -194,25 +204,38 @@ def bench_scaling(sf_dir: str) -> dict:
     # measurement about the ENGINE, not the constant. 48x follows the
     # C split_batch BFS, which halved the split stage again.)
     n_docs = 48 * _CORPUS_N.get(_sf_of(sf_dir), 8000)
+    # synthesize ONCE in the parent and ship a parquet path: children
+    # are fresh processes, and re-synthesizing a 48x corpus costs
+    # minutes of single-threaded dead time per child
+    import pyarrow.parquet as pq
+    from geojson_vt_ray.sources.docs import synthesize_corpus
+    corpus_dir = tempfile.mkdtemp(prefix="gvt_scaling_corpus_")
+    corpus_file = os.path.join(corpus_dir, "corpus.parquet")
+    pq.write_table(synthesize_corpus(n_docs), corpus_file)
     results = {}
-    for n in (2, 8, 32):
-        # best of 2 fresh processes per level: this shared VM stalls
-        # for seconds at a time under host memory compaction, and a
-        # stall landing in one short run otherwise poisons the ratio
-        best = None
-        for _ in range(2):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--headline-only", "--num-cpus", str(n),
-                 "--sf-dir", sf_dir, "--quiet-env",
-                 "--n-docs", str(n_docs)],
-                capture_output=True, text=True, timeout=3600,
-                env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
-            r = _parse_child_json(proc, n)
-            if best is None or (r["tiles_per_sec"] or 0) > \
-                    (best["tiles_per_sec"] or 0):
-                best = r
-        results[n] = best
+    try:
+        for n in (2, 8, 32):
+            # best of 2 fresh processes per level: this shared VM stalls
+            # for seconds at a time under host memory compaction, and a
+            # stall landing in one short run otherwise poisons the ratio
+            best = None
+            for _ in range(2):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--headline-only", "--num-cpus", str(n),
+                     "--sf-dir", sf_dir, "--quiet-env",
+                     "--n-docs", str(n_docs),
+                     "--corpus-file", corpus_file],
+                    capture_output=True, text=True, timeout=3600,
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(n)})
+                r = _parse_child_json(proc, n)
+                if best is None or (r["tiles_per_sec"] or 0) > \
+                        (best["tiles_per_sec"] or 0):
+                    best = r
+            results[n] = best
+    finally:
+        import shutil
+        shutil.rmtree(corpus_dir, ignore_errors=True)
 
     def eff(lo, hi):
         tp_lo = results[lo]["tiles_per_sec"]
@@ -245,6 +268,9 @@ def main():
                          "--scaling so the JSON line stays parseable)")
     ap.add_argument("--n-docs", type=int, default=None,
                     help="override headline corpus size")
+    ap.add_argument("--corpus-file", default=None,
+                    help="pre-synthesized corpus parquet (scaling "
+                         "children skip single-threaded synthesis)")
     args = ap.parse_args()
     if args.quiet_env:
         os.environ.setdefault("RAY_DEDUP_LOGS", "0")
@@ -256,7 +282,7 @@ def main():
         out = bench_scaling(args.sf_dir)
     else:
         out = bench_once(args.sf_dir, args.num_cpus, args.headline_only,
-                         n_docs=args.n_docs)
+                         n_docs=args.n_docs, corpus_file=args.corpus_file)
     print(json.dumps(out))
 
 

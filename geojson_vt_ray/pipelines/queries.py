@@ -665,10 +665,14 @@ def q_retention(sf_dir: str):
             "ukey": pa.array((u & mask).astype(np.int32))})
 
     def or_masks(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
         bits = np.int64(1) << g["day"].to_numpy().astype(np.int64)
-        gg = pd.DataFrame({"user_id": g["user_id"], "bits": bits})
-        return gg.groupby("user_id", as_index=False)["bits"].agg(
-            lambda s: np.bitwise_or.reduce(s.to_numpy()))
+        order = np.argsort(u, kind="mergesort")
+        u = u[order]
+        bits = bits[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        return pd.DataFrame({"user_id": u[starts],
+                             "bits": np.bitwise_or.reduceat(bits, starts)})
 
     def pair_partial(b: pa.Table) -> pa.Table:
         counts = np.zeros(n_days * n_days, np.int64)
