@@ -474,14 +474,20 @@ def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
 def label_propagation_clusters(pairs, max_iters: int = 64):
     """Distributed connected components over near-dup pairs via min-label
     propagation WITH pointer jumping: each round every node takes the
-    min of its own label, its neighbors' labels (join edges against
-    labels), and its label's label (join labels against themselves —
-    the classic doubling shortcut), until the label sum stops
+    min of its own label, its neighbors' labels, and its label's label
+    (the classic doubling shortcut), until the label sum stops
     decreasing. Pointer jumping makes convergence O(log diameter)
     rounds, so a 1e6-hop duplicate chain needs ~20 rounds, not 1e6;
     exhausting ``max_iters`` RAISES rather than silently returning a
     partially-merged clustering. Every step is a keyed Ray Data shuffle
     — no driver-side union-find.
+
+    Each round is TWO coarse-bucket sort-shuffles (the repo's bucketed
+    hash-join pattern): one tagged union routes edge probes, label
+    builds and jump probes to the bucket owning the looked-up key, a
+    vectorized in-bucket merge resolves them, and a second bucket pass
+    takes the per-node min. No per-round hash-join aggregator actor
+    pools — those cost seconds per round in long-lived sessions.
 
     ``pairs``: Dataset or pa.Table with int64 id_a < id_b columns.
     Returns pa.Table (doc_id, cluster_id = min doc id in its component),
@@ -489,7 +495,7 @@ def label_propagation_clusters(pairs, max_iters: int = 64):
     contract as a driver union-find.
     """
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     if isinstance(pairs, pa.Table):
         pairs_ds = rd.from_arrow(pairs.select(["id_a", "id_b"]))
@@ -501,9 +507,6 @@ def label_propagation_clusters(pairs, max_iters: int = 64):
                       "cluster_id": pa.array([], pa.int64())})
     if n_pairs == 0:
         return empty
-    # the pair graph is LSH-pruned tiny relative to the corpus; a small
-    # fixed fan-out keeps each round's join-aggregator actor pool cheap
-    nparts = max(2, min(4, _num_join_partitions()))
 
     def to_edges(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False)
@@ -513,48 +516,86 @@ def label_propagation_clusters(pairs, max_iters: int = 64):
 
     edges = pairs_ds.map_batches(to_edges,
                                  batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return empty
+    # bucket count scales with the (LSH-pruned) graph, capped by the
+    # cluster-scaled coarse mask: tiny graphs get few buckets (per-group
+    # overhead), huge ones get the full fan-out
+    bmask = min(_coarse_mask_fn(),
+                max(1, (1 << max(0, (n_edges // 4096)).bit_length()) - 1))
 
     def self_label(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("node"),
                          "label": b.column("node")})
 
+    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    def add_nkey(b: pa.Table) -> pa.Table:
+        n_ = b.column("node").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "nkey", pa.array((n_ & bmask).astype(np.int32)))
+
     labels = (edges.map_batches(self_label, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .map_batches(add_nkey, batch_format="pyarrow")
+              .groupby("nkey").map_groups(min_per_node,
+                                          batch_format="pandas")
               .materialize())
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 
+    # tagged rows for the lookup shuffle: key = the node whose label is
+    # needed, kind 1 = label build (val = label), kind 0/2 = probes
+    # (val = the node that receives the looked-up label)
+    def edge_probe(b: pa.Table) -> pa.Table:
+        k = b.column("nbr").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(k), "kind": pa.array(
+                np.zeros(len(k), np.int8)),
+            "val": b.column("node"),
+            "pkey": pa.array((k & bmask).astype(np.int32))})
+
+    def label_build(b: pa.Table) -> pa.Table:
+        k = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(k), "kind": pa.array(np.ones(len(k), np.int8)),
+            "val": b.column("label"),
+            "pkey": pa.array((k & bmask).astype(np.int32))})
+
+    def jump_probe(b: pa.Table) -> pa.Table:
+        k = b.column("label").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(k), "kind": pa.array(
+                np.full(len(k), 2, np.int8)),
+            "val": b.column("node"),
+            "pkey": pa.array((k & bmask).astype(np.int32))})
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        build = g[g["kind"] == 1]
+        lut = pd.Series(build["val"].to_numpy(),
+                        index=build["key"].to_numpy())
+        probes = g[g["kind"] != 1]
+        lab = lut.reindex(probes["key"].to_numpy()).to_numpy()
+        # every probed key is a node (edge endpoint or current label),
+        # and every node has a build row in its own bucket
+        return pd.DataFrame({
+            "node": np.concatenate([probes["val"].to_numpy(),
+                                    build["key"].to_numpy()]),
+            "label": np.concatenate([lab.astype(np.int64),
+                                     build["val"].to_numpy()])})
+
     converged = False
     for _ in range(max_iters):
-        nbr_label = (edges.join(labels, "inner", nparts, on=("nbr",),
-                                right_on=("node",))
-                     .select_columns(["node", "label"]))
-
-        # pointer jumping: node -> label(label(node)); labels keyed by
-        # label on the left, by node on the right
-        def as_jump_probe(b: pa.Table) -> pa.Table:
-            return pa.table({"jnode": b.column("node"),
-                             "label": b.column("label")})
-
-        jump = (labels.map_batches(as_jump_probe, batch_format="pyarrow")
-                .join(labels, "inner", nparts, on=("label",),
-                      right_on=("node",), left_suffix="_l",
-                      right_suffix="_r"))
-
-        def jump_out(b: pa.Table) -> pa.Table:
-            # after the join: jnode (original node), label_r = label of
-            # this node's label
-            cols = b.column_names
-            lab = "label_r" if "label_r" in cols else "label"
-            return pa.table({"node": b.column("jnode"),
-                             "label": b.column(lab)})
-
-        cand = (nbr_label
-                .union(jump.map_batches(jump_out, batch_format="pyarrow"))
-                .union(labels))
-        labels = (cand.groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
+        cand = (edges.map_batches(edge_probe, batch_format="pyarrow")
+                .union(labels.map_batches(label_build,
+                                          batch_format="pyarrow"))
+                .union(labels.map_batches(jump_probe,
+                                          batch_format="pyarrow"))
+                .groupby("pkey").map_groups(bucket_merge,
+                                            batch_format="pandas"))
+        labels = (cand.map_batches(add_nkey, batch_format="pyarrow")
+                  .groupby("nkey").map_groups(min_per_node,
+                                              batch_format="pandas")
                   .materialize())
         cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
         # min-propagation labels only decrease; an unchanged sum is an
