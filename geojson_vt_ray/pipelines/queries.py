@@ -1163,6 +1163,63 @@ _SQL_TFIDF_TOP = (
     f"WHERE rnk <= {_TFIDF_K} ORDER BY doc_id, rnk")
 
 
+# posting-list df band, shared with _SQL_POSTINGS (the synthetic
+# vocabulary is bimodal: hapaxes, a ~25-df tail, a 201-402 bulk — the
+# band keeps the bulk and drops only hapaxes + the one stopword-like
+# 402-df term, ~11k postings at sf0.01)
+_POSTINGS_LO, _POSTINGS_HI = 2, 400
+
+
+def q_posting_lists(sf_dir: str, lo: int = _POSTINGS_LO,
+                    hi: int = _POSTINGS_HI):
+    """Inverted-index build for mid-frequency terms: the (term, doc_id)
+    posting pairs of every term whose document frequency falls in
+    [lo, hi] — the selective core of a search index (stopword-frequency
+    terms are useless, hapaxes usually noise).
+
+    Shape for scale: per-batch distinct (term, doc_id) pairs (a doc
+    lives in exactly one batch, so batch-distinct == corpus-distinct);
+    one crc-coarse shuffle co-locates each term's full posting list, so
+    the df band filter is a vectorized transform inside the group; the
+    result STREAMS out as a Dataset — posting lists are corpus-sized
+    and never touch the driver."""
+    cmask = _coarse_mask()
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import zlib
+        o_t: list = []
+        o_d: list = []
+        for doc_id, t in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            words = set(F_text._RE2_TOKEN_RE.findall(t))
+            o_t.extend(words)
+            o_d.extend([doc_id] * len(words))
+        pk = np.fromiter((zlib.crc32(w.encode("utf-8")) & cmask
+                          for w in o_t), np.int64, len(o_t))
+        return pa.table({"term": pa.array(o_t, pa.string()),
+                         "doc_id": pa.array(o_d, pa.int64()),
+                         "pkey": pa.array(pk.astype(np.int32))})
+
+    def band_filter(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("term")["term"].transform("size")
+        return g.loc[(df >= lo) & (df <= hi), ["term", "doc_id"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(band_filter,
+                                        batch_format="pandas"))
+
+
+_SQL_POSTINGS = (
+    "WITH t0 AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents), "
+    "vt AS (SELECT DISTINCT doc_id, term FROM t0), "
+    "d AS (SELECT term, COUNT(*) AS df FROM vt GROUP BY term) "
+    "SELECT vt.term, vt.doc_id FROM vt JOIN d USING(term) "
+    f"WHERE d.df BETWEEN {_POSTINGS_LO} AND {_POSTINGS_HI}")
+
+
 # co-occurrence defaults, shared with _SQL_COOCCUR (same contract as
 # _TFIDF_K: change here and the oracle tracks)
 _COOCCUR_V = 64
@@ -1982,6 +2039,7 @@ QUERIES = {
     "cooccur": q_cooccur,
     "stratified_sample": q_stratified_sample,
     "retention": q_retention,
+    "posting_lists": q_posting_lists,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -2034,6 +2092,7 @@ ORACLE_SQL = {
     "cooccur": _SQL_COOCCUR,
     "stratified_sample": _SQL_STRATIFIED,
     "retention": _SQL_RETENTION,
+    "posting_lists": _SQL_POSTINGS,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
 }
