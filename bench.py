@@ -93,7 +93,12 @@ def run_headline(sf_dir: str, n_docs: int | None = None,
 
     t0 = time.perf_counter()
     if corpus_file:
-        docs = rd.read_parquet(corpus_file)
+        # materialize BEFORE the timed region (parity with the in-memory
+        # from_arrow path — the parquet decode is harness setup, not the
+        # measured job) and size batches from the real row count
+        docs = rd.read_parquet(corpus_file).materialize()
+        n_docs = docs.count()
+        batch_size = min(512, max(64, -(-n_docs // n_blocks)))
     else:
         docs = rd.from_arrow(synthesize_corpus(n_docs))
     t_synth = time.perf_counter() - t0
@@ -206,12 +211,13 @@ def bench_scaling(sf_dir: str) -> dict:
     n_docs = 48 * _CORPUS_N.get(_sf_of(sf_dir), 8000)
     # synthesize ONCE in the parent and ship a parquet path: children
     # are fresh processes, and re-synthesizing a 48x corpus costs
-    # minutes of single-threaded dead time per child
-    import pyarrow.parquet as pq
-    from geojson_vt_ray.sources.docs import synthesize_corpus
+    # minutes of single-threaded dead time per child. write_corpus
+    # shards 10k rows/file so the children's (untimed) read and
+    # materialize parallelize instead of being one giant row group
+    from geojson_vt_ray.sources.docs import synthesize_corpus, write_corpus
     corpus_dir = tempfile.mkdtemp(prefix="gvt_scaling_corpus_")
-    corpus_file = os.path.join(corpus_dir, "corpus.parquet")
-    pq.write_table(synthesize_corpus(n_docs), corpus_file)
+    corpus_file = write_corpus(synthesize_corpus(n_docs),
+                               os.path.join(corpus_dir, "corpus"))
     results = {}
     try:
         for n in (2, 8, 32):

@@ -584,9 +584,14 @@ def label_propagation_clusters(pairs, max_iters: int = 64):
             "label": np.concatenate([lab.astype(np.int64),
                                      build["val"].to_numpy()])})
 
+    # the edge-probe table depends only on the static edge set — build
+    # it once, not once per round
+    eprobes = edges.map_batches(edge_probe,
+                                batch_format="pyarrow").materialize()
+
     converged = False
     for _ in range(max_iters):
-        cand = (edges.map_batches(edge_probe, batch_format="pyarrow")
+        cand = (eprobes
                 .union(labels.map_batches(label_build,
                                           batch_format="pyarrow"))
                 .union(labels.map_batches(jump_probe,

@@ -655,6 +655,13 @@ def q_retention(sf_dir: str):
     def day_pairs(b: pa.Table) -> pa.Table:
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         day = ts // 86_400_000_000 - _EVENTS_DAY0
+        if len(day) and (day.min() < 0 or day.max() >= n_days):
+            # the packed uid*n_days+day key and the bitmask both assume
+            # the one-word window; RAISE rather than silently corrupt
+            raise ValueError(
+                f"retention window is days [0, {n_days}) relative to "
+                f"{_EVENTS_DAY0}; got day range "
+                f"[{int(day.min())}, {int(day.max())}]")
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
         key = uid.astype(np.int64) * n_days + day
         uniq = np.unique(key)
@@ -983,6 +990,10 @@ def q_stratified_sample(sf_dir: str, n: int = _STRAT_N):
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("pkey").map_groups(merge_top, batch_format="pandas")
            .to_pandas())  # <= strata * n rows by construction
+    if not len(out):
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "rnk": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
     out = out.sort_values(["lang", "hk", "doc_id"], ignore_index=True)
     out["rnk"] = out.groupby("lang", sort=False).cumcount() + 1
     return pa.table({"lang": pa.array(out["lang"], pa.string()),
