@@ -2013,6 +2013,272 @@ def q_pyramid_stats(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_multiway_join(sf_dir: str):
+    """TPC-H Q3-shaped three-table join (customer ⋈ orders ⋈ lineitem):
+    top-10 urgent shipping backlog by exact integer-cent revenue.
+
+    Distributed plan (every stage streams, nothing touches the driver):
+      1. customer filtered to one mktsegment -> key-only Dataset;
+      2. orders date-filtered, then LEFT SEMI hash join against the
+         customer keys (both sides shuffle only join keys + the three
+         carried order columns — no broadcast, so the plan holds even
+         when the filtered customer side is itself huge);
+      3. lineitem date-filtered -> per-batch exact int64 cent*pct
+         revenue partials per l_orderkey (like q_top_revenue) combined
+         under a coarse-key shuffle, one row per order;
+      4. inner hash join of the per-order revenue against the
+         surviving orders, global sort on the int revenue, limit 10.
+    """
+    rd = _rd()
+    from ..functions.shuffle import num_join_partitions
+    nparts = num_join_partitions()
+    cut = np.datetime64("1998-06-15")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING"))
+        keys = b.filter(m).column("c_custkey")
+        return pa.table({"o_custkey": keys})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("o_orderdate"),
+                    pa.scalar(cut.astype("datetime64[us]").item()))
+        return b.filter(m)
+
+    orders_semi = (orders.map_batches(orders_filter, batch_format="pyarrow")
+                   .join(cust.map_batches(cust_keys, batch_format="pyarrow"),
+                         "left_semi", nparts, on=("o_custkey",)))
+
+    def orders_rekey(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("o_orderkey"),
+                         "o_orderdate": b.column("o_orderdate"),
+                         "o_orderpriority": b.column("o_orderpriority")})
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate",
+                                    "l_extendedprice", "l_discount"])
+    mask = _coarse_mask()
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("l_shipdate"),
+                       pa.scalar(cut.astype("datetime64[us]").item()))
+        b = b.filter(m)
+        key = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(
+            b.column("l_discount"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rev = cents * (100 - disc)
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uniq),
+                         "rev_i": pa.array(sums),
+                         "pkey": pa.array((uniq & mask).astype(np.int32))})
+
+    def rev_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["rev_i"].sum()
+
+    line_rev = (line.map_batches(rev_partial, batch_format="pyarrow")
+                .groupby("pkey").map_groups(rev_combine,
+                                            batch_format="pandas"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(b.column("rev_i"), pa.float64()),
+                        pa.scalar(10000.0))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "revenue": rev,
+                         "o_orderdate": b.column("o_orderdate"),
+                         "o_orderpriority": b.column("o_orderpriority")})
+
+    return (line_rev.join(
+                orders_semi.map_batches(orders_rekey,
+                                        batch_format="pyarrow"),
+                "inner", nparts, on=("l_orderkey",))
+            .sort(["rev_i", "l_orderkey"], descending=[True, False])
+            .limit(10)
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+_SQL_MULTIWAY = (
+    "SELECT l_orderkey, "
+    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+    "AND l_orderkey = o_orderkey "
+    "AND o_orderdate < TIMESTAMP '1998-06-15' "
+    "AND l_shipdate > TIMESTAMP '1998-06-15' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot (long -> wide): per-day event counts, one column per event
+    type plus the all-types total. Per-batch dense (day × type) count
+    partials shrink each batch to at most days_seen × 6 rows before the
+    shuffle; the groupby key is the day (bounded cardinality — one group
+    per calendar day even at 100 TB), and the wide row is assembled
+    vectorized inside map_groups."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+    n_types = len(_EVENT_TYPES)
+    type_set = pa.array(_EVENT_TYPES)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        code = pc.index_in(b.column("event_type"), value_set=type_set)
+        # unknown types still count toward n_total (slot n_types)
+        code = pc.fill_null(code, n_types).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        comp = day * (n_types + 1) + code
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table({"day": pa.array(uniq // (n_types + 1)),
+                         "code": pa.array((uniq % (n_types + 1))
+                                          .astype(np.int32)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"day": [int(g["day"].iloc[0])]}
+        percode = g.groupby("code")["n"].sum()
+        for i, t in enumerate(_EVENT_TYPES):
+            out[t] = [int(percode.get(i, 0))]
+        out["n_total"] = [int(percode.sum())]
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").map_groups(widen, batch_format="pandas"))
+
+
+_SQL_PIVOT = (
+    "SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day, "
+    + ", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                for t in _EVENT_TYPES) +
+    ", COUNT(*) AS n_total FROM events GROUP BY 1")
+
+
+def q_rollup_lineitem(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: (returnflag, linestatus),
+    (returnflag), and grand total in ONE pass. Per-batch exact partials
+    at the finest level (the key domain is tiny and fixed — 3×2 for
+    TPC-H — so the shuffle moves a handful of int64 triples per batch);
+    the coarser levels are derived from the combined finest level in a
+    single-block pass, which is scale-free because its input size is
+    bounded by the attribute domain, not the data. 'ALL' is the rollup
+    sentinel (COALESCE'd in the oracle) so no NULL-ordering ambiguity
+    reaches the comparator."""
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus",
+                                     "l_quantity", "l_extendedprice",
+                                     "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flag = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        stat = b.column("l_linestatus").to_numpy(zero_copy_only=False)
+        qty = pc.cast(pc.round(b.column("l_quantity")),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(
+            b.column("l_discount"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rev = cents * (100 - disc)
+        key = np.char.add(np.char.add(flag.astype("U8"), "|"),
+                          stat.astype("U8"))
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        qs = np.zeros(len(uniq), np.int64)
+        rs = np.zeros(len(uniq), np.int64)
+        np.add.at(qs, inv, qty)
+        np.add.at(rs, inv, rev)
+        fs = [u.split("|") for u in uniq]
+        return pa.table({
+            "l_returnflag": pa.array([f[0] for f in fs]),
+            "l_linestatus": pa.array([f[1] for f in fs]),
+            "n_rows": pa.array(n), "qty_i": pa.array(qs),
+            "rev_i": pa.array(rs)})
+
+    from ray.data.aggregate import Sum
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("qty_i", alias_name="qty_i"),
+                         Sum("rev_i", alias_name="rev_i")))
+
+    def add_levels(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        flag = df.groupby("l_returnflag", as_index=False)[
+            ["n_rows", "qty_i", "rev_i"]].sum()
+        flag["l_linestatus"] = "ALL"
+        total = df[["n_rows", "qty_i", "rev_i"]].sum().to_frame().T
+        total["l_returnflag"] = "ALL"
+        total["l_linestatus"] = "ALL"
+        out = pd.concat([df, flag, total], ignore_index=True)
+        out["sum_qty"] = out["qty_i"].astype(np.float64)
+        out["sum_rev"] = out["rev_i"].astype(np.float64) / 10000.0
+        out = out[["l_returnflag", "l_linestatus", "n_rows",
+                   "sum_qty", "sum_rev"]]
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # the combined finest level is <= |flag|×|status| rows: one block
+    return (finest.repartition(1)
+            .map_batches(add_levels, batch_format="pyarrow"))
+
+
+_SQL_ROLLUP = (
+    "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+    "COUNT(*) AS n_rows, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 "
+    "AS sum_rev FROM lineitem "
+    "GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+
+
+def q_global_sort(sf_dir: str):
+    """Global ORDER BY via Ray Data's distributed range-partitioned
+    sort (sample -> range-shuffle -> per-partition sort), then a limit:
+    the generic total-order path for when the sorted PREFIX isn't small
+    enough for the two-stage top-k pattern (q_top_revenue). The global
+    rank is attached after the limit in a single tiny block, which
+    pins the output ORDER itself (not just membership) under the
+    driver's order-insensitive hash."""
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice", "o_orderdate"])
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rnk", pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64)))
+
+    return (ds.sort(["o_totalprice", "o_orderkey"],
+                    descending=[True, False])
+            .limit(100).repartition(1)
+            .map_batches(add_rank, batch_format="pyarrow"))
+
+
+_SQL_GLOBAL_SORT = (
+    "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, "
+    "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
+    "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2064,6 +2330,10 @@ QUERIES = {
     "audio_features": q_audio_features,
     "pyramid_tiles": q_pyramid_tiles,
     "pyramid_stats": q_pyramid_stats,
+    "multiway_join": q_multiway_join,
+    "pivot_events": q_pivot_events,
+    "rollup_lineitem": q_rollup_lineitem,
+    "global_sort": q_global_sort,
 }
 
 ORACLE_SQL = {
@@ -2106,6 +2376,10 @@ ORACLE_SQL = {
     "posting_lists": _SQL_POSTINGS,
     "ann_topk": _SQL_ANN_TOPK,
     "embed_neardup": _SQL_EMBED_NEARDUP,
+    "multiway_join": _SQL_MULTIWAY,
+    "pivot_events": _SQL_PIVOT,
+    "rollup_lineitem": _SQL_ROLLUP,
+    "global_sort": _SQL_GLOBAL_SORT,
 }
 
 
