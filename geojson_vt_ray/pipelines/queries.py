@@ -2279,6 +2279,233 @@ _SQL_GLOBAL_SORT = (
     "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")
 
 
+_BLOOM_BITS = 1 << 18          # 32 KiB bitmap; size ~10 bits/key at scale
+_BLOOM_PRICE_CUT = 450_000.0   # build side = top ~10% of orders
+
+
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Three derived bit positions per key (splitmix64 finalizer)."""
+    h = keys.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    m = np.uint64(_BLOOM_BITS - 1)
+    return (h & m, (h >> np.uint64(21)) & m, (h >> np.uint64(42)) & m)
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Semi join with a Bloom-filter pushdown — THE shuffle-volume
+    optimization for large-large semi joins at 100 TB: lineitems of
+    high-value orders.
+
+    1. build: per-batch 32 KiB Bloom bitmaps over the filtered order
+       keys; the driver ORs one bitmap PER BLOCK (O(blocks), never
+       O(keys) — same adjudicated pattern as the HLL merge) and
+       broadcasts the result once via ray.put;
+    2. probe: lineitem batches drop non-members vectorized (3 bit
+       probes per key) BEFORE anything shuffles — only the ~selectivity
+       fraction of the fact table reaches the join;
+    3. exact: a left-semi hash join against the true key set removes
+       Bloom false positives, so the result is exact, not approximate.
+    Output: (l_orderkey, n_items) per surviving order.
+    """
+    import ray
+    rd = _rd()
+    from ..functions.shuffle import num_join_partitions
+    nparts = num_join_partitions()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def okeys(b: pa.Table) -> pa.Table:
+        m = pc.greater(b.column("o_totalprice"),
+                       pa.scalar(_BLOOM_PRICE_CUT))
+        return pa.table({"l_orderkey": b.filter(m).column("o_orderkey")})
+
+    keys_ds = orders.map_batches(okeys, batch_format="pyarrow")
+
+    def bitmap_partial(b: pa.Table) -> pa.Table:
+        bm = np.zeros(_BLOOM_BITS // 64, np.uint64)
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        for idx in _bloom_hashes(k):
+            np.bitwise_or.at(bm, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    merged = np.zeros(_BLOOM_BITS // 64, np.uint64)
+    for row in keys_ds.map_batches(bitmap_partial,
+                                   batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(row["bm"], np.uint64)
+    bm_ref = ray.put(merged)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey"])
+    mask = _coarse_mask()
+
+    class BloomProbe:
+        def __init__(self, ref):
+            self.bm = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ok = np.ones(len(k), bool)
+            for idx in _bloom_hashes(k):
+                word = self.bm[(idx >> np.uint64(6)).astype(np.int64)]
+                ok &= ((word >> (idx & np.uint64(63)))
+                       & np.uint64(1)).astype(bool)
+            surv = k[ok]
+            uniq, cnt = np.unique(surv, return_counts=True)
+            return pa.table({
+                "l_orderkey": pa.array(uniq),
+                "n_items": pa.array(cnt.astype(np.int64)),
+                "pkey": pa.array((uniq & mask).astype(np.int32))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["n_items"].sum()
+
+    probed = (line.map_batches(BloomProbe, batch_format="pyarrow",
+                               concurrency=4,
+                               fn_constructor_args=(bm_ref,))
+              .groupby("pkey").map_groups(combine, batch_format="pandas"))
+    return probed.join(keys_ds, "left_semi", nparts, on=("l_orderkey",))
+
+
+_SQL_BLOOM_SEMIJOIN = (
+    "SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem "
+    "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+    f"WHERE o_totalprice > {_BLOOM_PRICE_CUT}) GROUP BY 1")
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document: word count,
+    distinct-word fraction and distinct-bigram fraction (low values =
+    boilerplate/repetitive text, a standard pretraining-corpus filter).
+    Pure per-batch map — zero shuffle, embarrassingly parallel at any
+    scale; the token stream is flattened once per batch and both
+    fractions come from hashed C groupbys (no per-row Python)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def metrics(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text"), " ")
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = words.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        didx = np.repeat(np.arange(len(lens)), lens)
+        uniq_w = (pd.DataFrame({"d": didx, "w": flat})
+                  .groupby("d")["w"].nunique()
+                  .reindex(np.arange(len(lens)), fill_value=0).to_numpy())
+        bmask = didx[:-1] == didx[1:] if len(didx) else np.zeros(0, bool)
+        sflat = flat.astype("U")
+        bigrams = np.char.add(np.char.add(sflat[:-1][bmask], " "),
+                              sflat[1:][bmask])
+        uniq_b = (pd.DataFrame({"d": didx[:-1][bmask], "g": bigrams})
+                  .groupby("d")["g"].nunique()
+                  .reindex(np.arange(len(lens)), fill_value=0).to_numpy())
+        n_bi = np.maximum(lens - 1, 0)
+        wf = np.where(lens == 0, 1.0,
+                      uniq_w.astype(np.float64) /
+                      np.maximum(lens, 1).astype(np.float64))
+        bf = np.where(n_bi == 0, 1.0,
+                      uniq_b.astype(np.float64) /
+                      np.maximum(n_bi, 1).astype(np.float64))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_words": pa.array(lens),
+                         "uniq_word_frac": pa.array(wf),
+                         "uniq_bigram_frac": pa.array(bf)})
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
+_SQL_REPETITION = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+    "FROM documents), "
+    "g AS (SELECT doc_id, w, list_transform(range(1, len(w)), "
+    "i -> w[i] || ' ' || w[i+1]) AS bg FROM t) "
+    "SELECT doc_id, len(w) AS n_words, "
+    "CASE WHEN len(w) = 0 THEN 1.0 ELSE "
+    "CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END "
+    "AS uniq_word_frac, "
+    "CASE WHEN len(bg) = 0 THEN 1.0 ELSE "
+    "CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END "
+    "AS uniq_bigram_frac FROM g")
+
+
+def q_quantile_buckets(sf_dir: str):
+    """Quantile bucketing (feature binning): exact global quartile
+    boundaries of o_totalprice via the two-pass histogram-selection
+    operator (functions/percentile.py — no global sort, shuffle carries
+    only histogram counts), then a vectorized bucket-assignment pass
+    with the three boundary cents broadcast as plain ints. Output: one
+    row per quartile bucket with its row count and integer-cent sum."""
+    from ..functions.percentile import group_percentiles
+    rd = _rd()
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "g": pa.array(np.full(b.num_rows, "all"), pa.string()),
+            "cents": cents})
+
+    qs = group_percentiles(ds.map_batches(to_cents,
+                                          batch_format="pyarrow"),
+                           "g", "cents", ps=(0.25, 0.5, 0.75))
+    b1, b2, b3 = (qs.column("p25")[0].as_py(), qs.column("p50")[0].as_py(),
+                  qs.column("p75")[0].as_py())
+
+    mask = _coarse_mask()
+
+    def assign(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ((cents > b1).astype(np.int64) + (cents > b2) +
+                  (cents > b3))
+        sums = np.zeros(4, np.int64)
+        np.add.at(sums, bucket, cents)
+        cnt = np.bincount(bucket, minlength=4).astype(np.int64)
+        keep = cnt > 0
+        ids = np.arange(4, dtype=np.int64)[keep]
+        return pa.table({"bucket": pa.array(ids),
+                         "n": pa.array(cnt[keep]),
+                         "cents_i": pa.array(sums[keep]),
+                         "pkey": pa.array((ids & mask).astype(np.int32))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False)[["n", "cents_i"]].sum()
+
+    def finalize(b: pa.Table) -> pa.Table:
+        total = pc.divide(pc.cast(b.column("cents_i"), pa.float64()),
+                          pa.scalar(100.0))
+        return pa.table({"bucket": b.column("bucket"),
+                         "n": b.column("n"),
+                         "sum_price": total})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("pkey").map_groups(combine, batch_format="pandas")
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+_SQL_QUANTILE_BUCKETS = (
+    "WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+    "AS cents FROM orders), "
+    "b AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) "
+    "AS b1, percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS b2, "
+    "percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS b3 FROM c) "
+    "SELECT (CASE WHEN cents > b1 THEN 1 ELSE 0 END + "
+    "CASE WHEN cents > b2 THEN 1 ELSE 0 END + "
+    "CASE WHEN cents > b3 THEN 1 ELSE 0 END) AS bucket, "
+    "COUNT(*) AS n, CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_price "
+    "FROM c, b GROUP BY 1")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2334,6 +2561,9 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "rollup_lineitem": q_rollup_lineitem,
     "global_sort": q_global_sort,
+    "bloom_semijoin": q_bloom_semijoin,
+    "repetition": q_repetition,
+    "quantile_buckets": q_quantile_buckets,
 }
 
 ORACLE_SQL = {
@@ -2380,6 +2610,9 @@ ORACLE_SQL = {
     "pivot_events": _SQL_PIVOT,
     "rollup_lineitem": _SQL_ROLLUP,
     "global_sort": _SQL_GLOBAL_SORT,
+    "bloom_semijoin": _SQL_BLOOM_SEMIJOIN,
+    "repetition": _SQL_REPETITION,
+    "quantile_buckets": _SQL_QUANTILE_BUCKETS,
 }
 
 
