@@ -2506,6 +2506,63 @@ _SQL_QUANTILE_BUCKETS = (
     "FROM c, b GROUP BY 1")
 
 
+def q_funnel(sf_dir: str):
+    """Ordered-sequence funnel (view -> click -> purchase): per user the
+    earliest view, the earliest click AFTER it, and the earliest
+    purchase after THAT; only users completing all three steps survive.
+
+    Scale shape: non-funnel event types are dropped per batch before
+    anything moves; the surviving events shuffle ONCE by coarse user
+    bucket (sessionize's pattern — never one group per user), and the
+    three chained min-after-t steps are vectorized pandas passes inside
+    each bucket. The dependency chain (step k's cutoff is step k-1's
+    time) is what makes this a custom operator rather than a groupby
+    aggregate."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    mask = _coarse_mask()
+    steps = pa.array(["view", "click", "purchase"])
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        code = pc.index_in(b.column("event_type"), value_set=steps)
+        b = b.append_column("step", code.cast(pa.int8()))
+        b = b.filter(pc.is_valid(b.column("step")))
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return (b.drop_columns(["event_type"])
+                .append_column("pkey", pa.array(
+                    (uid & mask).astype(np.int32))))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g[g["step"] == 0].groupby("user_id")["ts"].min()
+              .rename("t_view"))
+        c = g[g["step"] == 1].join(t1, on="user_id", how="inner")
+        c = c[c["ts"] > c["t_view"]]
+        t2 = c.groupby("user_id")["ts"].min().rename("t_click")
+        p = g[g["step"] == 2].join(t2, on="user_id", how="inner")
+        p = p[p["ts"] > p["t_click"]]
+        t3 = p.groupby("user_id")["ts"].min().rename("t_purchase")
+        out = (pd.concat([t1, t2, t3], axis=1, join="inner")
+               .reset_index())
+        return out[["user_id", "t_view", "t_click", "t_purchase"]]
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+            .groupby("pkey").map_groups(funnel_bucket,
+                                        batch_format="pandas"))
+
+
+_SQL_FUNNEL = (
+    "WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events "
+    "WHERE event_type = 'view' GROUP BY 1), "
+    "c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e "
+    "JOIN v ON e.user_id = v.user_id "
+    "WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1), "
+    "p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e "
+    "JOIN c ON e.user_id = c.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1) "
+    "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase FROM v "
+    "JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2564,6 +2621,7 @@ QUERIES = {
     "bloom_semijoin": q_bloom_semijoin,
     "repetition": q_repetition,
     "quantile_buckets": q_quantile_buckets,
+    "funnel": q_funnel,
 }
 
 ORACLE_SQL = {
@@ -2613,6 +2671,7 @@ ORACLE_SQL = {
     "bloom_semijoin": _SQL_BLOOM_SEMIJOIN,
     "repetition": _SQL_REPETITION,
     "quantile_buckets": _SQL_QUANTILE_BUCKETS,
+    "funnel": _SQL_FUNNEL,
 }
 
 
