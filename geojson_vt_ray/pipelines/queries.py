@@ -2283,19 +2283,21 @@ _BLOOM_BITS = 1 << 18          # 32 KiB bitmap; size ~10 bits/key at scale
 _BLOOM_PRICE_CUT = 450_000.0   # build side = top ~10% of orders
 
 
-def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, ...]:
-    """Three derived bit positions per key (splitmix64 finalizer)."""
+def _bloom_hashes(keys: np.ndarray,
+                  n_bits: int = _BLOOM_BITS) -> tuple[np.ndarray, ...]:
+    """Three derived bit positions per key (splitmix64 finalizer).
+    ``n_bits`` must be a power of two."""
     h = keys.astype(np.uint64, copy=True)
     h ^= h >> np.uint64(30)
     h *= np.uint64(0xBF58476D1CE4E5B9)
     h ^= h >> np.uint64(27)
     h *= np.uint64(0x94D049BB133111EB)
     h ^= h >> np.uint64(31)
-    m = np.uint64(_BLOOM_BITS - 1)
+    m = np.uint64(n_bits - 1)
     return (h & m, (h >> np.uint64(21)) & m, (h >> np.uint64(42)) & m)
 
 
-def q_bloom_semijoin(sf_dir: str):
+def q_bloom_semijoin(sf_dir: str, n_bits: int = _BLOOM_BITS):
     """Semi join with a Bloom-filter pushdown — THE shuffle-volume
     optimization for large-large semi joins at 100 TB: lineitems of
     high-value orders.
@@ -2327,14 +2329,14 @@ def q_bloom_semijoin(sf_dir: str):
     keys_ds = orders.map_batches(okeys, batch_format="pyarrow")
 
     def bitmap_partial(b: pa.Table) -> pa.Table:
-        bm = np.zeros(_BLOOM_BITS // 64, np.uint64)
+        bm = np.zeros(n_bits // 64, np.uint64)
         k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
-        for idx in _bloom_hashes(k):
+        for idx in _bloom_hashes(k, n_bits):
             np.bitwise_or.at(bm, (idx >> np.uint64(6)).astype(np.int64),
                              np.uint64(1) << (idx & np.uint64(63)))
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    merged = np.zeros(_BLOOM_BITS // 64, np.uint64)
+    merged = np.zeros(n_bits // 64, np.uint64)
     for row in keys_ds.map_batches(bitmap_partial,
                                    batch_format="pyarrow").take_all():
         merged |= np.frombuffer(row["bm"], np.uint64)
@@ -2345,13 +2347,14 @@ def q_bloom_semijoin(sf_dir: str):
     mask = _coarse_mask()
 
     class BloomProbe:
-        def __init__(self, ref):
+        def __init__(self, ref, nb):
             self.bm = ray.get(ref)
+            self.nb = nb
 
         def __call__(self, b: pa.Table) -> pa.Table:
             k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
             ok = np.ones(len(k), bool)
-            for idx in _bloom_hashes(k):
+            for idx in _bloom_hashes(k, self.nb):
                 word = self.bm[(idx >> np.uint64(6)).astype(np.int64)]
                 ok &= ((word >> (idx & np.uint64(63)))
                        & np.uint64(1)).astype(bool)
@@ -2365,9 +2368,13 @@ def q_bloom_semijoin(sf_dir: str):
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("l_orderkey", as_index=False)["n_items"].sum()
 
+    # autoscaling pool (1, ~cores/4): a FIXED pool the size of the
+    # cluster would pin every CPU slot and starve the downstream hash
+    # aggregator actors — a scheduling deadlock on small clusters
+    from ..functions.shuffle import _cpus
     probed = (line.map_batches(BloomProbe, batch_format="pyarrow",
-                               concurrency=4,
-                               fn_constructor_args=(bm_ref,))
+                               concurrency=(1, max(1, _cpus(8) // 4)),
+                               fn_constructor_args=(bm_ref, n_bits))
               .groupby("pkey").map_groups(combine, batch_format="pandas"))
     return probed.join(keys_ds, "left_semi", nparts, on=("l_orderkey",))
 

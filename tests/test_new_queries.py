@@ -1,0 +1,112 @@
+"""Edge-case tests for the round-2 relational/analytics operators
+(beyond the sf0.001 oracle sweep in test_queries_oracle.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geojson_vt_ray.pipelines import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bloom_exact_under_forced_false_positives(ray_session):
+    """A pathologically small bitmap saturates with false positives;
+    the exact left-semi verify join must still make the result exact."""
+    import duckdb
+    got = (Q.q_bloom_semijoin(SF_DIR, n_bits=64).to_pandas()
+           .sort_values("l_orderkey", ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{SF_DIR}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    want = (con.execute(Q._SQL_BLOOM_SEMIJOIN).fetchdf()
+            .sort_values("l_orderkey", ignore_index=True))
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+
+
+def test_bloom_hashes_deterministic_and_in_range():
+    keys = np.array([0, 1, 2**40, 2**63 - 1], np.uint64)
+    hs = Q._bloom_hashes(keys)
+    assert len(hs) == 3
+    for h in hs:
+        assert h.dtype == np.uint64
+        assert (h < Q._BLOOM_BITS).all()
+    hs2 = Q._bloom_hashes(keys)
+    for a, b in zip(hs, hs2):
+        assert (a == b).all()
+
+
+def test_repetition_degenerate_docs(ray_session, tmp_path):
+    """Empty text, single word, and fully-repeated text hit the
+    division guards; fractions are exactly right."""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "solo", "a a a a", "x y x y"]),
+    })
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = (Q.q_repetition(str(d)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    # "" splits to [''] -> 1 word; "solo" -> 1 word, 0 bigrams -> 1.0
+    assert got["n_words"].tolist() == [1, 1, 4, 4]
+    assert got["uniq_word_frac"].tolist() == [1.0, 1.0, 0.25, 0.5]
+    # "a a a a": 3 bigrams all "a a" -> 1/3; "x y x y": x y / y x / x y
+    assert got["uniq_bigram_frac"].tolist() == [1.0, 1.0, 1 / 3, 2 / 3]
+
+
+def test_funnel_requires_strict_order(ray_session, tmp_path):
+    """purchase before click must NOT count; later purchase does."""
+    import pyarrow.parquet as pq
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+        "2024-01-02 00:00", "2024-01-02 01:00", "2024-01-01 23:00",
+    ])
+    ev = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        # user 1 completes; user 2's purchase precedes its click
+        "event_type": pa.array(["view", "click", "purchase",
+                                "view", "click", "purchase"]),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array(["{}"] * 6),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, str(d / "events.parquet"))
+    got = Q.q_funnel(str(d)).to_pandas()
+    assert got["user_id"].tolist() == [1]
+    assert got.loc[0, "t_purchase"] == pd.Timestamp("2024-01-01 02:00")
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """flag-level and grand-total rows must equal the sum of their
+    finer-level children (exact int arithmetic end to end)."""
+    df = Q.q_rollup_lineitem(SF_DIR).to_pandas()
+    finest = df[(df.l_returnflag != "ALL") & (df.l_linestatus != "ALL")]
+    flags = df[(df.l_returnflag != "ALL") & (df.l_linestatus == "ALL")]
+    total = df[(df.l_returnflag == "ALL") & (df.l_linestatus == "ALL")]
+    assert len(total) == 1
+    assert total.n_rows.iloc[0] == finest.n_rows.sum()
+    assert total.sum_qty.iloc[0] == pytest.approx(finest.sum_qty.sum())
+    for _, r in flags.iterrows():
+        sub = finest[finest.l_returnflag == r.l_returnflag]
+        assert r.n_rows == sub.n_rows.sum()
+        assert r.sum_rev == pytest.approx(sub.sum_rev.sum())
+
+
+def test_quantile_buckets_cover_all_rows(ray_session):
+    import pyarrow.parquet as pq
+    df = Q.q_quantile_buckets(SF_DIR).to_pandas()
+    n_orders = pq.read_table(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey"]).num_rows
+    assert df["n"].sum() == n_orders
+    assert sorted(df["bucket"].tolist()) == [0, 1, 2, 3]
+    # quartiles: no bucket may hold more than ~30% of rows
+    assert (df["n"] <= 0.30 * n_orders).all()
