@@ -2570,6 +2570,96 @@ _SQL_FUNNEL = (
     "JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id")
 
 
+_CMS_W = 1 << 14            # count-min width (4 rows x 16k cols x 8 B)
+_CMS_D = 4
+_HH_THRESHOLD = 75          # heavy hitter = user with >= this many events
+
+
+def q_heavy_hitters(sf_dir: str, threshold: int = _HH_THRESHOLD,
+                    width: int = _CMS_W):
+    """Heavy hitters via count-min sketch + exact verify — the sketch
+    twin of q_bloom_semijoin: users with >= threshold events.
+
+    1. per-batch count-min partials (fixed 4x16k int64 grid) merged by
+       summation — the merge is O(blocks x sketch), NEVER O(keys) (no
+       key identity ever reaches the driver), and at cluster scale
+       it's a tree-reduce of fixed-size arrays;
+    2. prune-at-the-map pass: each batch pre-aggregates to its
+       distinct (key, count) pairs, probes the broadcast grid, and
+       ships ONLY keys whose CMS estimate >= threshold — CMS only
+       OVERcounts, so this loses no true heavy hitter, and the shuffle
+       shrinks from all-distinct-keys to ~the heavy tail;
+    3. a coarse-keyed combine sums the surviving partials and applies
+       the exact threshold.
+    Output is exact: (user_id, n_events)."""
+    import ray
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def cms_rows(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        idx = np.empty((_CMS_D, len(h)), np.int64)
+        for d in range(_CMS_D):
+            idx[d] = ((h >> np.uint64(16 * d)) &
+                      np.uint64(width - 1)).astype(np.int64)
+        return idx
+
+    def cms_partial(b: pa.Table) -> pa.Table:
+        k = b.column("user_id").to_numpy(zero_copy_only=False)
+        grid = np.zeros((_CMS_D, width), np.int64)
+        idx = cms_rows(k)
+        for d in range(_CMS_D):
+            np.add.at(grid[d], idx[d], 1)
+        return pa.table({"grid": pa.array([grid.tobytes()], pa.binary())})
+
+    grid = np.zeros((_CMS_D, width), np.int64)
+    for row in ds.map_batches(cms_partial,
+                              batch_format="pyarrow").take_all():
+        grid += np.frombuffer(row["grid"], np.int64).reshape(
+            _CMS_D, width)
+    grid_ref = ray.put(grid)
+    mask = _coarse_mask()
+
+    class CandidateCounts:
+        def __init__(self, ref, thr):
+            self.grid = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = b.column("user_id").to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(k, return_counts=True)
+            idx = cms_rows(uniq)
+            est = self.grid[0][idx[0]]
+            for d in range(1, _CMS_D):
+                est = np.minimum(est, self.grid[d][idx[d]])
+            keep = est >= self.thr
+            uniq, cnt = uniq[keep], cnt[keep]
+            return pa.table({
+                "user_id": pa.array(uniq),
+                "n_events": pa.array(cnt.astype(np.int64)),
+                "pkey": pa.array((uniq & mask).astype(np.int32))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False)["n_events"].sum()
+        return agg[agg["n_events"] >= threshold]
+
+    from ..functions.shuffle import _cpus
+    return (ds.map_batches(CandidateCounts, batch_format="pyarrow",
+                           concurrency=(1, max(1, _cpus(8) // 4)),
+                           fn_constructor_args=(grid_ref, threshold))
+            .groupby("pkey").map_groups(combine, batch_format="pandas")
+            .select_columns(["user_id", "n_events"]))
+
+
+_SQL_HEAVY_HITTERS = (
+    "SELECT user_id, COUNT(*) AS n_events FROM events "
+    f"GROUP BY 1 HAVING COUNT(*) >= {_HH_THRESHOLD}")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2591,7 +2681,6 @@ QUERIES = {
     "sessionize": q_sessionize,
     "topk_per_segment": q_topk_per_segment,
     "anti_join": q_anti_join,
-    "dedup_clusters": q_dedup_clusters,
     "sample_docs": q_sample_docs,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
@@ -2601,6 +2690,9 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
     "minhash_pairs": q_minhash_pairs,
+    # after minhash_pairs: shares its cached pair table, so the bench
+    # sweep charges pair generation to the query that owns it
+    "dedup_clusters": q_dedup_clusters,
     "jaccard_join": q_jaccard_join,
     "group_percentiles": q_group_percentiles,
     "tfidf_top": q_tfidf_top,
@@ -2629,6 +2721,7 @@ QUERIES = {
     "repetition": q_repetition,
     "quantile_buckets": q_quantile_buckets,
     "funnel": q_funnel,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -2679,6 +2772,7 @@ ORACLE_SQL = {
     "repetition": _SQL_REPETITION,
     "quantile_buckets": _SQL_QUANTILE_BUCKETS,
     "funnel": _SQL_FUNNEL,
+    "heavy_hitters": _SQL_HEAVY_HITTERS,
 }
 
 

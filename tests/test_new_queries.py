@@ -85,6 +85,23 @@ def test_funnel_requires_strict_order(ray_session, tmp_path):
     assert got.loc[0, "t_purchase"] == pd.Timestamp("2024-01-01 02:00")
 
 
+def test_heavy_hitters_exact_under_forced_collisions(ray_session):
+    """A 16-slot count-min grid collides massively (every estimate
+    inflates), which can only ADD candidates; the exact combine must
+    still produce exactly the true >= threshold set."""
+    import duckdb
+    got = (Q.q_heavy_hitters(SF_DIR, width=16).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{SF_DIR}/events.parquet'")
+    want = (con.execute(Q._SQL_HEAVY_HITTERS).fetchdf()
+            .sort_values("user_id", ignore_index=True))
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert len(got) > 0
+
+
 def test_rollup_levels_are_consistent(ray_session):
     """flag-level and grand-total rows must equal the sum of their
     finer-level children (exact int arithmetic end to end)."""
