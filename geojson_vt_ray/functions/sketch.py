@@ -117,3 +117,108 @@ def approx_distinct(ds, key_col: str, group_col: str | None = None):
         out_col: pa.array(gs),
         "approx_n": pa.array([round(hll_estimate(by_group[g]))
                               for g in gs], pa.int64())})
+
+
+# ------------------------------------------------- approx percentiles
+# Bottom-k hash sample: keep the k rows whose mixed 64-bit row hash is
+# smallest. The hash order is a uniform random permutation of rows, so
+# the survivors are a uniform k-sample without replacement; two partials
+# merge by union + re-truncate (fully mergeable, fixed 16 B * k size).
+# Quantile estimates from a k-sample have rank error ~1.2/sqrt(k)
+# (normal approx) — k=4096 gives ~2%. Deterministic given the row
+# multiset EXCEPT for ties between equal (value, intra-batch-ordinal)
+# rows across different batchings; the estimator is insensitive to that.
+
+_BK_K = 4096
+
+
+def bottomk_partial(values: np.ndarray, k: int = _BK_K) -> np.ndarray:
+    """int64 values -> (2, m) uint64 array [hash; value] of the m<=k
+    bottom-hash rows. Row identity = (value, ordinal among equal values
+    in this partial) so duplicated values keep distinct hashes."""
+    v = values.astype(np.int64, copy=False)
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    # ordinal of each row among equal values (vectorized run-length)
+    is_new = np.empty(len(sv), bool)
+    if len(sv):
+        is_new[0] = True
+        is_new[1:] = sv[1:] != sv[:-1]
+    starts = np.flatnonzero(is_new)
+    run_id = np.cumsum(is_new) - 1
+    ordinal = np.arange(len(sv), dtype=np.uint64) - \
+        starts[run_id].astype(np.uint64)
+    h = _hash64(sv.view(np.uint64) * np.uint64(0x9DDFEA08EB382D69) ^
+                ordinal)
+    if len(h) > k:
+        sel = np.argpartition(h, k)[:k]
+        h, sv = h[sel], sv[sel]
+    return np.stack([h, sv.view(np.uint64)])
+
+
+def bottomk_merge(parts, k: int = _BK_K) -> np.ndarray:
+    """Union + re-truncate; associative and commutative."""
+    cat = np.concatenate([p for p in parts], axis=1)
+    if cat.shape[1] > k:
+        sel = np.argpartition(cat[0], k)[:k]
+        cat = cat[:, sel]
+    return cat
+
+
+def bottomk_quantiles(sketch: np.ndarray,
+                      ps: tuple[float, ...]) -> list[int]:
+    """percentile_disc-style estimates (rank = ceil(p*m)) from the
+    sample's sorted values."""
+    vals = np.sort(sketch[1].view(np.int64))
+    m = len(vals)
+    out = []
+    for p in ps:
+        r = max(1, int(np.ceil(p * m)))
+        out.append(int(vals[r - 1]))
+    return out
+
+
+def approx_group_percentiles(ds, group_col: str, value_col: str,
+                             ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                             k: int = _BK_K) -> "pa.Table":
+    """Mergeable approximate per-group percentiles: the sketch twin of
+    functions/percentile.group_percentiles (exact). One pass; the
+    shuffle-free driver merge handles O(blocks x groups) fixed-size
+    sketches — the at-scale alternative when a 3-pass exact answer is
+    too expensive or the value domain is unbounded.
+
+    ``value_col`` must be int64. Output columns match the exact
+    operator: group_col + p{P} int64 per requested percentile."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        groups = b.column(group_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(groups, kind="stable")
+        sg, sv = groups[order], vals[order]
+        uniq, starts = np.unique(sg, return_index=True)
+        bounds = np.append(starts, len(sg))
+        return pa.table({
+            "g": pa.array(uniq),
+            "sketch": pa.array(
+                [bottomk_partial(sv[bounds[i]:bounds[i + 1]],
+                                 k).tobytes()
+                 for i in range(len(uniq))], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    by_group: dict = {}
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for g, s in zip(t.column("g").to_pylist(),
+                        t.column("sketch").to_pylist()):
+            sk = np.frombuffer(s, np.uint64).reshape(2, -1)
+            cur = by_group.get(g)
+            by_group[g] = sk if cur is None else bottomk_merge(
+                [cur, sk], k)
+    gs = sorted(by_group)
+    cols: dict = {group_col: pa.array(gs)}
+    ests = [bottomk_quantiles(by_group[g], ps) for g in gs]
+    for i, p in enumerate(ps):
+        cols[f"p{int(round(p * 100))}"] = pa.array(
+            [e[i] for e in ests], pa.int64())
+    return pa.table(cols)

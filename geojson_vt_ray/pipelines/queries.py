@@ -2660,6 +2660,30 @@ _SQL_HEAVY_HITTERS = (
     f"GROUP BY 1 HAVING COUNT(*) >= {_HH_THRESHOLD}")
 
 
+def q_approx_percentiles(sf_dir: str):
+    """Approximate per-group percentiles via the mergeable bottom-k
+    hash-sample sketch (functions/sketch.py): same groups/percentiles
+    as the exact q_group_percentiles, one pass, fixed 64 KiB sketch per
+    (block, group) — the at-scale alternative when three passes over
+    the data are too expensive. Rank error ~1.2/sqrt(k) (~2% at
+    k=4096), asserted against the exact operator in tests. No SQL
+    oracle: approximate by design (like approx_distinct_users)."""
+    from ..functions.sketch import approx_group_percentiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": pa.array(np.round(v * 100).astype(np.int64))})
+
+    return approx_group_percentiles(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "o_orderpriority", "cents", ps=(0.5, 0.9, 0.99))
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2722,6 +2746,7 @@ QUERIES = {
     "quantile_buckets": q_quantile_buckets,
     "funnel": q_funnel,
     "heavy_hitters": q_heavy_hitters,
+    "approx_percentiles": q_approx_percentiles,
 }
 
 ORACLE_SQL = {

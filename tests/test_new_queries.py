@@ -118,6 +118,47 @@ def test_rollup_levels_are_consistent(ray_session):
         assert r.sum_rev == pytest.approx(sub.sum_rev.sum())
 
 
+def test_approx_percentiles_rank_error(ray_session):
+    """Bottom-k sketch estimates must be within ~3% RANK error of the
+    exact order statistics (measured in rank space via the exact CDF,
+    not value space — robust to heavy tails)."""
+    import pyarrow.parquet as pq
+    exact = Q.q_group_percentiles(SF_DIR).to_pandas().set_index(
+        "o_orderpriority")
+    approx = Q.q_approx_percentiles(SF_DIR).to_pandas().set_index(
+        "o_orderpriority")
+    assert sorted(exact.index) == sorted(approx.index)
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet",
+                           columns=["o_orderpriority",
+                                    "o_totalprice"]).to_pandas()
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype(
+        np.int64)
+    for grp, row in approx.iterrows():
+        vals = np.sort(orders.loc[orders["o_orderpriority"] == grp,
+                                  "cents"].to_numpy())
+        n = len(vals)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            est_rank = np.searchsorted(vals, row[col], side="right") / n
+            assert abs(est_rank - p) <= 0.06, (grp, col, est_rank, p)
+
+
+def test_bottomk_merge_matches_single_build():
+    """Merging per-chunk sketches must equal one sketch over the whole
+    array (associativity of union + re-truncate)."""
+    from geojson_vt_ray.functions.sketch import (bottomk_merge,
+                                                 bottomk_partial,
+                                                 bottomk_quantiles)
+    rng = np.arange(100_000, dtype=np.int64) * 7 % 100_000
+    whole = bottomk_partial(rng, k=512)
+    parts = [bottomk_partial(c, k=512) for c in np.array_split(rng, 7)]
+    merged = bottomk_merge(parts, k=512)
+    qw = bottomk_quantiles(whole, (0.5, 0.9))
+    qm = bottomk_quantiles(merged, (0.5, 0.9))
+    # identical row-identity hashing -> same bottom-k survivors
+    assert sorted(whole[0].tolist()) == sorted(merged[0].tolist())
+    assert qw == qm
+
+
 def test_quantile_buckets_cover_all_rows(ray_session):
     import pyarrow.parquet as pq
     df = Q.q_quantile_buckets(SF_DIR).to_pandas()
