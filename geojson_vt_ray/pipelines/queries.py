@@ -2684,6 +2684,165 @@ def q_approx_percentiles(sf_dir: str):
         "o_orderpriority", "cents", ps=(0.5, 0.9, 0.99))
 
 
+def q_decontam(sf_dir: str, n: int = 5, mod: int = 7):
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with the benchmark/eval set (docs with
+    doc_id % mod == 0 stand in for the eval suite), reporting the
+    number of distinct contaminated grams per doc — the standard
+    pre-training decontamination pass (e.g. GPT-3 appendix C).
+
+    Shape for scale: the benchmark side is SMALL by contract (eval
+    suites are a few thousand docs even when the corpus is 100 TB).
+    Pass 1 extracts batch-distinct benchmark grams (per-batch partial,
+    so the collect is bounded by the benchmark vocabulary, never the
+    corpus); the driver unions them and ships ONE sorted array via
+    ray.put. Pass 2 is an actor pool probing each training doc's gram
+    set against the broadcast array with a vectorized searchsorted —
+    the corpus streams, nothing shuffles. For benchmark sets too big
+    to broadcast, q_bloom_semijoin's pushdown is the same op with a
+    bloom prefilter."""
+    import ray
+    from ..functions.text import _RE2_TOKEN_RE
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        grams: set = set()
+        for i in np.flatnonzero(did % mod == 0):
+            toks = _RE2_TOKEN_RE.findall(b.column("text")[int(i)].as_py())
+            grams.update(" ".join(toks[j:j + n])
+                         for j in range(len(toks) - n + 1))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    bench: set = set()
+    for row_t in ray.get(ds.map_batches(
+            bench_grams, batch_format="pyarrow").to_arrow_refs()):
+        bench.update(row_t.column("gram").to_pylist())
+    bg = np.sort(np.asarray(list(bench), dtype=object))
+    gref = ray.put(bg)
+
+    class Probe:
+        """Per-doc distinct grams searchsorted against the broadcast
+        sorted benchmark gram array (read once per actor)."""
+
+        def __init__(self):
+            self.bg = ray.get(gref) if isinstance(gref, ray.ObjectRef) \
+                else gref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            did = b.column("doc_id").to_numpy(zero_copy_only=False)
+            out_id, out_n = [], []
+            for i in np.flatnonzero(did % mod != 0):
+                toks = _RE2_TOKEN_RE.findall(
+                    b.column("text")[int(i)].as_py())
+                grams = {" ".join(toks[j:j + n])
+                         for j in range(len(toks) - n + 1)}
+                if not grams or not len(self.bg):
+                    continue
+                ga = np.asarray(sorted(grams), dtype=object)
+                pos = np.searchsorted(self.bg, ga)
+                ok = pos < len(self.bg)
+                hits = int((self.bg[pos[ok]] == ga[ok]).sum())
+                if hits:
+                    out_id.append(int(did[i]))
+                    out_n.append(hits)
+            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                             "n_contam": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+
+
+_SQL_DECONTAM = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts "
+    "FROM documents), "
+    "g AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram FROM ("
+    "SELECT doc_id, ts, unnest(range(1, greatest(1, len(ts)-3))) AS i "
+    "FROM toks)), "
+    "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0), "
+    "tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam "
+    "FROM tg JOIN bg USING (gram) GROUP BY 1")
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 2048,
+                     bucket_w: int = 1024):
+    """Fixed-token-budget sequence packing (training-batch
+    construction): documents in doc_id order are packed greedily into
+    ``budget``-token sequences; each doc's sequence id is
+    floor(exclusive_prefix_sum(n_tokens) / budget) — the
+    straddle-allowed packing used when documents are concatenated into
+    fixed-length training rows.
+
+    The global ordered prefix sum is a DISTRIBUTED TWO-PASS SCAN, the
+    canonical Ray Data shape for order-dependent state: pass 1 sums
+    tokens per doc_id range bucket (per-batch partials, driver merges
+    one tiny row per bucket and cumsums the bucket offsets — at 1e12
+    docs pick bucket_w ~ 1e6 so this stays ~1e6 rows); pass 2 groups by
+    bucket, computes the local in-order cumsum, and adds the broadcast
+    bucket offset. Tokens are counted once per pass (recount beats
+    materializing an N-row intermediate)."""
+    import ray
+
+    def counts(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = pc.count_substring_regex(
+            b.column("text"), r"\S+").cast(pa.int64())
+        return pa.table({
+            "doc_id": pa.array(did),
+            "n_tokens": nt,
+            "bucket": pa.array((did // bucket_w).astype(np.int64))})
+
+    def ds_counts():
+        return _rd().read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"]).map_batches(
+                counts, batch_format="pyarrow")
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        bk = b.column("bucket").to_numpy(zero_copy_only=False)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(bk, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, nt)
+        return pa.table({"bucket": pa.array(uniq), "s": pa.array(s)})
+
+    parts = (ds_counts().map_batches(bucket_partial,
+                                     batch_format="pyarrow")
+             .to_pandas())  # one row per (block, bucket) — tiny
+    bs = parts.groupby("bucket")["s"].sum().sort_index()
+    # exclusive prefix over bucket totals, indexed densely by bucket
+    n_buckets = int(bs.index.max()) + 1 if len(bs) else 0
+    offs = np.zeros(n_buckets, np.int64)
+    offs[bs.index.to_numpy()] = bs.to_numpy()
+    offs = np.concatenate(([0], np.cumsum(offs)[:-1]))
+    oref = ray.put(offs)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        offs_l = ray.get(oref) if isinstance(oref, ray.ObjectRef) else oref
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tokens"].to_numpy()
+        cumx = (np.cumsum(nt) - nt
+                + offs_l[int(g["bucket"].iloc[0])])
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "n_tokens": nt,
+                             "seq_id": cumx // budget})
+
+    return (ds_counts().groupby("bucket")
+            .map_groups(pack, batch_format="pandas")
+            .select_columns(["doc_id", "n_tokens", "seq_id"]))
+
+
+_SQL_PACK_SEQUENCES = (
+    "WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all(text, "
+    "'\\S+')) AS BIGINT) AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "0) AS cumx FROM t) "
+    "SELECT doc_id, n_tokens, CAST(cumx // 2048 AS BIGINT) AS seq_id "
+    "FROM c")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2747,6 +2906,8 @@ QUERIES = {
     "funnel": q_funnel,
     "heavy_hitters": q_heavy_hitters,
     "approx_percentiles": q_approx_percentiles,
+    "decontam": q_decontam,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -2798,6 +2959,8 @@ ORACLE_SQL = {
     "quantile_buckets": _SQL_QUANTILE_BUCKETS,
     "funnel": _SQL_FUNNEL,
     "heavy_hitters": _SQL_HEAVY_HITTERS,
+    "decontam": _SQL_DECONTAM,
+    "pack_sequences": _SQL_PACK_SEQUENCES,
 }
 
 
