@@ -345,3 +345,32 @@ def test_group_percentiles_exact_vs_sorted(ray_session):
         for p in ps:
             expect = int(vals[max(1, math.ceil(p * len(vals))) - 1])
             assert row[f"p{int(p * 100)}"] == expect, (grp, p)
+
+
+def test_read_docs_parquet_fallback_and_lance_gate(ray_session, tmp_path):
+    """sources/lance_source.read_docs: parquet path streams the doc table
+    with column projection; a .lance path without the lance package is a
+    clear ImportError, not a silent fallback."""
+    import pyarrow.parquet as pq
+    import pytest
+    from geojson_vt_ray.sources.docs import synthesize_corpus
+    from geojson_vt_ray.sources.lance_source import (lance_available,
+                                                     read_docs)
+
+    corpus = synthesize_corpus(12)
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(corpus, path)
+
+    ds = read_docs(path)
+    got = ds.to_pandas()
+    assert len(got) == 12
+    assert list(got.columns) == ["doc_id", "seq", "spans"]
+    # span sequences survive the read byte-for-byte
+    assert list(got["spans"].iloc[0]) == corpus.column("spans")[0].as_py()
+
+    only_ids = read_docs(path, columns=["doc_id"]).to_pandas()
+    assert list(only_ids.columns) == ["doc_id"]
+
+    if not lance_available():
+        with pytest.raises(ImportError, match="[Ll]ance"):
+            read_docs(str(tmp_path / "corpus.lance"))
