@@ -187,6 +187,45 @@ def _join_pair_payload(uniq, payload_ds, nparts: int, id_col: str,
                   right_on=(id_col,)))
 
 
+def _collect_verify_payload(uniq, ds, payload_stage, id_col: str,
+                            payload_col: str, batch_size: int):
+    """Driver-side verification feeder for a deduped candidate-pair
+    Dataset: collect the pair table (result-sized — the same contract
+    as the caller's return value, which is also driver-collected),
+    broadcast its sorted unique doc ids, stream the corpus ONCE
+    filtering to candidate docs BEFORE the expensive payload compute,
+    and collect the O(candidate-docs) payload rows. Replaces two
+    corpus-wide hash joins with one streamed filter pass; the join path
+    (_join_pair_payload) remains for candidate sets too large to
+    collect (pass verify="join")."""
+    import ray
+
+    pairs = uniq.to_pandas()
+    if not len(pairs):
+        return pairs, {}
+    ids = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
+                                    pairs["id_b"].to_numpy()]))
+    idref = ray.put(ids)
+
+    def filter_ids(b: pa.Table) -> pa.Table:
+        want = ray.get(idref) if isinstance(idref, ray.ObjectRef) else idref
+        k = b.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, k)
+        ok = (pos < len(want)) & (want[np.clip(pos, 0, len(want) - 1)] == k)
+        return b.filter(pa.array(ok))
+
+    fds = (ds.map_batches(filter_ids, batch_format="pyarrow",
+                          batch_size=batch_size)
+           .map_batches(payload_stage, batch_format="pyarrow",
+                        batch_size=batch_size))
+    payload: dict = {}
+    for t in ray.get(fds.to_arrow_refs()):
+        for did, val in zip(t.column(id_col).to_pylist(),
+                            t.column(payload_col).to_pylist()):
+            payload[did] = val
+    return pairs, payload
+
+
 def _pairs_result(out, schema: list[tuple[str, pa.DataType]]) -> pa.Table:
     """Driver tail for a verified-pair Dataset (tiny by construction):
     collect, drop cross-batch duplicate pairs, sort by (id_a, id_b)."""
@@ -216,13 +255,21 @@ class ShingleBytes:
 
 
 def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id", verify: str = "collect"):
     """Dataset -> verified near-dup pairs (id_a < id_b, jaccard >= thr).
 
     LSH bucket join: groupby (band_id, band_hash); only bucket members
-    pair up. Verification is a distributed double hash-join of the
-    (tiny) candidate-pair table against the corpus's shingle-set table —
-    nothing corpus-sized ever touches the driver."""
+    pair up. Verification (verify=):
+    - "collect" (default): collect the DEDUPED candidate-pair table
+      (result-sized — the function's return value is driver-collected
+      anyway, and the distributed pair dedup has already removed the
+      ~bands-fold multiplier), stream the corpus once filtering to
+      candidate docs before shingling, and verify vectorized on the
+      driver. One shuffle + one streamed pass.
+    - "join": distributed double hash-join of the candidate-pair table
+      against the corpus shingle table — nothing pair-proportional on
+      the driver until the final result; for corpora whose candidate
+      set exceeds driver memory."""
     bands_bs = _bundle_batch_size(ds)
     bands = ds.map_batches(MinHashBands(text_col, id_col),
                            batch_format="pyarrow", batch_size=bands_bs)
@@ -264,8 +311,33 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     # multiplier without this stage.
     nparts = _num_join_partitions()
     uniq = _dedup_candidate_pairs(cand, nparts, cmask)
+    schema = [("id_a", pa.int64()), ("id_b", pa.int64()),
+              ("jaccard", pa.float64())]
 
-    # exact-jaccard verification via the de-drivered double-join.
+    def _jaccard(ra: bytes, rb: bytes) -> float:
+        sa = np.frombuffer(ra, np.uint64)
+        sb = np.frombuffer(rb, np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+    if verify == "collect":
+        pairs, sh_map = _collect_verify_payload(
+            uniq, ds, ShingleBytes(text_col, id_col), id_col, "sh",
+            bands_bs)
+        o_a, o_b, o_j = [], [], []
+        for a, b_ in zip(pairs.get("id_a", ()), pairs.get("id_b", ())):
+            jac = _jaccard(sh_map[a], sh_map[b_])
+            if jac >= threshold:
+                o_a.append(a)
+                o_b.append(b_)
+                o_j.append(jac)
+        df = pd.DataFrame({"id_a": o_a, "id_b": o_b, "jaccard": o_j})
+        if not len(df):
+            return pa.table({c: pa.array([], t) for c, t in schema})
+        df = df.sort_values(["id_a", "id_b"], ignore_index=True)
+        return pa.table({c: pa.array(df[c], t) for c, t in schema})
+
+    # verify == "join": distributed double-join verification.
     # materialize: the shingle table is the build side of BOTH joins —
     # without this the corpus is re-read and re-shingled per join
     sh_ds = ds.map_batches(ShingleBytes(text_col, id_col),
@@ -273,17 +345,14 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                            batch_size=bands_bs).materialize()
     j = _join_pair_payload(uniq, sh_ds, nparts, id_col, "sh")
 
-    def verify(b: pa.Table) -> pa.Table:
+    def verify_batch(b: pa.Table) -> pa.Table:
         ia = b.column("id_a").to_pylist()
         ib = b.column("id_b").to_pylist()
         sha = b.column("sh_a").to_pylist()
         shb = b.column("sh").to_pylist()
         o_a, o_b, o_j = [], [], []
         for a, b_, ra, rb in zip(ia, ib, sha, shb):
-            sa = np.frombuffer(ra, np.uint64)
-            sb = np.frombuffer(rb, np.uint64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+            jac = _jaccard(ra, rb)
             if jac >= threshold:
                 o_a.append(a)
                 o_b.append(b_)
@@ -292,9 +361,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                          "id_b": pa.array(o_b, pa.int64()),
                          "jaccard": pa.array(o_j, pa.float64())})
 
-    out = j.map_batches(verify, batch_format="pyarrow")
-    return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
-                               ("jaccard", pa.float64())])
+    out = j.map_batches(verify_batch, batch_format="pyarrow")
+    return _pairs_result(out, schema)
 
 
 # ------------------------------------- exact similarity join (AllPairs)

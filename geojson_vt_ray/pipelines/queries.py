@@ -1459,8 +1459,8 @@ _MINHASH_CACHE: dict[str, pa.Table] = {}
 
 def _minhash_pairs_cached(sf_dir: str) -> pa.Table:
     """One MinHash+verify run per sf per process, shared by
-    q_minhash_pairs and q_dedup_clusters (the banded-LSH + double-join
-    verify is the expensive stage of both)."""
+    q_minhash_pairs and q_dedup_clusters (the banded LSH + candidate
+    verification is the expensive stage of both)."""
     sf = _sf_of(sf_dir)
     t = _MINHASH_CACHE.get(sf)
     if t is None:
