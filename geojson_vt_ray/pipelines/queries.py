@@ -2843,6 +2843,85 @@ _SQL_PACK_SEQUENCES = (
     "FROM c")
 
 
+# entity terms scrubbed by q_redact (stand-in for PII patterns — the
+# synthetic corpus has no emails/phones, so the target set is two
+# vocabulary words; the operator mechanics are pattern-independent)
+_REDACT_RE = r"\b(customer|supplier)\b"
+
+
+def q_redact(sf_dir: str):
+    """Pattern scrubbing (the PII-redaction shape): replace every match
+    of a target regex with a redaction token, reporting per doc the
+    match count and the md5 of the redacted text. Zero-shuffle
+    vectorized map — pc.count_substring_regex +
+    pc.replace_substring_regex are RE2 kernels over the whole batch,
+    matching DuckDB's RE2 regexp_matches/regexp_replace exactly."""
+    from ..functions.dedup import _md5_hex
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        n = pc.count_substring_regex(txt, _REDACT_RE).cast(pa.int64())
+        red = pc.replace_substring_regex(txt, _REDACT_RE, "<ENT>")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_redacted": n,
+            "redacted_hash": pa.array(_md5_hex(red.to_pylist()))})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+_SQL_REDACT = (
+    "SELECT doc_id, "
+    "CAST(length(regexp_extract_all(text, '\\b(customer|supplier)\\b')) "
+    "AS BIGINT) AS n_redacted, "
+    "md5(regexp_replace(text, '\\b(customer|supplier)\\b', '<ENT>', 'g')) "
+    "AS redacted_hash FROM documents")
+
+
+def q_chunk_docs(sf_dir: str, width: int = 20, stride: int = 16):
+    """Document chunking for embedding/indexing pipelines: split each
+    doc into ``width``-token windows every ``stride`` tokens (overlap =
+    width - stride), carrying the chunk's token count and content md5.
+    Row-expansion (flat_map) shape: one streamed map_batches, output
+    rows ~ tokens/stride per doc, no shuffle; chunk payload is a hash
+    so downstream exchanges never carry text."""
+    from ..functions.dedup import _md5_hex
+    from ..functions.text import _RE2_TOKEN_RE
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        o_id, o_ci, o_n, texts_out = [], [], [], []
+        for did, t in zip(ids, b.column("text").to_pylist()):
+            toks = _RE2_TOKEN_RE.findall(t)
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                w = toks[s:s + width]
+                o_id.append(int(did))
+                o_ci.append(ci)
+                o_n.append(len(w))
+                texts_out.append(" ".join(w))
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_id": pa.array(o_ci, pa.int64()),
+            "n_tokens": pa.array(o_n, pa.int64()),
+            "chunk_hash": pa.array(_md5_hex(texts_out))})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+_SQL_CHUNK_DOCS = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts "
+    "FROM documents), "
+    "c AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1, 16)) AS i "
+    "FROM toks) "
+    "SELECT doc_id, CAST((i-1)//16 AS BIGINT) AS chunk_id, "
+    "CAST(least(20, len(ts)-i+1) AS BIGINT) AS n_tokens, "
+    "md5(array_to_string(ts[i:i+19], ' ')) AS chunk_hash FROM c")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2908,6 +2987,8 @@ QUERIES = {
     "approx_percentiles": q_approx_percentiles,
     "decontam": q_decontam,
     "pack_sequences": q_pack_sequences,
+    "redact": q_redact,
+    "chunk_docs": q_chunk_docs,
 }
 
 ORACLE_SQL = {
@@ -2961,6 +3042,8 @@ ORACLE_SQL = {
     "heavy_hitters": _SQL_HEAVY_HITTERS,
     "decontam": _SQL_DECONTAM,
     "pack_sequences": _SQL_PACK_SEQUENCES,
+    "redact": _SQL_REDACT,
+    "chunk_docs": _SQL_CHUNK_DOCS,
 }
 
 
