@@ -220,6 +220,9 @@ def _collect_verify_payload(uniq, ds, payload_stage, id_col: str,
                         batch_size=batch_size))
     payload: dict = {}
     for t in ray.get(fds.to_arrow_refs()):
+        # zero-row input blocks can pass through with the input schema
+        if not t.num_rows or payload_col not in t.column_names:
+            continue
         for did, val in zip(t.column(id_col).to_pylist(),
                             t.column(payload_col).to_pylist()):
             payload[did] = val

@@ -2718,7 +2718,9 @@ def q_decontam(sf_dir: str, n: int = 5, mod: int = 7):
     bench: set = set()
     for row_t in ray.get(ds.map_batches(
             bench_grams, batch_format="pyarrow").to_arrow_refs()):
-        bench.update(row_t.column("gram").to_pylist())
+        # zero-row input blocks can pass through with the input schema
+        if row_t.num_rows and "gram" in row_t.column_names:
+            bench.update(row_t.column("gram").to_pylist())
     bg = np.sort(np.asarray(list(bench), dtype=object))
     gref = ray.put(bg)
 

@@ -168,3 +168,69 @@ def test_quantile_buckets_cover_all_rows(ray_session):
     assert sorted(df["bucket"].tolist()) == [0, 1, 2, 3]
     # quartiles: no bucket may hold more than ~30% of rows
     assert (df["n"] <= 0.30 * n_orders).all()
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pack_sequences_gappy_ids_and_boundaries(ray_session, tmp_path):
+    """Non-contiguous doc_ids (empty buckets in the prefix scan) and
+    docs straddling the budget boundary: seq_id must follow the
+    exclusive cumsum in doc_id order, verified against a local scan."""
+    rows = [(0, "a " * 1000), (3, "b " * 1500),
+            (4097, "c " * 600), (9000, ""), (9001, "d " * 2048),
+            (9002, "e")]
+    sf = _write_docs(tmp_path, rows)
+    got = (Q.q_pack_sequences(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    n = [1000, 1500, 600, 0, 2048, 1]
+    cumx = np.concatenate(([0], np.cumsum(n)[:-1]))
+    assert got["n_tokens"].tolist() == n
+    assert got["seq_id"].tolist() == (cumx // 2048).tolist()
+
+
+def test_decontam_duplicate_of_benchmark_doc_flagged(ray_session, tmp_path):
+    """A training doc repeating a benchmark doc's text shares all its
+    5-grams; unrelated docs and the benchmark docs themselves are not
+    reported."""
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [(0, bench_text),                       # benchmark (0 % 7 == 0)
+            (1, bench_text),                       # contaminated copy
+            (2, "one two three four five six"),    # clean
+            (3, "x " * 3)]                         # too short for 5-grams
+    sf = _write_docs(tmp_path, rows)
+    got = (Q.q_decontam(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    # doc 1 shares both 5-grams of the benchmark doc
+    assert got["doc_id"].tolist() == [1]
+    assert got["n_contam"].tolist() == [2]
+
+
+def test_chunk_and_redact_edges(ray_session, tmp_path):
+    """Empty docs produce no chunks; a doc shorter than the stride is
+    one chunk; redaction counts respect word boundaries (no match
+    inside 'customers')."""
+    import hashlib
+    rows = [(1, ""), (2, "a b c"),
+            (3, "customer customers supplier thecustomer")]
+    sf = _write_docs(tmp_path, rows)
+    ch = (Q.q_chunk_docs(sf).to_pandas()
+          .sort_values(["doc_id", "chunk_id"], ignore_index=True))
+    assert ch["doc_id"].tolist() == [2, 3]
+    assert ch["n_tokens"].tolist() == [3, 4]
+    assert ch["chunk_hash"].iloc[0] == hashlib.md5(b"a b c").hexdigest()
+
+    rd = (Q.q_redact(sf).to_pandas()
+          .sort_values("doc_id", ignore_index=True))
+    assert rd["n_redacted"].tolist() == [0, 0, 2]
+    want = hashlib.md5(
+        b"<ENT> customers <ENT> thecustomer").hexdigest()
+    assert rd["redacted_hash"].iloc[2] == want
