@@ -2924,6 +2924,69 @@ _SQL_CHUNK_DOCS = (
     "md5(array_to_string(ts[i:i+19], ' ')) AS chunk_hash FROM c")
 
 
+def q_curate(sf_dir: str):
+    """Composite curation pipeline (the shape of a real training-data
+    run): keep documents that are (a) at or above their language
+    stratum's median token count and (b) the canonical keeper of their
+    exact-duplicate group. Composes three operators end to end:
+
+    1. exact per-group percentiles (two-pass histogram selection) over
+       (lang, n_tokens) — the threshold table is #langs rows, driver-
+       collected and broadcast;
+    2. exact dedup's grouped Min over (md5, doc_id) pairs — keeper ids
+       stay distributed;
+    3. a vectorized threshold filter on the streaming corpus, then a
+       left-semi hash join against the keeper table.
+    The only driver data is the #langs threshold rows; text never
+    shuffles (the dedup leg ships hashes, the join legs ship ids)."""
+    import ray
+    from ..functions.percentile import group_percentiles
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+
+    def with_n(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            b.column("text"), r"\S+").cast(pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "n_tokens": n})
+
+    nds = docs.map_batches(with_n, batch_format="pyarrow")
+    th = group_percentiles(nds, "lang", "n_tokens", ps=(0.5,))
+    med = {l: int(v) for l, v in zip(th.column("lang").to_pylist(),
+                                     th.column("p50").to_pylist())}
+    mref = ray.put(med)
+
+    def above_median(b: pa.Table) -> pa.Table:
+        m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        langs = b.column("lang").to_pylist()
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        keep = np.asarray([n_i >= m.get(l, np.iinfo(np.int64).max)
+                           for l, n_i in zip(langs, n)])
+        return b.filter(pa.array(keep)).select(["doc_id"])
+
+    cand = nds.map_batches(above_median, batch_format="pyarrow")
+    keepers = (F_dedup.exact_dedup(docs, id_col="doc_id")
+               .select_columns(["keeper_id"]))
+    out = cand.join(keepers, "left_semi",
+                    F_dedup._num_join_partitions(),
+                    on=("doc_id",), right_on=("keeper_id",))
+    return out
+
+
+_SQL_CURATE = (
+    "WITH t AS (SELECT doc_id, lang, text, CAST(length("
+    "regexp_extract_all(text, '\\S+')) AS BIGINT) AS n FROM documents), "
+    "th AS (SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n) "
+    "AS med FROM t GROUP BY 1), "
+    "k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM documents "
+    "GROUP BY 1) "
+    "SELECT t.doc_id FROM t JOIN th USING (lang) "
+    "JOIN k ON md5(t.text) = k.h AND t.doc_id = k.keeper "
+    "WHERE t.n >= th.med")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "cell_count": q_cell_count,
@@ -2991,6 +3054,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "redact": q_redact,
     "chunk_docs": q_chunk_docs,
+    "curate": q_curate,
 }
 
 ORACLE_SQL = {
@@ -3046,6 +3110,7 @@ ORACLE_SQL = {
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "redact": _SQL_REDACT,
     "chunk_docs": _SQL_CHUNK_DOCS,
+    "curate": _SQL_CURATE,
 }
 
 
