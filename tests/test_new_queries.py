@@ -234,3 +234,41 @@ def test_chunk_and_redact_edges(ray_session, tmp_path):
     want = hashlib.md5(
         b"<ENT> customers <ENT> thecustomer").hexdigest()
     assert rd["redacted_hash"].iloc[2] == want
+
+
+def test_curate_dedup_median_and_crosslang_edges(ray_session, tmp_path):
+    """Curation edge cases: a duplicate whose keeper sits above the
+    median survives once; a cross-language duplicate loses to the
+    GLOBAL keeper even when above its own stratum's median; an
+    empty-text stratum (median 0) keeps its keeper; a singleton
+    stratum keeps itself. Cross-checked against the committed oracle
+    SQL on the same table."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "aa", "w w w"),   # 3 tokens, keeper of the "w w w" group
+        (2, "aa", "w"),       # 1 token, below aa median (2) -> dropped
+        (3, "aa", "w w"),     # 2 tokens, == median -> kept
+        (4, "aa", "w w w"),   # duplicate of 1 -> dropped (not keeper)
+        (5, "bb", "x y z"),   # singleton stratum: median = own n -> kept
+        (6, "cc", ""),        # empty text; cc median 0 -> kept (keeper)
+        (7, "cc", ""),        # empty duplicate -> dropped
+        (8, "dd", "w w w"),   # above dd median but global keeper is 1
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    }), str(d / "documents.parquet"))
+
+    got = sorted(Q.q_curate(str(d)).to_pandas()["doc_id"].tolist())
+    assert got == [1, 3, 5, 6]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet'")
+    want = sorted(con.execute(Q._SQL_CURATE).fetchdf()["doc_id"].tolist())
+    assert got == want
