@@ -2960,11 +2960,16 @@ def q_curate(sf_dir: str):
 
     def above_median(b: pa.Table) -> pa.Table:
         m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
-        langs = b.column("lang").to_pylist()
+        # dictionary-encode lang once per batch, threshold via one
+        # vectorized gather (unknown lang -> +inf sentinel, dropped)
+        enc = pc.dictionary_encode(b.column("lang")).combine_chunks()
+        sentinel = np.iinfo(np.int64).max
+        th_by_code = np.asarray(
+            [m.get(l, sentinel) for l in enc.dictionary.to_pylist()],
+            np.int64)
+        codes = np.asarray(enc.indices, np.int64)
         n = b.column("n_tokens").to_numpy(zero_copy_only=False)
-        keep = np.asarray([n_i >= m.get(l, np.iinfo(np.int64).max)
-                           for l, n_i in zip(langs, n)])
-        return b.filter(pa.array(keep)).select(["doc_id"])
+        return b.filter(pa.array(n >= th_by_code[codes])).select(["doc_id"])
 
     cand = nds.map_batches(above_median, batch_format="pyarrow")
     keepers = (F_dedup.exact_dedup(docs, id_col="doc_id")
