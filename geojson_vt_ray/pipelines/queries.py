@@ -2952,7 +2952,13 @@ def q_curate(sf_dir: str):
                          "lang": b.column("lang"),
                          "n_tokens": n})
 
-    nds = docs.map_batches(with_n, batch_format="pyarrow")
+    # Materialize the pruned (doc_id, lang, n_tokens) projection once:
+    # three consumers follow (two percentile passes + the candidate
+    # filter) and Ray Data has no shared-lineage cache, so without this
+    # the regex tokenization re-runs per consumer. The projection drops
+    # text (~97% of the bytes); at 10^12 docs it lives in the object
+    # store and spills, which is far cheaper than three corpus scans.
+    nds = docs.map_batches(with_n, batch_format="pyarrow").materialize()
     th = group_percentiles(nds, "lang", "n_tokens", ps=(0.5,))
     med = {l: int(v) for l, v in zip(th.column("lang").to_pylist(),
                                      th.column("p50").to_pylist())}
