@@ -153,6 +153,11 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
                n_docs: int | None = None,
                corpus_file: str | None = None) -> dict:
     import ray
+    # WARNING-level Ray Data chatter (e.g. unify_schemas' "Failed to
+    # hash the schemas (for deduplication)" on metadata-carrying block
+    # schemas) must not land in the bench artifact's tail
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:

@@ -169,6 +169,19 @@ class FeatureRowBuilder:
         return pa.table({k: cols[k] for k in FEATURE_SCHEMA.names})
 
 
+def table_from_pandas(df, **kw) -> pa.Table:
+    """``pa.Table.from_pandas`` with the pandas schema metadata stripped.
+
+    Schemas carrying metadata are UNHASHABLE in this pyarrow build
+    (``hash(schema)`` raises "unhashable type: 'dict'"), which knocks
+    Ray Data's ``unify_schemas`` off its set()-based fast path and logs
+    a warning per unification (ray/data/_internal/arrow_ops/
+    transform_pyarrow.py:176-181). Every block-producing UDF should
+    build tables through this helper instead of from_pandas directly."""
+    kw.setdefault("preserve_index", False)
+    return pa.Table.from_pandas(df, **kw).replace_schema_metadata(None)
+
+
 def flat_list_column(batch: pa.Table, name: str):
     """(offsets, values) numpy views of a list column; offsets are
     parent-relative, values are the unsliced child (the pyarrow

@@ -102,8 +102,35 @@ def minhash_signature(text: str) -> np.ndarray:
     return out
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (deterministic numpy mixing hash;
+    uint64 wraparound is the intended modular arithmetic)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, 64) signature matrix -> (n_docs, 16) band hashes in ONE
+    vectorized pass (absorb each band row through splitmix64), replacing
+    16 per-doc blake2b calls. Only identical band tuples collide by
+    construction-order absorption; spurious 64-bit collisions merely add
+    candidates that exact verification removes."""
+    b = sigs.reshape(len(sigs), _N_BANDS, _N_PERM // _N_BANDS)
+    h = np.full((len(sigs), _N_BANDS), np.uint64(0x9E3779B97F4A7C15))
+    # salt with the band index so band b's hash space is independent
+    h ^= np.arange(_N_BANDS, dtype=np.uint64)[None, :]
+    for r in range(b.shape[2]):
+        h = _mix64(h ^ b[:, :, r])
+    return h >> np.uint64(1)  # int64-positive
+
+
 class MinHashBands:
-    """map_batches stage: text -> exploded (band_id, band_hash, doc_id)."""
+    """map_batches stage: text -> exploded (band_id, band_hash, doc_id).
+
+    Signatures are per-doc (variable-length shingle sets) with the inner
+    math vectorized; band hashing is one numpy pass over the whole
+    batch's stacked signature matrix (no per-doc hashlib calls)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -111,20 +138,20 @@ class MinHashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        rows_per = _N_PERM // _N_BANDS
-        o_band, o_hash, o_id = [], [], []
-        for doc_id, t in zip(ids, texts):
-            sig = minhash_signature(t)
-            for b in range(_N_BANDS):
-                chunk = sig[b * rows_per:(b + 1) * rows_per]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                o_band.append(b)
-                o_hash.append(int.from_bytes(h, "big") >> 1)
-                o_id.append(doc_id)
-        return pa.table({"band_id": pa.array(o_band, pa.int32()),
-                         "band_hash": pa.array(o_hash, pa.int64()),
-                         self.id_col: pa.array(o_id)})
+        ids = batch.column(self.id_col)
+        n = batch.num_rows
+        if not n:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], ids.type)})
+        sigs = np.stack([minhash_signature(t) for t in texts])
+        bh = _band_hashes(sigs)  # (n, 16)
+        band_ids = np.tile(np.arange(_N_BANDS, dtype=np.int32), n)
+        idx = np.repeat(np.arange(n, dtype=np.int64), _N_BANDS)
+        return pa.table({"band_id": pa.array(band_ids),
+                         "band_hash": pa.array(
+                             bh.reshape(-1).astype(np.int64)),
+                         self.id_col: ids.take(pa.array(idx))})
 
 
 from .shuffle import _cpus
@@ -257,18 +284,27 @@ class ShingleBytes:
                          "sh": pa.array(sh, pa.large_binary())})
 
 
+_VERIFY_COLLECT_MAX_PAIRS = 2_000_000  # ~32 MB of (id_a, id_b) rows
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
-                        id_col: str = "doc_id", verify: str = "collect"):
+                        id_col: str = "doc_id", verify: str = "auto"):
     """Dataset -> verified near-dup pairs (id_a < id_b, jaccard >= thr).
 
     LSH bucket join: groupby (band_id, band_hash); only bucket members
     pair up. Verification (verify=):
-    - "collect" (default): collect the DEDUPED candidate-pair table
-      (result-sized — the function's return value is driver-collected
-      anyway, and the distributed pair dedup has already removed the
-      ~bands-fold multiplier), stream the corpus once filtering to
-      candidate docs before shingling, and verify vectorized on the
-      driver. One shuffle + one streamed pass.
+    - "auto" (default): count the deduped candidate pairs (cheap — the
+      pair table is needed either way) and pick "collect" below
+      _VERIFY_COLLECT_MAX_PAIRS, "join" above — the driver never holds
+      an unbounded candidate set just because a caller trusted a
+      default.
+    - "collect": collect the DEDUPED candidate-pair table onto the
+      driver, stream the corpus once filtering to candidate docs before
+      shingling, and verify vectorized on the driver. One shuffle + one
+      streamed pass. NOTE: the collected table is CANDIDATE-sized, not
+      result-sized — it still contains LSH false positives that fail
+      verification (post-band-dedup this is usually within a small
+      factor of the result, but adversarial corpora can inflate it).
     - "join": distributed double hash-join of the candidate-pair table
       against the corpus shingle table — nothing pair-proportional on
       the driver until the final result; for corpora whose candidate
@@ -316,6 +352,13 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     uniq = _dedup_candidate_pairs(cand, nparts, cmask)
     schema = [("id_a", pa.int64()), ("id_b", pa.int64()),
               ("jaccard", pa.float64())]
+
+    if verify == "auto":
+        # materialize once (16 B/row pairs — object-store resident, not
+        # driver memory) so the count doesn't re-run the LSH shuffle
+        uniq = uniq.materialize()
+        verify = ("collect" if uniq.count() <= _VERIFY_COLLECT_MAX_PAIRS
+                  else "join")
 
     def _jaccard(ra: bytes, rb: bytes) -> float:
         sa = np.frombuffer(ra, np.uint64)

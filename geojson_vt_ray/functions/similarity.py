@@ -10,6 +10,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..arrowio import table_from_pandas
+
 
 def _empty_topk() -> pa.Table:
     return pa.table({"query_id": pa.array([], pa.int64()),
@@ -66,7 +68,7 @@ def topk_merge(partials: pa.Table, k: int) -> pa.Table:
                         ascending=[True, False, True], kind="mergesort")
     df["rnk"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rnk"] <= k]
-    return pa.Table.from_pandas(df[["query_id", "vec_id", "rnk"]],
+    return table_from_pandas(df[["query_id", "vec_id", "rnk"]],
                                 preserve_index=False)
 
 
@@ -91,7 +93,7 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids, k: int,
         df = df[df["query_id"] != df["vec_id"]]
         df["rnk"] = df.groupby("query_id").cumcount() + 1
         df = df[df["rnk"] <= k]
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return table_from_pandas(df, preserve_index=False)
 
 
 def _kmeans(sample: np.ndarray, nlist: int, iters: int = 8,
@@ -209,7 +211,7 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids, k: int,
         df = df[df["query_id"] != df["vec_id"]]
         df["rnk"] = df.groupby("query_id").cumcount() + 1
         df = df[df["rnk"] <= k]
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return table_from_pandas(df, preserve_index=False)
 
 
 def ann_ivf_build(ds, out_dir: str, nlist: int = 16,
@@ -299,7 +301,7 @@ def ann_ivf_search(store_dir: str, queries: np.ndarray, query_ids,
         df = df[df["query_id"] != df["vec_id"]]
         df["rnk"] = df.groupby("query_id").cumcount() + 1
         df = df[df["rnk"] <= k]
-    out = pa.Table.from_pandas(df, preserve_index=False)
+    out = table_from_pandas(df, preserve_index=False)
     return (out, stats) if return_stats else out
 
 
@@ -444,7 +446,7 @@ def ann_lsh_topk(ds, queries: np.ndarray, query_ids, k: int,
         df = df[df["query_id"] != df["vec_id"]]
         df["rnk"] = df.groupby("query_id").cumcount() + 1
         df = df[df["rnk"] <= k]
-    out = pa.Table.from_pandas(df, preserve_index=False)
+    out = table_from_pandas(df, preserve_index=False)
     if not return_stats:
         return out
 

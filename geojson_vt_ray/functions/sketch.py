@@ -128,6 +128,22 @@ def approx_distinct(ds, key_col: str, group_col: str | None = None):
 # (normal approx) — k=4096 gives ~2%. Deterministic given the row
 # multiset EXCEPT for ties between equal (value, intra-batch-ordinal)
 # rows across different batchings; the estimator is insensitive to that.
+#
+# CAVEAT (duplicate-heavy distributions): row identity is (value,
+# per-PARTIAL ordinal), so the same value appearing once in each of N
+# different blocks yields N entries with an IDENTICAL hash; after merge
+# their inclusion is all-or-nothing correlated, which shrinks the
+# effective sample toward the number of distinct (value, ordinal)
+# identities and can inflate rank error beyond the ~1.2/sqrt(k) bound
+# when duplicates dominate. (A per-block salt would decorrelate them but
+# destroys merge associativity — merged partials would no longer equal a
+# whole-array build, the property test_bottomk_merge_matches_single_build
+# pins; exact associativity WITH global duplicate identity needs a
+# global row ordinal no map_batches stage has.) The bound as stated
+# assumes mostly-distinct values; the associativity test covers
+# all-distinct input only. For heavily duplicated int64 domains prefer
+# the exact histogram-selection operator (functions/percentile.py),
+# whose two-pass counts are duplicate-exact.
 
 _BK_K = 4096
 

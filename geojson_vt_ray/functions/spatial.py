@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..arrowio import table_from_pandas
 from ..kernels.project import project_x, project_y
 from ..kernels.tileid import tile_id_vec
 
@@ -198,5 +199,5 @@ def knn_merge(partials: pa.Table, k: int) -> pa.Table:
                         kind="mergesort")
     df["rnk"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rnk"] <= k]
-    return pa.Table.from_pandas(df[["query_id", "point_id", "rnk"]],
+    return table_from_pandas(df[["query_id", "point_id", "rnk"]],
                                 preserve_index=False)

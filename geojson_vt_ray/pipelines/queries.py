@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrowio import table_from_pandas
 from ..functions.spatial import (AssignCells, KNNPartial, PIPJoin, knn_merge)
 from ..functions import dedup as F_dedup
 from ..functions import similarity as F_sim
@@ -1066,12 +1067,12 @@ def q_term_stats(sf_dir: str, k: int = 50):
         t = (b.to_pandas()
              .sort_values(["df", "term"], ascending=[False, True],
                           kind="mergesort").head(k))
-        return pa.Table.from_pandas(t, preserve_index=False)
+        return table_from_pandas(t, preserve_index=False)
 
     tops = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
     out = (tops.sort_values(["df", "term"], ascending=[False, True],
                             kind="mergesort").head(k).reset_index(drop=True))
-    return pa.Table.from_pandas(out[["term", "df", "tf"]],
+    return table_from_pandas(out[["term", "df", "tf"]],
                                 preserve_index=False)
 
 
@@ -1366,12 +1367,12 @@ def q_dup_ngrams(sf_dir: str, n: int = 8, k: int = 100):
         t = (b.to_pandas()
              .sort_values(["n_docs", "gram"], ascending=[False, True],
                           kind="mergesort").head(k))
-        return pa.Table.from_pandas(t, preserve_index=False)
+        return table_from_pandas(t, preserve_index=False)
 
     tops = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
     out = (tops.sort_values(["n_docs", "gram"], ascending=[False, True],
                             kind="mergesort").head(k).reset_index(drop=True))
-    return pa.Table.from_pandas(out[["gram", "n_docs", "n_occ"]],
+    return table_from_pandas(out[["gram", "n_docs", "n_occ"]],
                                 preserve_index=False)
 
 
@@ -1434,15 +1435,33 @@ def q_ngram_jaccard_adj(sf_dir: str):
     j = ds.join(right, "inner", F_dedup._num_join_partitions(),
                 on=("doc_id",), right_on=("jkey",))
 
+    def _distinct_rowcode_keys(texts: list, n: int) -> np.ndarray:
+        """Sorted unique (row << 21 | codepoint) keys for a batch of
+        strings: ONE utf-32 decode of the concatenated batch + np.unique
+        — no per-row set() construction (codepoints < 0x110000 fit in
+        21 bits)."""
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.uint64)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=n)
+        rows = np.repeat(np.arange(n, dtype=np.uint64), lens)
+        return np.unique((rows << np.uint64(21)) | codes)
+
     def jac(b: pa.Table) -> pa.Table:
+        # vectorized distinct-char Jaccard: per-row distinct codepoints
+        # as sorted uint64 (row, code) keys; |A∩B| via one intersect1d
+        # over the whole batch, per-row counts via bincount.
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        ta = b.column("text").to_pylist()
-        tb = b.column("text_b").to_pylist()
-        o_j = []
-        for a, bb in zip(ta, tb):
-            sa, sb = set(a), set(bb)
-            union = len(sa | sb)
-            o_j.append(len(sa & sb) / union if union else 1.0)
+        n = b.num_rows
+        ka = _distinct_rowcode_keys(b.column("text").to_pylist(), n)
+        kb = _distinct_rowcode_keys(b.column("text_b").to_pylist(), n)
+        sh = np.uint64(21)
+        na = np.bincount((ka >> sh).astype(np.int64), minlength=n)
+        nb = np.bincount((kb >> sh).astype(np.int64), minlength=n)
+        ki = np.intersect1d(ka, kb, assume_unique=True)
+        ni = np.bincount((ki >> sh).astype(np.int64), minlength=n)
+        union = na + nb - ni
+        o_j = np.where(union > 0, ni / np.maximum(union, 1), 1.0)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "jacc": pa.array(o_j, pa.float64())})
 
@@ -1772,7 +1791,7 @@ def q_pyramid_tiles(sf_dir: str):
     df = t.to_pandas().groupby(["z", "x", "y"], as_index=False).size()
     df = df.rename(columns={"size": "n_features"}).sort_values(
         ["z", "x", "y"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return table_from_pandas(df, preserve_index=False)
 
 
 def q_sessionize(sf_dir: str):
@@ -1878,7 +1897,7 @@ def q_topk_per_segment(sf_dir: str):
         ascending=[True, False, True], kind="mergesort")
     df["rnk"] = df.groupby("c_mktsegment").cumcount() + 1
     df = df[df["rnk"] <= 3][["c_mktsegment", "o_orderkey", "rnk"]]
-    return pa.Table.from_pandas(df.reset_index(drop=True),
+    return table_from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
 
 
@@ -2010,7 +2029,7 @@ def q_pyramid_stats(sf_dir: str):
     ts = _sliced_pyramid(sf_dir)
     rows = ts.manifest["levels"]
     df = pd.DataFrame(rows)[["z", "tiles", "leaf", "split", "empty", "rows"]]
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return table_from_pandas(df, preserve_index=False)
 
 
 def q_multiway_join(sf_dir: str):
@@ -2206,9 +2225,11 @@ def q_rollup_lineitem(sf_dir: str):
         np.add.at(qs, inv, qty)
         np.add.at(rs, inv, rev)
         fs = [u.split("|") for u in uniq]
+        # explicit string type: on a zero-row batch pa.array([]) would
+        # infer null type and conflict with non-empty blocks at groupby
         return pa.table({
-            "l_returnflag": pa.array([f[0] for f in fs]),
-            "l_linestatus": pa.array([f[1] for f in fs]),
+            "l_returnflag": pa.array([f[0] for f in fs], pa.string()),
+            "l_linestatus": pa.array([f[1] for f in fs], pa.string()),
             "n_rows": pa.array(n), "qty_i": pa.array(qs),
             "rev_i": pa.array(rs)})
 
@@ -2233,7 +2254,7 @@ def q_rollup_lineitem(sf_dir: str):
         out = out[["l_returnflag", "l_linestatus", "n_rows",
                    "sum_qty", "sum_rev"]]
         out["n_rows"] = out["n_rows"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     # the combined finest level is <= |flag|×|status| rows: one block
     return (finest.repartition(1)
@@ -2684,12 +2705,12 @@ def q_approx_percentiles(sf_dir: str):
         "o_orderpriority", "cents", ps=(0.5, 0.9, 0.99))
 
 
-def q_decontam(sf_dir: str, n: int = 5, mod: int = 7):
+def q_decontam(sf_dir: str, n: int = 5, mod: int = 7,
+               eval_ids=None):
     """Benchmark decontamination: flag training documents sharing any
-    word ``n``-gram with the benchmark/eval set (docs with
-    doc_id % mod == 0 stand in for the eval suite), reporting the
-    number of distinct contaminated grams per doc — the standard
-    pre-training decontamination pass (e.g. GPT-3 appendix C).
+    word ``n``-gram with the benchmark/eval set, reporting the number of
+    distinct contaminated grams per doc — the standard pre-training
+    decontamination pass (e.g. GPT-3 appendix C).
 
     Shape for scale: the benchmark side is SMALL by contract (eval
     suites are a few thousand docs even when the corpus is 100 TB).
@@ -2700,16 +2721,38 @@ def q_decontam(sf_dir: str, n: int = 5, mod: int = 7):
     set against the broadcast array with a vectorized searchsorted —
     the corpus streams, nothing shuffles. For benchmark sets too big
     to broadcast, q_bloom_semijoin's pushdown is the same op with a
-    bloom prefilter."""
+    bloom prefilter.
+
+    BENCHMARK STAND-IN CAVEAT: with ``eval_ids=None`` the eval suite is
+    simulated as doc_id %% mod == 0 — a corpus-PROPORTIONAL slice (1/mod
+    of all docs), which deliberately stresses the operator in this
+    sandbox but CONTRADICTS the small-side contract the broadcast relies
+    on; at real scale the driver gram set would grow with the corpus.
+    Production callers must pass ``eval_ids`` (a genuinely small,
+    explicit doc-id collection — the real eval suite); the mod fallback
+    exists only so the oracle-checked benchmark query is self-contained
+    on the synthetic tables."""
     import ray
     from ..functions.text import _RE2_TOKEN_RE
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
+    if eval_ids is not None:
+        ev = np.sort(np.asarray(list(eval_ids), dtype=np.int64))
+
+        def is_eval(did: np.ndarray) -> np.ndarray:
+            if not len(ev):
+                return np.zeros(len(did), dtype=bool)
+            pos = np.clip(np.searchsorted(ev, did), 0, len(ev) - 1)
+            return ev[pos] == did
+    else:
+        def is_eval(did: np.ndarray) -> np.ndarray:
+            return did % mod == 0
+
     def bench_grams(b: pa.Table) -> pa.Table:
         did = b.column("doc_id").to_numpy(zero_copy_only=False)
         grams: set = set()
-        for i in np.flatnonzero(did % mod == 0):
+        for i in np.flatnonzero(is_eval(did)):
             toks = _RE2_TOKEN_RE.findall(b.column("text")[int(i)].as_py())
             grams.update(" ".join(toks[j:j + n])
                          for j in range(len(toks) - n + 1))
@@ -2735,7 +2778,7 @@ def q_decontam(sf_dir: str, n: int = 5, mod: int = 7):
         def __call__(self, b: pa.Table) -> pa.Table:
             did = b.column("doc_id").to_numpy(zero_copy_only=False)
             out_id, out_n = [], []
-            for i in np.flatnonzero(did % mod != 0):
+            for i in np.flatnonzero(~is_eval(did)):
                 toks = _RE2_TOKEN_RE.findall(
                     b.column("text")[int(i)].as_py())
                 grams = {" ".join(toks[j:j + n])

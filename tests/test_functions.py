@@ -374,3 +374,53 @@ def test_read_docs_parquet_fallback_and_lance_gate(ray_session, tmp_path):
     if not lance_available():
         with pytest.raises(ImportError, match="[Ll]ance"):
             read_docs(str(tmp_path / "corpus.lance"))
+
+
+def test_minhash_verify_join_equals_collect(ray_session):
+    """The distributed verify="join" path must produce exactly the same
+    verified pairs as the driver-side verify="collect" path (and the
+    "auto" default must resolve to one of them) — keeps the join path
+    from rotting now that small corpora default to collect."""
+    import ray.data as rd
+    from geojson_vt_ray.functions.dedup import minhash_dedup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in the warm afternoon sun near the old barn ")
+    texts, ids = [], []
+    for i in range(40):
+        if i % 4 == 0:
+            texts.append(base + f"variant tail {i % 2}")  # planted dups
+        else:
+            texts.append(f"unique document {i} " + "filler words " * i)
+        ids.append(i)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    got_c = minhash_dedup_pairs(ds, threshold=0.5, verify="collect")
+    got_j = minhash_dedup_pairs(rd.from_arrow(tbl).repartition(4),
+                                threshold=0.5, verify="join")
+    got_a = minhash_dedup_pairs(rd.from_arrow(tbl).repartition(4),
+                                threshold=0.5, verify="auto")
+    assert got_c.num_rows > 0  # planted dups must surface
+    for col in ("id_a", "id_b", "jaccard"):
+        assert got_c[col].to_pylist() == got_j[col].to_pylist(), col
+        assert got_c[col].to_pylist() == got_a[col].to_pylist(), col
+
+
+def test_decontam_explicit_eval_ids(ray_session):
+    """q_decontam(eval_ids=...) must match the mod-selection result when
+    the explicit set equals the mod slice (the production small-side
+    path is the same operator, differently selected)."""
+    import pyarrow.parquet as pq
+    from geojson_vt_ray.pipelines.queries import q_decontam
+
+    sf = "/root/testdata/sf0.001"
+    dids = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id"]).column("doc_id").to_numpy()
+    ev = dids[dids % 7 == 0]
+    got_mod = q_decontam(sf).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    got_ids = q_decontam(sf, eval_ids=ev).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert got_mod.equals(got_ids)
+    assert len(got_mod) > 0
