@@ -43,10 +43,42 @@ def _load_docs(path: str):
     return read_docs(path)
 
 
+def _print_debug_summary(ts, opts, wall_sec: float) -> None:
+    """Reference-shaped debug console summary (debug/debug.js:6-41 +
+    src/index.js:27-56 console.time/log lines), sourced from the
+    manifest the engine already writes. Goes to STDERR so the CLI's
+    one-JSON-line stdout contract stays parseable.
+
+    Timing split caveat: Ray Datasets execute lazily, so parse/wrap
+    ("preprocess data" in the reference) runs inside the first level's
+    pipeline; we report the per-level loop sum as "generate tiles" and
+    the remaining wall time (planning + read + manifest) as
+    "preprocess data"."""
+    lv = ts.manifest["levels"]
+    gen = sum(l.get("t_sec", 0.0) for l in lv)
+    pre = max(wall_sec - gen, 0.0)
+    # reference `stats` counts CREATED tiles (empty ones are never
+    # created): per-zoom histogram of non-empty tiles
+    hist = {f"z{l['z']}": l["tiles"] - l.get("empty", 0) for l in lv}
+    total = sum(hist.values())
+    feats = lv[0].get("rows", 0) if lv else 0
+    pts = lv[0].get("points", 0) if lv else 0
+    err = sys.stderr
+    print(f"preprocess data: {pre * 1000:.0f}ms", file=err)
+    print(f"index: maxZoom: {opts.index_max_zoom}, "
+          f"maxPoints: {opts.index_max_points}", file=err)
+    print(f"features: {feats}, points: {pts}", file=err)
+    print(f"generate tiles: {gen * 1000:.0f}ms", file=err)
+    print(f"tiles generated: {total} "
+          f"{json.dumps(hist, separators=(',', ':'))}", file=err)
+
+
 def cmd_slice(args) -> int:
+    import time
     from .config import TileOptions
     from .pipelines.pyramid import slice_pyramid
     _ensure_ray()
+    t0 = time.perf_counter()
     opts = TileOptions(
         max_zoom=args.max_zoom, index_max_zoom=args.index_max_zoom,
         index_max_points=args.index_max_points, tolerance=args.tolerance,
@@ -73,6 +105,7 @@ def cmd_slice(args) -> int:
            "levels": ts.manifest["levels"]}
     if args.debug:  # reference debug console output (src/index.js:39-44)
         out["metrics"] = ts.manifest.get("metrics", {})
+        _print_debug_summary(ts, opts, time.perf_counter() - t0)
     print(json.dumps(out))
     return 0
 

@@ -186,32 +186,56 @@ class IVFTopKPartial:
 def ann_ivf_topk(ds, queries: np.ndarray, query_ids, k: int,
                  nlist: int = 16, nprobe: int = 4, train_sample: int = 1024,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 exclude_self: bool = True) -> pa.Table:
-    """IVF (coarse-quantized) ANN: deterministic k-means centroids from a
-    bounded driver-side sample, broadcast assign stage, per-batch probed
-    partial top-k, tiny merge. Same output schema as ann_cosine_topk."""
+                 exclude_self: bool = True, return_stats: bool = False):
+    """IVF (coarse-quantized) ANN — the engine's DEFAULT ANN scale path:
+    deterministic k-means centroids from a bounded driver-side sample,
+    broadcast assign stage, per-batch probed partial top-k, tiny merge.
+    Same output schema as ann_cosine_topk. With return_stats=True also
+    returns {"scan_frac", "nlist", "nprobe"}, where scan_frac is the
+    MEASURED mean fraction of corpus rows a query's probed lists cover
+    (one extra counting pass over the assigned corpus — a diagnostic,
+    skip it in production runs)."""
     import ray
     sample = ds.limit(train_sample).to_pandas()[vec_col]
     cent = _kmeans(np.stack(sample.to_numpy()), nlist)
     cref = ray.put(cent)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     kk = k + (1 if exclude_self else 0)
-    partials = (ds.map_batches(IVFAssign(cref, vec_col),
-                               batch_format="pyarrow")
-                .map_batches(IVFTopKPartial(qref, query_ids, cref, kk,
-                                            nprobe, vec_col, id_col),
-                             batch_format="pyarrow"))
+    assigned = ds.map_batches(IVFAssign(cref, vec_col),
+                              batch_format="pyarrow")
+    partials = assigned.map_batches(
+        IVFTopKPartial(qref, query_ids, cref, kk, nprobe, vec_col, id_col),
+        batch_format="pyarrow")
     tables = [ray.get(r) for r in partials.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]
+    stats = None
+    if return_stats:
+        nlist_eff = len(cent)
+
+        def _hist(b: pa.Table) -> pa.Table:
+            lst = b.column("ivf_list").to_numpy(zero_copy_only=False)
+            c = np.bincount(lst, minlength=nlist_eff).astype(np.int64)
+            return pa.table({"n": pa.array(c)})
+
+        hp = assigned.map_batches(_hist, batch_format="pyarrow").to_pandas()
+        hist = hp["n"].to_numpy().reshape(-1, nlist_eff).sum(axis=0)
+        total = max(int(hist.sum()), 1)
+        qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ cent.T), axis=1,
+                           kind="stable")[:, :min(nprobe, nlist_eff)]
+        stats = {"scan_frac": float(np.mean(hist[probe].sum(axis=1)) / total),
+                 "nlist": nlist_eff, "nprobe": nprobe}
     if not tables:
-        return _empty_topk()
+        empty = _empty_topk()
+        return (empty, stats) if return_stats else empty
     merged = topk_merge(pa.concat_tables(tables), kk)
     df = merged.to_pandas()
     if exclude_self:
         df = df[df["query_id"] != df["vec_id"]]
         df["rnk"] = df.groupby("query_id").cumcount() + 1
         df = df[df["rnk"] <= k]
-    return table_from_pandas(df, preserve_index=False)
+    out = table_from_pandas(df, preserve_index=False)
+    return (out, stats) if return_stats else out
 
 
 def ann_ivf_build(ds, out_dir: str, nlist: int = 16,

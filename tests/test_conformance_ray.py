@@ -276,6 +276,40 @@ def test_cli_slice_and_get_tile(ray_session, tmp_path, fixtures_dir):
         (fixtures_dir / "us-states-z7-37-48.json").read_text())
 
 
+def test_cli_debug_summary_matches_reference_shape(ray_session, tmp_path,
+                                                   fixtures_dir):
+    """--debug 1 must print the reference-shaped console summary
+    (debug/debug.js + src/index.js debug lines) on STDERR while stdout
+    stays one parseable JSON line, and the tiles-generated line must
+    agree with the manifest's non-empty tile count."""
+    import json as _json
+    import re
+    from geojson_vt_ray.cli import main
+    import io, contextlib
+
+    out = str(tmp_path / "pyr_dbg")
+    so, se = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(so), contextlib.redirect_stderr(se):
+        rc = main(["slice", "--input",
+                   str(fixtures_dir / "us-states.json"), "--out", out,
+                   "--index-max-zoom", "5",
+                   "--index-max-points", "100000", "--debug", "1"])
+    assert rc == 0
+    summary = _json.loads(so.getvalue())  # stdout contract intact
+    err = se.getvalue()
+    assert re.search(r"^preprocess data: \d+ms$", err, re.M), err
+    assert "index: maxZoom: 5, maxPoints: 100000" in err
+    assert re.search(r"^features: \d+, points: \d+$", err, re.M), err
+    assert re.search(r"^generate tiles: \d+ms$", err, re.M), err
+    m = re.search(r"^tiles generated: (\d+) (\{.*\})$", err, re.M)
+    assert m, err
+    total, hist = int(m.group(1)), _json.loads(m.group(2))
+    want = {f"z{l['z']}": l["tiles"] - l.get("empty", 0)
+            for l in summary["levels"]}
+    assert hist == want
+    assert total == sum(want.values())
+
+
 def test_span_sequence_equality(ray_session, tmp_path, fixtures):
     """Every tile row must carry its document's span sequence verbatim."""
     import pyarrow.dataset as pads

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Soak run (VERDICT r2 item 7): the composite curation pipeline
+(q_curate) end-to-end over a synthesized multi-GB documents corpus —
+~1000x the sf0.1 bench table — with a deliberately SMALL object store,
+so the run demonstrates the 100 TB design claims at the largest local
+scale: the corpus streams (blocks are produced, consumed and freed),
+nothing corpus-sized is retained, the driver does not grow.
+
+    python tools/soak_curate.py [--replicas 1000] [--text-mult 8] \
+        [--store-gb 8] [--keep-corpus]
+
+Prints ONE JSON line: corpus size, wall time per phase, result rows,
+driver RSS before/after, object-store spill stats from Ray's memory
+summary. Record the result in BASELINE.md.
+
+This script OWNS its Ray session (tools are CLI entry points; the
+library and __ray_entry__ never call ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import resource
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1/documents.parquet"
+
+
+def synthesize(out_dir: str, replicas: int, text_mult: int) -> dict:
+    """Write replicas shards; shard r = the base 5k-doc table with
+    doc_id offset r*5k and text repeated text_mult times. EVEN replicas
+    keep the base text verbatim (exact-duplicate groups of ~replicas/2
+    members — exercises the dedup leg's grouped-min at real group
+    sizes); ODD replicas get a per-replica tag token appended (unique
+    keepers). Generation itself is a Ray pipeline: range(replicas) ->
+    map_batches(build shard) -> write_parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    base = pq.read_table(BASE, columns=["doc_id", "lang", "text"])
+    n_base = base.num_rows
+    big_text = pa.array(
+        [t * text_mult for t in base.column("text").to_pylist()])
+    base = pa.table({"doc_id": base.column("doc_id"),
+                     "lang": base.column("lang"),
+                     "text": big_text})
+    bref = ray.put(base)
+
+    def shard(batch):
+        b = ray.get(bref)
+        out = []
+        for r in batch["id"].tolist():
+            ids = pa.array(
+                (b.column("doc_id").to_numpy() + r * n_base), pa.int64())
+            if r % 2 == 0:
+                txt = b.column("text")
+            else:
+                txt = pa.array([f"{t} rep{r}"
+                                for t in b.column("text").to_pylist()])
+            out.append(pa.table({"doc_id": ids,
+                                 "lang": b.column("lang"),
+                                 "text": txt}))
+        return pa.concat_tables(out)
+
+    (rd.range(replicas, override_num_blocks=replicas)
+       .map_batches(shard, batch_format="numpy", batch_size=1)
+       .write_parquet(out_dir))
+    sz = sum(os.path.getsize(os.path.join(r, f))
+             for r, _, fs in os.walk(out_dir) for f in fs)
+    return {"rows": replicas * n_base, "parquet_bytes": sz}
+
+
+def spill_stats() -> dict:
+    """Spilled/restored byte counts from Ray's memory summary."""
+    try:
+        from ray._private.internal_api import memory_summary
+        s = memory_summary(stats_only=True)
+    except Exception as e:  # best-effort diagnostic
+        return {"error": str(e)}
+    out = {"raw_tail": " | ".join(
+        l.strip() for l in s.splitlines() if "pill" in l or "MiB" in l)}
+    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", s)
+    if m:
+        out["spilled_mib"] = int(m.group(1))
+        out["spilled_objects"] = int(m.group(2))
+    else:
+        out["spilled_mib"] = 0
+    m = re.search(r"Restored (\d+) MiB, (\d+) objects", s)
+    if m:
+        out["restored_mib"] = int(m.group(1))
+    m = re.search(r"Plasma memory usage (\d+) MiB", s)
+    if m:
+        out["plasma_usage_mib"] = int(m.group(1))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=1000)
+    ap.add_argument("--text-mult", type=int, default=8)
+    ap.add_argument("--store-gb", type=float, default=8.0)
+    ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--keep-corpus", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, logging_level="ERROR",
+             object_store_memory=int(args.store_gb * 2**30))
+
+    corpus = tempfile.mkdtemp(prefix="gvt_soak_")
+    sf_dir = os.path.join(corpus, "sf")
+    os.makedirs(sf_dir)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    try:
+        t0 = time.perf_counter()
+        gen = synthesize(os.path.join(sf_dir, "documents.parquet"),
+                         args.replicas, args.text_mult)
+        t_gen = time.perf_counter() - t0
+
+        from geojson_vt_ray.pipelines.queries import q_curate
+        t1 = time.perf_counter()
+        out = q_curate(sf_dir)
+        n_out = out.count()
+        t_run = time.perf_counter() - t1
+
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        result = {
+            "soak": "curate",
+            "corpus_rows": gen["rows"],
+            "corpus_parquet_gb": round(gen["parquet_bytes"] / 2**30, 2),
+            "object_store_gb": args.store_gb,
+            "num_cpus": args.num_cpus,
+            "t_synth_sec": round(t_gen, 1),
+            "t_curate_sec": round(t_run, 1),
+            "mb_per_sec": round(gen["parquet_bytes"] / 2**20 / t_run, 1),
+            "out_rows": n_out,
+            "driver_rss_mb_before": rss0,
+            "driver_rss_mb_after": rss1,
+            "spill": spill_stats(),
+        }
+        print(json.dumps(result))
+        return 0
+    finally:
+        if not args.keep_corpus:
+            shutil.rmtree(corpus, ignore_errors=True)
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
