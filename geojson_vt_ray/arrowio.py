@@ -182,6 +182,19 @@ def table_from_pandas(df, **kw) -> pa.Table:
     return pa.Table.from_pandas(df, **kw).replace_schema_metadata(None)
 
 
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Zero-copy schema-metadata strip for pass-through batches.
+
+    Parquet files written by pandas embed a ``pandas`` key in the file
+    schema; ReadParquet blocks inherit it and every pass-through
+    transform (``append_column``/``filter``/``select``) preserves it.
+    Such schemas are unhashable here (see ``table_from_pandas``), so
+    any downstream sort/aggregate/join concat pays the slow
+    ``unify_schemas`` path per block. Fused right after a read this is
+    one metadata-only call per block."""
+    return (t.replace_schema_metadata(None) if t.schema.metadata else t)
+
+
 def flat_list_column(batch: pa.Table, name: str):
     """(offsets, values) numpy views of a list column; offsets are
     parent-relative, values are the unsliced child (the pyarrow

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..arrowio import strip_schema_metadata
+
 
 def _md5_hex(texts: list[str]) -> list[str]:
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
@@ -178,6 +180,10 @@ def _dedup_candidate_pairs(cand, nparts: int, cmask: int):
     scale-safe (16 B/row payload) and collapses per-block overhead."""
 
     def add_pair_key(b: pa.Table) -> pa.Table:
+        # upstream pandas map_groups blocks carry pandas schema
+        # metadata, which is unhashable here and would force the vkey
+        # aggregate's concat onto the slow unify_schemas path
+        b = strip_schema_metadata(b)
         ia = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
         ib = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
         mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
@@ -643,8 +649,14 @@ def label_propagation_clusters(pairs, max_iters: int = 64):
         return pa.table({"node": b.column("node"),
                          "label": b.column("node")})
 
-    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["label"].min()
+    def min_per_node(g: pd.DataFrame) -> pa.Table:
+        # arrow return (not DataFrame): pandas-converted blocks carry
+        # schema metadata that is unhashable in this pyarrow build and
+        # would push every later round's concat onto the slow
+        # unify_schemas path (see arrowio.table_from_pandas)
+        m = g.groupby("node", as_index=False)["label"].min()
+        return pa.table({"node": pa.array(m["node"].to_numpy()),
+                         "label": pa.array(m["label"].to_numpy())})
 
     def add_nkey(b: pa.Table) -> pa.Table:
         n_ = b.column("node").to_numpy(zero_copy_only=False)
@@ -691,12 +703,14 @@ def label_propagation_clusters(pairs, max_iters: int = 64):
         probes = g[g["kind"] != 1]
         lab = lut.reindex(probes["key"].to_numpy()).to_numpy()
         # every probed key is a node (edge endpoint or current label),
-        # and every node has a build row in its own bucket
-        return pd.DataFrame({
-            "node": np.concatenate([probes["val"].to_numpy(),
-                                    build["key"].to_numpy()]),
-            "label": np.concatenate([lab.astype(np.int64),
-                                     build["val"].to_numpy()])})
+        # and every node has a build row in its own bucket. Arrow
+        # return keeps the block schema metadata-free (hashable) for
+        # the next round's unions/concats.
+        return pa.table({
+            "node": pa.array(np.concatenate([probes["val"].to_numpy(),
+                                             build["key"].to_numpy()])),
+            "label": pa.array(np.concatenate([lab.astype(np.int64),
+                                              build["val"].to_numpy()]))})
 
     # the edge-probe table depends only on the static edge set — build
     # it once, not once per round

@@ -31,6 +31,19 @@ def _rd():
     return rd
 
 
+def _read_pq(path, columns=None, **kw):
+    """``read_parquet`` + fused schema-metadata strip. The testdata
+    parquet carries pandas metadata in its file schema, which makes the
+    resulting block schemas unhashable in this pyarrow build and knocks
+    Ray's ``unify_schemas`` dedup off its set() fast path at every
+    downstream sort/aggregate/join concat (logging "Failed to hash the
+    schemas" once per run). The strip map fuses with the read — one
+    metadata-only call per block. All registry reads go through this."""
+    from ..arrowio import strip_schema_metadata
+    return _rd().read_parquet(path, columns=columns, **kw).map_batches(
+        strip_schema_metadata, batch_format="pyarrow")
+
+
 def _coarse_mask() -> int:
     """Cluster-scaled coarse-shuffle bucket mask (functions/shuffle.py):
     never groupby the natural key directly — Ray per-group overhead is
@@ -41,7 +54,7 @@ def _coarse_mask() -> int:
 
 def _events_points(sf_dir: str):
     """events + derived lon/lat columns (bit-exact vs the SQL formulas)."""
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["event_id", "ts", "user_id", "value"])
 
     def add_coords(b: pa.Table) -> pa.Table:
@@ -309,7 +322,7 @@ def _sql_raster_overlay():
 # ----------------------------------------------------------- relational
 def q_agg_lineitem(sf_dir: str):
     from ray.data.aggregate import Sum, Count
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
@@ -378,7 +391,7 @@ def q_top_revenue(sf_dir: str):
     groups — Ray per-group overhead is ruinous at that group count) with
     a vectorized within-group combine + local top-10, then a global
     sort+limit over <=256*10 rows."""
-    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_extendedprice",
                                      "l_discount"])
     mask = _coarse_mask()
@@ -488,7 +501,7 @@ def q_join_broadcast(sf_dir: str):
                         pa.scalar(100.0))
         return b.drop_columns(["total_i"]).append_column("total", tot)
 
-    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
     return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
             .map_batches(partial, batch_format="pyarrow")
@@ -509,7 +522,7 @@ def q_window_events(sf_dir: str):
     """Tumbling 1h window aggregate per user (streaming-shaped op on the
     ordered log; SURVEY §2.8)."""
     from ray.data.aggregate import Sum, Count
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts", "value"])
 
     def bucket(b: pa.Table) -> pa.Table:
@@ -534,7 +547,7 @@ def q_window_sliding(sf_dir: str):
     the Ray-native flat_map shape) before the grouped count; exact-int
     outputs only (COUNT + MIN event id) so the compare is hash-stable."""
     from ray.data.aggregate import Count, Min
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
 
     def expand(b: pa.Table) -> pa.Table:
@@ -570,7 +583,7 @@ def q_user_overlap(sf_dir: str):
     second (left_semi -> both=1, left_anti -> both=0). The per-batch
     distinct partials mean the shuffles move unique user ids only."""
     nparts = F_dedup._num_join_partitions()
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])
 
     def day_users(b: pa.Table) -> pa.Table:
@@ -649,7 +662,7 @@ def q_retention(sf_dir: str):
     driver sum over those fixed-cardinality partials. The shuffle moves
     (user, day) and (user, mask) ints only — never events."""
     mask = _coarse_mask()
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])
     n_days = 64  # one int64 bitmask word; events span 30 days
 
@@ -761,11 +774,11 @@ def q_asof_join(sf_dir: str):
             "day": pa.array(day),
             "rid": b.column("event_id").cast(pa.int64())})
 
-    orders = _rd().read_parquet(
+    orders = _read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
             orders_part, batch_format="pyarrow")
-    events = _rd().read_parquet(
+    events = _read_pq(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts"]).map_batches(
             events_part, batch_format="pyarrow")
@@ -832,11 +845,11 @@ def q_range_join(sf_dir: str):
             "lo": pa.array(day), "hi": pa.array(day + 30),
             "rid": pa.array(ok)})
 
-    items = _rd().read_parquet(
+    items = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_shipdate"]).map_batches(
             lineitem_part, batch_format="pyarrow")
-    orders = _rd().read_parquet(
+    orders = _read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate"]).map_batches(
             orders_part, batch_format="pyarrow")
@@ -912,7 +925,7 @@ def q_asof_join_broadcast(sf_dir: str):
                              "o_orderkey": pa.array(
                                  self.o_key[pos[ok]], pa.int64())})
 
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
     return ds.map_batches(AsOf, batch_format="pyarrow", concurrency=2)
 
@@ -932,7 +945,7 @@ def q_sample_docs(sf_dir: str):
     cluster-order-independent way to sample at 100 TB (ds.random_sample
     is seed-per-task); md5 matches DuckDB's md5() so it oracles
     exactly."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def sample(b: pa.Table) -> pa.Table:
@@ -967,7 +980,7 @@ def q_stratified_sample(sf_dir: str, n: int = _STRAT_N):
     import zlib
 
     cmask = _coarse_mask()
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "lang"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1012,7 +1025,7 @@ _SQL_STRATIFIED = (
 
 
 def q_dedup_exact(sf_dir: str):
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return F_dedup.exact_dedup(ds, id_col="doc_id")
 
@@ -1022,7 +1035,7 @@ _SQL_DEDUP_EXACT = ("SELECT md5(text) AS content_hash, "
 
 
 def q_token_counts(sf_dir: str):
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return (ds.map_batches(F_text.token_counts, batch_format="pyarrow")
             .select_columns(["doc_id", "n_tokens_ws", "n_tokens_re"]))
@@ -1045,7 +1058,7 @@ def q_term_stats(sf_dir: str, k: int = 50):
     rows of a term land in one group); top-k is two-level — per-block
     top-k then a driver merge of <= blocks*k rows, never the vocabulary.
     """
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     cmask = _coarse_mask()
 
@@ -1101,7 +1114,7 @@ def q_tfidf_top(sf_dir: str, k: int = _TFIDF_K):
     coarse-key merge as term_stats — the vocabulary at web scale is NOT
     broadcastable); a hash join on term; then a coarse-keyed per-doc
     top-k. No driver pass over anything corpus-sized."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
@@ -1196,7 +1209,7 @@ def q_posting_lists(sf_dir: str, lo: int = _POSTINGS_LO,
     result STREAMS out as a Dataset — posting lists are corpus-sized
     and never touch the driver."""
     cmask = _coarse_mask()
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1259,7 +1272,7 @@ def q_cooccur(sf_dir: str, v: int = _COOCCUR_V, k: int = _COOCCUR_K):
     nv = len(terms)
     cmask = _coarse_mask()
 
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     class PairPartial:
         def __init__(self, vidx, nv):
@@ -1342,7 +1355,7 @@ def q_dup_ngrams(sf_dir: str, n: int = 8, k: int = 100):
     after each gram's full merge (its group holds all partials), so
     the post-merge stream is already only the duplicated grams.
     """
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     cmask = _coarse_mask()
 
@@ -1390,7 +1403,7 @@ _SQL_DUP_NGRAMS = (
 
 
 def q_quality(sf_dir: str):
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def ints_only(b: pa.Table) -> pa.Table:
@@ -1409,7 +1422,7 @@ _SQL_QUALITY = (
 
 def q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
 
@@ -1422,7 +1435,7 @@ def q_ngram_jaccard_adj(sf_dir: str):
     semantics: distinct-character sets). The (i, i+1) pairing is a
     self-equi-join on doc_id = doc_id + 1 — a keyed Ray Data shuffle
     join, not a whole-table text broadcast."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def as_next(b: pa.Table) -> pa.Table:
@@ -1483,7 +1496,7 @@ def _minhash_pairs_cached(sf_dir: str) -> pa.Table:
     sf = _sf_of(sf_dir)
     t = _MINHASH_CACHE.get(sf)
     if t is None:
-        ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+        ds = _read_pq(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id", "text"])
         t = F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
         _MINHASH_CACHE[sf] = t
@@ -1501,7 +1514,7 @@ def q_group_percentiles(sf_dir: str):
     (functions/percentile.py). Integer-exact vs percentile_disc."""
     from ..functions.percentile import group_percentiles
 
-    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
                             columns=["o_orderpriority", "o_totalprice"])
 
     def to_cents(b: pa.Table) -> pa.Table:
@@ -1533,7 +1546,7 @@ def q_jaccard_join(sf_dir: str):
     exact counterpart of the MinHash pipeline, recall 1 by construction.
     Output is integer-only (n_inter, n_union) so the integer threshold
     test matches the cross-join oracle bit-for-bit."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return F_dedup.jaccard_join_exact(ds, t_num=1, t_den=2, n_tokens=5)
 
@@ -1559,13 +1572,13 @@ def q_simhash_pairs(sf_dir: str):
     complete at this radius by pigeonhole — dedup.simhash_pairs). Oracle
     is a cross join over the independently-verified simhash fixture
     with DuckDB bit_count(xor(...))."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return F_dedup.simhash_pairs(ds, max_hamming=3)
 
 
 def q_simhash(sf_dir: str):
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return (ds.map_batches(F_dedup.SimHashStage(), batch_format="pyarrow",
                            concurrency=2)
@@ -1573,7 +1586,7 @@ def q_simhash(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return (ds.map_batches(F_text.LangId, batch_format="pyarrow",
                            concurrency=2)
@@ -1584,7 +1597,7 @@ def q_fingerprint(sf_dir: str):
     """Winnowing fingerprint, flattened to 4 scalar uint64 columns
     (fp0..fp3) so the committed-fixture oracle can sort/hash rows —
     list columns don't survive the driver's value compare."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def flatten(b: pa.Table) -> pa.Table:
@@ -1613,7 +1626,7 @@ def q_ann_topk(sf_dir: str):
     dim = len(vals) // len(ids)
     mat = vals.reshape(-1, dim)
     qmask = ids < 5
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     return F_sim.ann_cosine_topk(ds, mat[qmask], ids[qmask], k=5)
 
@@ -1649,7 +1662,7 @@ def q_ann_ivf(sf_dir: str):
         zero_copy_only=False)
     mat = vals.reshape(len(ids), -1)
     qmask = ids < 5
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     return F_sim.ann_ivf_topk(ds, mat[qmask], ids[qmask], k=5,
                               nlist=128, nprobe=32)
@@ -1679,7 +1692,7 @@ def q_ann_lsh(sf_dir: str):
         zero_copy_only=False)
     mat = vals.reshape(len(ids), -1)
     qmask = ids < 5
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     return F_sim.ann_lsh_topk(ds, mat[qmask], ids[qmask], k=5,
                               n_planes=8, n_tables=8)
@@ -1697,7 +1710,7 @@ def q_embed_neardup(sf_dir: str):
     mat = vals.reshape(len(ids), -1).astype(np.float64)
     ref_mask = ids < 50
     rref = ray.put(mat[ref_mask])
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     # 0.35 is just above the null distribution's p99.9 for these random
     # 64-dim embeddings (max non-self cosine ~0.385 at sf0.01) so the
@@ -1816,7 +1829,7 @@ def q_sessionize(sf_dir: str):
     per user."""
     GAP_US = 1_800_000_000
 
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
 
     mask = _coarse_mask()
@@ -1902,7 +1915,7 @@ def q_topk_per_segment(sf_dir: str):
                              "o_orderkey": pa.array(o_key, pa.int64()),
                              "o_totalprice": pa.array(o_price, pa.float64())})
 
-    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_orderkey",
                                      "o_totalprice"])
     partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
@@ -1932,7 +1945,7 @@ def q_anti_join(sf_dir: str):
     only, and nothing is collected on the driver."""
     CUTOFF_US = np.datetime64("2000-06-01").astype(
         "datetime64[us]").astype(np.int64)
-    keys_ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+    keys_ds = _read_pq(f"{sf_dir}/orders.parquet",
                                  columns=["o_custkey", "o_orderdate"])
 
     def uniq(b: pa.Table) -> pa.Table:
@@ -1948,7 +1961,7 @@ def q_anti_join(sf_dir: str):
     # collected on the driver (at 100x scale distinct custkeys ~= the
     # whole customer table, so a driver set would OOM)
     probe = keys_ds.map_batches(uniq, batch_format="pyarrow")
-    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey"])
     return cust.join(probe, "left_anti", F_dedup._num_join_partitions(),
                      on=("c_custkey",), right_on=("o_custkey",))
@@ -1996,7 +2009,7 @@ def q_dedup_clusters(sf_dir: str):
 def q_distinct_users(sf_dir: str):
     """Per-day distinct users: per-batch pair dedup (the shuffle moves
     unique (day, user) pairs, not rows), then a small per-day nunique."""
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])
 
     def pairs(b: pa.Table) -> pa.Table:
@@ -2026,7 +2039,7 @@ def q_approx_distinct_users(sf_dir: str):
     shuffle moves one 4 KiB register array per (batch, day) instead of
     keys — the at-scale path; ~1.6% relative error at 2^12 registers."""
     from ..functions.sketch import approx_distinct
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])
 
     def add_day(b: pa.Table) -> pa.Table:
@@ -2068,7 +2081,7 @@ def q_multiway_join(sf_dir: str):
     nparts = num_join_partitions()
     cut = np.datetime64("1998-06-15")
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
 
     def cust_keys(b: pa.Table) -> pa.Table:
@@ -2076,7 +2089,7 @@ def q_multiway_join(sf_dir: str):
         keys = b.filter(m).column("c_custkey")
         return pa.table({"o_custkey": keys})
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate", "o_orderpriority"])
 
@@ -2094,7 +2107,7 @@ def q_multiway_join(sf_dir: str):
                          "o_orderdate": b.column("o_orderdate"),
                          "o_orderpriority": b.column("o_orderpriority")})
 
-    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    line = _read_pq(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_shipdate",
                                     "l_extendedprice", "l_discount"])
     mask = _coarse_mask()
@@ -2166,7 +2179,7 @@ def q_pivot_events(sf_dir: str):
     shuffle; the groupby key is the day (bounded cardinality — one group
     per calendar day even at 100 TB), and the wide row is assembled
     vectorized inside map_groups."""
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["ts", "event_type"])
     n_types = len(_EVENT_TYPES)
     type_set = pa.array(_EVENT_TYPES)
@@ -2214,7 +2227,7 @@ def q_rollup_lineitem(sf_dir: str):
     bounded by the attribute domain, not the data. 'ALL' is the rollup
     sentinel (COALESCE'd in the oracle) so no NULL-ordering ambiguity
     reaches the comparator."""
-    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
                             columns=["l_returnflag", "l_linestatus",
                                      "l_quantity", "l_extendedprice",
                                      "l_discount"])
@@ -2295,7 +2308,7 @@ def q_global_sort(sf_dir: str):
     rank is attached after the limit in a single tiny block, which
     pins the output ORDER itself (not just membership) under the
     driver's order-insensitive hash."""
-    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
                             columns=["o_orderkey", "o_custkey",
                                      "o_totalprice", "o_orderdate"])
 
@@ -2354,7 +2367,7 @@ def q_bloom_semijoin(sf_dir: str, n_bits: int = _BLOOM_BITS):
     from ..functions.shuffle import num_join_partitions
     nparts = num_join_partitions()
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_totalprice"])
 
     def okeys(b: pa.Table) -> pa.Table:
@@ -2378,7 +2391,7 @@ def q_bloom_semijoin(sf_dir: str, n_bits: int = _BLOOM_BITS):
         merged |= np.frombuffer(row["bm"], np.uint64)
     bm_ref = ray.put(merged)
 
-    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    line = _read_pq(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey"])
     mask = _coarse_mask()
 
@@ -2428,7 +2441,7 @@ def q_repetition(sf_dir: str):
     Pure per-batch map — zero shuffle, embarrassingly parallel at any
     scale; the token stream is flattened once per batch and both
     fractions come from hashed C groupbys (no per-row Python)."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def metrics(b: pa.Table) -> pa.Table:
@@ -2487,7 +2500,7 @@ def q_quantile_buckets(sf_dir: str):
     from ..functions.percentile import group_percentiles
     rd = _rd()
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
                          columns=["o_totalprice"])
 
     def to_cents(b: pa.Table) -> pa.Table:
@@ -2561,7 +2574,7 @@ def q_funnel(sf_dir: str):
     each bucket. The dependency chain (step k's cutoff is step k-1's
     time) is what makes this a custom operator rather than a groupby
     aggregate."""
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts", "event_type"])
     mask = _coarse_mask()
     steps = pa.array(["view", "click", "purchase"])
@@ -2630,7 +2643,7 @@ def q_heavy_hitters(sf_dir: str, threshold: int = _HH_THRESHOLD,
     Output is exact: (user_id, n_events)."""
     import ray
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                          columns=["user_id"])
 
     def cms_rows(keys: np.ndarray) -> np.ndarray:
@@ -2706,7 +2719,7 @@ def q_approx_percentiles(sf_dir: str):
     oracle: approximate by design (like approx_distinct_users)."""
     from ..functions.sketch import approx_group_percentiles
 
-    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
                             columns=["o_orderpriority", "o_totalprice"])
 
     def to_cents(b: pa.Table) -> pa.Table:
@@ -2749,7 +2762,7 @@ def q_decontam(sf_dir: str, n: int = 5, mod: int = 7,
     on the synthetic tables."""
     import ray
     from ..functions.text import _RE2_TOKEN_RE
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     if eval_ids is not None:
@@ -2854,7 +2867,7 @@ def q_pack_sequences(sf_dir: str, budget: int = 2048,
             "bucket": pa.array((did // bucket_w).astype(np.int64))})
 
     def ds_counts():
-        return _rd().read_parquet(
+        return _read_pq(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text"]).map_batches(
                 counts, batch_format="pyarrow")
@@ -2917,7 +2930,7 @@ def q_redact(sf_dir: str):
     pc.replace_substring_regex are RE2 kernels over the whole batch,
     matching DuckDB's RE2 regexp_matches/regexp_replace exactly."""
     from ..functions.dedup import _md5_hex
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def scrub(b: pa.Table) -> pa.Table:
@@ -2949,7 +2962,7 @@ def q_chunk_docs(sf_dir: str, width: int = 20, stride: int = 16):
     so downstream exchanges never carry text."""
     from ..functions.dedup import _md5_hex
     from ..functions.text import _RE2_TOKEN_RE
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def chunk(b: pa.Table) -> pa.Table:
@@ -3000,7 +3013,7 @@ def q_curate(sf_dir: str):
     import ray
     from ..functions.percentile import group_percentiles
     rd = _rd()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "text"])
 
     def with_n(b: pa.Table) -> pa.Table:
