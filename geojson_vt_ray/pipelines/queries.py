@@ -1809,16 +1809,23 @@ def q_pyramid_tiles(sf_dir: str):
     """Flagship: slice a synthesized corpus through the quadtree pyramid;
     returns per-tile feature counts (golden-level conformance is pinned
     by tests/; driver check is a committed expected-output fixture)."""
-    import pyarrow.dataset as pads
     import os
     ts = _sliced_pyramid(sf_dir)
     tiles_dir = os.path.join(ts.out_dir, "tiles")
     if not os.path.isdir(tiles_dir):
         return pa.table({"z": [], "x": [], "y": [], "n_features": []})
-    t = pads.dataset(tiles_dir).to_table(columns=["z", "x", "y"])
-    df = t.to_pandas().groupby(["z", "x", "y"], as_index=False).size()
-    df = df.rename(columns={"size": "n_features"}).sort_values(
-        ["z", "x", "y"])
+
+    # distributed per-block partial counts: each block collapses to its
+    # distinct (z, x, y) rows before anything reaches the driver, so the
+    # drain is tile-count-sized (aggregate-sized), never row-count-sized
+    def partial_counts(b: pa.Table) -> pa.Table:
+        return b.group_by(["z", "x", "y"]).aggregate([([], "count_all")])
+
+    parts = _read_pq(tiles_dir, columns=["z", "x", "y"]).map_batches(
+        partial_counts, batch_format="pyarrow").to_pandas()
+    df = (parts.groupby(["z", "x", "y"], as_index=False)["count_all"]
+          .sum().rename(columns={"count_all": "n_features"})
+          .sort_values(["z", "x", "y"]))
     return table_from_pandas(df, preserve_index=False)
 
 

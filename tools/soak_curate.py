@@ -83,26 +83,30 @@ def synthesize(out_dir: str, replicas: int, text_mult: int) -> dict:
 
 
 def spill_stats() -> dict:
-    """Spilled/restored byte counts from Ray's memory summary."""
+    """Spilled/restored cumulative counts parsed from this session's
+    raylet log (the grpc-backed memory_summary API is unavailable in
+    this container). Raylet logs 'Spilled N MiB, M objects' lines with
+    CUMULATIVE totals — the last one wins — plus the peak plasma usage
+    from its periodic state dumps."""
     try:
-        from ray._private.internal_api import memory_summary
-        s = memory_summary(stats_only=True)
+        import ray
+        logs = os.path.join(
+            ray._private.worker._global_node.get_session_dir_path(), "logs")
+        s = open(os.path.join(logs, "raylet.out"),
+                 errors="replace").read()
     except Exception as e:  # best-effort diagnostic
         return {"error": str(e)}
-    out = {"raw_tail": " | ".join(
-        l.strip() for l in s.splitlines() if "pill" in l or "MiB" in l)}
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", s)
-    if m:
-        out["spilled_mib"] = int(m.group(1))
-        out["spilled_objects"] = int(m.group(2))
-    else:
-        out["spilled_mib"] = 0
-    m = re.search(r"Restored (\d+) MiB, (\d+) objects", s)
-    if m:
-        out["restored_mib"] = int(m.group(1))
-    m = re.search(r"Plasma memory usage (\d+) MiB", s)
-    if m:
-        out["plasma_usage_mib"] = int(m.group(1))
+    out = {"spilled_mib": 0, "restored_mib": 0}
+    sp = re.findall(r"Spilled (\d+) MiB, (\d+) objects", s)
+    if sp:
+        out["spilled_mib"] = int(sp[-1][0])
+        out["spilled_objects"] = int(sp[-1][1])
+    rs = re.findall(r"Restored (\d+) MiB, (\d+) objects", s)
+    if rs:
+        out["restored_mib"] = int(rs[-1][0])
+    used = re.findall(r"Plasma memory usage (\d+) MiB", s)
+    if used:
+        out["plasma_peak_mib"] = max(int(u) for u in used)
     return out
 
 
