@@ -103,6 +103,11 @@ class PIPJoin:
         self.lat_col = lat_col
         self.key_col = key_col
         self.keep_cols = keep_cols
+        # pin the key type so zero-match batches don't emit a null-typed
+        # column (pa.array([]) infers null, which breaks block-schema
+        # unification on the streaming executor's fast path)
+        self.key_type = (pa.array([p["key"] for p in self.polygons]).type
+                         if self.polygons else pa.int64())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
@@ -127,7 +132,7 @@ class PIPJoin:
         taken = batch.take(pa.array(idx))
         cols = {c: taken.column(c) for c in
                 (self.keep_cols or batch.column_names)}
-        cols[self.key_col] = pa.array(out_key)
+        cols[self.key_col] = pa.array(out_key, self.key_type)
         return pa.table(cols)
 
 

@@ -122,7 +122,12 @@ def main() -> int:
     import ray
     ray.init(address="local", num_cpus=args.num_cpus,
              include_dashboard=False, logging_level="ERROR",
+             # (ray.data logger quieted below — groupby internals emit
+             # cosmetic empty-schema RefBundle warnings on empty sort
+             # partitions)
              object_store_memory=int(args.store_gb * 2**30))
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     corpus = tempfile.mkdtemp(prefix="gvt_soak_")
     sf_dir = os.path.join(corpus, "sf")
