@@ -469,3 +469,22 @@ def test_decontam_explicit_eval_ids(ray_session):
         "doc_id", ignore_index=True)
     assert got_mod.equals(got_ids)
     assert len(got_mod) > 0
+
+
+def test_pipjoin_empty_batch_schema_stable():
+    """A batch with zero polygon matches must emit the same poly_key
+    type as a matching batch — pa.array([]) would infer null and break
+    block-schema unification (bench-tail RefBundle warning)."""
+    from geojson_vt_ray.functions.spatial import PIPJoin
+
+    polys = [{"key": 7, "rings": [np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])],
+        "minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 1.0}]
+    j = PIPJoin(polys, keep_cols=("event_id",))
+    hit = j(pa.table({"event_id": pa.array([1], pa.int64()),
+                      "lon": pa.array([0.5]), "lat": pa.array([0.5])}))
+    miss = j(pa.table({"event_id": pa.array([2], pa.int64()),
+                       "lon": pa.array([9.0]), "lat": pa.array([9.0])}))
+    assert hit.num_rows == 1 and miss.num_rows == 0
+    assert hit.schema.equals(miss.schema), (hit.schema, miss.schema)
+    assert miss.schema.field("poly_key").type == pa.int64()
