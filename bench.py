@@ -155,8 +155,12 @@ def bench_once(sf_dir: str, num_cpus: int, headline_only: bool,
     import ray
     # WARNING-level Ray Data chatter (e.g. unify_schemas' "Failed to
     # hash the schemas (for deduplication)" on metadata-carrying block
-    # schemas) must not land in the bench artifact's tail
+    # schemas) must not land in the bench artifact's tail. NOTE:
+    # importing ray.data applies its own logging config (DEBUG logger +
+    # INFO stderr handler), clobbering any earlier setLevel — so import
+    # first, then set the level.
     import logging
+    import ray.data  # noqa: F401  (must precede the setLevel)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")

@@ -127,6 +127,7 @@ def main() -> int:
              # partitions)
              object_store_memory=int(args.store_gb * 2**30))
     import logging
+    import ray.data  # noqa: F401  (its import resets the logger config)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     corpus = tempfile.mkdtemp(prefix="gvt_soak_")
