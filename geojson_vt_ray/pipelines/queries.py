@@ -1227,9 +1227,14 @@ def q_posting_lists(sf_dir: str, lo: int = _POSTINGS_LO,
                          "doc_id": pa.array(o_d, pa.int64()),
                          "pkey": pa.array(pk.astype(np.int32))})
 
-    def band_filter(g: pd.DataFrame) -> pd.DataFrame:
+    def band_filter(g: pd.DataFrame) -> pa.Table:
         df = g.groupby("term")["term"].transform("size")
-        return g.loc[(df >= lo) & (df <= hi), ["term", "doc_id"]]
+        out = g.loc[(df >= lo) & (df <= hi)]
+        # emit Arrow with pinned types: an all-filtered group as a
+        # pandas block trips Ray's size estimator (np.vectorize on a
+        # size-0 object column -> worker-log error noise)
+        return pa.table({"term": pa.array(out["term"], pa.string()),
+                         "doc_id": pa.array(out["doc_id"], pa.int64())})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("pkey").map_groups(band_filter,
