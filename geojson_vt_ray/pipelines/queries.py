@@ -3081,6 +3081,143 @@ _SQL_CURATE = (
     "WHERE t.n >= th.med")
 
 
+# ------------------------------------------- semi-structured extraction
+def q_props_extract(sf_dir: str):
+    """Vectorized JSON field extraction over a semi-structured string
+    column: pull the integer ``k`` out of events.props ('{"k": 87}')
+    with ONE Arrow extract_regex kernel per batch (no per-row json
+    parser, no Python loop), then per-event_type integer stats.
+
+    Shape for scale: each batch collapses to a per-type partial
+    (sum/min/max/count) before the shuffle, so the exchange carries
+    O(types) rows per block regardless of corpus size — the standard
+    combiner pattern for semi-structured log pipelines (the 100 TB
+    case: clickstream props far wider than the extracted field)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "k": k})
+        return t.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ("k", "count")])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("k_sum", alias_name="sum_k"),
+                         Min("k_min", alias_name="min_k"),
+                         Max("k_max", alias_name="max_k"),
+                         Sum("k_count", alias_name="n_events")))
+    return merged
+
+
+_SQL_PROPS_EXTRACT = (
+    "SELECT event_type, "
+    "CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) "
+    "AS BIGINT) AS sum_k, "
+    "MIN(CAST(json_extract_string(props, 'k') AS BIGINT)) AS min_k, "
+    "MAX(CAST(json_extract_string(props, 'k') AS BIGINT)) AS max_k, "
+    "COUNT(json_extract_string(props, 'k')) AS n_events "
+    "FROM events GROUP BY event_type")
+
+
+# --------------------------------------------- normalization + dedup
+def q_normalize_dedup(sf_dir: str):
+    """Canonicalize-then-dedup: lowercase, collapse runs of whitespace
+    to one space, trim — all Arrow utf8 kernels — then exact dedup on
+    the NORMALIZED text (min doc_id per normalized-content hash). The
+    canonical pre-dedup step of every web-scale text pipeline: byte-
+    identical modulo case/whitespace counts as identical.
+
+    Shape for scale: identical to exact_dedup — the shuffle carries
+    (hash, id) pairs only; normalization is vectorized per batch and
+    the normalized text never leaves the worker."""
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+
+    def normalize(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(b.column("text")), r"\s+", " "))
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    return F_dedup.exact_dedup(ds.map_batches(
+        normalize, batch_format="pyarrow"), id_col="doc_id")
+
+
+_SQL_NORMALIZE_DEDUP = (
+    "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+    "AS content_hash, MIN(doc_id) AS keeper_id FROM documents "
+    "GROUP BY 1")
+
+
+# -------------------------------------------------------------- semdedup
+def q_semdedup(sf_dir: str, threshold: float = 0.35, nlist: int = 32):
+    """SemDedup-style embedding near-dup removal at unbounded scale
+    (Abbas et al. 2023, arXiv:2303.09540 — public method): k-means
+    cluster the embedding space, then drop, WITHIN each cluster, every
+    vector that has a smaller-id neighbor at cosine >= threshold.
+    Returns the kept vec_ids.
+
+    Why this is the scale path where embed_neardup is not: the brute
+    pairs query compares the corpus against a BOUNDED broadcast
+    reference side; SemDedup's all-pairs work is confined to one
+    cluster at a time (expected cluster size corpus/nlist — nlist
+    scales with the corpus, the paper uses ~100k clusters for LAION),
+    so no stage is corpus x corpus. Centroids fit on a bounded driver
+    sample (deterministic _kmeans, seed pinned), broadcast once via
+    ray.put; assignment is one matmul per batch; the per-cluster pass
+    is a grouped vectorized matmul. Approximate BY DESIGN: a cross-
+    cluster near-dup pair is missed (the paper's accepted trade) — so
+    no SQL oracle; the local gate (tests/test_functions.py) plants
+    within-cluster duplicates and asserts exact agreement with the
+    brute-force keep rule, and the clustering is deterministic."""
+    import ray
+
+    # bounded, deterministic centroid sample: first 2048 ids via a
+    # pruned filtered read, NOT the whole table
+    import pyarrow.parquet as pq
+    samp = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 2048)])
+    svals = samp.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False).reshape(samp.num_rows, -1)
+    cent = F_sim._kmeans(svals, nlist)
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        import ray as _r
+        c = _r.get(cref)
+        v = b.column("embedding").combine_chunks().values.to_numpy(
+            zero_copy_only=False).reshape(b.num_rows, -1)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12)
+        cl = np.argmax(vn @ c.T, axis=1)
+        return pa.table({"cluster": pa.array(cl.astype(np.int32)),
+                         "vec_id": b.column("vec_id"),
+                         "embedding": b.column("embedding")})
+
+    def keep_in_cluster(g: pd.DataFrame) -> pa.Table:
+        ids = g["vec_id"].to_numpy()
+        v = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12)
+        order = np.argsort(ids)
+        vn, ids = vn[order], ids[order]
+        sim = vn @ vn.T
+        # drop row j iff some i<j has sim >= threshold
+        dup = (np.triu(sim >= threshold, 1)).any(axis=0)
+        return pa.table({"vec_id": pa.array(ids[~dup], pa.int64())})
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(keep_in_cluster, batch_format="pandas"))
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -3163,6 +3300,11 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    # -- (5) added round 3, parked at the tail so the driver's first-50
+    #    adjudication window keeps the never-adjudicated r2 entries --
+    "props_extract": q_props_extract,
+    "normalize_dedup": q_normalize_dedup,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {
@@ -3270,6 +3412,8 @@ ORACLE_SQL.update({
     "pyramid_tiles": _sql_fixture("pyramid_tiles", "z, x, y, n_features"),
     "pyramid_stats": _sql_fixture(
         "pyramid_stats", 'z, tiles, leaf, split, "empty", "rows"'),
+    "props_extract": _SQL_PROPS_EXTRACT,
+    "normalize_dedup": _SQL_NORMALIZE_DEDUP,
 })
 
 # Remaining no-oracle entries, each with a reason:
@@ -3278,3 +3422,7 @@ ORACLE_SQL.update({
 # - ann_ivf / ann_lsh: approximate-by-design probed searches; their
 #   quality gate is recall-vs-brute-force, asserted in
 #   tests/test_functions.py, not row equality.
+# - semdedup: cluster-confined near-dup removal misses cross-cluster
+#   pairs BY DESIGN (the SemDedup trade); its gate is exact agreement
+#   with the brute-force keep rule on a planted within-cluster-dup
+#   corpus, asserted in tests/test_functions.py.

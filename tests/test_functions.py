@@ -488,3 +488,55 @@ def test_pipjoin_empty_batch_schema_stable():
     assert hit.num_rows == 1 and miss.num_rows == 0
     assert hit.schema.equals(miss.schema), (hit.schema, miss.schema)
     assert miss.schema.field("poly_key").type == pa.int64()
+
+
+def test_semdedup_matches_brute_force_on_planted_dups(ray_session, tmp_path):
+    """q_semdedup's cluster-confined keep rule must agree EXACTLY with
+    the global brute-force rule when every near-dup pair is an exact
+    copy: identical vectors always share an argmax cluster (regardless
+    of k-means quality), and all non-copy cosines sit below threshold
+    by construction, so the cluster confinement loses nothing."""
+    import pyarrow.parquet as pq
+    from geojson_vt_ray.pipelines.queries import q_semdedup
+
+    rng = np.random.default_rng(7)
+    dim, t = 64, 0.9
+    vecs, group_of = [], []
+    gid = 0
+    for c in range(8):                      # 8 well-separated clusters
+        base = np.zeros(dim)
+        base[c] = 1.0
+        for _ in range(5):                  # 5 groups per cluster
+            u = rng.standard_normal(dim)
+            u /= np.linalg.norm(u)
+            g = base + 0.5 * u
+            g /= np.linalg.norm(g)
+            copies = int(rng.integers(1, 4))
+            for _ in range(copies):         # 1-3 exact copies
+                vecs.append(g)
+                group_of.append(gid)
+            gid += 1
+    vecs = np.asarray(vecs, dtype=np.float32)
+    n = len(vecs)
+    perm = rng.permutation(n)               # ids not grouped by cluster
+    vecs, group_of = vecs[perm], np.asarray(group_of)[perm]
+
+    # global sanity: non-copy cosines all below threshold
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim = vn.astype(np.float64) @ vn.astype(np.float64).T
+    same = group_of[:, None] == group_of[None, :]
+    assert sim[~same].max() < t
+
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(vecs),
+                                          pa.list_(pa.float32()))})
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    kept = q_semdedup(str(tmp_path), threshold=t, nlist=8).to_pandas()
+    got = sorted(kept["vec_id"].tolist())
+
+    # brute force: drop j iff some i<j has cosine >= t
+    drop = np.triu(sim >= t, 1).any(axis=0)
+    want = sorted(ids[~drop].tolist())
+    assert got == want
