@@ -35,13 +35,27 @@ sys.path.insert(0, REPO)
 BASE = "/root/testdata/sf0.1/documents.parquet"
 
 
-def synthesize(out_dir: str, replicas: int, text_mult: int) -> dict:
+def synthesize(out_dir: str, replicas: int, text_mult: int,
+               dup_mode: str = "groups") -> dict:
     """Write replicas shards; shard r = the base 5k-doc table with
-    doc_id offset r*5k and text repeated text_mult times. EVEN replicas
-    keep the base text verbatim (exact-duplicate groups of ~replicas/2
-    members — exercises the dedup leg's grouped-min at real group
-    sizes); ODD replicas get a per-replica tag token appended (unique
-    keepers). Generation itself is a Ray pipeline: range(replicas) ->
+    doc_id offset r*5k and text repeated text_mult times.
+
+    dup_mode="groups" (curate soak): EVEN replicas keep the base text
+    verbatim (exact-duplicate groups of ~replicas/2 members —
+    exercises the dedup leg's grouped-min at real group sizes); ODD
+    replicas get a per-replica tag token appended (unique keepers).
+
+    dup_mode="pairs" (minhash soak): each doc's text is a seeded
+    random hex-token sequence keyed by (pair id r//2, base doc id), so
+    replicas 2r and 2r+1 are byte-identical (jaccard 1.0) while every
+    other doc pair shares essentially no shingles (the token space is
+    16^6 — the base corpus's ~30-word vocabulary CANNOT be reused
+    here: word-level salting leaves same-salt docs sharing nearly all
+    5-byte shingles and the pair count explodes quadratically).
+    Expected verified pairs = n_base * (replicas // 2), with no
+    exact-dup GROUPS bigger than 2 (pair counts stay linear).
+
+    Generation itself is a Ray pipeline: range(replicas) ->
     map_batches(build shard) -> write_parquet."""
     import numpy as np
     import pyarrow as pa
@@ -64,7 +78,15 @@ def synthesize(out_dir: str, replicas: int, text_mult: int) -> dict:
         for r in batch["id"].tolist():
             ids = pa.array(
                 (b.column("doc_id").to_numpy() + r * n_base), pa.int64())
-            if r % 2 == 0:
+            if dup_mode == "pairs":
+                n_words = 24 * max(1, text_mult)
+                rng = np.random.default_rng([r // 2, n_base])
+                toks = rng.integers(0, 16**6,
+                                    size=(n_base, n_words))
+                txt = pa.array(
+                    [" ".join(format(x, "06x") for x in row)
+                     for row in toks])
+            elif r % 2 == 0:
                 txt = b.column("text")
             else:
                 txt = pa.array([f"{t} rep{r}"
@@ -117,6 +139,8 @@ def main() -> int:
     ap.add_argument("--store-gb", type=float, default=8.0)
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--keep-corpus", action="store_true")
+    ap.add_argument("--query", choices=("curate", "minhash"),
+                    default="curate")
     args = ap.parse_args()
 
     import ray
@@ -137,18 +161,29 @@ def main() -> int:
     try:
         t0 = time.perf_counter()
         gen = synthesize(os.path.join(sf_dir, "documents.parquet"),
-                         args.replicas, args.text_mult)
+                         args.replicas, args.text_mult,
+                         dup_mode=("pairs" if args.query == "minhash"
+                                   else "groups"))
         t_gen = time.perf_counter() - t0
 
-        from geojson_vt_ray.pipelines.queries import q_curate
         t1 = time.perf_counter()
-        out = q_curate(sf_dir)
-        n_out = out.count()
+        if args.query == "minhash":
+            from geojson_vt_ray import functions as _  # noqa: F401
+            from geojson_vt_ray.functions.dedup import minhash_dedup_pairs
+            from geojson_vt_ray.pipelines.queries import _read_pq
+            ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+            pairs = minhash_dedup_pairs(ds, threshold=0.5)
+            n_out = pairs.num_rows
+        else:
+            from geojson_vt_ray.pipelines.queries import q_curate
+            out = q_curate(sf_dir)
+            n_out = out.count()
         t_run = time.perf_counter() - t1
 
         rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
         result = {
-            "soak": "curate",
+            "soak": args.query,
             "corpus_rows": gen["rows"],
             "corpus_parquet_gb": round(gen["parquet_bytes"] / 2**30, 2),
             "object_store_gb": args.store_gb,
