@@ -291,6 +291,11 @@ class ShingleBytes:
 
 
 _VERIFY_COLLECT_MAX_PAIRS = 2_000_000  # ~32 MB of (id_a, id_b) rows
+# collect also pulls every DISTINCT candidate doc's shingle bytes onto
+# the driver (~KBs per doc) — a corpus of 1M small pairwise-dup docs
+# passes the pair bound while needing GBs of shingles (measured: 5.5 GB
+# driver RSS on the 1M-doc soak), so auto bounds docs independently
+_VERIFY_COLLECT_MAX_DOCS = 150_000
 
 
 def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
@@ -299,11 +304,12 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
     LSH bucket join: groupby (band_id, band_hash); only bucket members
     pair up. Verification (verify=):
-    - "auto" (default): count the deduped candidate pairs (cheap — the
-      pair table is needed either way) and pick "collect" below
-      _VERIFY_COLLECT_MAX_PAIRS, "join" above — the driver never holds
-      an unbounded candidate set just because a caller trusted a
-      default.
+    - "auto" (default): count the deduped candidate pairs AND their
+      distinct docs (both cheap — the pair table is needed either way)
+      and pick "collect" only below _VERIFY_COLLECT_MAX_PAIRS pairs
+      and _VERIFY_COLLECT_MAX_DOCS docs, "join" otherwise — the driver
+      never holds an unbounded candidate set (or its per-doc shingle
+      payload) just because a caller trusted a default.
     - "collect": collect the DEDUPED candidate-pair table onto the
       driver, stream the corpus once filtering to candidate docs before
       shingling, and verify vectorized on the driver. One shuffle + one
@@ -361,10 +367,25 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
     if verify == "auto":
         # materialize once (16 B/row pairs — object-store resident, not
-        # driver memory) so the count doesn't re-run the LSH shuffle
+        # driver memory) so the counts don't re-run the LSH shuffle
         uniq = uniq.materialize()
-        verify = ("collect" if uniq.count() <= _VERIFY_COLLECT_MAX_PAIRS
-                  else "join")
+        if uniq.count() > _VERIFY_COLLECT_MAX_PAIRS:
+            verify = "join"
+        else:
+            # distinct candidate docs bound the collect path's driver
+            # shingle payload; the pair table is <=2M rows here, so
+            # this distinct count is a trivial aggregate
+            def _pair_ids(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as _pc
+                ids = _pc.unique(pa.concat_arrays(
+                    [b.column("id_a").combine_chunks(),
+                     b.column("id_b").combine_chunks()]))
+                return pa.table({"cid": ids})
+
+            n_docs = (uniq.map_batches(_pair_ids, batch_format="pyarrow")
+                      .groupby("cid").count().count())
+            verify = ("collect" if n_docs <= _VERIFY_COLLECT_MAX_DOCS
+                      else "join")
 
     def _jaccard(ra: bytes, rb: bytes) -> float:
         sa = np.frombuffer(ra, np.uint64)
