@@ -213,11 +213,13 @@ def _join_pair_payload(uniq, payload_ds, nparts: int, id_col: str,
             [f"{payload_col}_a" if c == payload_col else c
              for c in b.column_names])
 
+    from .shuffle import join_aggregator_args
+    agg = join_aggregator_args(nparts)
     return (uniq.join(payload_ds, "inner", nparts, on=("id_a",),
-                      right_on=(id_col,))
+                      right_on=(id_col,), aggregator_ray_remote_args=agg)
             .map_batches(rename_a, batch_format="pyarrow")
             .join(payload_ds, "inner", nparts, on=("id_b",),
-                  right_on=(id_col,)))
+                  right_on=(id_col,), aggregator_ray_remote_args=agg))
 
 
 def _collect_verify_payload(uniq, ds, payload_stage, id_col: str,

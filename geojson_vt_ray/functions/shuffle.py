@@ -35,6 +35,24 @@ def num_join_partitions() -> int:
     return max(2, min(64, _cpus(8) // 4))
 
 
+def join_aggregator_args(nparts: int | None = None) -> dict:
+    """``aggregator_ray_remote_args`` for every ``Dataset.join`` here.
+
+    Ray's default gives each HashShuffleAggregator actor a FULL CPU
+    (the cluster-config-aware fraction only applies when a cluster
+    config exists, which local mode lacks). On a small CPU budget
+    that deadlocks: a plan with two concurrent 2-partition joins
+    requests 4 aggregator CPUs — the whole of a 4-CPU test session —
+    and the upstream read/map tasks starve forever (observed: the
+    oracle suite hung in q_multiway_join at num_cpus=4). Budget ~25%
+    of the cluster's CPUs per join instead, floor 0.25/aggregator:
+    at 4 CPUs a 2-partition join costs 1 CPU total; at 32 CPUs and 8
+    partitions this returns the same 1 CPU/actor as Ray's default."""
+    if nparts is None:
+        nparts = num_join_partitions()
+    return {"num_cpus": min(1.0, max(0.25, (_cpus(8) / 4) / nparts))}
+
+
 def coarse_mask() -> int:
     n = max(256, 8 * _cpus())
     return (1 << (n - 1).bit_length()) - 1

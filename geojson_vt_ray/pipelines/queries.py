@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 from ..arrowio import table_from_pandas
 from ..functions.spatial import (AssignCells, KNNPartial, PIPJoin, knn_merge)
 from ..functions import dedup as F_dedup
+from ..functions.shuffle import join_aggregator_args as _agg_args
 from ..functions import similarity as F_sim
 from ..functions import text as F_text
 from ..functions.multimodal import MediaFeatures
@@ -206,7 +207,8 @@ def q_pip_join_shuffle(sf_dir: str):
            .select_columns(["event_id", "lon", "lat", "cell_id"]))
     joined = pts.join(polys_ds, join_type="inner",
                       num_partitions=F_dedup._num_join_partitions(),
-                      on=("cell_id",))
+                      on=("cell_id",),
+                      aggregator_ray_remote_args=_agg_args())
 
     def exact(b: pa.Table) -> pa.Table:
         from ..functions.spatial import points_in_polygon
@@ -619,10 +621,12 @@ def q_user_overlap(sf_dir: str):
                 "both", pa.array(np.full(b.num_rows, _v, np.int64)))
         return f
 
-    both = (d0.join(d1, "left_semi", nparts, on=("user_id",))
+    both = (d0.join(d1, "left_semi", nparts, on=("user_id",),
+                    aggregator_ray_remote_args=_agg_args(nparts))
             .map_batches(dedupe, batch_format="pyarrow")
             .map_batches(tag(1), batch_format="pyarrow"))
-    only0 = (d0.join(d1, "left_anti", nparts, on=("user_id",))
+    only0 = (d0.join(d1, "left_anti", nparts, on=("user_id",),
+                     aggregator_ray_remote_args=_agg_args(nparts))
              .map_batches(dedupe, batch_format="pyarrow")
              .map_batches(tag(0), batch_format="pyarrow"))
     # per-batch uniques leave cross-batch duplicates; one grouped pass
@@ -1148,7 +1152,8 @@ def q_tfidf_top(sf_dir: str, k: int = _TFIDF_K):
     df_ds = (part.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("pkey").map_groups(merge_df, batch_format="pandas"))
 
-    joined = tf_ds.join(df_ds, "inner", nparts, on=("term",))
+    joined = tf_ds.join(df_ds, "inner", nparts, on=("term",),
+                        aggregator_ray_remote_args=_agg_args(nparts))
 
     def add_dkey(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1451,7 +1456,8 @@ def q_ngram_jaccard_adj(sf_dir: str):
 
     right = ds.map_batches(as_next, batch_format="pyarrow")
     j = ds.join(right, "inner", F_dedup._num_join_partitions(),
-                on=("doc_id",), right_on=("jkey",))
+                on=("doc_id",), right_on=("jkey",),
+                aggregator_ray_remote_args=_agg_args())
 
     def _distinct_rowcode_keys(texts: list, n: int) -> np.ndarray:
         """Sorted unique (row << 21 | codepoint) keys for a batch of
@@ -1976,7 +1982,8 @@ def q_anti_join(sf_dir: str):
     cust = _read_pq(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey"])
     return cust.join(probe, "left_anti", F_dedup._num_join_partitions(),
-                     on=("c_custkey",), right_on=("o_custkey",))
+                     on=("c_custkey",), right_on=("o_custkey",),
+                     aggregator_ray_remote_args=_agg_args())
 
 
 _SQL_ANTI_JOIN = (
@@ -2112,7 +2119,8 @@ def q_multiway_join(sf_dir: str):
 
     orders_semi = (orders.map_batches(orders_filter, batch_format="pyarrow")
                    .join(cust.map_batches(cust_keys, batch_format="pyarrow"),
-                         "left_semi", nparts, on=("o_custkey",)))
+                         "left_semi", nparts, on=("o_custkey",),
+                         aggregator_ray_remote_args=_agg_args(nparts)))
 
     def orders_rekey(b: pa.Table) -> pa.Table:
         return pa.table({"l_orderkey": b.column("o_orderkey"),
@@ -2161,7 +2169,8 @@ def q_multiway_join(sf_dir: str):
     return (line_rev.join(
                 orders_semi.map_batches(orders_rekey,
                                         batch_format="pyarrow"),
-                "inner", nparts, on=("l_orderkey",))
+                "inner", nparts, on=("l_orderkey",),
+                aggregator_ray_remote_args=_agg_args(nparts))
             .sort(["rev_i", "l_orderkey"], descending=[True, False])
             .limit(10)
             .map_batches(finalize, batch_format="pyarrow"))
@@ -2437,7 +2446,8 @@ def q_bloom_semijoin(sf_dir: str, n_bits: int = _BLOOM_BITS):
                                concurrency=(1, max(1, _cpus(8) // 4)),
                                fn_constructor_args=(bm_ref, n_bits))
               .groupby("pkey").map_groups(combine, batch_format="pandas"))
-    return probed.join(keys_ds, "left_semi", nparts, on=("l_orderkey",))
+    return probed.join(keys_ds, "left_semi", nparts, on=("l_orderkey",),
+                       aggregator_ray_remote_args=_agg_args(nparts))
 
 
 _SQL_BLOOM_SEMIJOIN = (
@@ -3065,7 +3075,8 @@ def q_curate(sf_dir: str):
                .select_columns(["keeper_id"]))
     out = cand.join(keepers, "left_semi",
                     F_dedup._num_join_partitions(),
-                    on=("doc_id",), right_on=("keeper_id",))
+                    on=("doc_id",), right_on=("keeper_id",),
+                    aggregator_ray_remote_args=_agg_args())
     return out
 
 
