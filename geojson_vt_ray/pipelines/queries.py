@@ -33,16 +33,51 @@ def _rd():
 
 
 def _read_pq(path, columns=None, **kw):
-    """``read_parquet`` + fused schema-metadata strip. The testdata
-    parquet carries pandas metadata in its file schema, which makes the
-    resulting block schemas unhashable in this pyarrow build and knocks
-    Ray's ``unify_schemas`` dedup off its set() fast path at every
-    downstream sort/aggregate/join concat (logging "Failed to hash the
-    schemas" once per run). The strip map fuses with the read — one
-    metadata-only call per block. All registry reads go through this."""
+    """``read_parquet`` + metadata-free schema. The testdata parquet
+    carries pandas metadata in its file schema; a pa.Schema with
+    schema-level metadata is UNHASHABLE in this pyarrow build
+    (hash() -> "unhashable type: 'dict'"), which knocks Ray's
+    ``unify_schemas`` set() dedup fast path off inside the READ
+    OPERATOR itself (worker-side "Failed to hash the schemas" log
+    lines that no driver logging config can silence) and at every
+    downstream sort/aggregate/join concat. Two layers:
+    - ``schema=`` override (stripped, column-pruned): the read tasks
+      build blocks with the clean schema, so even intra-read unify
+      stays on the fast path;
+    - a fused metadata-only strip map as belt-and-braces for code
+      paths that attach metadata later.
+    All registry reads go through this."""
     from ..arrowio import strip_schema_metadata
+    if "schema" not in kw:
+        sch = _file_schema(path)
+        if sch is not None:
+            if columns:
+                sch = pa.schema([sch.field(c) for c in columns])
+            kw["schema"] = sch
     return _rd().read_parquet(path, columns=columns, **kw).map_batches(
         strip_schema_metadata, batch_format="pyarrow")
+
+
+def _file_schema(path):
+    """Metadata-free schema of a parquet file or directory (first file
+    wins — all shards of one table share a schema here). None when the
+    path can't be probed (lance dirs, glob misses): the strip stage
+    still covers those."""
+    import os
+    import pyarrow.parquet as pq
+    try:
+        p = path
+        if os.path.isdir(p):
+            for root, _, files in sorted(os.walk(p)):
+                pf = sorted(f for f in files if f.endswith(".parquet"))
+                if pf:
+                    p = os.path.join(root, pf[0])
+                    break
+            else:
+                return None
+        return pq.read_schema(p).remove_metadata()
+    except Exception:
+        return None
 
 
 def _coarse_mask() -> int:
@@ -2151,8 +2186,14 @@ def q_multiway_join(sf_dir: str):
                          "rev_i": pa.array(sums),
                          "pkey": pa.array((uniq & mask).astype(np.int32))})
 
-    def rev_combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("l_orderkey", as_index=False)["rev_i"].sum()
+    def rev_combine(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("l_orderkey", as_index=False)["rev_i"].sum()
+        # Arrow out, typed: a pandas block converts to Arrow WITH pandas
+        # schema metadata at the downstream join, and metadata-carrying
+        # schemas are unhashable (breaks unify_schemas' dedup fast path)
+        return pa.table({"l_orderkey": pa.array(out["l_orderkey"],
+                                                pa.int64()),
+                         "rev_i": pa.array(out["rev_i"], pa.int64())})
 
     line_rev = (line.map_batches(rev_partial, batch_format="pyarrow")
                 .groupby("pkey").map_groups(rev_combine,
