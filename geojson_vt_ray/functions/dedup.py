@@ -190,8 +190,13 @@ def _dedup_candidate_pairs(cand, nparts: int, cmask: int):
         return b.append_column(
             "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
 
-    def dedup_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+    def dedup_pairs_group(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(subset=["id_a", "id_b"])
+        # typed Arrow out: these blocks feed _join_pair_payload's hash
+        # joins; a pandas block converts there WITH (unhashable) pandas
+        # schema metadata, forcing unify_schemas off its fast path
+        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                         "id_b": pa.array(out["id_b"], pa.int64())})
 
     return (cand.repartition(nparts)
             .map_batches(add_pair_key, batch_format="pyarrow")

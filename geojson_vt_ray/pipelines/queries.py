@@ -1180,9 +1180,11 @@ def q_tfidf_top(sf_dir: str, k: int = _TFIDF_K):
         return b.append_column(
             "pkey", pa.array((tk & cmask).astype(np.int32)))
 
-    def merge_df(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_df(g: pd.DataFrame) -> pa.Table:
         out = g.groupby("term", sort=False, as_index=False)["df"].sum()
-        return out[["term", "df"]]
+        # typed Arrow out — this side feeds the term hash join
+        return pa.table({"term": pa.array(out["term"], pa.string()),
+                         "df": pa.array(out["df"], pa.int64())})
 
     df_ds = (part.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("pkey").map_groups(merge_df, batch_format="pandas"))
@@ -2476,8 +2478,13 @@ def q_bloom_semijoin(sf_dir: str, n_bits: int = _BLOOM_BITS):
                 "n_items": pa.array(cnt.astype(np.int64)),
                 "pkey": pa.array((uniq & mask).astype(np.int32))})
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("l_orderkey", as_index=False)["n_items"].sum()
+    def combine(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("l_orderkey", as_index=False)["n_items"].sum()
+        # typed Arrow out: a pandas block re-acquires (unhashable)
+        # pandas schema metadata converting to Arrow at the join below
+        return pa.table({"l_orderkey": pa.array(out["l_orderkey"],
+                                                pa.int64()),
+                         "n_items": pa.array(out["n_items"], pa.int64())})
 
     # autoscaling pool (1, ~cores/4): a FIXED pool the size of the
     # cluster would pin every CPU slot and starve the downstream hash
