@@ -1785,7 +1785,8 @@ def q_media_features(sf_dir: str):
     corpus (decode stubbed deterministically — see multimodal.py)."""
     import ray.data as rd
     n = {"0.001": 100, "0.01": 400}.get(_sf_of(sf_dir), 400)
-    docs = rd.from_arrow(synthesize_corpus(n))
+    docs = rd.from_arrow(synthesize_corpus(n)).repartition(4)
+    # (from_arrow yields ONE block; the actor pools downstream want >=2)
     out = docs.map_batches(MediaFeatures, batch_format="pyarrow",
                            concurrency=2, batch_size=64)
     return out.select_columns(["doc_id", "media_ref", "width", "height",
@@ -1797,7 +1798,8 @@ def _media_refs(sf_dir: str):
     explode via the MediaFeatures stage's doc table plumbing)."""
     import ray.data as rd
     n = {"0.001": 100, "0.01": 400}.get(_sf_of(sf_dir), 400)
-    docs = rd.from_arrow(synthesize_corpus(n))
+    docs = rd.from_arrow(synthesize_corpus(n)).repartition(4)
+    # (from_arrow yields ONE block; the actor pools downstream want >=2)
     return (docs.map_batches(MediaFeatures, batch_format="pyarrow",
                              concurrency=2, batch_size=64)
             .select_columns(["media_ref"]))
@@ -1844,7 +1846,8 @@ def _sliced_pyramid(sf_dir: str):
     ts = _PYRAMID_CACHE.get(sf)
     if ts is None:
         n = {"0.001": 60, "0.01": 200}.get(sf, 200)
-        docs = rd.from_arrow(synthesize_corpus(n))
+        docs = rd.from_arrow(synthesize_corpus(n)).repartition(4)
+    # (from_arrow yields ONE block; the actor pools downstream want >=2)
         opts = TileOptions(max_zoom=14, index_max_zoom=4,
                            index_max_points=2000)
         td = tempfile.mkdtemp(prefix=f"pyramid-sf{sf}-")
