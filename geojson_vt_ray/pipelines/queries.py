@@ -2495,7 +2495,13 @@ def q_bloom_semijoin(sf_dir: str, n_bits: int = _BLOOM_BITS):
     from ..functions.shuffle import _cpus
     probed = (line.map_batches(BloomProbe, batch_format="pyarrow",
                                concurrency=(1, max(1, _cpus(8) // 4)),
-                               fn_constructor_args=(bm_ref, n_bits))
+                               fn_constructor_args=(bm_ref, n_bits),
+                               # the broadcast bitmap ref lives in the
+                               # object store; with restartable actors
+                               # Ray logs a lost-ref restart caveat —
+                               # Ray Data retries tasks itself, actor
+                               # restarts add nothing here
+                               max_restarts=0)
               .groupby("pkey").map_groups(combine, batch_format="pandas"))
     return probed.join(keys_ds, "left_semi", nparts, on=("l_orderkey",),
                        aggregator_ray_remote_args=_agg_args(nparts))
