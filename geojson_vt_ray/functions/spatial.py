@@ -206,3 +206,72 @@ def knn_merge(partials: pa.Table, k: int) -> pa.Table:
     df = df[df["rnk"] <= k]
     return table_from_pandas(df[["query_id", "point_id", "rnk"]],
                                 preserve_index=False)
+
+
+class KNNJoinPartial:
+    """Vectorized per-batch exact top-k against a LARGE broadcast query
+    set (a kNN *join*: every query point gets its k nearest corpus
+    points).
+
+    KNNPartial loops per query in Python — fine for a handful of probe
+    points, ruinous for a query table. This computes the full
+    (batch x queries) distance matrix with one broadcasted numpy
+    expression and extracts each query's exact (dist2, id)-ordered
+    top-k without any per-row Python:
+      1. k-th smallest distance per query via np.partition (column-wise)
+      2. gather every entry at-or-under that bound (so boundary TIES are
+         kept — exactness under duplicate distances)
+      3. one global lexsort by (query, dist2, point_id), then a
+         searchsorted rank-within-group cut to k.
+    The distance expression keeps the scalar IEEE op order
+    ((px-qx)^2 + (py-qy)^2, no matmul expansion) so tie-breaks agree
+    bit-for-bit with a SQL oracle computing the same formula.
+
+    Scale contract: the query side is the bounded reference set (eval /
+    probe points), broadcast once via ray.put and fetched per actor in
+    __init__; the corpus side streams. Shuffle output is
+    O(batches * queries * k) partial rows, never O(corpus); the final
+    merge is a groupby(query_id) over that bounded partial set."""
+
+    def __init__(self, queries_ref, k: int, lon_col: str = "lon",
+                 lat_col: str = "lat", id_col: str = "event_id"):
+        import ray
+        q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
+             else queries_ref)
+        self.qid = np.asarray([r[0] for r in q], dtype=np.int64)
+        self.qx = np.asarray([r[1] for r in q], dtype=np.float64)
+        self.qy = np.asarray([r[2] for r in q], dtype=np.float64)
+        self.k = k
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.id_col = id_col
+
+    def _empty(self) -> pa.Table:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "point_id": pa.array([], pa.int64()),
+                         "dist2": pa.array([], pa.float64())})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nq = len(self.qid)
+        if n == 0 or nq == 0:
+            return self._empty()
+        px = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        py = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        pid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        d2 = ((px[:, None] - self.qx[None, :]) ** 2
+              + (py[:, None] - self.qy[None, :]) ** 2)
+        k = min(self.k, n)
+        kth = np.partition(d2, k - 1, axis=0)[k - 1, :]
+        pi, qi = np.nonzero(d2 <= kth[None, :])
+        dv = d2[pi, qi]
+        order = np.lexsort((pid[pi], dv, qi))
+        qi, pi, dv = qi[order], pi[order], dv[order]
+        starts = np.searchsorted(qi, np.arange(nq), side="left")
+        keep = (np.arange(len(qi)) - starts[qi]) < k
+        return pa.table({
+            "query_id": pa.array(self.qid[qi[keep]], pa.int64()),
+            "point_id": pa.array(pid[pi[keep]].astype(np.int64),
+                                 pa.int64()),
+            "dist2": pa.array(dv[keep], pa.float64()),
+        })

@@ -18,7 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..arrowio import table_from_pandas
-from ..functions.spatial import (AssignCells, KNNPartial, PIPJoin, knn_merge)
+from ..functions.spatial import (AssignCells, KNNJoinPartial, KNNPartial,
+                                 PIPJoin, knn_merge)
 from ..functions import dedup as F_dedup
 from ..functions.shuffle import join_aggregator_args as _agg_args
 from ..functions import similarity as F_sim
@@ -3286,6 +3287,209 @@ def q_semdedup(sf_dir: str, threshold: float = 0.35, nlist: int = 32):
             .map_groups(keep_in_cluster, batch_format="pandas"))
 
 
+# -------------------------------------------------- round-3 spatial II
+def q_bbox_join(sf_dir: str):
+    """Rectangle-intersection spatial join (customer boxes x nation
+    rects) via the cell-grid cover + CANONICAL-CELL pair dedup pattern.
+
+    The scale shape for a large x large spatial join: each box explodes
+    to its covering z=4 quad cells, the two sides meet in a hash
+    shuffle join on cell_id, and the exact overlap test runs post-join.
+    A pair whose boxes share several cells would emit duplicates; the
+    canonical-cell rule (report a pair ONLY in the cell containing the
+    intersection's projected north-west corner — a cell both covers are
+    guaranteed to include) dedups with ZERO extra shuffle, unlike a
+    distinct over the pair table. Box coords ride the join as plain
+    float64 columns (Acero-join-safe)."""
+    import ray.data as rd
+    from ..kernels.project import project_x, project_y
+    from ..kernels.tileid import tile_id_vec
+
+    level = 4
+    n = 1 << level
+
+    def _cells_for(x0, y0, x1, y1):
+        """Vectorized covering-cell index ranges (mercator monotonic:
+        north lat -> smaller iy)."""
+        ix0 = np.clip(np.floor(project_x(x0) * n), 0, n - 1).astype(np.int64)
+        ix1 = np.clip(np.floor(project_x(x1) * n), 0, n - 1).astype(np.int64)
+        iy0 = np.clip(np.floor(project_y(y1) * n), 0, n - 1).astype(np.int64)
+        iy1 = np.clip(np.floor(project_y(y0) * n), 0, n - 1).astype(np.int64)
+        return ix0, ix1, iy0, iy1
+
+    def _explode(keys, x0, y0, x1, y1, key_name, pre):
+        """(key, box) rows -> one row per covering cell, no Python loop."""
+        ix0, ix1, iy0, iy1 = _cells_for(x0, y0, x1, y1)
+        w = ix1 - ix0 + 1
+        counts = w * (iy1 - iy0 + 1)
+        total = int(counts.sum())
+        ridx = np.repeat(np.arange(len(keys)), counts)
+        t = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        ix = ix0[ridx] + t % w[ridx]
+        iy = iy0[ridx] + t // w[ridx]
+        cid = tile_id_vec(np.full(total, level, dtype=np.int64), ix, iy)
+        return pa.table({
+            "cell_id": pa.array(cid, pa.int64()),
+            key_name: pa.array(keys[ridx], pa.int64()),
+            f"{pre}x0": pa.array(x0[ridx], pa.float64()),
+            f"{pre}y0": pa.array(y0[ridx], pa.float64()),
+            f"{pre}x1": pa.array(x1[ridx], pa.float64()),
+            f"{pre}y1": pa.array(y1[ridx], pa.float64()),
+        })
+
+    polys = _nation_rects(sf_dir=sf_dir)
+    nk = np.asarray([p["key"] for p in polys], dtype=np.int64)
+    nx0 = np.asarray([p["minx"] for p in polys])
+    ny0 = np.asarray([p["miny"] for p in polys])
+    nx1 = np.asarray([p["maxx"] for p in polys])
+    ny1 = np.asarray([p["maxy"] for p in polys])
+    nat_ds = rd.from_arrow(_explode(nk, nx0, ny0, nx1, ny1,
+                                    "n_nationkey", "b"))
+
+    def cust_cells(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        x0 = (ck % 340).astype(np.float64) - 170.0
+        y0 = (ck % 150).astype(np.float64) - 78.0
+        return _explode(ck.astype(np.int64), x0, y0, x0 + 6.0, y0 + 4.0,
+                        "c_custkey", "a")
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey"]).map_batches(
+        cust_cells, batch_format="pyarrow")
+    joined = cust.join(nat_ds, "inner", F_dedup._num_join_partitions(),
+                       on=("cell_id",),
+                       aggregator_ray_remote_args=_agg_args())
+
+    def exact(b: pa.Table) -> pa.Table:
+        g = {c: b.column(c).to_numpy(zero_copy_only=False)
+             for c in ("ax0", "ay0", "ax1", "ay1",
+                       "bx0", "by0", "bx1", "by1", "cell_id")}
+        keep = ((g["ax0"] <= g["bx1"]) & (g["bx0"] <= g["ax1"]) &
+                (g["ay0"] <= g["by1"]) & (g["by0"] <= g["ay1"]))
+        # canonical cell: the intersection's west-north corner lies in
+        # BOTH boxes, so both covers contain its cell
+        cx = np.maximum(g["ax0"], g["bx0"])
+        cy = np.minimum(g["ay1"], g["by1"])
+        cix = np.clip(np.floor(project_x(cx) * n), 0, n - 1).astype(np.int64)
+        ciy = np.clip(np.floor(project_y(cy) * n), 0, n - 1).astype(np.int64)
+        canon = tile_id_vec(np.full(len(cix), level, dtype=np.int64),
+                            cix, ciy)
+        keep &= g["cell_id"] == canon
+        return (b.filter(pa.array(keep))
+                .select(["c_custkey", "n_nationkey"]))
+
+    return joined.map_batches(exact, batch_format="pyarrow")
+
+
+_SQL_BBOX_JOIN = (
+    "SELECT c.c_custkey, n.n_nationkey FROM customer c JOIN nation n ON "
+    "(c.c_custkey % 340) - 170.0 <= (n.n_nationkey*14.0 - 168.0) + 8.05 "
+    "AND (n.n_nationkey*14.0 - 168.0) - 8.05 <= (c.c_custkey % 340) - 170.0 + 6.0 "
+    "AND (c.c_custkey % 150) - 78.0 <= (n.n_nationkey*6.0 - 72.0) + 5.05 "
+    "AND (n.n_nationkey*6.0 - 72.0) - 5.05 <= (c.c_custkey % 150) - 78.0 + 4.0")
+
+
+def q_knn_join(sf_dir: str):
+    """kNN JOIN: k=2 nearest event points for EVERY customer point
+    (1 query per customer, vs q_knn's handful of probes).
+
+    Query side = the bounded reference set, broadcast once (ray.put);
+    corpus streams through KNNJoinPartial (full vectorized distance
+    matrix per batch, exact tie handling — functions/spatial.py). The
+    merge is a distributed groupby(query_id).map_groups over the
+    O(batches * queries * k) partial rows — never a driver collect."""
+    import ray
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    queries = [(int(k), float(k % 340) - 167.0, float(k % 150) - 76.0)
+               for k in ck]
+    qref = ray.put(queries)
+    parts = _events_points(sf_dir).map_batches(
+        KNNJoinPartial(qref, k=2), batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["dist2", "point_id"],
+                          kind="mergesort").head(2)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
+            "point_id": pa.array(g["point_id"].to_numpy(), pa.int64()),
+            "rnk": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+        })
+
+    return parts.groupby("query_id").map_groups(topk,
+                                                batch_format="pandas")
+
+
+_SQL_KNN_JOIN = (
+    "SELECT query_id, point_id, rnk FROM ("
+    " SELECT c.c_custkey AS query_id, p.event_id AS point_id,"
+    "  ROW_NUMBER() OVER (PARTITION BY c.c_custkey ORDER BY"
+    "   (p.lon - ((c.c_custkey % 340) - 167.0))"
+    "   *(p.lon - ((c.c_custkey % 340) - 167.0))"
+    "   + (p.lat - ((c.c_custkey % 150) - 76.0))"
+    "   *(p.lat - ((c.c_custkey % 150) - 76.0)),"
+    "   p.event_id) AS rnk"
+    " FROM (" + _SQL_POINTS + ") p CROSS JOIN customer c) WHERE rnk <= 2")
+
+
+def q_tile_diff(sf_dir: str):
+    """Tile-level diff of two feature sets (even vs odd event_id) at
+    z=8: per-cell counts for both sides in ONE streaming pass (partial
+    bincounts per batch -> one small groupby), then a vectorized status
+    column (added / removed / changed / same). The pattern for change
+    detection between pyramid builds without materializing either."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        cid = b.column("cell_id").to_numpy(zero_copy_only=False)
+        even = (ev % 2) == 0
+        uniq, inv = np.unique(cid, return_inverse=True)
+        n_a = np.bincount(inv[even], minlength=len(uniq))
+        n_b = np.bincount(inv[~even], minlength=len(uniq))
+        return pa.table({"cell_id": pa.array(uniq, pa.int64()),
+                         "n_a": pa.array(n_a.astype(np.int64)),
+                         "n_b": pa.array(n_b.astype(np.int64))})
+
+    agg = (_events_points(sf_dir)
+           .map_batches(AssignCells(8), batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("cell_id")
+           .aggregate(Sum("n_a", alias_name="n_a"),
+                      Sum("n_b", alias_name="n_b")))
+
+    def status(b: pa.Table) -> pa.Table:
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+        st = np.where(na == 0, "added",
+                      np.where(nb == 0, "removed",
+                               np.where(na == nb, "same", "changed")))
+        return b.append_column("status",
+                               pa.array(st.tolist(), pa.string()))
+
+    return agg.map_batches(status, batch_format="pyarrow")
+
+
+def _sql_tile_diff() -> str:
+    ix, iy = _sql_cell(8)
+    cell = f"(((1::BIGINT << 8) * {iy} + {ix}) * 32) + 8"
+    return (
+        f"WITH pts AS (SELECT event_id, {cell} AS cell_id"
+        f" FROM ({_SQL_POINTS})),"
+        " a AS (SELECT cell_id, COUNT(*) AS n FROM pts"
+        "  WHERE event_id % 2 = 0 GROUP BY 1),"
+        " b AS (SELECT cell_id, COUNT(*) AS n FROM pts"
+        "  WHERE event_id % 2 = 1 GROUP BY 1)"
+        " SELECT COALESCE(a.cell_id, b.cell_id) AS cell_id,"
+        " COALESCE(a.n, 0) AS n_a, COALESCE(b.n, 0) AS n_b,"
+        " CASE WHEN a.cell_id IS NULL THEN 'added'"
+        "  WHEN b.cell_id IS NULL THEN 'removed'"
+        "  WHEN a.n = b.n THEN 'same' ELSE 'changed' END AS status"
+        " FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -3373,6 +3577,9 @@ QUERIES = {
     "props_extract": q_props_extract,
     "normalize_dedup": q_normalize_dedup,
     "semdedup": q_semdedup,
+    "bbox_join": q_bbox_join,
+    "knn_join": q_knn_join,
+    "tile_diff": q_tile_diff,
 }
 
 ORACLE_SQL = {
@@ -3482,6 +3689,9 @@ ORACLE_SQL.update({
         "pyramid_stats", 'z, tiles, leaf, split, "empty", "rows"'),
     "props_extract": _SQL_PROPS_EXTRACT,
     "normalize_dedup": _SQL_NORMALIZE_DEDUP,
+    "bbox_join": _SQL_BBOX_JOIN,
+    "knn_join": _SQL_KNN_JOIN,
+    "tile_diff": _sql_tile_diff(),
 })
 
 # Remaining no-oracle entries, each with a reason:
