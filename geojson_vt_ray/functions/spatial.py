@@ -251,6 +251,22 @@ class KNNJoinPartial:
                          "point_id": pa.array([], pa.int64()),
                          "dist2": pa.array([], pa.float64())})
 
+    # cap the live distance-matrix at ~8M float64 (~64 MB) per task so a
+    # large query table cannot blow worker heaps; slices each emit exact
+    # per-query candidates, and the final cut re-ranks the concatenation
+    _MAX_MATRIX_ELEMS = 8_000_000
+
+    def _slice_candidates(self, px, py, pid, k):
+        """Exact per-query top-k candidates for one point slice:
+        (query_idx, point_id, dist2) arrays, ties at the k-boundary
+        INCLUDED (so a later merge stays exact)."""
+        d2 = ((px[:, None] - self.qx[None, :]) ** 2
+              + (py[:, None] - self.qy[None, :]) ** 2)
+        kk = min(k, len(px))
+        kth = np.partition(d2, kk - 1, axis=0)[kk - 1, :]
+        pi, qi = np.nonzero(d2 <= kth[None, :])
+        return qi, pid[pi], d2[pi, qi]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         nq = len(self.qid)
@@ -259,19 +275,19 @@ class KNNJoinPartial:
         px = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
         py = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
         pid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        d2 = ((px[:, None] - self.qx[None, :]) ** 2
-              + (py[:, None] - self.qy[None, :]) ** 2)
-        k = min(self.k, n)
-        kth = np.partition(d2, k - 1, axis=0)[k - 1, :]
-        pi, qi = np.nonzero(d2 <= kth[None, :])
-        dv = d2[pi, qi]
-        order = np.lexsort((pid[pi], dv, qi))
-        qi, pi, dv = qi[order], pi[order], dv[order]
+        step = max(self._MAX_MATRIX_ELEMS // nq, self.k)
+        parts = [self._slice_candidates(px[i:i + step], py[i:i + step],
+                                        pid[i:i + step], self.k)
+                 for i in range(0, n, step)]
+        qi = np.concatenate([p[0] for p in parts])
+        pv = np.concatenate([p[1] for p in parts])
+        dv = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((pv, dv, qi))
+        qi, pv, dv = qi[order], pv[order], dv[order]
         starts = np.searchsorted(qi, np.arange(nq), side="left")
-        keep = (np.arange(len(qi)) - starts[qi]) < k
+        keep = (np.arange(len(qi)) - starts[qi]) < min(self.k, n)
         return pa.table({
             "query_id": pa.array(self.qid[qi[keep]], pa.int64()),
-            "point_id": pa.array(pid[pi[keep]].astype(np.int64),
-                                 pa.int64()),
+            "point_id": pa.array(pv[keep].astype(np.int64), pa.int64()),
             "dist2": pa.array(dv[keep], pa.float64()),
         })

@@ -540,3 +540,40 @@ def test_semdedup_matches_brute_force_on_planted_dups(ray_session, tmp_path):
     drop = np.triu(sim >= t, 1).any(axis=0)
     want = sorted(ids[~drop].tolist())
     assert got == want
+
+
+def test_knn_join_partial_matches_brute_force_at_all_slice_sizes():
+    """KNNJoinPartial's chunked distance-matrix path must be exact —
+    including (dist2, id) tie-breaks at the k boundary — for any
+    internal slice size (the memory cap makes slicing data-dependent,
+    so both the one-shot and many-slice paths need pinning). Planted
+    duplicate coordinates force boundary ties."""
+    import numpy as np
+    import pyarrow as pa
+    from geojson_vt_ray.functions.spatial import KNNJoinPartial
+
+    rng = np.random.default_rng(7)
+    n, nq, k = 2000, 23, 3
+    px, py = rng.uniform(-10, 10, n), rng.uniform(-10, 10, n)
+    px[::7] = px[0]
+    py[::7] = py[0]
+    pid = rng.permutation(n).astype(np.int64)
+    queries = [(int(i), float(rng.uniform(-10, 10)),
+                float(rng.uniform(-10, 10))) for i in range(nq)]
+    batch = pa.table({"lon": px, "lat": py, "event_id": pid})
+
+    want = []
+    for qid, qx, qy in queries:
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        for p in np.lexsort((pid, d2))[:k]:
+            want.append((qid, int(pid[p]), float(d2[p])))
+    want.sort()
+
+    for max_elems in (8_000_000, 1000, 100):
+        st = KNNJoinPartial(queries, k=k)
+        st._MAX_MATRIX_ELEMS = max_elems
+        t = st(batch)
+        got = sorted(zip(t.column("query_id").to_pylist(),
+                         t.column("point_id").to_pylist(),
+                         t.column("dist2").to_pylist()))
+        assert got == want, f"slice cap {max_elems}"
