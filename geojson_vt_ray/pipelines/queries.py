@@ -3490,6 +3490,140 @@ def _sql_tile_diff() -> str:
         " FROM a FULL OUTER JOIN b ON a.cell_id = b.cell_id")
 
 
+def q_od_matrix(sf_dir: str):
+    """Origin-destination matrix: each user's FIRST and LAST event cell
+    (z=5, ordered by ts then event_id), counted per (o_cell, d_cell).
+
+    Per-batch pre-combine ships ONE candidate (first, last) row per
+    user per block, so the coarse user-bucket shuffle moves O(users)
+    rows, never the event stream; a vectorized per-bucket argmin/argmax
+    finishes the endpoints and a second aggregate-sized groupby counts
+    the flows."""
+    from ray.data.aggregate import Sum
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cid = b.column("cell_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, uid))
+        uid, ts, ev, cid = uid[order], ts[order], ev[order], cid[order]
+        fi = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        li = np.r_[fi[1:] - 1, len(uid) - 1]
+        return pa.table({
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "pkey": pa.array((uid[fi] & mask).astype(np.int32)),
+            "f_ts": pa.array(ts[fi], pa.int64()),
+            "f_ev": pa.array(ev[fi], pa.int64()),
+            "o_cell": pa.array(cid[fi], pa.int64()),
+            "l_ts": pa.array(ts[li], pa.int64()),
+            "l_ev": pa.array(ev[li], pa.int64()),
+            "d_cell": pa.array(cid[li], pa.int64()),
+        })
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        o = np.lexsort((g["f_ev"].to_numpy(), g["f_ts"].to_numpy(), uid))
+        fi = np.flatnonzero(np.r_[True, uid[o][1:] != uid[o][:-1]])
+        o_cell = g["o_cell"].to_numpy()[o][fi]
+        d = np.lexsort((g["l_ev"].to_numpy(), g["l_ts"].to_numpy(), uid))
+        li = np.r_[np.flatnonzero(uid[d][1:] != uid[d][:-1]),
+                   len(uid) - 1]
+        d_cell = g["d_cell"].to_numpy()[d][li]
+        # partial flow counts: one row per (o,d) pair in this bucket
+        key = (o_cell.astype(np.int64) << 32) | d_cell.astype(np.int64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "o_cell": pa.array(uniq >> 32, pa.int64()),
+            "d_cell": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    ds = (_events_points(sf_dir)
+          .map_batches(AssignCells(5), batch_format="pyarrow")
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("pkey").map_groups(combine, batch_format="pandas"))
+    return (ds.groupby(["o_cell", "d_cell"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def _sql_od_matrix() -> str:
+    ix, iy = _sql_cell(5)
+    cell = f"(((1::BIGINT << 5) * {iy} + {ix}) * 32) + 5"
+    return (
+        f"WITH e AS (SELECT user_id, ts, event_id, {cell} AS cell"
+        f" FROM ({_SQL_POINTS})),"
+        " u AS (SELECT DISTINCT user_id,"
+        "  FIRST_VALUE(cell) OVER (PARTITION BY user_id ORDER BY ts,"
+        "   event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+        "   FOLLOWING) AS o_cell,"
+        "  LAST_VALUE(cell) OVER (PARTITION BY user_id ORDER BY ts,"
+        "   event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+        "   FOLLOWING) AS d_cell FROM e)"
+        " SELECT o_cell, d_cell, COUNT(*) AS n_users FROM u"
+        " GROUP BY 1, 2")
+
+
+def q_radius_count(sf_dir: str):
+    """Range (radius) count: events within 25 degrees of each supplier-
+    derived query point. Broadcast bounded query set; per-batch chunked
+    vectorized distance-threshold counts collapse each block to
+    O(queries) partial rows before one tiny groupby-sum — the classic
+    spatial range-aggregate shape (corpus streams, zero corpus shuffle).
+    The distance keeps the scalar IEEE op order so the <= 625.0 boundary
+    agrees bit-for-bit with the SQL oracle."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey"])
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+    queries = [(int(k), float(k % 340) - 169.5, float(k % 150) - 77.5)
+               for k in sk]
+    qref = ray.put(queries)
+
+    class RadiusCount:
+        _MAX_MATRIX_ELEMS = 8_000_000
+
+        def __init__(self):
+            q = (ray.get(qref) if isinstance(qref, ray.ObjectRef)
+                 else qref)
+            self.qid = np.asarray([r[0] for r in q], dtype=np.int64)
+            self.qx = np.asarray([r[1] for r in q], dtype=np.float64)
+            self.qy = np.asarray([r[2] for r in q], dtype=np.float64)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            px = b.column("lon").to_numpy(zero_copy_only=False)
+            py = b.column("lat").to_numpy(zero_copy_only=False)
+            nq = len(self.qid)
+            counts = np.zeros(nq, dtype=np.int64)
+            step = max(self._MAX_MATRIX_ELEMS // max(nq, 1), 1)
+            for i in range(0, len(px), step):
+                d2 = ((px[i:i + step, None] - self.qx[None, :]) ** 2
+                      + (py[i:i + step, None] - self.qy[None, :]) ** 2)
+                counts += (d2 <= 625.0).sum(axis=0)
+            nz = np.flatnonzero(counts)
+            return pa.table({"query_id": pa.array(self.qid[nz]),
+                             "n": pa.array(counts[nz])})
+
+    return (_events_points(sf_dir)
+            .map_batches(RadiusCount, batch_format="pyarrow",
+                         concurrency=2)
+            .groupby("query_id").aggregate(Sum("n", alias_name="n")))
+
+
+_SQL_RADIUS_COUNT = (
+    "SELECT s.s_suppkey AS query_id, COUNT(*) AS n FROM ("
+    + _SQL_POINTS + ") p CROSS JOIN supplier s WHERE"
+    " (p.lon - ((s.s_suppkey % 340) - 169.5))"
+    " *(p.lon - ((s.s_suppkey % 340) - 169.5))"
+    " + (p.lat - ((s.s_suppkey % 150) - 77.5))"
+    " *(p.lat - ((s.s_suppkey % 150) - 77.5)) <= 625.0"
+    " GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -3580,6 +3714,8 @@ QUERIES = {
     "bbox_join": q_bbox_join,
     "knn_join": q_knn_join,
     "tile_diff": q_tile_diff,
+    "od_matrix": q_od_matrix,
+    "radius_count": q_radius_count,
 }
 
 ORACLE_SQL = {
@@ -3692,6 +3828,8 @@ ORACLE_SQL.update({
     "bbox_join": _SQL_BBOX_JOIN,
     "knn_join": _SQL_KNN_JOIN,
     "tile_diff": _sql_tile_diff(),
+    "od_matrix": _sql_od_matrix(),
+    "radius_count": _SQL_RADIUS_COUNT,
 })
 
 # Remaining no-oracle entries, each with a reason:
