@@ -259,13 +259,21 @@ class KNNJoinPartial:
     def _slice_candidates(self, px, py, pid, k):
         """Exact per-query top-k candidates for one point slice:
         (query_idx, point_id, dist2) arrays, ties at the k-boundary
-        INCLUDED (so a later merge stays exact)."""
-        d2 = ((px[:, None] - self.qx[None, :]) ** 2
-              + (py[:, None] - self.qy[None, :]) ** 2)
+        INCLUDED (so a later merge stays exact).
+
+        Queries-major orientation so np.partition runs along contiguous
+        rows (cache-friendly), with in-place temporaries — two live
+        matrices instead of five. (qx-px)^2 is bit-identical to
+        (px-qx)^2 (negation then square), so oracle tie-breaks hold."""
+        d2 = self.qx[:, None] - px[None, :]
+        d2 *= d2
+        dy = self.qy[:, None] - py[None, :]
+        dy *= dy
+        d2 += dy
         kk = min(k, len(px))
-        kth = np.partition(d2, kk - 1, axis=0)[kk - 1, :]
-        pi, qi = np.nonzero(d2 <= kth[None, :])
-        return qi, pid[pi], d2[pi, qi]
+        kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+        qi, pi = np.nonzero(d2 <= kth[:, None])
+        return qi, pid[pi], d2[qi, pi]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows

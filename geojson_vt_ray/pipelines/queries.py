@@ -3394,10 +3394,12 @@ def q_knn_join(sf_dir: str):
     (1 query per customer, vs q_knn's handful of probes).
 
     Query side = the bounded reference set, broadcast once (ray.put);
-    corpus streams through KNNJoinPartial (full vectorized distance
-    matrix per batch, exact tie handling — functions/spatial.py). The
-    merge is a distributed groupby(query_id).map_groups over the
-    O(batches * queries * k) partial rows — never a driver collect."""
+    corpus streams through KNNJoinPartial (memory-capped vectorized
+    distance matrix per batch, exact tie handling —
+    functions/spatial.py). The merge is a COARSE-bucketed shuffle of
+    the O(batches * queries * k) partial rows (never one Ray group per
+    query — that is one Python call per query) with a vectorized
+    per-bucket (dist2, id) rank cut."""
     import ray
     import pyarrow.parquet as pq
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -3406,20 +3408,34 @@ def q_knn_join(sf_dir: str):
     queries = [(int(k), float(k % 340) - 167.0, float(k % 150) - 76.0)
                for k in ck]
     qref = ray.put(queries)
-    parts = _events_points(sf_dir).map_batches(
-        KNNJoinPartial(qref, k=2), batch_format="pyarrow")
+    mask = _coarse_mask()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        qid = b.column("query_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pkey",
+                               pa.array((qid & mask).astype(np.int32)))
 
     def topk(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["dist2", "point_id"],
-                          kind="mergesort").head(2)
+        qid = g["query_id"].to_numpy()
+        d = g["dist2"].to_numpy()
+        pid_ = g["point_id"].to_numpy()
+        order = np.lexsort((pid_, d, qid))
+        qid, d, pid_ = qid[order], d[order], pid_[order]
+        new = np.r_[True, qid[1:] != qid[:-1]]
+        starts = np.flatnonzero(new)
+        rnk = np.arange(len(qid)) - starts[np.cumsum(new) - 1] + 1
+        keep = rnk <= 2
         return pa.table({
-            "query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
-            "point_id": pa.array(g["point_id"].to_numpy(), pa.int64()),
-            "rnk": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+            "query_id": pa.array(qid[keep], pa.int64()),
+            "point_id": pa.array(pid_[keep], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
         })
 
-    return parts.groupby("query_id").map_groups(topk,
-                                                batch_format="pandas")
+    return (_events_points(sf_dir)
+            .map_batches(KNNJoinPartial(qref, k=2),
+                         batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("pkey").map_groups(topk, batch_format="pandas"))
 
 
 _SQL_KNN_JOIN = (
