@@ -2779,7 +2779,12 @@ def q_heavy_hitters(sf_dir: str, threshold: int = _HH_THRESHOLD,
     from ..functions.shuffle import _cpus
     return (ds.map_batches(CandidateCounts, batch_format="pyarrow",
                            concurrency=(1, max(1, _cpus(8) // 4)),
-                           fn_constructor_args=(grid_ref, threshold))
+                           fn_constructor_args=(grid_ref, threshold),
+                           # broadcast CMS grid ref in constructor args:
+                           # same lost-ref caveat as BloomProbe — Ray
+                           # Data retries tasks itself, restarts add
+                           # nothing but a log line
+                           max_restarts=0)
             .groupby("pkey").map_groups(combine, batch_format="pandas")
             .select_columns(["user_id", "n_events"]))
 
