@@ -3645,6 +3645,203 @@ _SQL_RADIUS_COUNT = (
     " GROUP BY 1")
 
 
+_SOURCE_CAP = 10
+
+
+def q_source_caps(sf_dir: str, cap: int = _SOURCE_CAP):
+    """Domain balancing: keep at most ``cap`` documents per source
+    (ordered by doc_id), the standard per-domain cap of web-corpus
+    curation (a handful of giant domains otherwise dominate training
+    mixes).
+
+    Shape for scale: a per-batch PARTIAL cap ships at most ``cap`` rows
+    per (source, block) — never the corpus — then a crc-coarse source
+    bucket shuffle finishes the exact cap per source with a vectorized
+    grouped cumcount. Sources at web scale are millions of domains, so
+    the finish is a keyed shuffle of O(sources*cap) rows, not a driver
+    dictionary."""
+    cmask = _coarse_mask()
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import zlib
+        g = b.to_pandas()
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        g = g[g.groupby("source", sort=False).cumcount() < cap]
+        pk = np.fromiter(
+            (zlib.crc32(s.encode()) for s in g["source"]),
+            dtype=np.int64, count=len(g))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "source": pa.array(g["source"], pa.string()),
+            "pkey": pa.array((pk & cmask).astype(np.int32)),
+        })
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        rnk = (g.groupby("source", sort=False).cumcount() + 1).to_numpy()
+        keep = rnk <= cap
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy()[keep], pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy()[keep], pa.int64()),
+            "rnk": pa.array(rnk[keep].astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(finish, batch_format="pandas"))
+
+
+_SQL_SOURCE_CAPS = (
+    "SELECT source, doc_id, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rnk "
+    "FROM documents QUALIFY rnk <= " + str(_SOURCE_CAP))
+
+
+def q_lm_score(sf_dir: str):
+    """Integer-exact core of corpus-unigram language-model scoring: per
+    document, token count plus the sum and minimum of the CORPUS term
+    frequency over its token stream. sum_tf/n_tokens is the doc's mean
+    token commonness and min_tf its rarest token — the exact integer
+    inputs a downstream float LM score (avg -log p) derives from,
+    delivered as integers so the result is bit-stable across engines.
+
+    Shape for scale: per-batch (doc, term, tf) partials collapse the
+    token stream to each batch's vocabulary; the corpus (term, tf)
+    table is built by the same coarse-keyed merge as term_stats (the
+    web-scale vocabulary is NOT broadcastable) and joined back on term
+    with a distributed hash join; the per-doc reduce is a tiny
+    grouped-sum. Nothing corpus-sized touches the driver."""
+    from ray.data.aggregate import Min, Sum
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+
+    def doc_tf(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        o_id, o_term, o_tf = [], [], []
+        for doc_id, t in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            c = Counter(F_text._RE2_TOKEN_RE.findall(t))
+            o_id.extend([doc_id] * len(c))
+            o_term.extend(c.keys())
+            o_tf.extend(c.values())
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "term": pa.array(o_term, pa.string()),
+                         "tf": pa.array(o_tf, pa.int64())})
+
+    tf_ds = ds.map_batches(doc_tf, batch_format="pyarrow")
+
+    part = ds.map_batches(F_text.term_stats_partial,
+                          batch_format="pyarrow")
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        tk = b.column("tkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((tk & cmask).astype(np.int32)))
+
+    def merge_gtf(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("term", sort=False, as_index=False)["tf"].sum()
+        return pa.table({"term": pa.array(out["term"], pa.string()),
+                         "gtf": pa.array(out["tf"], pa.int64())})
+
+    gtf_ds = (part.map_batches(add_coarse, batch_format="pyarrow")
+              .groupby("pkey").map_groups(merge_gtf,
+                                          batch_format="pandas"))
+
+    joined = tf_ds.join(gtf_ds, "inner", nparts, on=("term",),
+                        aggregator_ray_remote_args=_agg_args(nparts))
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy(zero_copy_only=False)
+        gtf = b.column("gtf").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(tf, pa.int64()),
+            "sum_tf": pa.array(tf * gtf, pa.int64()),
+            "min_tf": pa.array(gtf, pa.int64()),
+        })
+
+    return (joined.map_batches(doc_partial, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("sum_tf", alias_name="sum_tf"),
+                       Min("min_tf", alias_name="min_tf")))
+
+
+_SQL_LM_SCORE = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents), "
+    "gtf AS (SELECT term, COUNT(*) AS gtf FROM toks GROUP BY 1) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(gtf) AS BIGINT) AS sum_tf, "
+    "CAST(MIN(gtf) AS BIGINT) AS min_tf "
+    "FROM toks JOIN gtf USING(term) GROUP BY doc_id")
+
+
+def q_trajectory_len(sf_dir: str):
+    """Per-user trajectory length on the integer deci-degree grid:
+    events ordered by (ts, event_id) per user, path length as the sum
+    of Manhattan steps |dx|+|dy| over consecutive events. Integer
+    arithmetic end-to-end, so exact vs any engine.
+
+    Shape for scale: one crc-coarse user-bucket shuffle co-locates each
+    user's events (the unavoidable exchange — path length needs the
+    full ordered sequence); inside each bucket a single lexsort + numpy
+    diff computes every user's path without per-user Python. Output is
+    user-sized, the event stream never returns to the driver."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(ev, pa.int64()),
+            "ix": pa.array(ev % 3600, pa.int64()),
+            "iy": pa.array(ev % 1600, pa.int64()),
+        })
+
+    def walk(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        uid = uid[order]
+        ix = g["ix"].to_numpy()[order]
+        iy = g["iy"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        step = (np.abs(np.diff(ix)) + np.abs(np.diff(iy))) * same
+        fi = np.flatnonzero(np.r_[True, ~same])
+        n_steps = np.diff(np.r_[fi, len(uid)]) - 1
+        path = np.add.reduceat(np.r_[step, 0], fi) * (n_steps > 0)
+        return pa.table({
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "n_steps": pa.array(n_steps.astype(np.int64)),
+            "path_len": pa.array(path.astype(np.int64)),
+        })
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(walk, batch_format="pandas"))
+
+
+_SQL_TRAJECTORY_LEN = (
+    "WITH e AS (SELECT user_id, ts, event_id, event_id % 3600 AS ix, "
+    "event_id % 1600 AS iy FROM events), "
+    "d AS (SELECT user_id, abs(ix - lag(ix) OVER w) "
+    "+ abs(iy - lag(iy) OVER w) AS step FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, CAST(COUNT(step) AS BIGINT) AS n_steps, "
+    "CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_len "
+    "FROM d GROUP BY user_id")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -3737,6 +3934,9 @@ QUERIES = {
     "tile_diff": q_tile_diff,
     "od_matrix": q_od_matrix,
     "radius_count": q_radius_count,
+    "source_caps": q_source_caps,
+    "lm_score": q_lm_score,
+    "trajectory_len": q_trajectory_len,
 }
 
 ORACLE_SQL = {
@@ -3851,6 +4051,9 @@ ORACLE_SQL.update({
     "tile_diff": _sql_tile_diff(),
     "od_matrix": _sql_od_matrix(),
     "radius_count": _SQL_RADIUS_COUNT,
+    "source_caps": _SQL_SOURCE_CAPS,
+    "lm_score": _SQL_LM_SCORE,
+    "trajectory_len": _SQL_TRAJECTORY_LEN,
 })
 
 # Remaining no-oracle entries, each with a reason:
