@@ -3842,6 +3842,120 @@ _SQL_TRAJECTORY_LEN = (
     "FROM d GROUP BY user_id")
 
 
+def q_grid_cluster(sf_dir: str, level: int = 6):
+    """DBSCAN-style density clustering on the z-``level`` cell grid:
+    cells holding >= 1.25x the mean per-cell event count are CORE;
+    clusters are the 4-connected components of core cells, labeled by
+    the component's minimum cell key (density threshold is relative so
+    the operator is scale-invariant across sf dirs).
+
+    Shape for scale: per-batch cell-count partials -> one small cell
+    groupby (the cell table is bounded by 4^level — an aggregate-level
+    resolution by contract); core filter broadcasts two scalars; the
+    neighbor edge list (<= 2 rows/cell) is built by a distributed hash
+    join of each core cell against its east/south neighbor key; the
+    components come from the SAME distributed min-label propagation
+    (pointer jumping, O(log diameter) rounds of keyed shuffles) that
+    powers dedup_clusters — no driver union-find. Only cell-table-sized
+    results ever reach the driver."""
+    from ray.data.aggregate import Sum
+    n = 1 << level
+    nparts = F_dedup._num_join_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        cx = b.column("cell_x").to_numpy(zero_copy_only=False)
+        cy = b.column("cell_y").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(cy * n + cx, return_counts=True)
+        return pa.table({"node": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cells = (_events_points(sf_dir)
+             .map_batches(AssignCells(level), batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("n", alias_name="n"))
+             .materialize())
+    tot = int(cells.sum("n"))
+    ncells = int(cells.count())
+
+    def core_filter(b: pa.Table) -> pa.Table:
+        nn = b.column("n").to_numpy(zero_copy_only=False)
+        keep = 4 * nn * ncells >= 5 * tot
+        return pa.table({
+            "node": pa.array(
+                b.column("node").to_numpy(zero_copy_only=False)[keep]),
+            "n": pa.array(nn[keep])})
+
+    core = (cells.map_batches(core_filter, batch_format="pyarrow")
+            .materialize())
+
+    def probes(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        east = node[node % n < n - 1]
+        south = node[node // n < n - 1]
+        return pa.table({
+            "node": pa.array(np.r_[east + 1, south + n].astype(np.int64)),
+            "src": pa.array(np.r_[east, south].astype(np.int64))})
+
+    edges = (core.select_columns(["node"])
+             .map_batches(probes, batch_format="pyarrow")
+             .join(core.select_columns(["node"]), "inner", nparts,
+                   on=("node",),
+                   aggregator_ray_remote_args=_agg_args(nparts)))
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"id_a": pa.array(
+            b.column("src").to_numpy(zero_copy_only=False), pa.int64()),
+            "id_b": pa.array(
+            b.column("node").to_numpy(zero_copy_only=False), pa.int64())})
+
+    ep = edges.map_batches(to_pairs, batch_format="pyarrow").to_pandas()
+    if len(ep):
+        lab = F_dedup.label_propagation_clusters(
+            pa.table({"id_a": pa.array(ep["id_a"], pa.int64()),
+                      "id_b": pa.array(ep["id_b"], pa.int64())})
+        ).to_pandas()
+    else:
+        lab = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "cluster_id": pd.Series([], dtype="int64")})
+
+    cdf = core.to_pandas()  # bounded by 4^level, aggregate-sized
+    m = cdf.merge(lab, left_on="node", right_on="doc_id", how="left")
+    cluster = m["cluster_id"].fillna(m["node"]).astype(np.int64)
+    node = m["node"].to_numpy()
+    return pa.table({
+        "cell_x": pa.array((node % n).astype(np.int64)),
+        "cell_y": pa.array((node // n).astype(np.int64)),
+        "cluster_id": pa.array(cluster.to_numpy()),
+        "n": pa.array(m["n"].to_numpy().astype(np.int64))})
+
+
+def _sql_grid_cluster(level: int = 6) -> str:
+    n = 1 << level
+    ix, iy = _sql_cell(level)
+    return (
+        f"WITH RECURSIVE cells AS (SELECT {iy}*{n}+{ix} AS node, "
+        f"COUNT(*) AS n FROM ({_SQL_POINTS}) GROUP BY 1), "
+        "tot AS (SELECT SUM(n) AS t, COUNT(*) AS c FROM cells), "
+        "core AS (SELECT node, n FROM cells, tot WHERE 4*n*c >= 5*t), "
+        "edges AS ("
+        f"SELECT a.node AS s, b.node AS d FROM core a JOIN core b "
+        f"ON b.node = a.node + 1 AND a.node % {n} < {n - 1} "
+        f"UNION ALL SELECT a.node, b.node FROM core a JOIN core b "
+        f"ON b.node = a.node + {n} "
+        f"UNION ALL SELECT b.node, a.node FROM core a JOIN core b "
+        f"ON b.node = a.node + 1 AND a.node % {n} < {n - 1} "
+        f"UNION ALL SELECT b.node, a.node FROM core a JOIN core b "
+        f"ON b.node = a.node + {n}), "
+        "reach AS (SELECT node AS s, node AS d FROM core "
+        "UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d), "
+        "lab AS (SELECT s AS node, MIN(d) AS cluster_id FROM reach "
+        "GROUP BY 1) "
+        f"SELECT CAST(c.node % {n} AS BIGINT) AS cell_x, "
+        f"CAST(c.node // {n} AS BIGINT) AS cell_y, "
+        "CAST(l.cluster_id AS BIGINT) AS cluster_id, c.n AS n "
+        "FROM core c JOIN lab l USING(node)")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -3937,6 +4051,7 @@ QUERIES = {
     "source_caps": q_source_caps,
     "lm_score": q_lm_score,
     "trajectory_len": q_trajectory_len,
+    "grid_cluster": q_grid_cluster,
 }
 
 ORACLE_SQL = {
@@ -4054,6 +4169,7 @@ ORACLE_SQL.update({
     "source_caps": _SQL_SOURCE_CAPS,
     "lm_score": _SQL_LM_SCORE,
     "trajectory_len": _SQL_TRAJECTORY_LEN,
+    "grid_cluster": _sql_grid_cluster(),
 })
 
 # Remaining no-oracle entries, each with a reason:
