@@ -287,6 +287,15 @@ def main():
                     help="pre-synthesized corpus parquet (scaling "
                          "children skip single-threaded synthesis)")
     args = ap.parse_args()
+    # One-JSON-line contract hardening: Ray mirrors worker stdout to the
+    # driver's fd 1 (log_to_driver), and a worker-side C-level write
+    # (observed: a bare "(_shuffle_b pid=...) lock" line from a shuffle
+    # aggregator) lands ahead of the JSON. Point fd 1 at stderr for the
+    # whole run — covering Python AND C writes from any layer — and
+    # keep a private dup of the real stdout for the single JSON line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(1, "w", buffering=1)
     if args.quiet_env:
         os.environ.setdefault("RAY_DEDUP_LOGS", "0")
         os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
@@ -298,7 +307,7 @@ def main():
     else:
         out = bench_once(args.sf_dir, args.num_cpus, args.headline_only,
                          n_docs=args.n_docs, corpus_file=args.corpus_file)
-    print(json.dumps(out))
+    os.write(real_stdout, (json.dumps(out) + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -3436,7 +3436,12 @@ def q_knn_join(sf_dir: str):
             "rnk": pa.array(rnk[keep], pa.int64()),
         })
 
+    # the distance stage does queries*points work per block; a 100k-row
+    # events file reads as 1-2 blocks, which would serialize the whole
+    # matrix on one core — spread the (tiny) point stream first
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     return (_events_points(sf_dir)
+            .repartition(2 * ncpu)
             .map_batches(KNNJoinPartial(qref, k=2),
                          batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
