@@ -3961,6 +3961,163 @@ def _sql_grid_cluster(level: int = 6) -> str:
         "FROM core c JOIN lab l USING(node)")
 
 
+def q_triangle_count(sf_dir: str):
+    """Graph analytics: per-node triangle counts of the part
+    CO-PURCHASE graph (two parts are linked when some order contains
+    both) — the classic distributed triangle algorithm: orient each
+    edge from its lower-degree endpoint (ties by id), generate each
+    node's out-neighbor pairs (sum C(outdeg,2) wedges, outdeg bounded
+    by ~sqrt(edges) under this orientation), and close wedges against
+    the edge set. Every triangle has exactly one node with both
+    out-edges inside it, so each is counted once.
+
+    Shape for scale: per-batch distinct (order, part) pairs -> one
+    coarse order-bucket shuffle co-locates each order's parts (orders
+    are small, <=7 lines) -> per-order pair explode -> the repo's
+    distributed pair dedup. The degree table and the edge-key set are
+    bounded by the PART DIMENSION (deg: one row per part; edges:
+    pairs drawn from orders), so both broadcast via ray.put — 10 MB at
+    sf0.1 — and the wedge close is a single vectorized searchsorted
+    per src-bucket, with NO 10^7-row wedge shuffle (the all-to-all
+    wedge join is the documented fallback for graphs whose edge set
+    outgrows a broadcast). Packed keys assume part ids < 2^31."""
+    import ray
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_partkey"])
+
+    def op_pairs(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        o = np.lexsort((pk, ok))
+        ok, pk = ok[o], pk[o]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        return pa.table({
+            "ord": pa.array(ok.astype(np.int64)),
+            "part": pa.array(pk.astype(np.int64)),
+            "bkey": pa.array((ok & cmask).astype(np.int32))})
+
+    _triu_cache: dict = {}
+
+    def order_edges(g: pd.DataFrame) -> pa.Table:
+        ordv = g["ord"].to_numpy()
+        part = g["part"].to_numpy()
+        o = np.lexsort((part, ordv))
+        ordv, part = ordv[o], part[o]
+        # cross-batch duplicate (ord, part) rows land here together
+        keep = np.r_[True, (ordv[1:] != ordv[:-1]) |
+                     (part[1:] != part[:-1])]
+        ordv, part = ordv[keep], part[keep]
+        starts = np.flatnonzero(np.r_[True, ordv[1:] != ordv[:-1]])
+        ends = np.r_[starts[1:], len(ordv)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            idx = _triu_cache.get(m)
+            if idx is None:
+                idx = _triu_cache[m] = np.triu_indices(m, k=1)
+            ps = part[s:e]  # sorted, so ps[ii] < ps[jj]
+            out_a.append(ps[idx[0]])
+            out_b.append(ps[idx[1]])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    cand = (ds.map_batches(op_pairs, batch_format="pyarrow")
+            .groupby("bkey").map_groups(order_edges,
+                                        batch_format="pandas"))
+    # materialize: the deduped edge list feeds BOTH the driver key-set
+    # pull and the orient->close pipeline; lazy it would re-run the
+    # order-bucket shuffle + pair dedup twice
+    edges = F_dedup._dedup_candidate_pairs(cand, nparts,
+                                           cmask).materialize()
+
+    # edge-key set + degree LUT: both part-dimension-bounded -> driver
+    # numpy + ray.put broadcast (the documented small-side contract)
+    epdf = edges.to_pandas()
+    ea = epdf["id_a"].to_numpy().astype(np.int64)
+    eb = epdf["id_b"].to_numpy().astype(np.int64)
+    ek_sorted = np.sort((ea << 31) | eb)
+    maxp = int(max(ea.max(), eb.max())) if len(ea) else 0
+    deg = np.zeros(maxp + 1, np.int64)
+    np.add.at(deg, ea, 1)
+    np.add.at(deg, eb, 1)
+    ek_ref = ray.put(ek_sorted)
+    deg_ref = ray.put(deg)
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        v = b.column("id_b").to_numpy(zero_copy_only=False)
+        d = ray.get(deg_ref)
+        lo_first = (d[a] < d[v]) | ((d[a] == d[v]) & (a < v))
+        src = np.where(lo_first, a, v)
+        dst = np.where(lo_first, v, a)
+        return pa.table({
+            "src": pa.array(src.astype(np.int64)),
+            "dst": pa.array(dst.astype(np.int64)),
+            "skey": pa.array((src & cmask).astype(np.int32))})
+
+    def close_wedges(g: pd.DataFrame) -> pa.Table:
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        w_s, w_a, w_b = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            idx = _triu_cache.get(m)
+            if idx is None:
+                idx = _triu_cache[m] = np.triu_indices(m, k=1)
+            nb = dst[s:e]  # sorted, so pairs are (lo, hi)
+            w_s.append(np.full(len(idx[0]), src[s], np.int64))
+            w_a.append(nb[idx[0]])
+            w_b.append(nb[idx[1]])
+        if not w_s:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64())})
+        ws = np.concatenate(w_s)
+        wa = np.concatenate(w_a)
+        wb = np.concatenate(w_b)
+        ek = ray.get(ek_ref)
+        key = (wa << 31) | wb
+        pos = np.searchsorted(ek, key)
+        pos[pos >= len(ek)] = len(ek) - 1
+        hit = ek[pos] == key
+        tri_nodes = np.concatenate([ws[hit], wa[hit], wb[hit]])
+        uniq, cnt = np.unique(tri_nodes, return_counts=True)
+        return pa.table({"part": pa.array(uniq),
+                         "n_tri": pa.array(cnt.astype(np.int64))})
+
+    return (edges.map_batches(orient, batch_format="pyarrow")
+            .groupby("skey").map_groups(close_wedges,
+                                        batch_format="pandas")
+            .groupby("part").aggregate(Sum("n_tri", alias_name="n_tri")))
+
+
+_SQL_TRIANGLE_COUNT = (
+    "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+    "FROM dp a JOIN dp b USING(l_orderkey) "
+    "WHERE a.l_partkey < b.l_partkey), "
+    "t AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c FROM e ab "
+    "JOIN e bc ON bc.u = ab.v "
+    "JOIN e ac ON ac.u = ab.u AND ac.v = bc.v), "
+    "n AS (SELECT unnest([a, b, c]) AS part FROM t) "
+    "SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri FROM n GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -4057,6 +4214,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "trajectory_len": q_trajectory_len,
     "grid_cluster": q_grid_cluster,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLE_SQL = {
@@ -4175,6 +4333,7 @@ ORACLE_SQL.update({
     "lm_score": _SQL_LM_SCORE,
     "trajectory_len": _SQL_TRAJECTORY_LEN,
     "grid_cluster": _sql_grid_cluster(),
+    "triangle_count": _SQL_TRIANGLE_COUNT,
 })
 
 # Remaining no-oracle entries, each with a reason:
