@@ -3961,30 +3961,24 @@ def _sql_grid_cluster(level: int = 6) -> str:
         "FROM core c JOIN lab l USING(node)")
 
 
-def q_triangle_count(sf_dir: str):
-    """Graph analytics: per-node triangle counts of the part
-    CO-PURCHASE graph (two parts are linked when some order contains
-    both) — the classic distributed triangle algorithm: orient each
-    edge from its lower-degree endpoint (ties by id), generate each
-    node's out-neighbor pairs (sum C(outdeg,2) wedges, outdeg bounded
-    by ~sqrt(edges) under this orientation), and close wedges against
-    the edge set. Every triangle has exactly one node with both
-    out-edges inside it, so each is counted once.
+_triu_cache: dict = {}
 
-    Shape for scale: per-batch distinct (order, part) pairs -> one
-    coarse order-bucket shuffle co-locates each order's parts (orders
-    are small, <=7 lines) -> per-order pair explode -> the repo's
-    distributed pair dedup. The degree table and the edge-key set are
-    bounded by the PART DIMENSION (deg: one row per part; edges:
-    pairs drawn from orders), so both broadcast via ray.put — 10 MB at
-    sf0.1 — and the wedge close is a single vectorized searchsorted
-    per src-bucket, with NO 10^7-row wedge shuffle (the all-to-all
-    wedge join is the documented fallback for graphs whose edge set
-    outgrows a broadcast). Packed keys assume part ids < 2^31."""
-    import ray
-    from ray.data.aggregate import Sum
-    cmask = _coarse_mask()
-    nparts = F_dedup._num_join_partitions()
+
+def _triu(m: int):
+    idx = _triu_cache.get(m)
+    if idx is None:
+        idx = _triu_cache[m] = np.triu_indices(m, k=1)
+    return idx
+
+
+def _copurchase_edges(sf_dir: str, cmask: int, nparts: int):
+    """Distinct undirected edges (id_a < id_b) of the part CO-PURCHASE
+    graph — two parts linked when some order contains both. Per-batch
+    distinct (order, part) pairs -> one coarse order-bucket shuffle
+    co-locates each order's parts (orders are small, <=7 lines) ->
+    per-order pair explode -> the repo's distributed pair dedup.
+    Returns a MATERIALIZED Dataset (every caller consumes it at least
+    twice)."""
     ds = _read_pq(f"{sf_dir}/lineitem.parquet",
                   columns=["l_orderkey", "l_partkey"])
 
@@ -3999,8 +3993,6 @@ def q_triangle_count(sf_dir: str):
             "ord": pa.array(ok.astype(np.int64)),
             "part": pa.array(pk.astype(np.int64)),
             "bkey": pa.array((ok & cmask).astype(np.int32))})
-
-    _triu_cache: dict = {}
 
     def order_edges(g: pd.DataFrame) -> pa.Table:
         ordv = g["ord"].to_numpy()
@@ -4018,9 +4010,7 @@ def q_triangle_count(sf_dir: str):
             m = e - s
             if m < 2:
                 continue
-            idx = _triu_cache.get(m)
-            if idx is None:
-                idx = _triu_cache[m] = np.triu_indices(m, k=1)
+            idx = _triu(m)
             ps = part[s:e]  # sorted, so ps[ii] < ps[jj]
             out_a.append(ps[idx[0]])
             out_b.append(ps[idx[1]])
@@ -4034,11 +4024,32 @@ def q_triangle_count(sf_dir: str):
     cand = (ds.map_batches(op_pairs, batch_format="pyarrow")
             .groupby("bkey").map_groups(order_edges,
                                         batch_format="pandas"))
-    # materialize: the deduped edge list feeds BOTH the driver key-set
-    # pull and the orient->close pipeline; lazy it would re-run the
-    # order-bucket shuffle + pair dedup twice
-    edges = F_dedup._dedup_candidate_pairs(cand, nparts,
-                                           cmask).materialize()
+    return F_dedup._dedup_candidate_pairs(cand, nparts,
+                                          cmask).materialize()
+
+
+def q_triangle_count(sf_dir: str):
+    """Graph analytics: per-node triangle counts of the part
+    CO-PURCHASE graph (_copurchase_edges) — the classic distributed
+    triangle algorithm: orient each edge from its lower-degree endpoint
+    (ties by id), generate each node's out-neighbor pairs (sum
+    C(outdeg,2) wedges, outdeg bounded by ~sqrt(edges) under this
+    orientation), and close wedges against the edge set. Every triangle
+    has exactly one node with both out-edges inside it, so each is
+    counted once.
+
+    Shape for scale: the degree table and the edge-key set are bounded
+    by the PART DIMENSION (deg: one row per part; edges: pairs drawn
+    from orders), so both broadcast via ray.put — 10 MB at sf0.1 — and
+    the wedge close is a single vectorized searchsorted per src-bucket,
+    with NO 10^7-row wedge shuffle (the all-to-all wedge join is the
+    documented fallback for graphs whose edge set outgrows a
+    broadcast). Packed keys assume part ids < 2^31."""
+    import ray
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
 
     # edge-key set + degree LUT: both part-dimension-bounded -> driver
     # numpy + ray.put broadcast (the documented small-side contract)
@@ -4077,9 +4088,7 @@ def q_triangle_count(sf_dir: str):
             m = e - s
             if m < 2:
                 continue
-            idx = _triu_cache.get(m)
-            if idx is None:
-                idx = _triu_cache[m] = np.triu_indices(m, k=1)
+            idx = _triu(m)
             nb = dst[s:e]  # sorted, so pairs are (lo, hi)
             w_s.append(np.full(len(idx[0]), src[s], np.int64))
             w_a.append(nb[idx[0]])
@@ -4104,6 +4113,96 @@ def q_triangle_count(sf_dir: str):
             .groupby("skey").map_groups(close_wedges,
                                         batch_format="pandas")
             .groupby("part").aggregate(Sum("n_tri", alias_name="n_tri")))
+
+
+_BFS_MOD = 97
+_BFS_MAX_ROUNDS = 64
+
+
+def q_graph_bfs(sf_dir: str, mod: int = _BFS_MOD):
+    """Multi-source BFS over the part co-purchase graph
+    (_copurchase_edges): hop distance from the seed set {parts with
+    p_partkey % mod == 0} to every reachable part, plus unreachable
+    seeds at distance 0. Integer distances, exact.
+
+    Shape for scale: LEVEL-SYNCHRONOUS distributed BFS — each round
+    joins the frontier against the symmetric edge table (hash join),
+    anti-joins the visited set to keep only newly discovered nodes,
+    and deduplicates them with a small groupby; rounds are bounded by
+    the graph diameter (co-purchase graphs are small-world, ~3-5
+    hops). The visited/frontier tables are node-sized Datasets that
+    stay distributed; the driver sees one scalar count per round."""
+    from ray.data.aggregate import Count
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        v = b.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.r_[a, v].astype(np.int64)),
+            "nbr": pa.array(np.r_[v, a].astype(np.int64))})
+
+    sym_ds = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def seed_filter(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        s = pk[pk % mod == 0].astype(np.int64)
+        return pa.table({"node": pa.array(s),
+                         "dist": pa.array(np.zeros(len(s), np.int64))})
+
+    visited = (_read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+               .map_batches(seed_filter, batch_format="pyarrow")
+               .materialize())
+    frontier = visited
+
+    def nbr_nodes(b: pa.Table) -> pa.Table:
+        u = np.unique(b.column("nbr").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u.astype(np.int64))})
+
+    for d in range(1, _BFS_MAX_ROUNDS + 1):
+        def dist_col(b: pa.Table, *, _d=d) -> pa.Table:
+            n = b.column("node").to_numpy(zero_copy_only=False)
+            u = np.unique(n)
+            return pa.table({
+                "node": pa.array(u.astype(np.int64)),
+                "dist": pa.array(np.full(len(u), _d, np.int64))})
+
+        nxt = (frontier.select_columns(["node"])
+               .join(sym_ds, "inner", nparts, on=("node",),
+                     aggregator_ray_remote_args=_agg_args(nparts))
+               .map_batches(nbr_nodes, batch_format="pyarrow")
+               .join(visited.select_columns(["node"]), "left_anti",
+                     nparts, on=("node",),
+                     aggregator_ray_remote_args=_agg_args(nparts))
+               # per-batch uniques leave cross-batch dups; one grouped
+               # pass makes the new frontier globally distinct
+               .groupby("node").aggregate(Count(alias_name="_c"))
+               .map_batches(dist_col, batch_format="pyarrow")
+               .materialize())
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).materialize()
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"graph_bfs did not converge in {_BFS_MAX_ROUNDS} rounds")
+    return visited
+
+
+_SQL_GRAPH_BFS = (
+    "WITH RECURSIVE dp AS (SELECT DISTINCT l_orderkey, l_partkey "
+    "FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+    "FROM dp a JOIN dp b USING(l_orderkey) "
+    "WHERE a.l_partkey <> b.l_partkey), "
+    f"seeds AS (SELECT p_partkey AS node FROM part "
+    f"WHERE p_partkey % {_BFS_MOD} = 0), "
+    "bfs AS (SELECT node, 0 AS d FROM seeds "
+    "UNION SELECT e.v, b.d + 1 FROM bfs b JOIN e ON e.u = b.node "
+    f"WHERE b.d < {_BFS_MAX_ROUNDS}) "
+    "SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM bfs GROUP BY 1")
 
 
 _SQL_TRIANGLE_COUNT = (
@@ -4215,6 +4314,7 @@ QUERIES = {
     "trajectory_len": q_trajectory_len,
     "grid_cluster": q_grid_cluster,
     "triangle_count": q_triangle_count,
+    "graph_bfs": q_graph_bfs,
 }
 
 ORACLE_SQL = {
@@ -4334,6 +4434,7 @@ ORACLE_SQL.update({
     "trajectory_len": _SQL_TRAJECTORY_LEN,
     "grid_cluster": _sql_grid_cluster(),
     "triangle_count": _SQL_TRIANGLE_COUNT,
+    "graph_bfs": _SQL_GRAPH_BFS,
 })
 
 # Remaining no-oracle entries, each with a reason:
