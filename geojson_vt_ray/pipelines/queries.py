@@ -4125,17 +4125,22 @@ def q_graph_bfs(sf_dir: str, mod: int = _BFS_MOD):
     p_partkey % mod == 0} to every reachable part, plus unreachable
     seeds at distance 0. Integer distances, exact.
 
-    Shape for scale: LEVEL-SYNCHRONOUS distributed BFS — each round
-    joins the frontier against the symmetric edge table (hash join),
-    anti-joins the visited set to keep only newly discovered nodes,
-    and deduplicates them with a small groupby; rounds are bounded by
-    the graph diameter (co-purchase graphs are small-world, ~3-5
-    hops). The visited/frontier tables are node-sized Datasets that
-    stay distributed; the driver sees one scalar count per round."""
-    from ray.data.aggregate import Count
+    Shape for scale: LEVEL-SYNCHRONOUS push-based BFS with a BROADCAST
+    frontier — the EDGE TABLE (the corpus-sized side) is partitioned
+    once and never shuffles again; each round is one zero-shuffle
+    map_batches over it, probing broadcast sorted frontier/visited
+    node arrays via searchsorted and emitting per-block candidate
+    partials (bounded by the new frontier x blocks). The frontier and
+    visited sets are NODE-set-sized — the same small-side broadcast
+    contract as decontam's gram set; for graphs whose node set
+    outgrows driver memory, the fallback is the bucketed tagged-union
+    shuffle of label_propagation_clusters. Rounds are bounded by the
+    graph diameter (co-purchase graphs are small-world, ~3-5 hops)."""
+    import ray
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
     edges = _copurchase_edges(sf_dir, cmask, nparts)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
 
     def sym(b: pa.Table) -> pa.Table:
         a = b.column("id_a").to_numpy(zero_copy_only=False)
@@ -4144,51 +4149,58 @@ def q_graph_bfs(sf_dir: str, mod: int = _BFS_MOD):
             "node": pa.array(np.r_[a, v].astype(np.int64)),
             "nbr": pa.array(np.r_[v, a].astype(np.int64))})
 
-    sym_ds = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # collapse the dedup stage's many tiny blocks: each BFS round maps
+    # the whole edge table, so per-task overhead x rounds adds up
+    sym_ds = (edges.map_batches(sym, batch_format="pyarrow")
+              .repartition(2 * ncpu).materialize())
 
-    def seed_filter(b: pa.Table) -> pa.Table:
-        pk = b.column("p_partkey").to_numpy(zero_copy_only=False)
-        s = pk[pk % mod == 0].astype(np.int64)
-        return pa.table({"node": pa.array(s),
-                         "dist": pa.array(np.zeros(len(s), np.int64))})
+    import pyarrow.parquet as pq
+    pk = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"]
+                       ).column("p_partkey").to_numpy(
+                           zero_copy_only=False)
+    seeds = np.unique(pk[pk % mod == 0]).astype(np.int64)
 
-    visited = (_read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-               .map_batches(seed_filter, batch_format="pyarrow")
-               .materialize())
-    frontier = visited
-
-    def nbr_nodes(b: pa.Table) -> pa.Table:
-        u = np.unique(b.column("nbr").to_numpy(zero_copy_only=False))
-        return pa.table({"node": pa.array(u.astype(np.int64))})
-
+    out_nodes = [seeds]
+    out_dist = [np.zeros(len(seeds), np.int64)]
+    visited = seeds  # sorted
+    frontier = seeds
     for d in range(1, _BFS_MAX_ROUNDS + 1):
-        def dist_col(b: pa.Table, *, _d=d) -> pa.Table:
-            n = b.column("node").to_numpy(zero_copy_only=False)
-            u = np.unique(n)
-            return pa.table({
-                "node": pa.array(u.astype(np.int64)),
-                "dist": pa.array(np.full(len(u), _d, np.int64))})
+        fref = ray.put(np.sort(frontier))
+        vref = ray.put(visited)
 
-        nxt = (frontier.select_columns(["node"])
-               .join(sym_ds, "inner", nparts, on=("node",),
-                     aggregator_ray_remote_args=_agg_args(nparts))
-               .map_batches(nbr_nodes, batch_format="pyarrow")
-               .join(visited.select_columns(["node"]), "left_anti",
-                     nparts, on=("node",),
-                     aggregator_ray_remote_args=_agg_args(nparts))
-               # per-batch uniques leave cross-batch dups; one grouped
-               # pass makes the new frontier globally distinct
-               .groupby("node").aggregate(Count(alias_name="_c"))
-               .map_batches(dist_col, batch_format="pyarrow")
-               .materialize())
-        if nxt.count() == 0:
+        def probe(b: pa.Table) -> pa.Table:
+            f = ray.get(fref)
+            vis = ray.get(vref)
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            nbr = b.column("nbr").to_numpy(zero_copy_only=False)
+            if len(f) == 0 or len(node) == 0:
+                return pa.table({"node": pa.array([], pa.int64())})
+            pos = np.searchsorted(f, node)
+            pos[pos >= len(f)] = len(f) - 1
+            cand = np.unique(nbr[f[pos] == node])
+            if len(vis) and len(cand):
+                p2 = np.searchsorted(vis, cand)
+                p2[p2 >= len(vis)] = len(vis) - 1
+                cand = cand[vis[p2] != cand]
+            return pa.table({"node": pa.array(cand.astype(np.int64))})
+
+        # per-block candidate partials -> node-set-bounded driver merge
+        # (an all-empty round can surface as a columnless DataFrame)
+        pdf = sym_ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+        nxt = (np.unique(pdf["node"].to_numpy())
+               if len(pdf) else np.array([], np.int64))
+        if len(nxt) == 0:
             break
-        visited = visited.union(nxt).materialize()
+        out_nodes.append(nxt)
+        out_dist.append(np.full(len(nxt), d, np.int64))
+        visited = np.union1d(visited, nxt)
         frontier = nxt
     else:
         raise RuntimeError(
             f"graph_bfs did not converge in {_BFS_MAX_ROUNDS} rounds")
-    return visited
+    return pa.table({
+        "node": pa.array(np.concatenate(out_nodes).astype(np.int64)),
+        "dist": pa.array(np.concatenate(out_dist))})
 
 
 _SQL_GRAPH_BFS = (
