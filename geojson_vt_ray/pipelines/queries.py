@@ -4115,6 +4115,78 @@ def q_triangle_count(sf_dir: str):
             .groupby("part").aggregate(Sum("n_tri", alias_name="n_tri")))
 
 
+def q_focal_density(sf_dir: str, level: int = 6):
+    """Raster-style FOCAL (convolution) aggregate: for every z-``level``
+    cell, the total event count of its 3x3 neighborhood (kernel-density
+    lite / focal sum — the moving-window primitive of raster GIS).
+    Cells whose own count is zero but whose neighbors are occupied are
+    included.
+
+    Shape for scale: per-batch cell-count partials -> one small cell
+    groupby; each cell then EMITS its count to its <=9 neighbors (a
+    vectorized 9-way flat map — no self-join, no broadcast) and a
+    second cell-bounded groupby sums contributions. Shuffle volume is
+    9 x cell-table rows, independent of the event count."""
+    from ray.data.aggregate import Sum
+    n = 1 << level
+
+    def partial(b: pa.Table) -> pa.Table:
+        cx = b.column("cell_x").to_numpy(zero_copy_only=False)
+        cy = b.column("cell_y").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(cy * n + cx, return_counts=True)
+        return pa.table({"node": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cells = (_events_points(sf_dir)
+             .map_batches(AssignCells(level), batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("n", alias_name="n")))
+
+    def contrib(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        cnt = b.column("n").to_numpy(zero_copy_only=False)
+        ix, iy = node % n, node // n
+        o_node, o_n = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ok = ((ix + dx >= 0) & (ix + dx < n)
+                      & (iy + dy >= 0) & (iy + dy < n))
+                o_node.append((iy[ok] + dy) * n + ix[ok] + dx)
+                o_n.append(cnt[ok])
+        return pa.table({
+            "node": pa.array(np.concatenate(o_node).astype(np.int64)),
+            "n": pa.array(np.concatenate(o_n).astype(np.int64))})
+
+    out = (cells.map_batches(contrib, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("n", alias_name="focal_n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell_x": pa.array((node % n).astype(np.int64)),
+            "cell_y": pa.array((node // n).astype(np.int64)),
+            "focal_n": b.column("focal_n")})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_focal_density(level: int = 6) -> str:
+    n = 1 << level
+    ix, iy = _sql_cell(level)
+    deltas = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                       for dy in (-1, 0, 1))
+    return (
+        f"WITH cells AS (SELECT {ix} AS ix, {iy} AS iy, "
+        f"COUNT(*) AS n FROM ({_SQL_POINTS}) GROUP BY 1, 2), "
+        f"d(dx, dy) AS (VALUES {deltas}), "
+        "contrib AS (SELECT ix + dx AS cx, iy + dy AS cy, n "
+        "FROM cells CROSS JOIN d "
+        f"WHERE ix + dx BETWEEN 0 AND {n - 1} "
+        f"AND iy + dy BETWEEN 0 AND {n - 1}) "
+        "SELECT cx AS cell_x, cy AS cell_y, "
+        "CAST(SUM(n) AS BIGINT) AS focal_n FROM contrib GROUP BY 1, 2")
+
+
 _BFS_MOD = 97
 _BFS_MAX_ROUNDS = 64
 
@@ -4327,6 +4399,7 @@ QUERIES = {
     "grid_cluster": q_grid_cluster,
     "triangle_count": q_triangle_count,
     "graph_bfs": q_graph_bfs,
+    "focal_density": q_focal_density,
 }
 
 ORACLE_SQL = {
@@ -4447,6 +4520,7 @@ ORACLE_SQL.update({
     "grid_cluster": _sql_grid_cluster(),
     "triangle_count": _SQL_TRIANGLE_COUNT,
     "graph_bfs": _SQL_GRAPH_BFS,
+    "focal_density": _sql_focal_density(),
 })
 
 # Remaining no-oracle entries, each with a reason:
