@@ -4115,6 +4115,56 @@ def q_triangle_count(sf_dir: str):
             .groupby("part").aggregate(Sum("n_tri", alias_name="n_tri")))
 
 
+def q_user_mode(sf_dir: str):
+    """Grouped MODE: each user's most frequent event_type (ties broken
+    by event_type ASC) with its count — the categorical argmax-of-count
+    aggregate SQL expresses as a window over grouped counts.
+
+    Shape for scale: per-batch (user, type) pair-count partials (the
+    shuffle moves one row per pair per block, never events) -> one
+    crc-coarse user-bucket groupby -> vectorized in-group count merge +
+    first-row-per-user cut after a (count DESC, type ASC) lexsort."""
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": uid, "event_type": et})
+        out = df.groupby(["user_id", "event_type"], sort=False
+                         ).size().reset_index(name="n")
+        u = out["user_id"].to_numpy()
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64)),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+            "pkey": pa.array((u & mask).astype(np.int32))})
+
+    def mode(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["user_id", "event_type"], sort=False,
+                      as_index=False)["n"].sum()
+        m = m.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        m = m[~m["user_id"].duplicated()]
+        return pa.table({
+            "user_id": pa.array(m["user_id"].to_numpy(), pa.int64()),
+            "mode_type": pa.array(m["event_type"], pa.string()),
+            "n": pa.array(m["n"].to_numpy(), pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(mode, batch_format="pandas"))
+
+
+_SQL_USER_MODE = (
+    "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
+    "GROUP BY 1, 2) "
+    "SELECT user_id, event_type AS mode_type, n FROM c "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY n DESC, event_type ASC) = 1")
+
+
 def q_focal_density(sf_dir: str, level: int = 6):
     """Raster-style FOCAL (convolution) aggregate: for every z-``level``
     cell, the total event count of its 3x3 neighborhood (kernel-density
@@ -4400,6 +4450,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "graph_bfs": q_graph_bfs,
     "focal_density": q_focal_density,
+    "user_mode": q_user_mode,
 }
 
 ORACLE_SQL = {
@@ -4521,6 +4572,7 @@ ORACLE_SQL.update({
     "triangle_count": _SQL_TRIANGLE_COUNT,
     "graph_bfs": _SQL_GRAPH_BFS,
     "focal_density": _sql_focal_density(),
+    "user_mode": _SQL_USER_MODE,
 })
 
 # Remaining no-oracle entries, each with a reason:
