@@ -3892,6 +3892,15 @@ def q_grid_cluster(sf_dir: str, level: int = 6):
 
     core = (cells.map_batches(core_filter, batch_format="pyarrow")
             .materialize())
+    if core.count() == 0:
+        # uniform occupancy: no cell reaches the density threshold.
+        # Short-circuit — joining empty datasets trips ArrowInvalid in
+        # the hash-join finalize (empty-schema blocks), and there is
+        # nothing to cluster anyway.
+        return pa.table({"cell_x": pa.array([], pa.int64()),
+                         "cell_y": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
 
     def probes(b: pa.Table) -> pa.Table:
         node = b.column("node").to_numpy(zero_copy_only=False)

@@ -1,0 +1,129 @@
+"""Adversarial edge cases for the round-3 graph/spatial/curation
+operators, on crafted corpora (the registry oracle sweep pins them on
+the full synthetic tables; these pin the degenerate paths)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write(tmp_path, name, **cols):
+    pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def test_triangle_count_crafted_graph(ray_session, tmp_path):
+    """Orders {1:[1,2,3,2], 2:[3,4], 3:[4,5,1]} give edge set
+    {12,13,23,34,14,15,45} -> triangles (1,2,3), (1,3,4), (1,4,5);
+    per-node counts 1:3, 2:1, 3:2, 4:2, 5:1. Exercises both
+    orientations and the duplicate-(order,part) dedup (order 1 lists
+    part 2 twice)."""
+    from geojson_vt_ray.pipelines.queries import q_triangle_count
+    ords = [1, 1, 1, 1, 2, 2, 3, 3, 3]
+    parts = [1, 2, 3, 2, 3, 4, 4, 5, 1]
+    sf = _write(tmp_path, "lineitem",
+                l_orderkey=pa.array(ords, pa.int64()),
+                l_partkey=pa.array(parts, pa.int64()))
+    got = q_triangle_count(sf)
+    df = got.to_pandas()
+    m = dict(zip(df["part"], df["n_tri"]))
+    assert m == {1: 3, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_graph_bfs_disconnected_and_isolated_seed(ray_session, tmp_path):
+    """Two components plus an isolated seed: seeds (part %% 97 == 0)
+    are 97 (connected to 2) and 194 (no edges). Distances: 97:0,
+    194:0, 2:1, 1:2, 3:2; parts 50/60 unreachable and absent."""
+    from geojson_vt_ray.pipelines.queries import q_graph_bfs
+    # component A: 97-2, 2-1, 2-3 ; component B: 50-60 (no seed)
+    ords = [1, 1, 2, 2, 3, 3, 4, 4]
+    parts = [97, 2, 2, 1, 2, 3, 50, 60]
+    tmp = _write(tmp_path, "lineitem",
+                 l_orderkey=pa.array(ords, pa.int64()),
+                 l_partkey=pa.array(parts, pa.int64()))
+    _write(tmp_path, "part",
+           p_partkey=pa.array([1, 2, 3, 50, 60, 97, 194], pa.int64()))
+    got = q_graph_bfs(tmp)
+    df = got.to_pandas() if not isinstance(got, pa.Table) \
+        else got.to_pandas()
+    m = dict(zip(df["node"], df["dist"]))
+    assert m == {97: 0, 194: 0, 2: 1, 1: 2, 3: 2}
+
+
+def test_grid_cluster_uniform_corpus_has_no_core(ray_session, tmp_path):
+    """A perfectly uniform cell occupancy means NO cell reaches 1.25x
+    the mean, so the result is empty — exercises the zero-edge / empty
+    label-propagation path."""
+    from geojson_vt_ray.pipelines.queries import q_grid_cluster
+    # 4 events per cell in 4 distinct cells: ids congruent mod
+    # lcm(3600,1600)=28800 share coords; bases 900 apart land in
+    # different z6 cells
+    ev = np.array(sorted(base + k * 28800 for base in (0, 900, 1800, 2700)
+                         for k in range(4)), np.int64)
+    ts = pd.to_datetime(np.zeros(len(ev)), unit="s")
+    sf = _write(tmp_path, "events",
+                event_id=pa.array(ev, pa.int64()),
+                ts=pa.array(ts, pa.timestamp("us")),
+                user_id=pa.array(np.zeros(len(ev), np.int64)),
+                value=pa.array(np.zeros(len(ev))),
+                event_type=pa.array(["x"] * len(ev), pa.string()),
+                props=pa.array(["{}"] * len(ev), pa.string()))
+    got = q_grid_cluster(sf)
+    assert got.num_rows == 0
+
+
+def test_focal_density_single_interior_event(ray_session, tmp_path):
+    """One event in an interior cell contributes to exactly its 9
+    neighbors, each with focal_n == 1."""
+    from geojson_vt_ray.pipelines.queries import q_focal_density
+    ev = np.array([1800], np.int64)  # lon 0 / lat -60: interior cell
+    ts = pd.to_datetime([0], unit="s")
+    sf = _write(tmp_path, "events",
+                event_id=pa.array(ev, pa.int64()),
+                ts=pa.array(ts, pa.timestamp("us")),
+                user_id=pa.array([0], pa.int64()),
+                value=pa.array([0.0]),
+                event_type=pa.array(["x"], pa.string()),
+                props=pa.array(["{}"], pa.string()))
+    df = q_focal_density(sf).to_pandas()
+    assert len(df) == 9
+    assert (df["focal_n"] == 1).all()
+    assert df["cell_x"].max() - df["cell_x"].min() == 2
+    assert df["cell_y"].max() - df["cell_y"].min() == 2
+
+
+def test_user_mode_tie_breaks_lexicographically(ray_session, tmp_path):
+    from geojson_vt_ray.pipelines.queries import q_user_mode
+    ts = pd.to_datetime([0, 1, 2, 3], unit="s")
+    sf = _write(tmp_path, "events",
+                event_id=pa.array([1, 2, 3, 4], pa.int64()),
+                ts=pa.array(ts, pa.timestamp("us")),
+                user_id=pa.array([7, 7, 7, 7], pa.int64()),
+                value=pa.array([0.0] * 4),
+                event_type=pa.array(["view", "click", "click", "view"],
+                                    pa.string()),
+                props=pa.array(["{}"] * 4, pa.string()))
+    df = q_user_mode(sf).to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0]["mode_type"] == "click"  # tie 2-2 -> lexicographic
+    assert int(df.iloc[0]["n"]) == 2
+
+
+def test_trajectory_len_single_event_user(ray_session, tmp_path):
+    from geojson_vt_ray.pipelines.queries import q_trajectory_len
+    ts = pd.to_datetime([0, 5, 10], unit="s")
+    sf = _write(tmp_path, "events",
+                event_id=pa.array([100, 200, 300], pa.int64()),
+                ts=pa.array(ts, pa.timestamp("us")),
+                user_id=pa.array([1, 1, 2], pa.int64()),
+                value=pa.array([0.0] * 3),
+                event_type=pa.array(["x"] * 3, pa.string()),
+                props=pa.array(["{}"] * 3, pa.string()))
+    df = q_trajectory_len(sf).to_pandas().set_index("user_id")
+    assert int(df.loc[2, "n_steps"]) == 0
+    assert int(df.loc[2, "path_len"]) == 0
+    assert int(df.loc[1, "n_steps"]) == 1
+    # steps: |200%3600-100%3600| + |200%1600-100%1600| = 100+100
+    assert int(df.loc[1, "path_len"]) == 200
