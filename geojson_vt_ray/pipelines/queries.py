@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..arrowio import table_from_pandas
+from ..arrowio import strip_schema_metadata, table_from_pandas
 from ..functions.spatial import (AssignCells, KNNJoinPartial, KNNPartial,
                                  PIPJoin, knn_merge)
 from ..functions import dedup as F_dedup
@@ -3980,14 +3980,13 @@ def _triu(m: int):
     return idx
 
 
-def _copurchase_edges(sf_dir: str, cmask: int, nparts: int):
-    """Distinct undirected edges (id_a < id_b) of the part CO-PURCHASE
-    graph — two parts linked when some order contains both. Per-batch
+def _copurchase_pair_stream(sf_dir: str, cmask: int):
+    """Per-ORDER part pairs (id_a < id_b) of the co-purchase relation,
+    one row per (order, pair) — the stream both the edge builder
+    (global dedup) and basket mining (global count) consume. Per-batch
     distinct (order, part) pairs -> one coarse order-bucket shuffle
     co-locates each order's parts (orders are small, <=7 lines) ->
-    per-order pair explode -> the repo's distributed pair dedup.
-    Returns a MATERIALIZED Dataset (every caller consumes it at least
-    twice)."""
+    vectorized per-order pair explode."""
     ds = _read_pq(f"{sf_dir}/lineitem.parquet",
                   columns=["l_orderkey", "l_partkey"])
 
@@ -4030,11 +4029,123 @@ def _copurchase_edges(sf_dir: str, cmask: int, nparts: int):
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),
             "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    cand = (ds.map_batches(op_pairs, batch_format="pyarrow")
+    return (ds.map_batches(op_pairs, batch_format="pyarrow")
             .groupby("bkey").map_groups(order_edges,
                                         batch_format="pandas"))
+
+
+def _copurchase_edges(sf_dir: str, cmask: int, nparts: int):
+    """Distinct undirected edges of the part co-purchase graph: the
+    per-order pair stream pushed through the repo's distributed pair
+    dedup. Returns a MATERIALIZED Dataset (every caller consumes it at
+    least twice)."""
+    cand = _copurchase_pair_stream(sf_dir, cmask)
     return F_dedup._dedup_candidate_pairs(cand, nparts,
                                           cmask).materialize()
+
+
+def q_basket_pairs(sf_dir: str, min_support: int = 2):
+    """Association-rule mining core (frequent itemsets, k=2): every
+    part pair co-purchased in >= min_support orders, with the pair's
+    order count and each part's own order count — the exact integer
+    inputs of support/confidence/lift. All counts are over DISTINCT
+    (order, part) rows.
+
+    Shape for scale: the shared per-order pair stream -> ONE coarse
+    mixed-key shuffle counts each pair (rows are 16-byte pairs, never
+    baskets); the per-part order counts reuse the same order-bucket
+    dedup then a part groupby; the (part -> count) side is bounded by
+    the part dimension, broadcast as a LUT (same contract as
+    join_broadcast). Support filtering happens inside the count
+    groups, so only qualifying pairs leave the shuffle."""
+    import ray
+    cmask = _coarse_mask()
+    ds_pairs = _copurchase_pair_stream(sf_dir, cmask)
+
+    def add_vkey(b: pa.Table) -> pa.Table:
+        b = strip_schema_metadata(b)
+        ia = b.column("id_a").to_numpy(zero_copy_only=False
+                                       ).astype(np.uint64)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False
+                                       ).astype(np.uint64)
+        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
+        return b.append_column(
+            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
+
+    def count_pairs(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby(["id_a", "id_b"], sort=False)
+               .size().reset_index(name="n_both"))
+        out = out[out["n_both"] >= min_support]
+        return pa.table({
+            "part_a": pa.array(out["id_a"].to_numpy(), pa.int64()),
+            "part_b": pa.array(out["id_b"].to_numpy(), pa.int64()),
+            "n_both": pa.array(out["n_both"].to_numpy(), pa.int64())})
+
+    pairs = (ds_pairs.map_batches(add_vkey, batch_format="pyarrow")
+             .groupby("vkey").map_groups(count_pairs,
+                                         batch_format="pandas"))
+
+    # per-part distinct-order counts: partial distinct (ord, part) per
+    # batch -> coarse part-bucket dedup + count partials -> part groupby
+    from ray.data.aggregate import Sum
+    dsl = _read_pq(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_orderkey", "l_partkey"])
+
+    def op_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        o = np.lexsort((pk, ok))
+        ok, pk = ok[o], pk[o]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep].astype(np.int64), pk[keep].astype(np.int64)
+        mix = (ok.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ) ^ pk.astype(np.uint64)
+        return pa.table({
+            "ord": pa.array(ok), "part": pa.array(pk),
+            "vkey": pa.array((mix & np.uint64(cmask)).astype(np.int32))})
+
+    def part_counts(g: pd.DataFrame) -> pa.Table:
+        u = g.drop_duplicates(subset=["ord", "part"])
+        out = u.groupby("part", sort=False).size().reset_index(name="n")
+        return pa.table({
+            "part": pa.array(out["part"].to_numpy(), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64())})
+
+    pc = (dsl.map_batches(op_part, batch_format="pyarrow")
+          .groupby("vkey").map_groups(part_counts,
+                                      batch_format="pandas")
+          .groupby("part").aggregate(Sum("n", alias_name="n")))
+    pcdf = pc.to_pandas()  # part-dimension-bounded LUT side
+    maxp = int(pcdf["part"].max()) if len(pcdf) else 0
+    lut = np.zeros(maxp + 1, np.int64)
+    lut[pcdf["part"].to_numpy()] = pcdf["n"].to_numpy()
+    lut_ref = ray.put(lut)
+
+    def attach(b: pa.Table) -> pa.Table:
+        t = ray.get(lut_ref)
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        v = b.column("part_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part_a": b.column("part_a"), "part_b": b.column("part_b"),
+            "n_both": b.column("n_both"),
+            "n_a": pa.array(t[a]), "n_b": pa.array(t[v])})
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def _sql_basket_pairs(min_support: int = 2) -> str:
+    return (
+        "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem), "
+        "pc AS (SELECT l_partkey AS p, COUNT(*) AS n FROM dp "
+        "GROUP BY 1), "
+        "pp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "COUNT(*) AS n_both FROM dp a JOIN dp b USING(l_orderkey) "
+        "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2) "
+        "SELECT part_a, part_b, n_both, ca.n AS n_a, cb.n AS n_b "
+        "FROM pp JOIN pc ca ON ca.p = part_a "
+        "JOIN pc cb ON cb.p = part_b "
+        f"WHERE n_both >= {min_support}")
 
 
 def q_triangle_count(sf_dir: str):
@@ -4460,6 +4571,7 @@ QUERIES = {
     "graph_bfs": q_graph_bfs,
     "focal_density": q_focal_density,
     "user_mode": q_user_mode,
+    "basket_pairs": q_basket_pairs,
 }
 
 ORACLE_SQL = {
@@ -4582,6 +4694,7 @@ ORACLE_SQL.update({
     "graph_bfs": _SQL_GRAPH_BFS,
     "focal_density": _sql_focal_density(),
     "user_mode": _SQL_USER_MODE,
+    "basket_pairs": _sql_basket_pairs(),
 })
 
 # Remaining no-oracle entries, each with a reason:
