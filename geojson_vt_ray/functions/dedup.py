@@ -879,6 +879,80 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                                ("hamming", pa.int64())])
 
 
+def banded_hamming_pairs(ds, hash_col: str, id_col: str,
+                         max_hamming: int = 6, n_bands: int = 8):
+    """Near-dup pairs over ANY precomputed 64-bit hash column (SimHash,
+    perceptual image hash, audio fingerprint): id_a < id_b with
+    hamming(hash) <= max_hamming. Complete by pigeonhole for
+    max_hamming <= n_bands - 1 (<= that many differing bits leave at
+    least one of the n_bands equal-width bands intact). Same banded
+    coarse-bucket shuffle as simhash_pairs, generalized: bands are
+    sliced from the hash inside the explode stage, so callers ship only
+    (id, hash)."""
+    assert 64 % n_bands == 0, "band width must divide 64"
+    width = 64 // n_bands
+    bmask = np.uint64((1 << width) - 1)
+    cmask = _coarse_mask_fn()
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        h = b.column(hash_col).to_numpy(zero_copy_only=False
+                                        ).astype(np.uint64)
+        n = len(ids)
+        o_band = np.repeat(np.arange(n_bands, dtype=np.int8), n)
+        o_val = np.concatenate([
+            ((h >> np.uint64(t * width)) & bmask).astype(np.int64)
+            for t in range(n_bands)])
+        return pa.table({
+            "band": pa.array(o_band),
+            "bval": pa.array(o_val),
+            "hid": pa.array(np.tile(ids, n_bands).astype(np.int64)),
+            "hsh": pa.array(np.tile(h, n_bands).astype(np.int64))})
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        bv = b.column("bval").to_numpy(zero_copy_only=False)
+        bd = b.column("band").to_numpy(zero_copy_only=False
+                                       ).astype(np.int64)
+        return b.append_column(
+            "pkey", pa.array(
+                ((bv * n_bands + bd) & cmask).astype(np.int32)))
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_ha, out_hb = [], [], [], []
+        for _, sub in g.groupby(["band", "bval"], sort=False):
+            if len(sub) < 2:
+                continue
+            order = np.argsort(sub["hid"].to_numpy())
+            ids = sub["hid"].to_numpy()[order]
+            hs = sub["hsh"].to_numpy()[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_ha.append(hs[ii])
+            out_hb.append(hs[jj])
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64")})
+        a = np.concatenate(out_a)
+        b_ = np.concatenate(out_b)
+        ham = _popcount64(np.concatenate(out_ha).astype(np.uint64)
+                          ^ np.concatenate(out_hb).astype(np.uint64))
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": a[keep], "id_b": b_[keep],
+                             "hamming": ham[keep]}).drop_duplicates(
+            ["id_a", "id_b"])
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("pkey").map_groups(pairs_in_group,
+                                       batch_format="pandas"))
+    return _pairs_result(out, [("id_a", pa.int64()),
+                               ("id_b", pa.int64()),
+                               ("hamming", pa.int64())])
+
+
 # ------------------------------------------------- embedding near-dup
 class CosineNearDup:
     """Per-batch embedding near-dup candidates against a broadcast

@@ -98,6 +98,74 @@ class MediaFeatures:
         })
 
 
+class PerceptualHash:
+    """Actor-pool stage: 64-bit DCT perceptual hash (pHash) per media
+    span — the embedding-free image near-dup signature (near-identical
+    images differ in a few bits; pair them with
+    dedup.banded_hamming_pairs).
+
+    Per image: decode (injected, default DeterministicFakeDecoder) ->
+    luma grayscale -> 32x32 area mean-resize -> 2D DCT-II (one
+    32x32 basis matmul each side, basis built ONCE in __init__) ->
+    top-left 8x8 coefficient block minus DC -> median threshold ->
+    64-bit hash. Per-span Python loop, numpy math per image (actor
+    pool amortizes the basis; images are the payload, so batches stay
+    small)."""
+
+    _N = 32
+    _K = 8
+
+    def __init__(self, decoder=None):
+        self.decoder = decoder or DeterministicFakeDecoder()
+        n = self._N
+        k = np.arange(n)
+        # orthonormal DCT-II basis: D @ img @ D.T is the 2-D transform
+        self.dct = np.cos(np.pi * (2 * k[None, :] + 1)
+                          * k[:, None] / (2 * n)) * np.sqrt(2.0 / n)
+        self.dct[0] /= np.sqrt(2.0)
+
+    def _resize(self, gray: np.ndarray) -> np.ndarray:
+        n = self._N
+        h, w = gray.shape
+        ys = (np.arange(n + 1) * h) // n
+        xs = (np.arange(n + 1) * w) // n
+        csum = np.zeros((h + 1, w + 1))
+        csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+        area = ((ys[1:] - ys[:-1])[:, None]
+                * (xs[1:] - xs[:-1])[None, :])
+        return (csum[ys[1:]][:, xs[1:]] - csum[ys[:-1]][:, xs[1:]]
+                - csum[ys[1:]][:, xs[:-1]]
+                + csum[ys[:-1]][:, xs[:-1]]) / np.maximum(area, 1)
+
+    def hash_image(self, img: np.ndarray) -> int:
+        gray = (img.astype(np.float64) @ [0.299, 0.587, 0.114]
+                if img.ndim == 3 else img.astype(np.float64))
+        small = self._resize(gray)
+        coef = self.dct @ small @ self.dct.T
+        block = coef[:self._K, :self._K].ravel()[1:]  # drop DC
+        bits = np.flatnonzero(block > np.median(block)).astype(np.uint64)
+        if not len(bits):
+            return 0
+        return int(np.bitwise_or.reduce(np.uint64(1) << bits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        o_ref, o_hash, o_id = [], [], []
+        for ref in refs:
+            img = self.decoder.decode(ref, None)
+            o_ref.append(ref)
+            o_hash.append(self.hash_image(img))
+            o_id.append(int.from_bytes(
+                hashlib.blake2b(ref.encode(), digest_size=8).digest(),
+                "big") >> 1)  # stable non-negative int64 id
+        return pa.table({
+            "media_ref": pa.array(o_ref, pa.string()),
+            "media_id": pa.array(o_id, pa.int64()),
+            "phash": pa.array(np.array(o_hash, np.uint64).astype(
+                np.int64), pa.int64()),
+        })
+
+
 class AudioFeatures:
     """Audio feature-extraction stage shape: per media span, 'decode'
     (stub) a deterministic sample stream and emit duration + an 8-bin

@@ -1825,6 +1825,24 @@ def q_audio_features(sf_dir: str):
         batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
+def q_image_phash(sf_dir: str):
+    """64-bit DCT perceptual hash per image span (multimodal.
+    PerceptualHash actor pool over the synthesized media corpus) — the
+    embedding-free image near-dup signature. Near-dup PAIRS come from
+    dedup.banded_hamming_pairs over the (media_id, phash) output
+    (pigeonhole-complete at radius <= n_bands-1); on this corpus the
+    fake-decoded images are mutually unrelated, so the pair step is
+    gated on a planted real-PNG corpus in tests instead of here."""
+    from ..functions.multimodal import PerceptualHash
+    # fractional CPU: this pool CHAINS after _media_refs' 2x1-CPU
+    # MediaFeatures actors; two full-CPU pools would pin all 4 CPUs of
+    # the test session and starve the upstream repartition tasks (the
+    # same class of local-mode deadlock as the hash-join aggregators)
+    return _media_refs(sf_dir).map_batches(
+        PerceptualHash, batch_format="pyarrow", concurrency=2,
+        batch_size=64, num_cpus=0.5)
+
+
 def _sf_of(sf_dir: str) -> str:
     import re
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -4549,10 +4567,11 @@ QUERIES = {
     "audio_features": q_audio_features,
     "pyramid_tiles": q_pyramid_tiles,
     "pyramid_stats": q_pyramid_stats,
-    # -- (4) approximate-by-design, no SQL oracle (rows-only check) --
+    # -- (4) approximate-by-design / non-SQL, no oracle (rows-only) --
     "approx_distinct_users": q_approx_distinct_users,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "image_phash": q_image_phash,
     # -- (5) added round 3, parked at the tail so the driver's first-50
     #    adjudication window keeps the never-adjudicated r2 entries --
     "props_extract": q_props_extract,
@@ -4707,3 +4726,7 @@ ORACLE_SQL.update({
 #   pairs BY DESIGN (the SemDedup trade); its gate is exact agreement
 #   with the brute-force keep rule on a planted within-cluster-dup
 #   corpus, asserted in tests/test_functions.py.
+# - image_phash: the DCT perceptual hash of decoded pixel data is not
+#   SQL-expressible; its gates are decoder-determinism plus exact
+#   banded-pair agreement with brute-force hamming on a planted
+#   near-duplicate REAL-PNG corpus (tests/test_round3_ops.py).

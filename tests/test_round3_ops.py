@@ -111,6 +111,72 @@ def test_user_mode_tie_breaks_lexicographically(ray_session, tmp_path):
     assert int(df.iloc[0]["n"]) == 2
 
 
+def test_phash_planted_neardups_real_png(ray_session, tmp_path):
+    """End-to-end image near-dup: REAL PNG encode/decode, DCT
+    perceptual hash, banded hamming pairs. Planted: 3 lightly-perturbed
+    variants of one base image must pair with it (and transitively with
+    each other where within radius); 6 unrelated random images must
+    not. The banded pair set must equal brute-force hamming <= radius
+    over all hashes (pigeonhole completeness at radius <= n_bands-1)."""
+    import itertools
+    import ray.data as rd
+    from geojson_vt_ray.functions.mediacodec import (PngFileDecoder,
+                                                     png_encode)
+    from geojson_vt_ray.functions.multimodal import PerceptualHash
+    from geojson_vt_ray.functions.dedup import banded_hamming_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    imgs = {"base.png": base}
+    for i in range(3):
+        v = base.copy()
+        # small local perturbation: a dim 4x4 patch
+        y, x = 4 * (i + 1), 6 * (i + 1)
+        v[y:y + 4, x:x + 4] = v[y:y + 4, x:x + 4] // 2
+        imgs[f"var{i}.png"] = v
+    for i in range(6):
+        imgs[f"rand{i}.png"] = rng.integers(0, 256, (48, 64, 3),
+                                            dtype=np.uint8)
+    for name, img in imgs.items():
+        (tmp_path / name).write_bytes(png_encode(img))
+
+    refs = sorted(imgs)
+    ds = rd.from_arrow(pa.table({"media_ref": pa.array(refs)}))
+    hashed = ds.map_batches(
+        PerceptualHash(decoder=PngFileDecoder(str(tmp_path))),
+        batch_format="pyarrow").materialize()
+    hdf = hashed.to_pandas()
+
+    radius = 6
+    got = banded_hamming_pairs(hashed, "phash", "media_id",
+                               max_hamming=radius)
+    got_pairs = set(zip(got.column("id_a").to_pylist(),
+                        got.column("id_b").to_pylist()))
+
+    by_id = dict(zip(hdf["media_id"], np.uint64(hdf["phash"])))
+    ref_of = dict(zip(hdf["media_id"], hdf["media_ref"]))
+    want = set()
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        if bin(int(by_id[a] ^ by_id[b])).count("1") <= radius:
+            want.add((a, b))
+    assert got_pairs == want  # banded blocking is lossless at radius 6
+
+    planted = {r for p in want for r in
+               (ref_of[p[0]], ref_of[p[1]])}
+    assert "base.png" in planted and "var0.png" in planted
+    assert not any(r.startswith("rand") for r in planted)
+
+
+def test_phash_deterministic(ray_session):
+    from geojson_vt_ray.pipelines.queries import q_image_phash
+    a = q_image_phash("/root/testdata/sf0.001").to_pandas()
+    b = q_image_phash("/root/testdata/sf0.001").to_pandas()
+    a = a.sort_values("media_id", ignore_index=True)
+    b = b.sort_values("media_id", ignore_index=True)
+    assert a.equals(b)
+    assert len(a) > 0 and a["media_id"].is_unique
+
+
 def test_trajectory_len_single_event_user(ray_session, tmp_path):
     from geojson_vt_ray.pipelines.queries import q_trajectory_len
     ts = pd.to_datetime([0, 5, 10], unit="s")
