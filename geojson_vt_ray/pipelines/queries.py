@@ -1825,6 +1825,69 @@ def q_audio_features(sf_dir: str):
         batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
+def q_iqr_outliers(sf_dir: str):
+    """Robust per-group outlier detection: orders whose integer-cent
+    total lies outside the 0.5*IQR Tukey fence of their priority group
+    (the tight fence — this synthetic price distribution has no
+    1.5*IQR outliers; the multiplier is a rational parameter). The
+    fence test is pure INTEGER arithmetic (2*cents vs 3*p25 - p75), so
+    there is no float rounding to disagree on.
+
+    Shape for scale: quartiles come from the two-pass histogram-
+    selection operator (functions/percentile.py — shuffle carries
+    histogram counts, never rows); the #groups-row bound table
+    broadcasts into a vectorized filter pass. Outliers stream out; no
+    global sort anywhere."""
+    from ..functions.percentile import group_percentiles
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderpriority",
+                           "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_orderpriority": b.column("o_orderpriority"),
+                         "cents": cents})
+
+    cds = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    qs = group_percentiles(cds, "o_orderpriority", "cents",
+                           ps=(0.25, 0.75))
+    p25 = dict(zip(qs.column("o_orderpriority").to_pylist(),
+                   qs.column("p25").to_pylist()))
+    p75 = dict(zip(qs.column("o_orderpriority").to_pylist(),
+                   qs.column("p75").to_pylist()))
+
+    def filt(b: pa.Table) -> pa.Table:
+        g = b.column("o_orderpriority").to_pylist()
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        a25 = np.fromiter((p25[x] for x in g), np.int64, len(g))
+        a75 = np.fromiter((p75[x] for x in g), np.int64, len(g))
+        keep = ((2 * cents < 3 * a25 - a75)
+                | (2 * cents > 3 * a75 - a25))
+        return pa.table({
+            "o_orderkey": pa.array(
+                b.column("o_orderkey").to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+            "o_orderpriority": pa.array(
+                np.asarray(g, dtype=object)[keep], pa.string()),
+            "cents": pa.array(cents[keep], pa.int64())})
+
+    return cds.map_batches(filt, batch_format="pyarrow")
+
+
+_SQL_IQR_OUTLIERS = (
+    "WITH c AS (SELECT o_orderkey, o_orderpriority, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+    "q AS (SELECT o_orderpriority, "
+    "percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS p25, "
+    "percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS p75 "
+    "FROM c GROUP BY 1) "
+    "SELECT o_orderkey, c.o_orderpriority, cents "
+    "FROM c JOIN q USING(o_orderpriority) "
+    "WHERE 2*cents < 3*p25 - p75 OR 2*cents > 3*p75 - p25")
+
+
 def q_image_phash(sf_dir: str):
     """64-bit DCT perceptual hash per image span (multimodal.
     PerceptualHash actor pool over the synthesized media corpus) — the
@@ -4591,6 +4654,7 @@ QUERIES = {
     "focal_density": q_focal_density,
     "user_mode": q_user_mode,
     "basket_pairs": q_basket_pairs,
+    "iqr_outliers": q_iqr_outliers,
 }
 
 ORACLE_SQL = {
@@ -4714,6 +4778,7 @@ ORACLE_SQL.update({
     "focal_density": _sql_focal_density(),
     "user_mode": _SQL_USER_MODE,
     "basket_pairs": _sql_basket_pairs(),
+    "iqr_outliers": _SQL_IQR_OUTLIERS,
 })
 
 # Remaining no-oracle entries, each with a reason:
