@@ -1825,6 +1825,91 @@ def q_audio_features(sf_dir: str):
         batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
+_ATTR_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+def q_attribution_pairs(sf_dir: str):
+    """Stream-stream INTERVAL self-join (attribution shape): every
+    (view, click) pair of the same user with the click in
+    [view.ts, view.ts + 6h], plus the exact microsecond gap — the
+    ad-attribution / conversion-path primitive.
+
+    Shape for scale: type prune per batch (only view/click rows leave
+    the read), ONE crc-coarse user-bucket shuffle, then a fully
+    vectorized in-bucket band lookup: clicks sort once on a packed
+    (user-rank, relative-ts) key and every view finds its click range
+    with two searchsorted calls — no per-user Python, no O(n^2)
+    window. Output pairs stream; nothing event-sized on the driver."""
+    mask = _coarse_mask()
+    W = _ATTR_WINDOW_US
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "view") | (et == "click")
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)[keep]
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)[keep]
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts": pa.array(ts),
+            "event_id": pa.array(ev.astype(np.int64)),
+            "is_click": pa.array((et[keep] == "click").astype(np.int8)),
+            "pkey": pa.array((uid & mask).astype(np.int32))})
+
+    def band_join(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "view_id": pa.array([], pa.int64()),
+            "click_id": pa.array([], pa.int64()),
+            "dt_us": pa.array([], pa.int64())})
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        ev = g["event_id"].to_numpy()
+        isc = g["is_click"].to_numpy().astype(bool)
+        if not len(uid) or not isc.any() or isc.all():
+            return empty
+        rel = ts - ts.min()
+        span = np.int64(rel.max()) + np.int64(W) + 2
+        uu = np.unique(uid)
+        uidx = np.searchsorted(uu, uid).astype(np.int64)
+        key = uidx * span + rel
+        o = np.argsort(key[isc], kind="stable")
+        ck, cv, cts = key[isc][o], ev[isc][o], ts[isc][o]
+        vkey, vid, vu, vts = (key[~isc], ev[~isc], uid[~isc],
+                              ts[~isc])
+        lo = np.searchsorted(ck, vkey, side="left")
+        hi = np.searchsorted(ck, vkey + W, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        vi = np.repeat(np.arange(len(vkey)), cnt)
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ci = starts + offs
+        return pa.table({
+            "user_id": pa.array(vu[vi], pa.int64()),
+            "view_id": pa.array(vid[vi], pa.int64()),
+            "click_id": pa.array(cv[ci], pa.int64()),
+            "dt_us": pa.array(cts[ci] - vts[vi], pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(band_join,
+                                        batch_format="pandas"))
+
+
+_SQL_ATTRIBUTION_PAIRS = (
+    "SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id, "
+    "epoch_us(b.ts) - epoch_us(a.ts) AS dt_us "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND a.event_type = 'view' AND b.event_type = 'click' "
+    "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR")
+
+
 def q_iqr_outliers(sf_dir: str):
     """Robust per-group outlier detection: orders whose integer-cent
     total lies outside the 0.5*IQR Tukey fence of their priority group
@@ -4655,6 +4740,7 @@ QUERIES = {
     "user_mode": q_user_mode,
     "basket_pairs": q_basket_pairs,
     "iqr_outliers": q_iqr_outliers,
+    "attribution_pairs": q_attribution_pairs,
 }
 
 ORACLE_SQL = {
@@ -4779,6 +4865,7 @@ ORACLE_SQL.update({
     "user_mode": _SQL_USER_MODE,
     "basket_pairs": _sql_basket_pairs(),
     "iqr_outliers": _SQL_IQR_OUTLIERS,
+    "attribution_pairs": _SQL_ATTRIBUTION_PAIRS,
 })
 
 # Remaining no-oracle entries, each with a reason:
