@@ -1825,6 +1825,72 @@ def q_audio_features(sf_dir: str):
         batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
+_Z_BITS = 12       # ix < 3600, iy < 1600 both fit 12 bits
+_Z_BUCKET_BITS = 6  # top 6 bits of the 24-bit morton key -> <=64 files
+
+
+def q_zorder_layout(sf_dir: str):
+    """Storage-layout optimization (Delta/Iceberg `OPTIMIZE ZORDER`
+    shape): assign every event point a Morton (Z-order) key from its
+    integer deci-degree grid coords and report, per target file bucket
+    (top 6 morton bits), the row count and the integer bounding box —
+    the metrics a lakehouse uses to prove spatial-locality clustering
+    (tight per-file bboxes ⇒ effective min/max pruning on later range
+    reads).
+
+    Shape for scale: the morton key is pure vectorized bit-interleave
+    per batch; bucket stats are per-batch partials (one row per bucket
+    per block) merged by ONE aggregate-sized groupby — no global sort,
+    unlike rank-based layout (the fixed key-space split is exactly how
+    a distributed writer shards without a sort barrier). All integer,
+    exact."""
+    from ray.data.aggregate import Max, Min, Sum
+    shift = 2 * _Z_BITS - _Z_BUCKET_BITS
+
+    def partial(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        ix = (ev % 3600).astype(np.int64)
+        iy = (ev % 1600).astype(np.int64)
+        m = np.zeros(len(ev), np.int64)
+        for bit in range(_Z_BITS):
+            m |= ((ix >> bit) & 1) << (2 * bit)
+            m |= ((iy >> bit) & 1) << (2 * bit + 1)
+        bkt = m >> shift
+        df = pd.DataFrame({"bucket": bkt, "ix": ix, "iy": iy})
+        g = df.groupby("bucket", sort=False).agg(
+            n=("ix", "size"), min_ix=("ix", "min"),
+            max_ix=("ix", "max"), min_iy=("iy", "min"),
+            max_iy=("iy", "max")).reset_index()
+        return pa.table({c: pa.array(g[c].to_numpy(), pa.int64())
+                         for c in ("bucket", "n", "min_ix", "max_ix",
+                                   "min_iy", "max_iy")})
+
+    return (_read_pq(f"{sf_dir}/events.parquet", columns=["event_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("min_ix", alias_name="min_ix"),
+                       Max("max_ix", alias_name="max_ix"),
+                       Min("min_iy", alias_name="min_iy"),
+                       Max("max_iy", alias_name="max_iy")))
+
+
+def _sql_zorder_layout() -> str:
+    terms = []
+    for bit in range(_Z_BITS):
+        terms.append(f"((ix // {1 << bit}) % 2) * {1 << (2 * bit)}")
+        terms.append(f"((iy // {1 << bit}) % 2) * {1 << (2 * bit + 1)}")
+    morton = " + ".join(terms)
+    shift = 1 << (2 * _Z_BITS - _Z_BUCKET_BITS)
+    return (
+        "WITH g AS (SELECT event_id % 3600 AS ix, event_id % 1600 AS iy "
+        "FROM events), "
+        f"m AS (SELECT ix, iy, ({morton}) // {shift} AS bucket FROM g) "
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(ix) AS min_ix, MAX(ix) AS max_ix, "
+        "MIN(iy) AS min_iy, MAX(iy) AS max_iy FROM m GROUP BY 1")
+
+
 _ATTR_WINDOW_US = 6 * 3600 * 1_000_000
 
 
@@ -4741,6 +4807,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "iqr_outliers": q_iqr_outliers,
     "attribution_pairs": q_attribution_pairs,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLE_SQL = {
@@ -4866,6 +4933,7 @@ ORACLE_SQL.update({
     "basket_pairs": _sql_basket_pairs(),
     "iqr_outliers": _SQL_IQR_OUTLIERS,
     "attribution_pairs": _SQL_ATTRIBUTION_PAIRS,
+    "zorder_layout": _sql_zorder_layout(),
 })
 
 # Remaining no-oracle entries, each with a reason:
