@@ -166,6 +166,61 @@ class PerceptualHash:
         })
 
 
+class AudioFingerprint:
+    """Actor-pool stage: 64-bit spectral fingerprint per audio span —
+    the audio analogue of PerceptualHash (near-identical recordings
+    differ in a few bits; pair with dedup.banded_hamming_pairs).
+
+    Per clip: decode (injected, same contract as AudioFeatures) ->
+    8 equal time segments x 8 rFFT power bands = 64 energy cells ->
+    median threshold -> 64-bit hash. Deterministic, numpy per clip."""
+
+    def __init__(self, decoder=None, sample_rate: int = 16_000):
+        self.decoder = decoder
+        self.sample_rate = sample_rate
+
+    def _decode(self, ref: str) -> np.ndarray:
+        if self.decoder is not None:
+            return self.decoder.decode(ref, None)
+        h = hashlib.sha256(ref.encode()).digest()
+        n = self.sample_rate * (1 + h[3] % 9)
+        rng = np.random.default_rng(int.from_bytes(h[4:8], "big"))
+        return rng.standard_normal(n).astype(np.float32)
+
+    def hash_samples(self, wav: np.ndarray) -> int:
+        n = len(wav)
+        if n < 64:
+            wav = np.pad(wav, (0, 64 - n))
+            n = 64
+        seg = n // 8
+        cells = np.empty((8, 8))
+        for s in range(8):
+            spec = np.abs(np.fft.rfft(wav[s * seg:(s + 1) * seg])) ** 2
+            cells[s] = [b.sum() for b in np.array_split(spec, 8)]
+        bits = np.flatnonzero(cells.ravel()[:64] > np.median(cells)
+                              ).astype(np.uint64)
+        if not len(bits):
+            return 0
+        return int(np.bitwise_or.reduce(np.uint64(1) << bits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        o_ref, o_id, o_fp = [], [], []
+        for ref in refs:
+            wav = self._decode(ref)
+            o_ref.append(ref)
+            o_fp.append(self.hash_samples(wav))
+            o_id.append(int.from_bytes(
+                hashlib.blake2b(ref.encode(), digest_size=8).digest(),
+                "big") >> 1)
+        return pa.table({
+            "media_ref": pa.array(o_ref, pa.string()),
+            "media_id": pa.array(o_id, pa.int64()),
+            "afp": pa.array(np.array(o_fp, np.uint64).astype(np.int64),
+                            pa.int64()),
+        })
+
+
 class AudioFeatures:
     """Audio feature-extraction stage shape: per media span, 'decode'
     (stub) a deterministic sample stream and emit duration + an 8-bin

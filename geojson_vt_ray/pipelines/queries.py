@@ -2057,6 +2057,17 @@ def q_image_phash(sf_dir: str):
         batch_size=64, num_cpus=0.5)
 
 
+def q_audio_fp(sf_dir: str):
+    """64-bit spectral fingerprint per audio span (multimodal.
+    AudioFingerprint actor pool) — the audio analogue of image_phash;
+    near-dup PAIRS come from the same dedup.banded_hamming_pairs.
+    Fractional CPU for the same chained-pool reason as image_phash."""
+    from ..functions.multimodal import AudioFingerprint
+    return _media_refs(sf_dir).map_batches(
+        AudioFingerprint, batch_format="pyarrow", concurrency=2,
+        batch_size=64, num_cpus=0.5)
+
+
 def _sf_of(sf_dir: str) -> str:
     import re
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -4786,6 +4797,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "image_phash": q_image_phash,
+    "audio_fp": q_audio_fp,
     # -- (5) added round 3, parked at the tail so the driver's first-50
     #    adjudication window keeps the never-adjudicated r2 entries --
     "props_extract": q_props_extract,
@@ -4950,3 +4962,6 @@ ORACLE_SQL.update({
 #   SQL-expressible; its gates are decoder-determinism plus exact
 #   banded-pair agreement with brute-force hamming on a planted
 #   near-duplicate REAL-PNG corpus (tests/test_round3_ops.py).
+# - audio_fp: same reasoning for the spectral audio fingerprint
+#   (rFFT band energies of decoded samples); gated by the planted
+#   REAL-WAV near-dup corpus in tests/test_round3_ops.py.

@@ -177,6 +177,58 @@ def test_phash_deterministic(ray_session):
     assert len(a) > 0 and a["media_id"].is_unique
 
 
+def test_audio_fp_planted_neardups_real_wav(ray_session, tmp_path):
+    """Audio analogue of the phash gate: REAL 16-bit PCM WAV
+    encode/decode, spectral fingerprint, banded hamming pairs ==
+    brute force; planted low-noise variants pair with the base,
+    unrelated clips do not."""
+    import itertools
+    import ray.data as rd
+    from geojson_vt_ray.functions.mediacodec import (WavFileDecoder,
+                                                     wav_encode)
+    from geojson_vt_ray.functions.multimodal import AudioFingerprint
+    from geojson_vt_ray.functions.dedup import banded_hamming_pairs
+
+    rng = np.random.default_rng(5)
+    t = np.arange(16_000 * 2) / 16_000.0
+    base = (0.4 * np.sin(2 * np.pi * 440 * t)
+            + 0.2 * np.sin(2 * np.pi * 1313 * t)
+            + 0.1 * rng.standard_normal(len(t)))
+    clips = {"base.wav": base}
+    for i in range(3):
+        clips[f"var{i}.wav"] = base + 0.002 * rng.standard_normal(
+            len(t))
+    for i in range(6):
+        clips[f"rand{i}.wav"] = (
+            0.4 * np.sin(2 * np.pi * (200 + 150 * i) * t)
+            + 0.3 * rng.standard_normal(len(t)))
+    for name, wav in clips.items():
+        (tmp_path / name).write_bytes(wav_encode(wav * 0.5))
+
+    refs = sorted(clips)
+    ds = rd.from_arrow(pa.table({"media_ref": pa.array(refs)}))
+    hashed = ds.map_batches(
+        AudioFingerprint(decoder=WavFileDecoder(str(tmp_path))),
+        batch_format="pyarrow").materialize()
+    hdf = hashed.to_pandas()
+
+    radius = 6
+    got = banded_hamming_pairs(hashed, "afp", "media_id",
+                               max_hamming=radius)
+    got_pairs = set(zip(got.column("id_a").to_pylist(),
+                        got.column("id_b").to_pylist()))
+    by_id = dict(zip(hdf["media_id"], np.uint64(hdf["afp"])))
+    ref_of = dict(zip(hdf["media_id"], hdf["media_ref"]))
+    want = set()
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        if bin(int(by_id[a] ^ by_id[b])).count("1") <= radius:
+            want.add((a, b))
+    assert got_pairs == want
+    planted = {r for p in want for r in (ref_of[p[0]], ref_of[p[1]])}
+    assert "base.wav" in planted and "var0.wav" in planted
+    assert not any(r.startswith("rand") for r in planted)
+
+
 def test_trajectory_len_single_event_user(ray_session, tmp_path):
     from geojson_vt_ray.pipelines.queries import q_trajectory_len
     ts = pd.to_datetime([0, 5, 10], unit="s")
