@@ -1825,6 +1825,95 @@ def q_audio_features(sf_dir: str):
         batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
+_HIST_BINS = 20
+
+
+def q_value_histogram(sf_dir: str, bins: int = _HIST_BINS):
+    """Equi-width histogram of the event value column — the profiling
+    primitive every engine ships. Bin edges derive from the exact
+    global min/max (two scalar aggregates); the bin expression keeps
+    the identical IEEE op order as the oracle ((v - lo) * bins /
+    span, floored, clamped), so edge-adjacent values bin identically.
+
+    Shape for scale: one min/max pass, then per-batch bincount
+    partials (one row per non-empty bin per block) and a bins-sized
+    groupby-sum. Nothing row-sized shuffles."""
+    from ray.data.aggregate import Max, Min, Sum
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = mm["min(value)"], mm["max(value)"]
+    span = hi - lo
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        t = np.floor((v - lo) * float(bins) / span)
+        bk = np.minimum(t.astype(np.int64), bins - 1)
+        uniq, cnt = np.unique(bk, return_counts=True)
+        return pa.table({"bin": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+
+def _sql_value_histogram(bins: int = _HIST_BINS) -> str:
+    return (
+        "WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi "
+        "FROM events) "
+        "SELECT LEAST(CAST(FLOOR(((value - lo) * "
+        f"{float(bins)}) / (hi - lo)) AS BIGINT), {bins - 1}) AS bin, "
+        "COUNT(*) AS n FROM events, mm GROUP BY 1")
+
+
+_PATH_LEN = 10
+
+
+def q_user_paths(sf_dir: str, k: int = _PATH_LEN):
+    """Ordered sequence extraction (collect_list shape): each user's
+    first ``k`` event types ordered by (ts, event_id), joined into a
+    '>'-separated path string — the input of sequence-pattern mining.
+
+    Shape for scale: one crc-coarse user-bucket shuffle; inside each
+    bucket a single lexsort + grouped cumcount cut takes the first k
+    rows per user and one pandas groupby-agg joins the strings — no
+    per-user Python beyond the final join of <=k tiny strings."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts": pa.array(ts),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "pkey": pa.array((uid & mask).astype(np.int32))})
+
+    def paths(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        g = g[g.groupby("user_id", sort=False).cumcount() < k]
+        out = g.groupby("user_id", sort=False)["event_type"].agg(
+            ">".join).reset_index()
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+            "path": pa.array(out["event_type"], pa.string())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(paths, batch_format="pandas"))
+
+
+_SQL_USER_PATHS = (
+    "WITH o AS (SELECT user_id, event_type, ROW_NUMBER() OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+    "SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+    f"FROM o WHERE rn <= {_PATH_LEN} GROUP BY 1")
+
+
 _Z_BITS = 12       # ix < 3600, iy < 1600 both fit 12 bits
 _Z_BUCKET_BITS = 6  # top 6 bits of the 24-bit morton key -> <=64 files
 
@@ -4820,6 +4909,8 @@ QUERIES = {
     "iqr_outliers": q_iqr_outliers,
     "attribution_pairs": q_attribution_pairs,
     "zorder_layout": q_zorder_layout,
+    "value_histogram": q_value_histogram,
+    "user_paths": q_user_paths,
 }
 
 ORACLE_SQL = {
@@ -4946,6 +5037,8 @@ ORACLE_SQL.update({
     "iqr_outliers": _SQL_IQR_OUTLIERS,
     "attribution_pairs": _SQL_ATTRIBUTION_PAIRS,
     "zorder_layout": _sql_zorder_layout(),
+    "value_histogram": _sql_value_histogram(),
+    "user_paths": _SQL_USER_PATHS,
 })
 
 # Remaining no-oracle entries, each with a reason:
