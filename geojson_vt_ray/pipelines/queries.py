@@ -1825,6 +1825,66 @@ def q_audio_features(sf_dir: str):
         batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
+def q_window_dedup(sf_dir: str):
+    """STREAMING DEDUP: the first event per (user, event_type, 1-hour
+    tumbling window) — the at-most-once-per-window suppression every
+    event pipeline runs (alert dedup, impression capping). Winner is
+    the (ts, event_id)-lexicographic minimum, so ties are
+    deterministic.
+
+    Shape for scale: per-batch pre-combine keeps ONE candidate row per
+    (user, type, window) per block — the shuffle moves candidates,
+    never the stream — then a crc-coarse key-bucket groupby finishes
+    the exact minimum with one vectorized lexsort + first-row cut."""
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(b.column("event_type").to_pylist(), object)
+        w = ts // 3_600_000_000
+        df = pd.DataFrame({"user_id": uid, "event_type": et, "w": w,
+                           "ts": ts, "event_id": ev})
+        df = df.sort_values(["user_id", "event_type", "w", "ts",
+                             "event_id"], kind="mergesort")
+        df = df[~df.duplicated(["user_id", "event_type", "w"])]
+        pk = (df["user_id"].to_numpy() * 31 + df["w"].to_numpy()) & mask
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "w": pa.array(df["w"].to_numpy(), pa.int64()),
+            "ts": pa.array(df["ts"].to_numpy(), pa.int64()),
+            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "pkey": pa.array(pk.astype(np.int32))})
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_type", "w", "ts",
+                           "event_id"], kind="mergesort")
+        g = g[~g.duplicated(["user_id", "event_type", "w"])]
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "w": pa.array(g["w"].to_numpy(), pa.int64()),
+            "first_event_id": pa.array(g["event_id"].to_numpy(),
+                                       pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(finish, batch_format="pandas"))
+
+
+_SQL_WINDOW_DEDUP = (
+    "SELECT user_id, event_type, "
+    "CAST(floor(epoch(ts)/3600) AS BIGINT) AS w, "
+    "event_id AS first_event_id FROM events "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type, w "
+    "ORDER BY ts, event_id) = 1")
+
+
 _HIST_BINS = 20
 
 
@@ -4911,6 +4971,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "value_histogram": q_value_histogram,
     "user_paths": q_user_paths,
+    "window_dedup": q_window_dedup,
 }
 
 ORACLE_SQL = {
@@ -5039,6 +5100,7 @@ ORACLE_SQL.update({
     "zorder_layout": _sql_zorder_layout(),
     "value_histogram": _sql_value_histogram(),
     "user_paths": _SQL_USER_PATHS,
+    "window_dedup": _SQL_WINDOW_DEDUP,
 })
 
 # Remaining no-oracle entries, each with a reason:
