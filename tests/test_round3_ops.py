@@ -229,6 +229,76 @@ def test_audio_fp_planted_neardups_real_wav(ray_session, tmp_path):
     assert not any(r.startswith("rand") for r in planted)
 
 
+def test_attribution_pairs_boundary_and_no_clicks(ray_session,
+                                                  tmp_path):
+    """Window boundaries are inclusive on both ends; a bucket with
+    views but no clicks (or vice versa) returns empty, typed."""
+    from geojson_vt_ray.pipelines.queries import (_ATTR_WINDOW_US,
+                                                  q_attribution_pairs)
+    base = 1_700_000_000_000_000  # us
+    w = _ATTR_WINDOW_US
+    rows = [
+        (1, base, 7, "view"),            # view at t0
+        (2, base, 7, "click"),           # click at SAME ts -> pair
+        (3, base + w, 7, "click"),       # click at t0+W -> pair
+        (4, base + w + 1, 7, "click"),   # 1us past -> no pair
+        (5, base, 8, "view"),            # user with no clicks
+    ]
+    ts = pd.to_datetime([r[1] for r in rows], unit="us")
+    sf = _write(tmp_path, "events",
+                event_id=pa.array([r[0] for r in rows], pa.int64()),
+                ts=pa.array(ts, pa.timestamp("us")),
+                user_id=pa.array([r[2] for r in rows], pa.int64()),
+                value=pa.array([0.0] * len(rows)),
+                event_type=pa.array([r[3] for r in rows], pa.string()),
+                props=pa.array(["{}"] * len(rows), pa.string()))
+    df = q_attribution_pairs(sf).to_pandas()
+    got = sorted(zip(df["view_id"], df["click_id"], df["dt_us"]))
+    assert got == [(1, 2, 0), (1, 3, w)]
+
+
+def test_window_dedup_cross_batch_winner(ray_session, tmp_path):
+    """The (ts, event_id)-min winner must survive even when duplicates
+    of a (user, type, window) key land in different input batches —
+    the pre-combine is per-batch, the finish must be global."""
+    from geojson_vt_ray.pipelines.queries import q_window_dedup
+    import ray.data as rd
+    base = 1_700_000_000_000_000
+    n = 40
+    ts = pd.to_datetime([base + (i % 7) for i in range(n)], unit="us")
+    sf = _write(tmp_path, "events",
+                event_id=pa.array(list(range(n, 0, -1)), pa.int64()),
+                ts=pa.array(ts, pa.timestamp("us")),
+                user_id=pa.array([1] * n, pa.int64()),
+                value=pa.array([0.0] * n),
+                event_type=pa.array(["x"] * n, pa.string()),
+                props=pa.array(["{}"] * n, pa.string()))
+    df = q_window_dedup(sf).to_pandas()
+    assert len(df) == 1
+    # winner: smallest ts (base+0 -> i in {0,7,...,35}), then smallest
+    # event_id = n - i for the largest such i -> event_id = 5
+    assert int(df.iloc[0]["first_event_id"]) == 5
+
+
+def test_user_paths_respects_order_and_cap(ray_session, tmp_path):
+    from geojson_vt_ray.pipelines.queries import q_user_paths
+    n = 12
+    ts = pd.to_datetime(list(range(n))[::-1], unit="s")  # reversed
+    sf = _write(tmp_path, "events",
+                event_id=pa.array(list(range(n)), pa.int64()),
+                ts=pa.array(ts, pa.timestamp("us")),
+                user_id=pa.array([3] * n, pa.int64()),
+                value=pa.array([0.0] * n),
+                event_type=pa.array([f"t{i}" for i in range(n)],
+                                    pa.string()),
+                props=pa.array(["{}"] * n, pa.string()))
+    df = q_user_paths(sf).to_pandas()
+    assert len(df) == 1
+    # ts order is the REVERSE of event_id order; first 10 by ts
+    want = ">".join(f"t{i}" for i in range(n - 1, n - 11, -1))
+    assert df.iloc[0]["path"] == want
+
+
 def test_trajectory_len_single_event_user(ray_session, tmp_path):
     from geojson_vt_ray.pipelines.queries import q_trajectory_len
     ts = pd.to_datetime([0, 5, 10], unit="s")
