@@ -128,6 +128,45 @@ def cmd_gen_tiles(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one registry pipeline over a table dir; print a JSON summary
+    or write PARTITIONED parquet with --out (resumable-output contract:
+    one file per block, never one giant file). ``--list`` enumerates
+    the registry."""
+    _ensure_ray()
+    from .pipelines.queries import QUERIES
+    if args.list:
+        print(json.dumps(sorted(QUERIES)))
+        return 0
+    if args.name not in QUERIES:
+        print(json.dumps({"error": f"unknown query {args.name!r}",
+                          "available": sorted(QUERIES)}))
+        return 2
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    res = QUERIES[args.name](args.sf_dir)
+    if args.out:
+        if isinstance(res, pa.Table):
+            res = ray.data.from_arrow(res)
+        elif isinstance(res, pd.DataFrame):
+            res = ray.data.from_pandas(res)
+        res.write_parquet(args.out)
+        n = ray.data.read_parquet(args.out).count()
+        print(json.dumps({"query": args.name, "out": args.out,
+                          "rows": n}))
+        return 0
+    if isinstance(res, ray.data.Dataset):
+        df = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        df = res.to_pandas()
+    else:
+        df = res
+    print(json.dumps({"query": args.name, "rows": len(df),
+                      "columns": sorted(map(str, df.columns))}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="geojson-vt-ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -172,6 +211,15 @@ def main(argv=None) -> int:
     ge = sub.add_parser("gen-tiles", help="enumerate every first-pass tile")
     ge.add_argument("--pyramid", required=True)
     ge.set_defaults(fn=cmd_gen_tiles)
+
+    qp = sub.add_parser(
+        "query", help="run a registry pipeline (queries()) over a "
+        "table dir; --out writes partitioned parquet")
+    qp.add_argument("name", nargs="?", default="")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument("--out", default=None)
+    qp.add_argument("--list", action="store_true")
+    qp.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)
