@@ -34,6 +34,9 @@ def _load_docs(path: str):
     lance package — sources/lance_source.py), a parquet dir/file, or a
     GeoJSON .json file (converted to a one-doc-per-feature table)."""
     import ray.data as rd
+    if path.endswith((".geojsonl", ".ndjson", ".geojsons", ".jsonl")):
+        from .sources.geojsonseq import read_docs_geojsonseq
+        return read_docs_geojsonseq(path)
     if path.endswith(".json") or path.endswith(".geojson"):
         from .sources.docs import doc_table_from_geojson
         with open(path) as f:

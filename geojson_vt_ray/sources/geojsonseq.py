@@ -1,0 +1,101 @@
+"""Line-delimited GeoJSON source (GeoJSONSeq / .geojsonl / .ndjson —
+the streaming interchange format tippecanoe and ogr2ogr emit, one
+Feature per line).
+
+Distributed shape: line formats carry no row index, so parallelism is
+per FILE (the standard layout: a big export is already sharded into
+many .geojsonl files). Two passes:
+
+1. a cheap line-COUNT pass over the sorted file list (parallel Ray
+   tasks, one small count per file) whose exclusive prefix sums give
+   each file its global seq base — file-list-sized driver state only;
+2. a parse pass (one task per file) that builds the same
+   (doc_id, seq, spans) doc table `doc_table_from_geojson` builds, with
+   seq = file_base + line_index — so a corpus split across N files
+   yields BYTE-IDENTICAL doc tables to the single-FeatureCollection
+   path (asserted in tests).
+
+For one monolithic multi-GB file the upgrade path is byte-range splits
+with a newline-count prefix scan (same two-pass shape, ranges instead
+of files); not needed while exports ship sharded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+
+def _seq_files(path) -> list[str]:
+    if isinstance(path, (list, tuple)):
+        return sorted(str(p) for p in path)
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith((".geojsonl", ".ndjson", ".geojsons",
+                           ".jsonl")))
+    return [path]
+
+
+def _count_lines(path: str) -> int:
+    n = 0
+    with open(path, "rb") as f:
+        for line in f:
+            if line.strip():
+                n += 1
+    return n
+
+
+def _parse_file(path: str, base: int, prefix: str) -> pa.Table:
+    from ..arrowio import SPAN_TYPE
+    from .docs import _spans_for
+    doc_ids, seqs, spans = [], [], []
+    i = base
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            item = json.loads(line)
+            doc_id = f"{prefix}-{i:06d}"
+            doc_ids.append(doc_id)
+            seqs.append(i)
+            spans.append(_spans_for(doc_id, json.dumps(item), i))
+            i += 1
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "seq": pa.array(seqs, pa.int64()),
+        "spans": pa.array(spans, SPAN_TYPE),
+    })
+
+
+def read_docs_geojsonseq(path, prefix: str = "doc"):
+    """GeoJSONSeq file(s)/dir -> doc-table Dataset, order-stable: seq
+    follows (sorted file rank, line number), identical to parsing the
+    concatenation as one FeatureCollection."""
+    import ray
+    import ray.data as rd
+
+    files = _seq_files(path)
+    if not files:
+        raise FileNotFoundError(f"no .geojsonl/.ndjson files in {path}")
+
+    count_task = ray.remote(num_cpus=0.25)(_count_lines)
+    counts = ray.get([count_task.remote(p) for p in files])
+    bases, acc = [], 0
+    for c in counts:
+        bases.append(acc)
+        acc += c
+
+    items = [{"path": p, "base": b} for p, b in zip(files, bases)]
+
+    def parse(batch) -> pa.Table:
+        tables = [_parse_file(p, int(b), prefix)
+                  for p, b in zip(batch["path"], batch["base"])]
+        return pa.concat_tables(tables)
+
+    return (rd.from_items(items)
+            .repartition(len(items))
+            .map_batches(parse, batch_format="numpy", batch_size=1))

@@ -299,6 +299,33 @@ def test_user_paths_respects_order_and_cap(ray_session, tmp_path):
     assert df.iloc[0]["path"] == want
 
 
+def test_geojsonseq_source_matches_featurecollection(ray_session,
+                                                     tmp_path):
+    """A corpus split across two .geojsonl shards must parse to a doc
+    table byte-identical to the single-FeatureCollection path (same
+    doc ids, seq and spans), so tiles built from either are equal."""
+    import json
+    from geojson_vt_ray.sources.docs import (doc_table_from_geojson,
+                                             load_seed_geometries)
+    from geojson_vt_ray.sources.geojsonseq import read_docs_geojsonseq
+
+    feats = load_seed_geometries()[:10]
+    want = doc_table_from_geojson({"type": "FeatureCollection",
+                                   "features": feats})
+    # shard 0: first 4 features (with a blank line); shard 1: the rest
+    (tmp_path / "a.geojsonl").write_text(
+        "\n".join(json.dumps(f) for f in feats[:4]) + "\n\n")
+    (tmp_path / "b.geojsonl").write_text(
+        "\n".join(json.dumps(f) for f in feats[4:]) + "\n")
+    got = (read_docs_geojsonseq(str(tmp_path)).to_pandas()
+           .sort_values("seq", ignore_index=True))
+    wdf = want.to_pandas()
+    assert got["doc_id"].tolist() == wdf["doc_id"].tolist()
+    assert got["seq"].tolist() == wdf["seq"].tolist()
+    assert got["spans"].map(str).tolist() == \
+        wdf["spans"].map(str).tolist()
+
+
 def test_trajectory_len_single_event_user(ray_session, tmp_path):
     from geojson_vt_ray.pipelines.queries import q_trajectory_len
     ts = pd.to_datetime([0, 5, 10], unit="s")
