@@ -116,11 +116,31 @@ def cmd_slice(args) -> int:
 def cmd_get_tile(args) -> int:
     from .pipelines.pyramid import TileSet
     ts = TileSet(args.pyramid)
+    if args.mvt:
+        data = ts.get_tile_mvt(args.z, args.x, args.y)
+        if data is None:
+            print("null")
+            return 1
+        with open(args.mvt, "wb") as f:
+            f.write(data)
+        print(json.dumps({"mvt": args.mvt, "n_bytes": len(data)}))
+        return 0
     tile = ts.get_tile(args.z, args.x, args.y)
     if tile is None:
         print("null")
         return 1
     print(json.dumps(tile))
+    return 0
+
+
+def cmd_export_mvt(args) -> int:
+    _ensure_ray()
+    from .pipelines.pyramid import TileSet
+    ts = TileSet(args.pyramid)
+    manifest = ts.export_mvt(args.out, layer_name=args.layer)
+    df = manifest.to_pandas()
+    print(json.dumps({"out": args.out, "tiles": len(df),
+                      "bytes": int(df["n_bytes"].sum())}))
     return 0
 
 
@@ -209,7 +229,17 @@ def main(argv=None) -> int:
     gt.add_argument("z", type=int)
     gt.add_argument("x", type=int)
     gt.add_argument("y", type=int)
+    gt.add_argument("--mvt", default=None,
+                    help="write the tile as MVT protobuf to this path")
     gt.set_defaults(fn=cmd_get_tile)
+
+    em = sub.add_parser(
+        "export-mvt", help="distributed {z}/{x}/{y}.mvt export of a "
+        "full-split pyramid")
+    em.add_argument("--pyramid", required=True)
+    em.add_argument("--out", required=True)
+    em.add_argument("--layer", default="geojsonvt")
+    em.set_defaults(fn=cmd_export_mvt)
 
     ge = sub.add_parser("gen-tiles", help="enumerate every first-pass tile")
     ge.add_argument("--pyramid", required=True)

@@ -749,6 +749,95 @@ class TileSet:
             out[f"z{tz}-{tx}-{ty}"] = self.get_tile(tz, tx, ty)["features"]
         return out
 
+    def get_tile_mvt(self, z, x, y, layer_name: str = "geojsonvt"
+                     ) -> bytes | None:
+        """One tile as Mapbox Vector Tile protobuf bytes (the vt-pbf
+        serving path; mvt.py). None on a true miss, like get_tile."""
+        from ..mvt import encode_tile
+        tile = self.get_tile(z, x, y)
+        if tile is None:
+            return None
+        return encode_tile(tile["features"], layer_name=layer_name,
+                           extent=self.options.extent)
+
+    def export_mvt(self, mvt_dir: str,
+                   layer_name: str = "geojsonvt") -> "ray.data.Dataset":
+        """Distributed MVT export of every stored first-pass tile:
+        stream the combined tile partition, co-locate each tile's rows
+        with one coarse (z,x,y)-bucket shuffle, encode per tile inside
+        the group UDF and write {z}/{x}/{y}.mvt files from the workers
+        — the driver never sees tile bytes. Returns the (z, x, y,
+        n_bytes) manifest Dataset. Requires the full-split ("combined")
+        layout, like append_to_pyramid."""
+        import ray.data as rd
+        from ..functions.shuffle import coarse_mask
+        from ..mvt import encode_tile
+        if not self._combined:
+            raise NotImplementedError(
+                "export_mvt streams the combined layout; re-slice with "
+                "indexMaxPoints <= 0 or export via get_tile_mvt")
+        os.makedirs(mvt_dir, exist_ok=True)
+        cmask = coarse_mask()
+        extent = self.options.extent
+        comb = os.path.join(self.out_dir, "combined")
+        ds = rd.read_parquet(comb)
+        # hive partition columns (okind, z) read back as STRINGS
+        ds = ds.filter(expr="okind == '0'")
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            z = pc.cast(b.column("z"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            x = b.column("x").to_numpy(zero_copy_only=False)
+            y = b.column("y").to_numpy(zero_copy_only=False)
+            tid = tile_id_vec(z, x.astype(np.int64),
+                              y.astype(np.int64))
+            b = b.set_column(b.schema.get_field_index("z"), "z",
+                             pa.array(z))
+            return b.append_column(
+                "tbkt", pa.array((np.asarray(tid) & cmask
+                                  ).astype(np.int32)))
+
+        def write_group(t: pa.Table) -> pa.Table:
+            # arrow-native per-tile split: pandas would mangle the
+            # list-typed xy/ring_lens columns
+            z = t.column("z").to_numpy(zero_copy_only=False)
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            key = np.asarray(tile_id_vec(z.astype(np.int64),
+                                         x.astype(np.int64),
+                                         y.astype(np.int64)))
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            ends = np.r_[starts[1:], len(ks)]
+            o_z, o_x, o_y, o_n = [], [], [], []
+            for s, e in zip(starts, ends):
+                idx = order[s:e]
+                rows = t.take(pa.array(idx))
+                feats = _format_tile_rows(rows)
+                tz, tx, ty = int(z[idx[0]]), int(x[idx[0]]), \
+                    int(y[idx[0]])
+                data = encode_tile(feats, layer_name=layer_name,
+                                   extent=extent)
+                d = os.path.join(mvt_dir, str(tz), str(tx))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{ty}.mvt"), "wb") as f:
+                    f.write(data)
+                o_z.append(tz)
+                o_x.append(tx)
+                o_y.append(ty)
+                o_n.append(len(data))
+            return pa.table({
+                "z": pa.array(o_z, pa.int64()),
+                "x": pa.array(o_x, pa.int64()),
+                "y": pa.array(o_y, pa.int64()),
+                "n_bytes": pa.array(o_n, pa.int64())})
+
+        return (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("tbkt").map_groups(write_group,
+                                            batch_format="pyarrow"))
+
 
 def _decode_sorted(rows: pa.Table):
     from ..arrowio import decode_features
