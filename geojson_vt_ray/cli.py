@@ -139,8 +139,13 @@ def cmd_export_mvt(args) -> int:
     ts = TileSet(args.pyramid)
     manifest = ts.export_mvt(args.out, layer_name=args.layer)
     df = manifest.to_pandas()
+    tj = ts.tilejson(name=args.layer)
+    with open(os.path.join(args.out, "tilejson.json"), "w") as f:
+        json.dump(tj, f)
     print(json.dumps({"out": args.out, "tiles": len(df),
-                      "bytes": int(df["n_bytes"].sum())}))
+                      "bytes": int(df["n_bytes"].sum()),
+                      "tilejson": os.path.join(args.out,
+                                               "tilejson.json")}))
     return 0
 
 

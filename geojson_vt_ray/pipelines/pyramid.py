@@ -749,6 +749,29 @@ class TileSet:
             out[f"z{tz}-{tx}-{ty}"] = self.get_tile(tz, tx, ty)["features"]
         return out
 
+    def tilejson(self, tiles_url: str = "{z}/{x}/{y}.mvt",
+                 name: str = "geojsonvt") -> dict:
+        """TileJSON 3.0 descriptor for the stored pyramid (the
+        metadata document MVT servers publish next to the tiles):
+        zoom range and tile counts come from the manifest, no tile
+        reads."""
+        zs = [lv["z"] for lv in self.manifest.get("levels", [])] or \
+            [tz for tz, _x, _y, _s in self.tiles.values()]
+        return {
+            "tilejson": "3.0.0",
+            "name": name,
+            "scheme": "xyz",
+            "tiles": [tiles_url],
+            "minzoom": int(min(zs)) if zs else 0,
+            "maxzoom": int(max(zs)) if zs else 0,
+            "bounds": [-180.0, -85.0511287798066,
+                       180.0, 85.0511287798066],
+            "vector_layers": [{"id": name,
+                               "minzoom": int(min(zs)) if zs else 0,
+                               "maxzoom": int(max(zs)) if zs else 0,
+                               "fields": {}}],
+        }
+
     def get_tile_mvt(self, z, x, y, layer_name: str = "geojsonvt"
                      ) -> bytes | None:
         """One tile as Mapbox Vector Tile protobuf bytes (the vt-pbf
