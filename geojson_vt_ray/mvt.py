@@ -74,42 +74,78 @@ def _encode_value(v) -> bytes:
     return _len_delim(1, str(v).encode("utf-8"))
 
 
-def _encode_geometry(geometry, gtype: int) -> bytes:
-    cx = cy = 0
-    cmds = bytearray()
+def _varint_array(vals) -> bytes:
+    """Vectorized varint encoding of a uint64 numpy array — the MVT
+    geometry hot path (one call per feature instead of one Python
+    varint per vertex coordinate). Byte-identical to _varint."""
+    import numpy as np
+    v = np.asarray(vals, dtype=np.uint64)
+    nbytes = np.ones(len(v), np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * k)))
+    out = np.zeros(int(nbytes.sum()), np.uint8)
+    pos = np.cumsum(nbytes) - nbytes
+    for b in range(10):
+        mask = nbytes > b
+        if not mask.any():
+            break
+        byte = ((v[mask] >> np.uint64(7 * b))
+                & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > b).astype(np.uint8)
+        out[pos[mask] + b] = byte | (cont << 7)
+    return out.tobytes()
 
-    def move_line(pts, close: bool):
+
+def _zigzag_arr(d):
+    import numpy as np
+    d = np.asarray(d, dtype=np.int64)
+    return ((d << 1) ^ (d >> 63)).view(np.uint64)
+
+
+def _encode_geometry(geometry, gtype: int) -> bytes:
+    """Command stream for one feature, fully vectorized: build the
+    uint64 command/parameter sequence with numpy delta+zigzag per
+    part, then one batched varint pass."""
+    import numpy as np
+    nums: list = []
+    cx = cy = 0
+
+    def part_nums(pts, close: bool):
         nonlocal cx, cy
         if close and len(pts) > 1 and pts[0] == pts[-1]:
             pts = pts[:-1]
-        cmds.extend(_varint((1 & 0x7) | (1 << 3)))  # MoveTo x1
-        x, y = pts[0]
-        cmds.extend(_varint(_zigzag(x - cx)))
-        cmds.extend(_varint(_zigzag(y - cy)))
-        cx, cy = x, y
-        rest = pts[1:]
-        if rest:
-            cmds.extend(_varint((2 & 0x7) | (len(rest) << 3)))  # LineTo
-            for x, y in rest:
-                cmds.extend(_varint(_zigzag(x - cx)))
-                cmds.extend(_varint(_zigzag(y - cy)))
-                cx, cy = x, y
+        a = np.asarray(pts, dtype=np.int64)
+        dx = np.diff(a[:, 0], prepend=cx)
+        dy = np.diff(a[:, 1], prepend=cy)
+        zz = np.empty(2 * len(a), np.uint64)
+        zz[0::2] = _zigzag_arr(dx)
+        zz[1::2] = _zigzag_arr(dy)
+        nums.append(np.array([(1 & 0x7) | (1 << 3)], np.uint64))
+        nums.append(zz[:2])
+        if len(a) > 1:
+            nums.append(np.array([(2 & 0x7) | ((len(a) - 1) << 3)],
+                                 np.uint64))
+            nums.append(zz[2:])
         if close:
-            cmds.extend(_varint((7 & 0x7) | (1 << 3)))  # ClosePath
+            nums.append(np.array([(7 & 0x7) | (1 << 3)], np.uint64))
+        cx, cy = int(a[-1, 0]), int(a[-1, 1])
 
     if gtype == 1:
-        cmds.extend(_varint((1 & 0x7) | (len(geometry) << 3)))
-        for x, y in geometry:
-            cmds.extend(_varint(_zigzag(x - cx)))
-            cmds.extend(_varint(_zigzag(y - cy)))
-            cx, cy = x, y
+        a = np.asarray(geometry, dtype=np.int64)
+        dx = np.diff(a[:, 0], prepend=0)
+        dy = np.diff(a[:, 1], prepend=0)
+        zz = np.empty(2 * len(a), np.uint64)
+        zz[0::2] = _zigzag_arr(dx)
+        zz[1::2] = _zigzag_arr(dy)
+        nums.append(np.array([(1 & 0x7) | (len(a) << 3)], np.uint64))
+        nums.append(zz)
     elif gtype == 2:
         for line in geometry:
-            move_line(line, close=False)
+            part_nums(line, close=False)
     else:
         for ring in geometry:
-            move_line(ring, close=True)
-    return bytes(cmds)
+            part_nums(ring, close=True)
+    return _varint_array(np.concatenate(nums))
 
 
 def encode_tile(features, layer_name: str = "geojsonvt",

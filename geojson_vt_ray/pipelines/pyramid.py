@@ -803,7 +803,12 @@ class TileSet:
         cmask = coarse_mask()
         extent = self.options.extent
         comb = os.path.join(self.out_dir, "combined")
-        ds = rd.read_parquet(comb)
+        # prune at the read: the encoder needs geometry + tags only —
+        # the spans payload column (the corpus text/media, the heaviest
+        # column by far) must never enter the tile-bucket shuffle
+        ds = rd.read_parquet(
+            comb, columns=["okind", "z", "x", "y", "okey", "type",
+                           "ring_lens", "xy", "tags_json", "fid_json"])
         # hive partition columns (okind, z) read back as STRINGS
         ds = ds.filter(expr="okind == '0'")
 
