@@ -1825,6 +1825,65 @@ def q_audio_features(sf_dir: str):
         batch_size=64).select_columns(["media_ref", "duration_sec"]))
 
 
+def q_left_join_fill(sf_dir: str):
+    """LEFT OUTER join + null fill (the dimension-enrichment shape with
+    late/missing dimension rows): every order joined to its customer's
+    market segment, where only customers with c_custkey % 3 != 0 exist
+    in the (filtered) dimension — unmatched orders fill 'NONE'. Output:
+    per-segment order counts.
+
+    Shape for scale: the order side streams through a distributed
+    left_outer hash join (Ray Dataset.join); the filtered dimension is
+    corpus-scale-safe (no broadcast assumption). The fill + count is a
+    per-batch partial then a #segments-row groupby."""
+    from ray.data.aggregate import Sum
+    nparts = F_dedup._num_join_partitions()
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+
+    def okey(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("o_custkey").cast(pa.int64()),
+            "o_orderkey": b.column("o_orderkey")})
+
+    dim = _read_pq(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_mktsegment"])
+
+    def active(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = ck % 3 != 0
+        return pa.table({
+            "c_custkey": pa.array(ck[keep].astype(np.int64)),
+            "c_mktsegment": pa.array(
+                np.asarray(b.column("c_mktsegment").to_pylist(),
+                           object)[keep], pa.string())})
+
+    joined = (orders.map_batches(okey, batch_format="pyarrow")
+              .join(dim.map_batches(active, batch_format="pyarrow"),
+                    "left_outer", nparts, on=("c_custkey",),
+                    aggregator_ray_remote_args=_agg_args(nparts)))
+
+    def fill_count(b: pa.Table) -> pa.Table:
+        seg = b.column("c_mktsegment").to_pylist()
+        seg = np.asarray(["NONE" if s is None else s for s in seg],
+                         object)
+        uniq, cnt = np.unique(seg, return_counts=True)
+        return pa.table({
+            "segment": pa.array(uniq.astype(object), pa.string()),
+            "n_orders": pa.array(cnt.astype(np.int64))})
+
+    return (joined.map_batches(fill_count, batch_format="pyarrow")
+            .groupby("segment")
+            .aggregate(Sum("n_orders", alias_name="n_orders")))
+
+
+_SQL_LEFT_JOIN_FILL = (
+    "SELECT COALESCE(c.c_mktsegment, 'NONE') AS segment, "
+    "COUNT(*) AS n_orders FROM orders o LEFT JOIN "
+    "(SELECT * FROM customer WHERE c_custkey % 3 <> 0) c "
+    "ON c.c_custkey = o.o_custkey GROUP BY 1")
+
+
 def q_window_dedup(sf_dir: str):
     """STREAMING DEDUP: the first event per (user, event_type, 1-hour
     tumbling window) — the at-most-once-per-window suppression every
@@ -4972,6 +5031,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "user_paths": q_user_paths,
     "window_dedup": q_window_dedup,
+    "left_join_fill": q_left_join_fill,
 }
 
 ORACLE_SQL = {
@@ -5101,6 +5161,7 @@ ORACLE_SQL.update({
     "value_histogram": _sql_value_histogram(),
     "user_paths": _SQL_USER_PATHS,
     "window_dedup": _SQL_WINDOW_DEDUP,
+    "left_join_fill": _SQL_LEFT_JOIN_FILL,
 })
 
 # Remaining no-oracle entries, each with a reason:
