@@ -4922,6 +4922,318 @@ _SQL_TRIANGLE_COUNT = (
     "SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri FROM n GROUP BY 1")
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def q_kmeans(sf_dir: str, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS):
+    """Distributed Lloyd k-means over the embedding column — the
+    broadcast-centroid iteration every embedding-curation pipeline runs
+    (topic bucketing, SemDedup's clustering stage, IVF list training).
+
+    Init is deterministic: the k vectors with vec_id < k, ordered by
+    vec_id. Each of the `iters` update rounds is ONE streaming
+    map_batches pass over the corpus: centroids ship once per round via
+    ray.put, each batch emits a fixed-size partial (cid, count, sum-
+    vector), and the driver folds O(blocks x k) partial rows into the
+    next centroids — the corpus itself never shuffles and never lands
+    on the driver, so the round cost at 100 TB is one read-bound scan.
+    Clusters that lose all members are DROPPED (the SQL oracle's
+    memberless centroid likewise vanishes from its next cross join).
+    Output: the final (vec_id, cluster) assignment — integers only, so
+    the oracle hash-compare never touches float round-off; the float
+    argmin itself is stable because both sides compute in float64 and
+    real corpora don't put points 1e-12-close to two centroids.
+    """
+    import ray
+
+    def norm_cols(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("vec_id").cast(pa.int64()),
+                         "embedding": b.column("embedding")})
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"]).map_batches(
+        norm_cols, batch_format="pyarrow")
+
+    def _mat(b: pa.Table):
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        col = b.column("embedding").combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False)
+        dim = len(vals) // max(len(ids), 1)
+        return ids, vals.astype(np.float64).reshape(-1, dim)
+
+    def _assign(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # argmin_c ||x-c||^2 == argmin_c (||c||^2 - 2 x.c); first-min
+        # index == the oracle's ORDER BY distance, cid tie-break
+        # because the centroid rows are kept sorted by cid.
+        scores = x @ (-2.0 * cent.T) + (cent * cent).sum(axis=1)
+        return np.argmin(scores, axis=1)
+
+    # deterministic init: vec_id < k, sorted (k rows — result-sized)
+    init = emb.filter(
+        expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
+    cids = init["vec_id"].to_numpy().astype(np.int64)
+    cent = np.stack(
+        [np.asarray(v, np.float64) for v in init["embedding"]])
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put((cids, cent))
+
+        def partial(b: pa.Table, _ref=ref) -> pa.Table:
+            cc, cm = ray.get(_ref)
+            ids, x = _mat(b)
+            if not len(ids):
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.list_(
+                                     pa.float64()))})
+            a = _assign(x, cm)
+            sums = np.zeros((len(cc), x.shape[1]), np.float64)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=len(cc))
+            return pa.table({
+                "cid": pa.array(cc, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "s": pa.array(list(sums), pa.list_(pa.float64()))})
+
+        parts = emb.map_batches(
+            partial, batch_format="pyarrow").to_pandas()
+        cnt = parts.groupby("cid")["cnt"].sum()
+        svec = {c: np.zeros(dim) for c in cnt.index}
+        for c, s in zip(parts["cid"], parts["s"]):
+            svec[c] += np.asarray(s, np.float64)
+        keep = sorted(c for c in cnt.index if cnt[c] > 0)
+        cids = np.asarray(keep, np.int64)
+        cent = np.stack([svec[c] / cnt[c] for c in keep])
+
+    ref = ray.put((cids, cent))
+
+    def final_assign(b: pa.Table, _ref=ref) -> pa.Table:
+        cc, cm = ray.get(_ref)
+        ids, x = _mat(b)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        a = _assign(x, cm)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cc[a], pa.int64())})
+
+    return emb.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _sql_kmeans(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """Unrolled-iteration Lloyd oracle: c0 = the vec_id<k vectors;
+    each round re-assigns via ROW_NUMBER over (distance, cid) and
+    re-averages element-wise through a zipped parallel unnest."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {k})"]
+    for i in range(1, iters + 2):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid FROM ("
+            "SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            "PARTITION BY e.vec_id "
+            "ORDER BY list_distance(e.v, c.v), c.cid) AS rn "
+            f"FROM e CROSS JOIN c{i - 1} c) WHERE rn = 1)")
+        if i <= iters:
+            parts.append(
+                f"m{i} AS (SELECT a.cid, unnest(e.v) AS val, "
+                "unnest(range(len(e.v))) AS idx "
+                f"FROM a{i} a JOIN e USING (vec_id))")
+            parts.append(
+                f"c{i} AS (SELECT cid, list(avg_val ORDER BY idx) AS v "
+                f"FROM (SELECT cid, idx, AVG(val) AS avg_val FROM m{i} "
+                "GROUP BY cid, idx) GROUP BY cid)")
+    return (", ".join(parts) +
+            f" SELECT vec_id, cid AS cluster FROM a{iters + 1}")
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Canonical-representative selection (the step after exact dedup
+    in every corpus pipeline: of N identical copies, keep ONE and
+    remember how many it speaks for). Representative = lowest doc_id
+    in the exact-text group; output (doc_id, n_dups).
+
+    Shape for scale: each batch pre-combines to one (content-hash,
+    min-id, count) row per distinct text in the block, so the shuffle
+    moves per-distinct-text 24-byte rows, never text; a crc-coarse
+    groupby folds block partials into the exact global min/sum."""
+    mask = _coarse_mask()
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hb = F_dedup.add_content_hash(b)
+        df = pd.DataFrame({
+            "content_hash": hb.column("content_hash").to_pylist(),
+            "doc_id": b.column("doc_id").to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby("content_hash", sort=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        g = g.reset_index()
+        import zlib
+        # crc of the (hex ascii) hash: deterministic across workers
+        # (Python's str hash is per-process salted)
+        pk = np.fromiter(
+            (zlib.crc32(h.encode("ascii")) & mask
+             for h in g["content_hash"]), np.int64, count=len(g))
+        return pa.table({
+            "content_hash": pa.array(g["content_hash"], pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "n_dups": pa.array(g["n_dups"].to_numpy(), pa.int64()),
+            "pkey": pa.array(pk.astype(np.int32))})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("content_hash", sort=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+        return pa.table({
+            "doc_id": pa.array(m["doc_id"].to_numpy(), pa.int64()),
+            "n_dups": pa.array(m["n_dups"].to_numpy(), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(merge, batch_format="pandas"))
+
+
+_SQL_DEDUP_KEEP_BEST = (
+    "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
+    "FROM documents GROUP BY text")
+
+
+_IVU_LEN_US = 300_000_000  # each event covers [ts, ts + 5 min)
+
+
+def q_interval_union(sf_dir: str):
+    """Per-user union length of overlapping activity intervals (the
+    'total engaged time' metric): each event covers [ts, ts+5min);
+    overlaps within a user merge before summing. Output
+    (user_id, covered_us) — integer microseconds, hash-exact.
+
+    Shape for scale: interval union is associative on DISJOINT merged
+    spans, so each batch first merges its own (user, start) pairs into
+    disjoint spans (one lexsort + cummax per block); only merged spans
+    shuffle to the per-user groups, where the same vectorized sweep
+    finishes the exact union. Nothing is per-row Python."""
+
+    def _merge_spans(uid: np.ndarray, s: np.ndarray, e: np.ndarray):
+        """Vectorized sweep: per-uid disjoint spans via sorted cummax."""
+        o = np.lexsort((s, uid))
+        uid, s, e = uid[o], s[o], e[o]
+        # PER-USER running max end (a global accumulate would leak a
+        # previous user's far end into the next user's sweep)
+        cm = pd.Series(e).groupby(pd.Series(uid)).cummax().to_numpy()
+        # new span when user changes or start clears the running max end
+        new = np.ones(len(s), bool)
+        if len(s) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (s[1:] > cm[:-1])
+        idx = np.flatnonzero(new)
+        ends = np.append(idx[1:], len(s))
+        # span end = max end within the run (cummax at the run's last row)
+        return uid[idx], s[idx], cm[ends - 1]
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        if not len(uid):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.int64())})
+        u, s, e = _merge_spans(uid.astype(np.int64), ts,
+                               ts + _IVU_LEN_US)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(e, pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        u, s, e = _merge_spans(g["user_id"].to_numpy(np.int64),
+                               g["s"].to_numpy(np.int64),
+                               g["e"].to_numpy(np.int64))
+        cov = pd.Series(e - s).groupby(pd.Series(u)).sum()
+        return pa.table({
+            "user_id": pa.array(cov.index.to_numpy(), pa.int64()),
+            "covered_us": pa.array(cov.to_numpy(), pa.int64())})
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").map_groups(finish,
+                                           batch_format="pandas"))
+
+
+_SQL_INTERVAL_UNION = (
+    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+    f"epoch_us(ts) + {_IVU_LEN_US} AS e FROM events), "
+    "o AS (SELECT user_id, s, e, MAX(e) OVER ("
+    "PARTITION BY user_id ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax "
+    "FROM iv), "
+    "isl AS (SELECT user_id, s, e, SUM(CASE WHEN pmax IS NULL "
+    "OR s > pmax THEN 1 ELSE 0 END) OVER ("
+    "PARTITION BY user_id ORDER BY s, e) AS gid FROM o), "
+    "sp AS (SELECT user_id, MIN(s) AS ss, MAX(e) AS ee "
+    "FROM isl GROUP BY user_id, gid) "
+    "SELECT user_id, CAST(SUM(ee - ss) AS BIGINT) AS covered_us "
+    "FROM sp GROUP BY user_id")
+
+
+def q_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user (gaps-and-islands
+    over the calendar): the classic retention feature. Output
+    (user_id, max_streak) in days — integers, hash-exact.
+
+    Shape for scale: each batch pre-combines to DISTINCT (user, day)
+    pairs (8+8 bytes), the only thing that shuffles; per-user groups
+    then run one vectorized diff==1 run-length scan. Event volume per
+    (user, day) never leaves its block."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        day = (b.column("ts").to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        k = np.unique((uid.astype(np.uint64) << np.uint64(20))
+                      | day.astype(np.uint64))
+        return pa.table({
+            "user_id": pa.array((k >> np.uint64(20)).astype(np.int64)),
+            "day": pa.array(
+                (k & np.uint64((1 << 20) - 1)).astype(np.int64))})
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        k = np.unique((uid.astype(np.uint64) << np.uint64(20))
+                      | day.astype(np.uint64))
+        uid = (k >> np.uint64(20)).astype(np.int64)
+        day = (k & np.uint64((1 << 20) - 1)).astype(np.int64)
+        # np.unique output is sorted, so runs are (same uid, day+1)
+        brk = np.ones(len(k), bool)
+        if len(k) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        run_uid = uid[np.flatnonzero(brk)]
+        best = pd.Series(run_len).groupby(pd.Series(run_uid)).max()
+        return pa.table({
+            "user_id": pa.array(best.index.to_numpy(), pa.int64()),
+            "max_streak": pa.array(best.to_numpy().astype(np.int64))})
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").map_groups(finish,
+                                           batch_format="pandas"))
+
+
+_SQL_STREAKS = (
+    "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+    "FROM events), "
+    "r AS (SELECT user_id, day, ROW_NUMBER() OVER ("
+    "PARTITION BY user_id ORDER BY day) AS rn FROM d), "
+    "runs AS (SELECT user_id, COUNT(*) AS len FROM r "
+    "GROUP BY user_id, day - rn * INTERVAL 1 DAY) "
+    "SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY user_id")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -4949,6 +5261,11 @@ QUERIES = {
     "redact": q_redact,
     "chunk_docs": q_chunk_docs,
     "curate": q_curate,
+    # -- (1b) added this round, also never driver-adjudicated --
+    "kmeans": q_kmeans,
+    "dedup_keep_best": q_dedup_keep_best,
+    "interval_union": q_interval_union,
+    "streaks": q_streaks,
     # -- (2) implementation changed this round --
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
     "minhash_pairs": q_minhash_pairs,
@@ -5064,6 +5381,10 @@ ORACLE_SQL = {
     "dup_ngrams": _SQL_DUP_NGRAMS,
     "quality": _SQL_QUALITY,
     "lang_counts": _SQL_LANG_COUNTS,
+    "kmeans": _sql_kmeans(),
+    "dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
+    "interval_union": _SQL_INTERVAL_UNION,
+    "streaks": _SQL_STREAKS,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
     "jaccard_join": _SQL_JACCARD_JOIN,
     "group_percentiles": _SQL_GROUP_PERCENTILES,
