@@ -5234,6 +5234,395 @@ _SQL_STREAKS = (
     "SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY user_id")
 
 
+def q_profile_table(sf_dir: str):
+    """Column profiling (the data-quality / Deequ shape): per events
+    column, its null count and EXACT distinct count, in one pass.
+
+    Shape for scale: each batch emits its DISTINCT (column, key) pairs
+    plus one per-column null-count row — the only things that shuffle;
+    the (col, key) groupby dedups globally, then a #columns-group
+    finish counts keys. Floats become their injective int64 bit
+    pattern (-0.0 normalized to 0.0, all NaNs collapsed — matching SQL
+    DISTINCT semantics), so no value representation ever disagrees.
+    The pair shuffle is the same exact-distinct shape as
+    q_distinct_users; no column's value set ever lands on the driver."""
+    _NULLS = "\x00nulls"
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols, keys, nulls = [], [], []
+        for name in ("user_id", "event_type", "value", "props"):
+            col = b.column(name)
+            n_null = col.null_count
+            valid = col.drop_null()
+            if pa.types.is_floating(col.type):
+                v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+                v = np.where(v == 0.0, 0.0, v)        # -0.0 -> 0.0
+                bits = v.view(np.int64).copy()
+                bits[np.isnan(v)] = np.int64(-1)      # one NaN class
+                uq = np.unique(bits).astype("U24")
+            elif pa.types.is_integer(col.type):
+                uq = np.unique(
+                    valid.to_numpy(zero_copy_only=False)).astype("U24")
+            else:
+                uq = np.unique(np.asarray(valid.to_pylist(), dtype=object))
+            cols.extend([name] * (len(uq) + 1))
+            keys.extend(list(uq) + [_NULLS])
+            nulls.extend([0] * len(uq) + [n_null])
+        return pa.table({"col": pa.array(cols, pa.string()),
+                         "key": pa.array([str(k) for k in keys],
+                                         pa.string()),
+                         "nulls": pa.array(nulls, pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        sent = g["key"] == _NULLS
+        return pa.table({
+            "col": pa.array([g["col"].iloc[0]], pa.string()),
+            "n_nulls": pa.array([int(g.loc[sent, "nulls"].sum())],
+                                pa.int64()),
+            "n_distinct": pa.array([int((~sent).sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "value", "props"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["col", "key"])
+            .aggregate(Sum("nulls", alias_name="nulls"))
+            .groupby("col").map_groups(finish, batch_format="pandas"))
+
+
+_SQL_PROFILE_TABLE = (
+    "SELECT 'user_id' AS col, COUNT(*) - COUNT(user_id) AS n_nulls, "
+    "COUNT(DISTINCT user_id) AS n_distinct FROM events "
+    "UNION ALL SELECT 'event_type', COUNT(*) - COUNT(event_type), "
+    "COUNT(DISTINCT event_type) FROM events "
+    "UNION ALL SELECT 'value', COUNT(*) - COUNT(value), "
+    "COUNT(DISTINCT value) FROM events "
+    "UNION ALL SELECT 'props', COUNT(*) - COUNT(props), "
+    "COUNT(DISTINCT props) FROM events")
+
+
+def q_gap_fill(sf_dir: str):
+    """Time-series gap fill (resample-to-daily with zero fill): per
+    user, one row per calendar day between their first and last active
+    day, with that day's event count (0 on gap days) — the
+    dense-calendar input shape for per-entity time-series models.
+
+    Shape for scale: batches pre-combine to (user, day, n) partials;
+    ONE crc-coarse user-bucket shuffle co-locates each user's days;
+    inside each bucket the calendar expansion is a fully vectorized
+    repeat/arange fill — no per-user Python. Output rows scale with
+    sum of user spans, never with raw event volume."""
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        key = (uid.astype(np.uint64) << np.uint64(20)) | day.astype(
+            np.uint64)
+        uq, cnt = np.unique(key, return_counts=True)
+        uo = (uq >> np.uint64(20)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uo),
+            "pkey": pa.array((uo & mask).astype(np.int32)),
+            "day": pa.array((uq & np.uint64((1 << 20) - 1))
+                            .astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    def expand(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        # merge cross-batch partials for the same (user, day)
+        key = (uid.astype(np.uint64) << np.uint64(20)) | day.astype(
+            np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        brk = np.ones(len(key), bool)
+        brk[1:] = key[1:] != key[:-1]
+        ki = np.flatnonzero(brk)
+        key = key[ki]
+        n = np.add.reduceat(n, ki)
+        uid = (key >> np.uint64(20)).astype(np.int64)
+        day = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
+        # per-user span (keys sorted => per-user days sorted)
+        fi = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lo = day[fi]
+        hi = day[np.r_[fi[1:] - 1, len(day) - 1]]
+        span = hi - lo + 1
+        total = int(span.sum())
+        off = np.r_[0, np.cumsum(span[:-1])]
+        user_out = np.repeat(uid[fi], span)
+        day_out = (np.arange(total) - np.repeat(off, span)
+                   + np.repeat(lo, span))
+        n_out = np.zeros(total, np.int64)
+        uidx = np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1
+        n_out[off[uidx] + (day - lo[uidx])] = n
+        return pa.table({"user_id": pa.array(user_out),
+                         "day": pa.array(day_out),
+                         "n_events": pa.array(n_out)})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(expand, batch_format="pandas"))
+
+
+_SQL_GAP_FILL = (
+    "WITH d AS (SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) "
+    "AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "s AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d "
+    "GROUP BY 1), "
+    "cal AS (SELECT user_id, UNNEST(range(lo, hi + 1)) AS day FROM s) "
+    "SELECT cal.user_id, cal.day, COALESCE(d.n, 0) AS n_events "
+    "FROM cal LEFT JOIN d ON d.user_id = cal.user_id "
+    "AND d.day = cal.day")
+
+
+def q_markov_transitions(sf_dir: str):
+    """First-order behavioral transition matrix: counts of consecutive
+    event-type pairs per user (ordered by ts, event_id) — the input of
+    Markov-chain user modeling and next-event prediction.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle co-locates each
+    user's events (the sequence needs full per-user order); each bucket
+    runs a single lexsort + shifted compare — no per-user Python — and
+    emits per-bucket (from, to, n) partials; the final groupby is
+    bounded by #types², not data."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type")})
+
+    def walk(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        uid = uid[order]
+        et = g["event_type"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        frm, to = et[:-1][same], et[1:][same]
+        pair = np.char.add(np.char.add(frm.astype("U16"), "|"),
+                           to.astype("U16"))
+        uq, cnt = np.unique(pair, return_counts=True)
+        fs = [u.split("|") for u in uq]
+        return pa.table({
+            "from_type": pa.array([f[0] for f in fs], pa.string()),
+            "to_type": pa.array([f[1] for f in fs], pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(walk, batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+_SQL_MARKOV = (
+    "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+    "SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n "
+    "FROM o WHERE prev IS NOT NULL GROUP BY 1, 2")
+
+
+def q_winsorize(sf_dir: str):
+    """Winsorized (clipped) grouped sum: per event type, the sum of
+    integer-cent values after clipping to the group's exact
+    [p5, p95] — the standard robust-normalization step before model
+    features. Pure integer arithmetic, so no engine can disagree.
+
+    Shape for scale: the exact clip boundaries come from the two-pass
+    histogram-selection operator (shuffle carries bucket counts, never
+    rows); the #groups-row boundary table broadcasts into one
+    vectorized clip+sum pass whose partials are O(#groups) per batch."""
+    from ..functions.percentile import group_percentiles
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": cents})
+
+    cds = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    qs = group_percentiles(cds, "event_type", "cents", ps=(0.05, 0.95))
+    p5 = dict(zip(qs.column("event_type").to_pylist(),
+                  qs.column("p5").to_pylist()))
+    p95 = dict(zip(qs.column("event_type").to_pylist(),
+                   qs.column("p95").to_pylist()))
+
+    def clip_partial(b: pa.Table) -> pa.Table:
+        g = b.column("event_type").to_pylist()
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        lo = np.fromiter((p5[x] for x in g), np.int64, len(g))
+        hi = np.fromiter((p95[x] for x in g), np.int64, len(g))
+        w = np.minimum(np.maximum(cents, lo), hi)
+        df = pd.DataFrame({"event_type": g, "w": w})
+        agg = df.groupby("event_type", sort=False).agg(
+            n=("w", "size"), win_sum=("w", "sum")).reset_index()
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "win_sum": pa.array(agg["win_sum"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (cds.map_batches(clip_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("win_sum", alias_name="win_sum")))
+
+
+_SQL_WINSORIZE = (
+    "WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) "
+    "AS cents FROM events), "
+    "q AS (SELECT event_type, "
+    "percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS p5, "
+    "percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS p95 "
+    "FROM c GROUP BY 1) "
+    "SELECT c.event_type, COUNT(*) AS n, "
+    "CAST(SUM(LEAST(GREATEST(cents, p5), p95)) AS BIGINT) AS win_sum "
+    "FROM c JOIN q USING(event_type) GROUP BY 1")
+
+
+def q_skyline(sf_dir: str):
+    """Pareto frontier (skyline) over one brand's parts: minimize
+    integer-cent price, maximize size; a part survives iff no other
+    part is at-least-as-good on both axes and strictly better on one.
+
+    Shape for scale: the skyline operator is closed under union — each
+    batch's LOCAL frontier is a superset-preserving prune (any point
+    dominated inside a batch is dominated globally), so per-batch
+    partials shrink the stream to frontier-sized sets before ONE final
+    merge pass re-runs the same vectorized prune. The merge input is
+    O(blocks × frontier), never the table; no sort barrier, no
+    quadratic pass anywhere (the oracle's NOT EXISTS is the quadratic
+    formulation, ours is sort + running max per pass)."""
+    def local_skyline(b: pa.Table) -> pa.Table:
+        key = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False)
+        if len(key) == 0:
+            return b
+        # sort by (price asc); group per distinct price
+        order = np.lexsort((-size, cents))
+        key, cents, size = key[order], cents[order], size[order]
+        grp = np.r_[True, cents[1:] != cents[:-1]]
+        gi = np.cumsum(grp) - 1
+        gmax = np.maximum.reduceat(size, np.flatnonzero(grp))
+        # running max of strictly-cheaper groups
+        prev = np.r_[np.int64(np.iinfo(np.int64).min),
+                     np.maximum.accumulate(gmax)[:-1]]
+        keep = (size == gmax[gi]) & (gmax[gi] > prev[gi])
+        return pa.table({"p_partkey": pa.array(key[keep], pa.int64()),
+                         "cents": pa.array(cents[keep], pa.int64()),
+                         "p_size": pa.array(size[keep].astype(np.int32),
+                                            pa.int32())})
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("p_brand"), pa.scalar("Brand#4"))
+        b = b.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("p_retailprice"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"p_partkey": b.column("p_partkey"),
+                         "cents": cents, "p_size": b.column("p_size")})
+
+    return (_read_pq(f"{sf_dir}/part.parquet",
+                     columns=["p_partkey", "p_brand", "p_retailprice",
+                              "p_size"])
+            .map_batches(prep, batch_format="pyarrow")
+            .map_batches(local_skyline, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(local_skyline, batch_format="pyarrow"))
+
+
+_SQL_SKYLINE = (
+    "WITH c AS (SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS "
+    "BIGINT) AS cents, p_size FROM part WHERE p_brand = 'Brand#4') "
+    "SELECT p_partkey, cents, p_size FROM c p WHERE NOT EXISTS ("
+    "SELECT 1 FROM c q WHERE q.cents <= p.cents AND "
+    "q.p_size >= p.p_size AND (q.cents < p.cents OR "
+    "q.p_size > p.p_size))")
+
+
+def q_cube_sales(sf_dir: str):
+    """CUBE grouping sets over (returnflag, linestatus): all four
+    grouping levels — finest, each single-attribute margin, grand
+    total — from ONE exact finest-level pass (the rollup operator's
+    sibling; 'ALL' is the margin sentinel so no NULL ambiguity).
+
+    Shape for scale: identical to rollup_lineitem — per-batch exact
+    partials at the finest level (domain-bounded rows per batch), one
+    tiny groupby, margins derived from the domain-bounded combined
+    table in a single block pass."""
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_returnflag", "l_linestatus",
+                           "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flag = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        stat = b.column("l_linestatus").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(flag.astype("U8"), "|"),
+                          stat.astype("U8"))
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        cs = np.zeros(len(uniq), np.int64)
+        np.add.at(cs, inv, cents)
+        fs = [u.split("|") for u in uniq]
+        return pa.table({
+            "l_returnflag": pa.array([f[0] for f in fs], pa.string()),
+            "l_linestatus": pa.array([f[1] for f in fs], pa.string()),
+            "n_rows": pa.array(n), "cents": pa.array(cs)})
+
+    from ray.data.aggregate import Sum
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("cents", alias_name="cents")))
+
+    def add_margins(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        flag = df.groupby("l_returnflag", as_index=False)[
+            ["n_rows", "cents"]].sum()
+        flag["l_linestatus"] = "ALL"
+        stat = df.groupby("l_linestatus", as_index=False)[
+            ["n_rows", "cents"]].sum()
+        stat["l_returnflag"] = "ALL"
+        total = df[["n_rows", "cents"]].sum().to_frame().T
+        total["l_returnflag"] = "ALL"
+        total["l_linestatus"] = "ALL"
+        out = pd.concat([df, flag, stat, total], ignore_index=True)
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "n_rows": pa.array(out["n_rows"].to_numpy(np.int64)),
+            "cents": pa.array(out["cents"].to_numpy(np.int64))})
+
+    # the combined finest level is <= |flag|×|status| rows: one block
+    return (finest.repartition(1)
+            .map_batches(add_margins, batch_format="pyarrow"))
+
+
+_SQL_CUBE_SALES = (
+    "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+    "COUNT(*) AS n_rows, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS cents "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -5349,6 +5738,12 @@ QUERIES = {
     "user_paths": q_user_paths,
     "window_dedup": q_window_dedup,
     "left_join_fill": q_left_join_fill,
+    "profile_table": q_profile_table,
+    "gap_fill": q_gap_fill,
+    "markov_transitions": q_markov_transitions,
+    "winsorize": q_winsorize,
+    "skyline": q_skyline,
+    "cube_sales": q_cube_sales,
 }
 
 ORACLE_SQL = {
@@ -5483,6 +5878,12 @@ ORACLE_SQL.update({
     "user_paths": _SQL_USER_PATHS,
     "window_dedup": _SQL_WINDOW_DEDUP,
     "left_join_fill": _SQL_LEFT_JOIN_FILL,
+    "profile_table": _SQL_PROFILE_TABLE,
+    "gap_fill": _SQL_GAP_FILL,
+    "markov_transitions": _SQL_MARKOV,
+    "winsorize": _SQL_WINSORIZE,
+    "skyline": _SQL_SKYLINE,
+    "cube_sales": _SQL_CUBE_SALES,
 })
 
 # Remaining no-oracle entries, each with a reason:
