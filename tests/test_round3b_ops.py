@@ -118,3 +118,133 @@ def test_dedup_keep_best_min_id_and_counts(ray_session, tmp_path):
            .sort_values("doc_id", ignore_index=True))
     assert got["doc_id"].tolist() == [1, 7]
     assert got["n_dups"].tolist() == [3, 2]
+
+
+def _events_full(rows):
+    """rows: (event_id, user_id, ts_us, event_type, value, props)"""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string())})
+
+
+def test_profile_table_nulls_negzero_nan(ray_session, tmp_path):
+    """The distinct classes SQL can't randomly produce: -0.0 must
+    collapse into 0.0, every NaN into ONE class, and null counts must
+    ride per column independently."""
+    ev = _events_full([
+        (1, 1, 0, "a", 0.0, None),
+        (2, 1, 1, "b", -0.0, None),
+        (3, None, 2, "a", float("nan"), "{}"),
+        (4, 2, 3, None, float("nan"), "{}"),
+    ])
+    sf = _write(tmp_path, "events", ev)
+    got = (Q.q_profile_table(sf).to_pandas()
+           .sort_values("col", ignore_index=True))
+    exp = {
+        "event_type": (1, 2),   # null once; {a, b}
+        "props": (2, 1),        # two nulls; one distinct
+        "user_id": (1, 2),      # null once; {1, 2}
+        "value": (0, 2),        # {0.0 (== -0.0), NaN-class}
+    }
+    assert got["col"].tolist() == sorted(exp)
+    for _, r in got.iterrows():
+        n_nulls, n_distinct = exp[r["col"]]
+        assert r["n_nulls"] == n_nulls, r["col"]
+        assert r["n_distinct"] == n_distinct, r["col"]
+
+
+def test_gap_fill_span_expansion_and_user_isolation(
+        ray_session, tmp_path):
+    DAY = 86_400_000_000
+    rows = [
+        # user 1: two events day 0, one event day 3 -> [2,0,0,1]
+        (1, 1, 0), (2, 1, 1), (3, 1, 3 * DAY),
+        # user 2: single day -> one row, no fill
+        (4, 2, 5 * DAY),
+    ]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_gap_fill(sf).to_pandas()
+           .sort_values(["user_id", "day"], ignore_index=True))
+    assert got["user_id"].tolist() == [1, 1, 1, 1, 2]
+    assert got["day"].tolist() == [0, 1, 2, 3, 5]
+    assert got["n_events"].tolist() == [2, 0, 0, 1, 1]
+
+
+def test_markov_transitions_ts_tie_and_user_boundary(
+        ray_session, tmp_path):
+    rows = [
+        # user 1: ts tie broken by event_id -> B then A, then C
+        (2, 1, 0, "A", 0.0, "{}"),
+        (1, 1, 0, "B", 0.0, "{}"),
+        (3, 1, 5, "C", 0.0, "{}"),
+        # user 2: single event -> contributes no transition, and no
+        # cross-user edge to user 1's last event
+        (4, 2, 6, "A", 0.0, "{}"),
+    ]
+    sf = _write(tmp_path, "events", _events_full(rows))
+    got = (Q.q_markov_transitions(sf).to_pandas()
+           .sort_values(["from_type", "to_type"], ignore_index=True))
+    assert list(map(tuple, got.to_numpy())) == [
+        ("A", "C", 1), ("B", "A", 1)]
+
+
+def test_winsorize_matches_duckdb_on_tiny_groups(ray_session, tmp_path):
+    """Singleton group, all-equal group, and a group where p5 == min /
+    p95 == max sit exactly on percentile_disc boundaries."""
+    import duckdb
+    rows = [(i, 1, i, t, v, "{}") for i, (t, v) in enumerate([
+        ("solo", 7.25),
+        ("flat", 2.0), ("flat", 2.0), ("flat", 2.0),
+        ("spread", 0.01), ("spread", 1.0), ("spread", 1.0),
+        ("spread", 1.0), ("spread", 99.99),
+    ])]
+    sf = _write(tmp_path, "events", _events_full(rows))
+    got = (Q.q_winsorize(sf).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet'")
+    want = (con.execute(Q._SQL_WINSORIZE).fetchdf()
+            .sort_values("event_type", ignore_index=True))
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["win_sum"].tolist() == want["win_sum"].tolist()
+
+
+def test_skyline_duplicates_ties_and_domination(ray_session, tmp_path):
+    parts = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "p_name": pa.array(["p"] * 7),
+        "p_brand": pa.array(["Brand#4"] * 6 + ["Brand#5"]),
+        "p_type": pa.array(["t"] * 7),
+        "p_size": pa.array([10, 10, 5, 5, 10, 20, 99], pa.int32()),
+        "p_retailprice": pa.array(
+            [1.0, 1.0, 1.0, 0.5, 2.0, 2.0, 0.01], pa.float64())})
+    sf = _write(tmp_path, "part", parts)
+    got = (Q.q_skyline(sf).to_pandas()
+           .sort_values("p_partkey", ignore_index=True))
+    # identical points 1 and 2 both survive (neither strictly
+    # dominates); 3 dominated at equal price; 5 dominated at equal
+    # size; 7 is the wrong brand
+    assert got["p_partkey"].tolist() == [1, 2, 4, 6]
+
+
+def test_cube_sales_all_four_grouping_levels(ray_session, tmp_path):
+    li = pa.table({
+        "l_returnflag": pa.array(["A", "A", "B"]),
+        "l_linestatus": pa.array(["O", "F", "O"]),
+        "l_extendedprice": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    sf = _write(tmp_path, "lineitem", li)
+    got = (Q.q_cube_sales(sf).to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"],
+                        ignore_index=True))
+    exp = sorted([
+        ("A", "O", 1, 100), ("A", "F", 1, 200), ("B", "O", 1, 300),
+        ("A", "ALL", 2, 300), ("B", "ALL", 1, 300),
+        ("ALL", "O", 2, 400), ("ALL", "F", 1, 200),
+        ("ALL", "ALL", 3, 600)])
+    assert list(map(tuple, got.to_numpy())) == exp
