@@ -5623,6 +5623,340 @@ _SQL_CUBE_SALES = (
     "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
 
 
+def q_rolling_sum(sf_dir: str):
+    """Row-based rolling window aggregate (ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW): per event, the sum of that user's last-3-event
+    integer cents ordered by (ts, event_id) — the classic moving-
+    window feature the time-based tumbling/sliding operators don't
+    cover.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle co-locates
+    each user's events (a row window needs full per-user order); each
+    bucket runs a single lexsort + prefix sum, and every row's window
+    is two gathers into the padded cumsum with the start index clamped
+    at the user's first row — no per-user Python, no per-row state."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "cents": cents})
+
+    def window(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        uid = uid[order]
+        eid = g["event_id"].to_numpy()[order]
+        cents = g["cents"].to_numpy(np.int64)[order]
+        cs = np.r_[np.int64(0), np.cumsum(cents)]
+        brk = np.r_[True, uid[1:] != uid[:-1]]
+        first = np.flatnonzero(brk)
+        uidx = np.cumsum(brk) - 1
+        i = np.arange(len(uid))
+        start = np.maximum(i - 2, first[uidx])
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": pa.array(uid),
+                         "roll_cents": pa.array(cs[i + 1] - cs[start])})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(window, batch_format="pandas"))
+
+
+_SQL_ROLLING_SUM = (
+    "WITH c AS (SELECT event_id, user_id, ts, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, user_id, CAST(SUM(cents) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS roll_cents FROM c")
+
+
+def q_bpe_merge(sf_dir: str):
+    """One BPE tokenizer merge step: the 20 most frequent ADJACENT
+    codepoint pairs across the corpus — the inner loop of byte-pair-
+    encoding vocabulary training, as one streaming pass.
+
+    Shape for scale: each batch decodes its whole text column into ONE
+    contiguous uint32 codepoint buffer (documents separated by a \\x00
+    sentinel no real text contains — a text that did contain \\x00
+    would have its sentinel-adjacent pairs dropped), packs adjacent
+    pairs into uint64 keys and counts them with a single np.unique —
+    zero per-document Python. The shuffle moves (pair, n) partials
+    bounded by alphabet², never the corpus; the final top-20 cut uses
+    the total order (n DESC, pair ASC), which both engine and oracle
+    share (uint64 packed-pair order == UTF-8 binary string order), so
+    the cut is deterministic. The ≤alphabet²-row decode at the end is
+    the only scalar loop, and it is domain-bounded, not data-bounded."""
+    def partial(b: pa.Table) -> pa.Table:
+        s = "\x00".join(b.column("text").to_pylist())
+        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+        a, bb = cp[:-1], cp[1:]
+        m = (a != 0) & (bb != 0)
+        key = ((a[m].astype(np.uint64) << np.uint64(21))
+               | bb[m].astype(np.uint64))
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"pk": pa.array(uq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["n", "pk"], ascending=[False, True],
+                            kind="mergesort").head(20)
+        pk = df["pk"].to_numpy(np.int64)
+        pair = [chr(int(k) >> 21) + chr(int(k) & ((1 << 21) - 1))
+                for k in pk]  # <= 20 rows
+        return pa.table({"pair": pa.array(pair, pa.string()),
+                         "n": pa.array(df["n"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (_read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pk").aggregate(Sum("n", alias_name="n"))
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas"))
+
+
+_SQL_BPE_MERGE = (
+    "WITH p AS (SELECT substring(text, i, 2) AS pair FROM ("
+    "SELECT text, unnest(range(1, length(text))) AS i FROM documents)) "
+    "SELECT pair, COUNT(*) AS n FROM p GROUP BY 1 "
+    "ORDER BY n DESC, pair LIMIT 20")
+
+
+def q_sq8_embed(sf_dir: str):
+    """Per-dimension int8 scalar-quantization profile of the embedding
+    column — the compression step ANN stores run before indexing: the
+    exact per-dim [min, max] bounds plus the sum of the 0..255 codes
+    every vector quantizes to under those bounds.
+
+    Shape for scale: pass 1 folds each block to one (dim, min, max)
+    row per dimension (O(dim) partials); the #dims-row bounds table is
+    aggregate-sized and broadcasts into pass 2, where codes are one
+    vectorized floor((v−min)·255/(max−min)) over the rows×dim matrix
+    and collapse to O(dim) partial sums per block. Both passes stream.
+    The bounds are exact float32 SELECTIONS (no arithmetic) and the
+    code expression keeps the oracle's IEEE op order, so every value
+    hash-compares bit-identically."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _mat(b: pa.Table) -> np.ndarray:
+        arr = b.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.float64)
+
+    def bounds_partial(b: pa.Table) -> pa.Table:
+        m = _mat(b)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "minv": pa.array(m.min(axis=0)),
+            "maxv": pa.array(m.max(axis=0)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], np.int64))})
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    bt = (ds.map_batches(bounds_partial, batch_format="pyarrow")
+          .groupby("dim")
+          .aggregate(Min("minv", alias_name="minv"),
+                     Max("maxv", alias_name="maxv"),
+                     Sum("n", alias_name="n"))
+          .sort("dim").take_all())          # bounded: one row per dim
+    minv = np.array([r["minv"] for r in bt], np.float64)
+    maxv = np.array([r["maxv"] for r in bt], np.float64)
+    n = np.array([r["n"] for r in bt], np.int64)
+    span_ok = maxv > minv
+
+    def code_partial(b: pa.Table) -> pa.Table:
+        m = _mat(b)
+        codes = np.where(
+            span_ok[None, :],
+            np.floor((m - minv[None, :]) * 255.0
+                     / np.where(span_ok, maxv - minv, 1.0)[None, :]),
+            0.0)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "sum_code": pa.array(codes.sum(axis=0).astype(np.int64))})
+
+    st = (ds.map_batches(code_partial, batch_format="pyarrow")
+          .groupby("dim").aggregate(Sum("sum_code",
+                                        alias_name="sum_code"))
+          .sort("dim").take_all())
+    return pa.table({
+        "dim": pa.array(np.arange(len(bt), dtype=np.int64)),
+        "minv": pa.array(minv), "maxv": pa.array(maxv),
+        "n": pa.array(n),
+        "sum_code": pa.array(
+            np.array([r["sum_code"] for r in st], np.int64))})
+
+
+_SQL_SQ8_EMBED = (
+    "WITH u AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim, "
+    "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+    "b AS (SELECT dim, MIN(v) AS minv, MAX(v) AS maxv, COUNT(*) AS n "
+    "FROM u GROUP BY 1) "
+    "SELECT b.dim, b.minv, b.maxv, b.n, "
+    "CAST(SUM(CASE WHEN maxv > minv THEN "
+    "FLOOR((v - minv) * 255 / (maxv - minv)) ELSE 0 END) AS BIGINT) "
+    "AS sum_code FROM u JOIN b USING (dim) "
+    "GROUP BY b.dim, b.minv, b.maxv, b.n")
+
+
+_EDP_KLEN = 16
+_EDP_P = np.uint64(0x9E3779B97F4A7C15)   # odd 64-bit mixing base
+
+
+def _edp_pad(keys: list[str]) -> np.ndarray:
+    """(len(keys), _EDP_KLEN) uint64 codepoint matrix, 0-padded."""
+    out = np.zeros((len(keys), _EDP_KLEN), np.uint64)
+    if keys:
+        s = "\x00".join(keys)
+        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+        lens = np.fromiter((len(k) for k in keys), np.int64, len(keys))
+        starts = np.r_[0, np.cumsum(lens[:-1] + 1)]
+        col = np.arange(_EDP_KLEN)
+        idx = starts[:, None] + col[None, :]
+        valid = col[None, :] < lens[:, None]
+        out[valid] = cp[idx[valid]]
+    return out
+
+
+def _edp_first_mismatch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per row: index of the first differing column (ncols if equal)."""
+    neq = a != b
+    any_ = neq.any(axis=1)
+    pos = np.argmax(neq, axis=1)
+    return np.where(any_, pos, a.shape[1])
+
+
+def q_edit_dist_pairs(sf_dir: str):
+    """Edit-distance near-duplicate keys (SymSpell deletion-
+    neighborhood blocking): document pairs over the doc_id % 4 slice
+    whose normalized 16-char text prefix is within Levenshtein
+    distance 1 (0 = identical prefix). Output (id_a, id_b, dist),
+    id_a < id_b.
+
+    Shape for scale: each key emits its radius-1 DELETION NEIGHBORHOOD
+    — the key itself plus its ≤16 one-char-deleted variants — as
+    64-bit polynomial hashes, all derived from ONE padded rows×16
+    codepoint matrix via vectorized column drops and a power-weighted
+    row sum (pads contribute 0, so the hash is a true string hash
+    independent of padding width): no per-string Python. Two keys
+    within edit distance 1 ALWAYS share a variant (delete the edited
+    position from whichever side has it), so the blocking is lossless;
+    hash collisions and distance-2 sharers only ADD candidates, which
+    the exact vectorized verifier (mismatch count at equal length,
+    prefix+suffix cover at length diff 1) removes. Candidates shuffle
+    by variant hash and dedup distributed; the corpus never
+    self-joins. Within an identical-prefix group of g docs the output
+    is g(g−1)/2 rows — quadratic in the dup group like every pair
+    operator here; collapse with dedup_keep_best first when groups
+    can be huge."""
+    cmask = _coarse_mask()
+    m64 = (1 << 64) - 1
+    pw = np.array([pow(int(_EDP_P), i, 1 << 64) & m64
+                   for i in range(_EDP_KLEN)], np.uint64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = (ids % 4) == 0
+        ids = ids[sel].astype(np.int64)
+        keys = [t[:_EDP_KLEN].lower() for t, k in
+                zip(b.column("text").to_pylist(), sel) if k]
+        mat = _edp_pad(keys)
+        hs = [(mat * pw[None, :]).sum(axis=1)]          # identity
+        for d in range(_EDP_KLEN):                       # deletions
+            vm = np.concatenate([mat[:, :d], mat[:, d + 1:]], axis=1)
+            hs.append((vm * pw[None, :_EDP_KLEN - 1]).sum(axis=1))
+        h = np.concatenate(hs).astype(np.int64)
+        reps = len(hs)
+        return pa.table({
+            "vh": pa.array(h),
+            "pkey": pa.array((h & cmask).astype(np.int32)),
+            "hid": pa.array(np.tile(ids, reps)),
+            "hkey": pa.array(np.tile(np.asarray(keys, object), reps)
+                             .tolist(), pa.string())})
+
+    def pairs_in_group(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_ka, out_kb = [], [], [], []
+        for _, sub in g.groupby("vh", sort=False):
+            # one doc appears once per matching variant: dedup ids
+            ids, ix = np.unique(sub["hid"].to_numpy(), return_index=True)
+            if len(ids) < 2:
+                continue
+            ks = sub["hkey"].to_numpy()[ix]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii]); out_b.append(ids[jj])
+            out_ka.append(ks[ii]); out_kb.append(ks[jj])
+        cat = (lambda xs, dt: np.concatenate(xs).astype(dt)
+               if xs else np.empty(0, dt))
+        return pa.table({
+            "id_a": pa.array(cat(out_a, np.int64)),
+            "id_b": pa.array(cat(out_b, np.int64)),
+            "key_a": pa.array(cat(out_ka, object).tolist(), pa.string()),
+            "key_b": pa.array(cat(out_kb, object).tolist(), pa.string())})
+
+    def dedup_and_verify(g: pd.DataFrame) -> pa.Table:
+        pk = (g["id_a"].to_numpy(np.int64).astype(np.uint64)
+              << np.uint64(32)) | g["id_b"].to_numpy(np.int64).astype(
+                  np.uint64)
+        _, ix = np.unique(pk, return_index=True)
+        ka = g["key_a"].to_numpy()[ix]
+        kb = g["key_b"].to_numpy()[ix]
+        la = np.fromiter((len(k) for k in ka), np.int64, len(ix))
+        lb = np.fromiter((len(k) for k in kb), np.int64, len(ix))
+        A, B = _edp_pad(list(ka)), _edp_pad(list(kb))
+        dist = np.full(len(ix), 99, np.int64)
+        eqlen = la == lb
+        if eqlen.any():
+            mm = (A[eqlen] != B[eqlen]).sum(axis=1)
+            dist[np.flatnonzero(eqlen)[mm <= 1]] = mm[mm <= 1]
+        d1 = np.abs(la - lb) == 1
+        if d1.any():
+            ii = np.flatnonzero(d1)
+            ls = np.minimum(la[ii], lb[ii])
+            pre = _edp_first_mismatch(A[ii], B[ii])
+            Ar = _edp_pad([k[::-1] for k in ka[ii]])
+            Br = _edp_pad([k[::-1] for k in kb[ii]])
+            suf = _edp_first_mismatch(Ar, Br)
+            dist[ii[(pre + suf) >= ls]] = 1
+        keep = dist <= 1
+        ia = g["id_a"].to_numpy(np.int64)[ix][keep]
+        ib = g["id_b"].to_numpy(np.int64)[ix][keep]
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib),
+                         "dist": pa.array(dist[keep])})
+
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False)
+        return b.append_column("qkey", pa.array(
+            (((a << 7) ^ bb) & cmask).astype(np.int32)))
+
+    cand = (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(pairs_in_group, batch_format="pandas"))
+    return (cand.map_batches(add_pair_key, batch_format="pyarrow")
+            .groupby("qkey")
+            .map_groups(dedup_and_verify, batch_format="pandas"))
+
+
+_SQL_EDIT_DIST_PAIRS = (
+    "WITH k AS (SELECT doc_id, lower(substring(text, 1, 16)) AS key "
+    "FROM documents WHERE doc_id % 4 = 0) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist "
+    "FROM k a, k b WHERE a.doc_id < b.doc_id "
+    "AND abs(length(a.key) - length(b.key)) <= 1 "
+    "AND levenshtein(a.key, b.key) <= 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -5744,6 +6078,10 @@ QUERIES = {
     "winsorize": q_winsorize,
     "skyline": q_skyline,
     "cube_sales": q_cube_sales,
+    "rolling_sum": q_rolling_sum,
+    "bpe_merge": q_bpe_merge,
+    "sq8_embed": q_sq8_embed,
+    "edit_dist_pairs": q_edit_dist_pairs,
 }
 
 ORACLE_SQL = {
@@ -5884,6 +6222,10 @@ ORACLE_SQL.update({
     "winsorize": _SQL_WINSORIZE,
     "skyline": _SQL_SKYLINE,
     "cube_sales": _SQL_CUBE_SALES,
+    "rolling_sum": _SQL_ROLLING_SUM,
+    "bpe_merge": _SQL_BPE_MERGE,
+    "sq8_embed": _SQL_SQ8_EMBED,
+    "edit_dist_pairs": _SQL_EDIT_DIST_PAIRS,
 })
 
 # Remaining no-oracle entries, each with a reason:

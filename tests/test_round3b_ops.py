@@ -248,3 +248,95 @@ def test_cube_sales_all_four_grouping_levels(ray_session, tmp_path):
         ("ALL", "O", 2, 400), ("ALL", "F", 1, 200),
         ("ALL", "ALL", 3, 600)])
     assert list(map(tuple, got.to_numpy())) == exp
+
+
+def _docs_table(ids_texts):
+    return pa.table({
+        "doc_id": pa.array([i for i, _ in ids_texts], pa.int64()),
+        "text": pa.array([t for _, t in ids_texts], pa.string()),
+        "lang": pa.array(["en"] * len(ids_texts)),
+        "source": pa.array(["s"] * len(ids_texts)),
+        "n_chars": pa.array([len(t) for _, t in ids_texts], pa.int64())})
+
+
+def test_rolling_sum_window_reset_and_ts_tie(ray_session, tmp_path):
+    rows = [
+        # user 1: cents 100,200,300,400 -> rolls 100,300,600,900;
+        # events 2 and 3 share ts, ordered by event_id
+        (1, 1, 0, "e", 1.0, "{}"),
+        (2, 1, 5, "e", 2.0, "{}"),
+        (3, 1, 5, "e", 3.0, "{}"),
+        (4, 1, 9, "e", 4.0, "{}"),
+        # user 2: window must NOT leak across users
+        (5, 2, 1, "e", 0.5, "{}"),
+    ]
+    sf = _write(tmp_path, "events", _events_full(rows))
+    got = (Q.q_rolling_sum(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    assert got["roll_cents"].tolist() == [100, 300, 600, 900, 50]
+
+
+def test_bpe_merge_counts_ties_and_doc_boundaries(ray_session, tmp_path):
+    docs = _docs_table([
+        (1, "aaab"),   # pairs aa, aa, ab
+        (2, "b"),      # no pair
+        (3, ""),       # no pair
+        (4, "cd"),     # pair cd — must NOT pair across doc boundary
+    ])
+    sf = _write(tmp_path, "documents", docs)
+    got = Q.q_bpe_merge(sf).to_pandas()
+    # ties (n=1) break by pair text ascending
+    assert list(map(tuple, got.to_numpy())) == [
+        ("aa", 2), ("ab", 1), ("cd", 1)]
+
+
+def test_sq8_embed_flat_dim_and_exact_codes(ray_session, tmp_path):
+    emb = _emb_table([(0.0, 5.5), (1.0, 5.5), (2.0, 5.5)])
+    sf = _write(tmp_path, "embeddings", emb)
+    got = Q.q_sq8_embed(sf).to_pandas().sort_values(
+        "dim", ignore_index=True)
+    assert got["n"].tolist() == [3, 3]
+    assert got["minv"].tolist() == [0.0, 5.5]
+    assert got["maxv"].tolist() == [2.0, 5.5]
+    # dim0: floor(v*255/2) = 0,127,255 -> 382; dim1 flat -> 0
+    assert got["sum_code"].tolist() == [382, 0]
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_dist_pairs_blocking_verify_and_slice(ray_session, tmp_path):
+    base = "abcdefghijklmnop"             # 16 chars
+    docs = _docs_table([
+        (0, base + "SUFFIX-A"),           # key == base
+        (4, base + "suffix-b"),           # dist 0 vs 0
+        (8, "X" + base[1:]),              # substitution -> dist 1
+        (12, base[:-1]),                  # deletion -> dist 1
+        (16, "ba" + base[2:]),            # transposition -> dist 2: a
+                                          # shared-deletion candidate the
+                                          # verifier must reject
+        (20, base.upper()),               # lower() -> dist 0 vs 0
+        (5, base),                        # not in the doc_id % 4 slice
+    ])
+    sf = _write(tmp_path, "documents", docs)
+    got = (Q.q_edit_dist_pairs(sf).to_pandas()
+           .sort_values(["id_a", "id_b"], ignore_index=True))
+    keys = {i: t[:16].lower() for i, t in
+            zip(docs.column("doc_id").to_pylist(),
+                docs.column("text").to_pylist()) if i % 4 == 0}
+    want = sorted((a, b, _lev(keys[a], keys[b]))
+                  for a in keys for b in keys
+                  if a < b and _lev(keys[a], keys[b]) <= 1)
+    assert list(map(tuple, got.to_numpy())) == want
+    assert 5 not in set(got["id_a"]) | set(got["id_b"])
+    assert 16 not in set(got["id_a"]) | set(got["id_b"])
