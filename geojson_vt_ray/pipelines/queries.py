@@ -5957,6 +5957,185 @@ _SQL_EDIT_DIST_PAIRS = (
     "AND levenshtein(a.key, b.key) <= 1")
 
 
+def q_twa(sf_dir: str):
+    """Time-weighted average inputs per user (the IoT/financial dwell-
+    weighted mean): each event's integer-cent value weighted by the
+    µs it remained current (until the user's next event). Output
+    (user_id, num_cents_us, span_us) — exact integer numerator and
+    denominator; the division is the caller's (floats would be the
+    only inexact step, so the operator doesn't take it).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket one
+    lexsort + shifted diff computes every user's weighted sum and span
+    with a bincount — no per-user Python. Integer capacity: the
+    per-user numerator telescopes to ≤ max_cents × user_span_µs, so
+    int64 holds for spans to ~5 000 years at $10 000 values."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "cents": cents})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        uid = uid[order]
+        ts = g["ts"].to_numpy(np.int64)[order]
+        cents = g["cents"].to_numpy(np.int64)[order]
+        brk = np.r_[True, uid[1:] != uid[:-1]]
+        uidx = np.cumsum(brk) - 1
+        same = ~brk[1:]                      # pairs within one user
+        dt = (ts[1:] - ts[:-1])[same]
+        w = cents[:-1][same] * dt
+        nuser = uidx[-1] + 1 if len(uid) else 0
+        num = np.zeros(nuser, np.int64)
+        np.add.at(num, uidx[:-1][same], w)
+        first = np.flatnonzero(brk)
+        last = np.r_[first[1:] - 1, len(uid) - 1]
+        return pa.table({
+            "user_id": pa.array(uid[first]),
+            "num_cents_us": pa.array(num),
+            "span_us": pa.array(ts[last] - ts[first])})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(fold, batch_format="pandas"))
+
+
+_SQL_TWA = (
+    "WITH c AS (SELECT user_id, epoch_us(ts) AS us, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+    "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT user_id, CAST(SUM(CASE WHEN nxt IS NOT NULL THEN "
+    "cents * (nxt - us) ELSE 0 END) AS BIGINT) AS num_cents_us, "
+    "MAX(us) - MIN(us) AS span_us FROM c GROUP BY 1")
+
+
+def q_group_moments(sf_dir: str):
+    """Grouped sufficient statistics for correlation/regression — per
+    event type the exact (n, Σx, Σx², Σy, Σy², Σxy) over x =
+    integer-cent value and y = hour-of-day — the one-pass moment
+    partials every distributed Pearson/OLS computation reduces to
+    (the float correlation itself is one driver-side expression over
+    these 6 integers, so the operator stays bit-exact).
+
+    Shape for scale: each block collapses to O(#types) moment rows
+    (classic algebraic-aggregate partials); one tiny groupby finishes.
+    Int64 capacity: Σx² grows as n·E[x²] — at $600 max values that
+    holds to ~3e9 rows per group; beyond that, split x into hi/lo
+    cents columns or use the sketch percentile path instead."""
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        y = ((b.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 3_600_000_000) % 24)
+        g = b.column("event_type").to_pylist()
+        df = pd.DataFrame({"event_type": g, "x": x, "y": y,
+                           "xx": x * x, "yy": y * y, "xy": x * y})
+        agg = df.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"),
+            sy=("y", "sum"), syy=("yy", "sum"),
+            sxy=("xy", "sum")).reset_index()
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            **{c: pa.array(agg[c].to_numpy(np.int64))
+               for c in ("n", "sx", "sxx", "sy", "syy", "sxy")}})
+
+    from ray.data.aggregate import Sum
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sxx", "sy", "syy",
+                                   "sxy")]))
+
+
+_SQL_GROUP_MOMENTS = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS x, "
+    "(epoch_us(ts) // 3600000000) % 24 AS y FROM events) "
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx, "
+    "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y*y) AS BIGINT) AS syy, "
+    "CAST(SUM(x*y) AS BIGINT) AS sxy FROM c GROUP BY 1")
+
+
+def q_quadkey_rollup(sf_dir: str):
+    """Multi-resolution spatial counts (the quadkey/tile-pyramid
+    analytics shape): event counts per quad cell at EVERY zoom level
+    1..4, all derived from ONE finest-level pass — the map-tile
+    heatmap backend where each coarser level is the sum of its four
+    children.
+
+    Shape for scale: blocks pre-combine to finest-cell counts (≤4⁴
+    rows per block); one cell-bounded groupby finishes level 4; the
+    coarser levels are integer shifts over that ≤256-row table in a
+    single block pass. floor(x·2^L) >> (L−l) == floor(x·2^l) (and the
+    clip commutes), so the derived levels match the oracle's per-level
+    projection bit-exactly."""
+    from ..functions.spatial import AssignCells
+    L = 4
+    ds = _events_points(sf_dir).map_batches(AssignCells(L),
+                                            batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ix = b.column("cell_x").to_numpy(zero_copy_only=False)
+        iy = b.column("cell_y").to_numpy(zero_copy_only=False)
+        key = (ix << L) | iy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"qk": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def widen(df: pd.DataFrame) -> pa.Table:
+        qk = df["qk"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        ix, iy = qk >> L, qk & ((1 << L) - 1)
+        lv, ox, oy, on = [], [], [], []
+        for lev in range(1, L + 1):
+            sh = L - lev
+            k = ((ix >> sh) << lev) | (iy >> sh)
+            uq, inv = np.unique(k, return_inverse=True)
+            s = np.zeros(len(uq), np.int64)
+            np.add.at(s, inv, n)
+            lv.append(np.full(len(uq), lev, np.int64))
+            ox.append(uq >> lev)
+            oy.append(uq & ((1 << lev) - 1))
+            on.append(s)
+        return pa.table({
+            "level": pa.array(np.concatenate(lv)),
+            "cell_x": pa.array(np.concatenate(ox)),
+            "cell_y": pa.array(np.concatenate(oy)),
+            "n": pa.array(np.concatenate(on))})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("qk").aggregate(Sum("n", alias_name="n"))
+            .repartition(1)
+            .map_batches(widen, batch_format="pandas"))
+
+
+def _sql_quadkey_rollup() -> str:
+    parts = []
+    for lev in range(1, 5):
+        ix, iy = _sql_cell(lev)
+        parts.append(
+            f"SELECT {lev} AS level, {ix} AS cell_x, {iy} AS cell_y, "
+            f"COUNT(*) AS n FROM ({_SQL_POINTS}) GROUP BY 1, 2, 3")
+    return " UNION ALL ".join(parts)
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -6082,6 +6261,9 @@ QUERIES = {
     "bpe_merge": q_bpe_merge,
     "sq8_embed": q_sq8_embed,
     "edit_dist_pairs": q_edit_dist_pairs,
+    "twa": q_twa,
+    "group_moments": q_group_moments,
+    "quadkey_rollup": q_quadkey_rollup,
 }
 
 ORACLE_SQL = {
@@ -6226,6 +6408,9 @@ ORACLE_SQL.update({
     "bpe_merge": _SQL_BPE_MERGE,
     "sq8_embed": _SQL_SQ8_EMBED,
     "edit_dist_pairs": _SQL_EDIT_DIST_PAIRS,
+    "twa": _SQL_TWA,
+    "group_moments": _SQL_GROUP_MOMENTS,
+    "quadkey_rollup": _sql_quadkey_rollup(),
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -340,3 +340,64 @@ def test_edit_dist_pairs_blocking_verify_and_slice(ray_session, tmp_path):
     assert list(map(tuple, got.to_numpy())) == want
     assert 5 not in set(got["id_a"]) | set(got["id_b"])
     assert 16 not in set(got["id_a"]) | set(got["id_b"])
+
+
+def test_twa_weights_span_and_singleton(ray_session, tmp_path):
+    rows = [
+        # user 1: cents 100 for 10us, 300 for 5us, last event unweighted
+        (1, 1, 0, "e", 1.0, "{}"),
+        (2, 1, 10, "e", 3.0, "{}"),
+        (3, 1, 15, "e", 9.0, "{}"),
+        # user 2: single event -> num 0, span 0
+        (4, 2, 7, "e", 5.0, "{}"),
+        # user 3: ts tie resolved by event_id: 200 for 0us, then 400 for 3us
+        (6, 3, 0, "e", 4.0, "{}"),
+        (5, 3, 0, "e", 2.0, "{}"),
+        (7, 3, 3, "e", 8.0, "{}"),
+    ]
+    sf = _write(tmp_path, "events", _events_full(rows))
+    got = (Q.q_twa(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert got["user_id"].tolist() == [1, 2, 3]
+    assert got["num_cents_us"].tolist() == [
+        100 * 10 + 300 * 5, 0, 200 * 0 + 400 * 3]
+    assert got["span_us"].tolist() == [15, 0, 3]
+
+
+def test_group_moments_hand_computed(ray_session, tmp_path):
+    H = 3_600_000_000
+    rows = [
+        # type a: (x, y) = (100, 0), (300, 2)
+        (1, 1, 0, "a", 1.0, "{}"),
+        (2, 1, 2 * H, "a", 3.0, "{}"),
+        # type b: one row (x, y) = (250, 25h -> hour 1)
+        (3, 1, 25 * H, "b", 2.5, "{}"),
+    ]
+    sf = _write(tmp_path, "events", _events_full(rows))
+    got = (Q.q_group_moments(sf).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    a = got.iloc[0]
+    assert (a["n"], a["sx"], a["sxx"], a["sy"], a["syy"], a["sxy"]) == \
+        (2, 400, 100**2 + 300**2, 2, 4, 600)
+    b = got.iloc[1]
+    assert (b["n"], b["sx"], b["sxx"], b["sy"], b["syy"], b["sxy"]) == \
+        (1, 250, 62500, 1, 1, 250)
+
+
+def test_quadkey_rollup_parent_child_consistency(ray_session, tmp_path):
+    # scatter events across the grid via the event_id -> lon/lat formula
+    rows = [(i * 137, 1, 0) for i in range(50)]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = Q.q_quadkey_rollup(sf).to_pandas()
+    total = {lev: int(got[got["level"] == lev]["n"].sum())
+             for lev in (1, 2, 3, 4)}
+    assert total == {1: 50, 2: 50, 3: 50, 4: 50}
+    # every level-l cell equals the sum of its level-(l+1) children
+    for lev in (1, 2, 3):
+        child = got[got["level"] == lev + 1]
+        parent = got[got["level"] == lev]
+        agg = (child.assign(px=child["cell_x"] // 2,
+                            py=child["cell_y"] // 2)
+               .groupby(["px", "py"])["n"].sum())
+        for _, r in parent.iterrows():
+            assert agg[(r["cell_x"], r["cell_y"])] == r["n"]
