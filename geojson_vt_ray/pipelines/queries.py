@@ -6136,6 +6136,164 @@ def _sql_quadkey_rollup() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_mad(sf_dir: str):
+    """Median absolute deviation per group — the robust scale
+    estimator (the companion of iqr_outliers for heavy-tailed
+    distributions): per event type the exact median of integer cents
+    AND the exact median of |cents − median|. Two chained exact order
+    statistics, both integers, so no engine can disagree.
+
+    Shape for scale: both medians come from the two-pass histogram-
+    selection operator (the shuffle carries (group, bucket) counts,
+    never rows); the #groups-row median table broadcasts into the
+    absolute-deviation pass. Four streaming passes total, zero row
+    shuffles."""
+    from ..functions.percentile import group_percentiles
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": cents})
+
+    cds = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+           .map_batches(to_cents, batch_format="pyarrow").materialize())
+    med = group_percentiles(cds, "event_type", "cents", ps=(0.5,))
+    m = dict(zip(med.column("event_type").to_pylist(),
+                 med.column("p50").to_pylist()))
+
+    def absdev(b: pa.Table) -> pa.Table:
+        g = b.column("event_type").to_pylist()
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        mm = np.fromiter((m[x] for x in g), np.int64, len(g))
+        return pa.table({"event_type": b.column("event_type"),
+                         "adev": pa.array(np.abs(cents - mm))})
+
+    mad = group_percentiles(
+        cds.map_batches(absdev, batch_format="pyarrow"),
+        "event_type", "adev", ps=(0.5,))
+    gk = med.column("event_type").to_pylist()
+    return pa.table({
+        "event_type": pa.array(gk, pa.string()),
+        "median_cents": med.column("p50"),
+        "mad_cents": pa.array(
+            [dict(zip(mad.column("event_type").to_pylist(),
+                      mad.column("p50").to_pylist()))[k] for k in gk],
+            pa.int64())})
+
+
+_SQL_MAD = (
+    "WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) "
+    "AS cents FROM events), "
+    "m AS (SELECT event_type, percentile_disc(0.5) WITHIN GROUP "
+    "(ORDER BY cents) AS med FROM c GROUP BY 1), "
+    "d AS (SELECT c.event_type, med, ABS(cents - med) AS adev "
+    "FROM c JOIN m USING (event_type)) "
+    "SELECT event_type, CAST(MIN(med) AS BIGINT) AS median_cents, "
+    "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT) "
+    "AS mad_cents FROM d GROUP BY 1")
+
+
+_PR_ITERS = 3
+_PR_R0 = 1_000_000
+_PR_BASE = 150_000
+
+
+def q_pagerank_int(sf_dir: str):
+    """Integer PageRank (3 damped power iterations) over the part
+    co-purchase graph: r₀ = 1 000 000 per node; each round
+    r'(v) = 150 000 + (85 · Σ_{u~v} (r(u) // deg(u))) // 100. Every
+    step is integer arithmetic, so the result is EXACT and independent
+    of summation order — the fixed-point trick that makes iterative
+    graph scoring adjudicable by a SQL oracle at all (float PageRank
+    diverges across engines in the last ULPs).
+
+    Shape for scale: the symmetrized edge table partitions once and
+    never re-shuffles; each round is one zero-shuffle map_batches
+    probing the broadcast sorted (node, contribution) arrays via
+    searchsorted and emitting per-block (node, partial-sum) rows —
+    node-set-bounded, the same small-side contract as graph_bfs's
+    frontier (the bucketed shuffle of label_propagation is the
+    documented fallback when the node set outgrows a broadcast)."""
+    import ray
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        v = b.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.r_[a, v].astype(np.int64)),
+            "nbr": pa.array(np.r_[v, a].astype(np.int64))})
+
+    sym_ds = (edges.map_batches(sym, batch_format="pyarrow")
+              .repartition(2 * ncpu).materialize())
+
+    # degrees: per-block (node, partial count) -> node-bounded merge
+    def deg_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("node").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "dn": pa.array(c.astype(np.int64))})
+
+    dd = (sym_ds.map_batches(deg_partial, batch_format="pyarrow")
+          .to_pandas().groupby("node", sort=True)["dn"].sum())
+    nodes = dd.index.to_numpy(np.int64)          # sorted
+    deg = dd.to_numpy(np.int64)
+    rank = np.full(len(nodes), _PR_R0, np.int64)
+
+    for _ in range(_PR_ITERS):
+        contrib = rank // deg
+        nref = ray.put(nodes)
+        cref = ray.put(contrib)
+
+        def push(b: pa.Table) -> pa.Table:
+            ns = ray.get(nref)
+            cs = ray.get(cref)
+            src = b.column("node").to_numpy(zero_copy_only=False)
+            dst = b.column("nbr").to_numpy(zero_copy_only=False)
+            w = cs[np.searchsorted(ns, src)]
+            uq, inv = np.unique(dst, return_inverse=True)
+            s = np.zeros(len(uq), np.int64)
+            np.add.at(s, inv, w)
+            return pa.table({"node": pa.array(uq.astype(np.int64)),
+                             "s": pa.array(s)})
+
+        pdf = (sym_ds.map_batches(push, batch_format="pyarrow")
+               .to_pandas().groupby("node", sort=True)["s"].sum())
+        sums = np.zeros(len(nodes), np.int64)
+        sums[np.searchsorted(nodes, pdf.index.to_numpy(np.int64))] = \
+            pdf.to_numpy(np.int64)
+        rank = _PR_BASE + (85 * sums) // 100
+
+    return pa.table({"node": pa.array(nodes), "pr": pa.array(rank)})
+
+
+def _sql_pagerank_int() -> str:
+    sql = (
+        "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem), "
+        "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM dp a JOIN dp b USING(l_orderkey) "
+        "WHERE a.l_partkey < b.l_partkey), "
+        "sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+        "deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1), "
+        f"r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS r FROM deg)")
+    for t in range(1, _PR_ITERS + 1):
+        sql += (
+            f", r{t} AS (SELECT deg.node, CAST({_PR_BASE} + "
+            f"(85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r FROM deg "
+            f"LEFT JOIN (SELECT sym.v AS node, "
+            f"SUM(r{t-1}.r // dg.d) AS c FROM sym "
+            f"JOIN r{t-1} ON r{t-1}.node = sym.u "
+            f"JOIN deg dg ON dg.node = sym.u GROUP BY 1) s "
+            f"USING (node))")
+    return sql + (f" SELECT node, r AS pr FROM r{_PR_ITERS}")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -6264,6 +6422,8 @@ QUERIES = {
     "twa": q_twa,
     "group_moments": q_group_moments,
     "quadkey_rollup": q_quadkey_rollup,
+    "mad": q_mad,
+    "pagerank_int": q_pagerank_int,
 }
 
 ORACLE_SQL = {
@@ -6411,6 +6571,8 @@ ORACLE_SQL.update({
     "twa": _SQL_TWA,
     "group_moments": _SQL_GROUP_MOMENTS,
     "quadkey_rollup": _sql_quadkey_rollup(),
+    "mad": _SQL_MAD,
+    "pagerank_int": _sql_pagerank_int(),
 })
 
 # Remaining no-oracle entries, each with a reason:

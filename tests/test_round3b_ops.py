@@ -401,3 +401,46 @@ def test_quadkey_rollup_parent_child_consistency(ray_session, tmp_path):
                .groupby(["px", "py"])["n"].sum())
         for _, r in parent.iterrows():
             assert agg[(r["cell_x"], r["cell_y"])] == r["n"]
+
+
+def test_mad_hand_computed_and_singleton(ray_session, tmp_path):
+    rows = [
+        # type a: cents 100, 200, 1000 -> median 200, adev 100,0,800
+        # -> mad 100
+        (1, 1, 0, "a", 1.0, "{}"),
+        (2, 1, 1, "a", 2.0, "{}"),
+        (3, 1, 2, "a", 10.0, "{}"),
+        # type b: singleton -> median = value, mad 0
+        (4, 1, 3, "b", 7.77, "{}"),
+    ]
+    sf = _write(tmp_path, "events", _events_full(rows))
+    got = (Q.q_mad(sf).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    assert list(map(tuple, got.to_numpy())) == [
+        ("a", 200, 100), ("b", 777, 0)]
+
+
+def test_pagerank_int_matches_reference_recurrence(ray_session, tmp_path):
+    # path graph 1-2-3 plus isolated-pair 7-8, via shared orders
+    li = pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 11, 12, 12], pa.int64()),
+        "l_partkey": pa.array([1, 2, 2, 3, 7, 8], pa.int64()),
+        "l_quantity": pa.array([1.0] * 6, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 6, pa.float64()),
+        "l_discount": pa.array([0.0] * 6, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 6),
+        "l_linestatus": pa.array(["O"] * 6),
+        "l_shipdate": pa.array([0] * 6, pa.timestamp("us"))})
+    sf = _write(tmp_path, "lineitem", li)
+    got = (Q.q_pagerank_int(sf).to_pandas()
+           .sort_values("node", ignore_index=True))
+    # independent scalar reimplementation of the integer recurrence
+    adj = {1: [2], 2: [1, 3], 3: [2], 7: [8], 8: [7]}
+    r = {n: 1_000_000 for n in adj}
+    for _ in range(3):
+        r = {v: 150_000
+             + (85 * sum(r[u] // len(adj[u])
+                         for u in adj if v in adj[u])) // 100
+             for v in adj}
+    want = sorted(r.items())
+    assert list(map(tuple, got.to_numpy())) == want
