@@ -6294,6 +6294,154 @@ def _sql_pagerank_int() -> str:
     return sql + (f" SELECT node, r AS pr FROM r{_PR_ITERS}")
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: for each query embedding
+    (vec_id < 25) the single most cosine-similar vector with a
+    DIFFERENT label — the sampling step of contrastive/triplet
+    training. Output (query_id, vec_id, rnk=1).
+
+    Shape for scale: ONE streaming pass — the bounded query matrix +
+    labels broadcast via ray.put; each batch is one matmul with a
+    vectorized label mask, emitting a ≤1-row-per-query partial; the
+    merge is O(batches × queries). Same exact (cosine DESC, vec_id)
+    tie order as ann_topk (the scores are normalized-float64 dots on
+    both sides)."""
+    import pyarrow.parquet as pq
+    import ray
+    from ..functions.similarity import _norm_rows, topk_merge
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    labs = emb.column("label").to_numpy(zero_copy_only=False)
+    vals = emb.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False)
+    mat = vals.reshape(len(ids), -1)
+    qm = ids < 25
+    qmat = _norm_rows(mat[qm].astype(np.float64))
+    qids = ids[qm].astype(np.int64)
+    qlab = labs[qm].astype(np.int64)
+    qref = ray.put((qmat, qids, qlab))
+
+    def partial(b: pa.Table) -> pa.Table:
+        q, qi, ql = ray.get(qref)
+        col = b.column("embedding").combine_chunks()
+        m = _norm_rows(col.flatten().to_numpy(zero_copy_only=False)
+                       .reshape(len(col), -1).astype(np.float64))
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        vl = b.column("label").to_numpy(zero_copy_only=False)
+        sims = m @ q.T                                  # (n, nq)
+        allowed = vl[:, None] != ql[None, :]
+        o_q, o_id, o_s = [], [], []
+        for k in range(sims.shape[1]):                  # bounded queries
+            ok = allowed[:, k]
+            if not ok.any():
+                continue
+            s, iv = sims[ok, k], vid[ok]
+            j = np.lexsort((iv, -s))[0]
+            o_q.append(qi[k]); o_id.append(iv[j]); o_s.append(s[j])
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "vec_id": pa.array(o_id, pa.int64()),
+                         "cosine": pa.array(o_s, pa.float64())})
+
+    parts = (_read_pq(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+             .map_batches(partial, batch_format="pyarrow"))
+    tables = [t for t in
+              (ray.get(r) for r in parts.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        from ..functions.similarity import _empty_topk
+        return _empty_topk()
+    return topk_merge(pa.concat_tables(tables), 1)
+
+
+_SQL_HARD_NEGATIVES = (
+    "SELECT query_id, vec_id, rnk FROM ("
+    " SELECT q.vec_id AS query_id, v.vec_id AS vec_id, ROW_NUMBER() "
+    "OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity("
+    "  CAST(v.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) "
+    "DESC, v.vec_id) AS rnk"
+    " FROM embeddings v, (SELECT vec_id, embedding, label "
+    "FROM embeddings WHERE vec_id < 25) q WHERE v.label <> q.label)"
+    " WHERE rnk <= 1")
+
+
+def q_percent_rank(sf_dir: str):
+    """Exact percent-rank inputs per event within its type: n_lt =
+    #rows with strictly smaller integer cents (RANK()−1), n_group =
+    group size — the integer numerator/denominator of PERCENT_RANK,
+    left undivided so the result hash-compares exactly.
+
+    Shape for scale: pass 1 collapses blocks to distinct
+    (group, cents, count) partials — bounded by the VALUE DOMAIN
+    (integer cents), not the row count; the per-group sorted
+    cumulative-below table broadcasts (value-domain contract, like
+    the histogram operators); pass 2 is one zero-shuffle searchsorted
+    over the stream. For unbounded domains, the fallback is a hash
+    join back on (group, value) instead of the broadcast."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "cents": cents})
+
+    cds = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "value"])
+           .map_batches(to_cents, batch_format="pyarrow").materialize())
+
+    def vc_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "cents": b.column("cents").to_numpy(zero_copy_only=False)})
+        cnt = (df.groupby(["event_type", "cents"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({
+            "event_type": pa.array(cnt["event_type"], pa.string()),
+            "cents": pa.array(cnt["cents"].to_numpy(np.int64)),
+            "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    vc = (cds.map_batches(vc_partial, batch_format="pyarrow")
+          .groupby(["event_type", "cents"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    lut = {}
+    for g, sub in vc.groupby("event_type", sort=False):
+        sub = sub.sort_values("cents")
+        c = sub["cents"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        below = np.r_[np.int64(0), np.cumsum(n)[:-1]]
+        lut[g] = (c, below, int(n.sum()))
+    lref = ray.put(lut)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lu = ray.get(lref)
+        g = b.column("event_type").to_pylist()
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        n_lt = np.empty(len(g), np.int64)
+        n_grp = np.empty(len(g), np.int64)
+        garr = np.asarray(g, object)
+        for key in set(g):                     # bounded #groups
+            mask = garr == key
+            c, below, tot = lu[key]
+            n_lt[mask] = below[np.searchsorted(c, cents[mask])]
+            n_grp[mask] = tot
+        return pa.table({"event_id": b.column("event_id"),
+                         "n_lt": pa.array(n_lt),
+                         "n_group": pa.array(n_grp)})
+
+    return cds.map_batches(assign, batch_format="pyarrow")
+
+
+_SQL_PERCENT_RANK = (
+    "WITH c AS (SELECT event_id, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, CAST(RANK() OVER (PARTITION BY event_type "
+    "ORDER BY cents) - 1 AS BIGINT) AS n_lt, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n_group FROM c")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -6424,6 +6572,8 @@ QUERIES = {
     "quadkey_rollup": q_quadkey_rollup,
     "mad": q_mad,
     "pagerank_int": q_pagerank_int,
+    "hard_negatives": q_hard_negatives,
+    "percent_rank": q_percent_rank,
 }
 
 ORACLE_SQL = {
@@ -6573,6 +6723,8 @@ ORACLE_SQL.update({
     "quadkey_rollup": _sql_quadkey_rollup(),
     "mad": _SQL_MAD,
     "pagerank_int": _sql_pagerank_int(),
+    "hard_negatives": _SQL_HARD_NEGATIVES,
+    "percent_rank": _SQL_PERCENT_RANK,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -444,3 +444,35 @@ def test_pagerank_int_matches_reference_recurrence(ray_session, tmp_path):
              for v in adj}
     want = sorted(r.items())
     assert list(map(tuple, got.to_numpy())) == want
+
+
+def test_hard_negatives_label_mask_and_tie(ray_session, tmp_path):
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([
+            [1.0, 0.0],    # query, label 0
+            [1.0, 0.0],    # identical but SAME label -> excluded
+            [1.0, 1.0],    # label 1, cos = .707
+            [0.0, 1.0],    # label 1, cos = 0
+            [1.0, 1.0],    # label 2, cos = .707 -> ties vec 2; vec_id
+                           # tie-break keeps 2
+        ], pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1, 2], pa.int32())})
+    sf = _write(tmp_path, "embeddings", emb)
+    got = Q.q_hard_negatives(sf).to_pandas()
+    got = got[got["query_id"] == 0]
+    assert got["vec_id"].tolist() == [2]
+
+
+def test_percent_rank_ties_and_group_isolation(ray_session, tmp_path):
+    rows = [
+        (1, 1, 0, "a", 1.0, "{}"),
+        (2, 1, 1, "a", 1.0, "{}"),   # tie: both n_lt 0
+        (3, 1, 2, "a", 2.0, "{}"),   # n_lt 2
+        (4, 1, 3, "b", 9.0, "{}"),   # singleton group
+    ]
+    sf = _write(tmp_path, "events", _events_full(rows))
+    got = (Q.q_percent_rank(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    assert got["n_lt"].tolist() == [0, 0, 2, 0]
+    assert got["n_group"].tolist() == [3, 3, 3, 1]
