@@ -6442,6 +6442,259 @@ _SQL_PERCENT_RANK = (
     "COUNT(*) OVER (PARTITION BY event_type) AS n_group FROM c")
 
 
+def q_user_first_last(sf_dir: str):
+    """First/last-touch attribution per user: the event type and
+    integer-cent value of each user's earliest AND latest event plus
+    the lifetime event count — the arg_min/arg_max aggregate shape
+    (SCD snapshots, first-touch marketing attribution, account
+    open/close states). Total order is (ts, event_id) so ties are
+    deterministic.
+
+    Shape for scale: classic algebraic min/max partials — each block
+    collapses to one candidate row per user it saw (first + last
+    fields side by side), so the shuffle moves O(#users·#blocks-
+    touched) skinny rows, never events; the finalize is ONE coarse-
+    bucket groupby (user_id & mask — Ray per-group overhead is
+    ruinous at 1e6 natural keys) whose map_groups re-runs the same
+    vectorized first/last selection per bucket frame."""
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+            "ts": b.column("ts").cast(pa.int64())
+                   .to_numpy(zero_copy_only=False),
+            "event_id": b.column("event_id")
+                         .to_numpy(zero_copy_only=False),
+            "event_type": b.column("event_type").to_pylist(),
+            "cents": cents})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        f, l = g.head(1).reset_index(drop=True), \
+            g.tail(1).reset_index(drop=True)
+        n = g.size().reset_index(name="n")["n"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(f["user_id"].to_numpy(np.int64)),
+            "f_ts": pa.array(f["ts"].to_numpy(np.int64)),
+            "f_eid": pa.array(f["event_id"].to_numpy(np.int64)),
+            "first_type": pa.array(f["event_type"], pa.string()),
+            "first_cents": pa.array(f["cents"].to_numpy(np.int64)),
+            "l_ts": pa.array(l["ts"].to_numpy(np.int64)),
+            "l_eid": pa.array(l["event_id"].to_numpy(np.int64)),
+            "last_type": pa.array(l["event_type"], pa.string()),
+            "last_cents": pa.array(l["cents"].to_numpy(np.int64)),
+            "n": pa.array(n)})
+
+    mask = _coarse_mask()
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array(u & mask))
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        fd = df.sort_values(["user_id", "f_ts", "f_eid"],
+                            kind="mergesort")
+        f = fd.groupby("user_id", sort=True).head(1)
+        ld = df.sort_values(["user_id", "l_ts", "l_eid"],
+                            kind="mergesort")
+        l = ld.groupby("user_id", sort=True).tail(1)
+        n = (df.groupby("user_id", sort=True)["n"].sum()
+             .to_numpy(np.int64))
+        return pa.table({
+            "user_id": pa.array(f["user_id"].to_numpy(np.int64)),
+            "first_type": pa.array(f["first_type"].tolist(),
+                                   pa.string()),
+            "first_cents": pa.array(f["first_cents"]
+                                    .to_numpy(np.int64)),
+            "last_type": pa.array(l["last_type"].tolist(),
+                                  pa.string()),
+            "last_cents": pa.array(l["last_cents"].to_numpy(np.int64)),
+            "n_events": pa.array(n)})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(finalize, batch_format="pandas"))
+
+
+_SQL_USER_FIRST_LAST = (
+    "WITH c AS (SELECT user_id, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents, ts, event_id "
+    "FROM events), r AS (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn, COUNT(*) OVER (PARTITION BY user_id) AS n FROM c) "
+    "SELECT user_id, "
+    "MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type, "
+    "MAX(CASE WHEN rn = 1 THEN cents END) AS first_cents, "
+    "MAX(CASE WHEN rn = n THEN event_type END) AS last_type, "
+    "MAX(CASE WHEN rn = n THEN cents END) AS last_cents, "
+    "MAX(n) AS n_events FROM r GROUP BY 1")
+
+
+def q_class_centroids(sf_dir: str):
+    """Per-label embedding centroid inputs — the exact (Σ floor(1e6·x)
+    per dimension, count) every class-prototype computation reduces to
+    (semantic-dedup anchors, nearest-class-mean classifiers, hard-
+    negative mining all start from these). Kept as integer sums so the
+    result hash-compares exactly; the float centroid is one divide
+    away.
+
+    Shape for scale: each block collapses to (#labels·dim) integer
+    partial rows regardless of row count — the embedding matrix never
+    shuffles; one label-bounded groupby finishes. floor (truncation
+    toward -inf) rather than round: FLOOR(x*1e6) evaluates identically
+    in IEEE double for numpy and the SQL engine, with no half-tie
+    semantics to align."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding").combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(-1, dim)
+        q = np.floor(mat * 1e6).astype(np.int64)
+        lab = b.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(lab)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for u in uniq:                       # bounded #labels
+            m = lab == u
+            out_l.append(np.full(dim, u, np.int64))
+            out_d.append(np.arange(dim, dtype=np.int64))
+            out_s.append(q[m].sum(axis=0))
+            out_n.append(np.full(dim, int(m.sum()), np.int64))
+        return pa.table({"label": pa.array(np.concatenate(out_l)),
+                         "dim": pa.array(np.concatenate(out_d)),
+                         "s": pa.array(np.concatenate(out_s)),
+                         "n": pa.array(np.concatenate(out_n))})
+
+    return (_read_pq(f"{sf_dir}/embeddings.parquet",
+                     columns=["embedding", "label"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("n", alias_name="n")))
+
+
+_SQL_CLASS_CENTROIDS = (
+    "WITH u AS (SELECT label, UNNEST(embedding) AS e, "
+    "UNNEST(range(len(embedding))) AS dim FROM embeddings) "
+    "SELECT CAST(label AS BIGINT) AS label, dim, "
+    "CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) "
+    "AS BIGINT) AS s, COUNT(*) AS n FROM u GROUP BY 1, 2")
+
+
+def q_pip_anti(sf_dir: str):
+    """Spatial ANTI-join: event points covered by NO nation rectangle —
+    the coverage-gap / geofence-escape query (complement of pip_rect).
+
+    Shape for scale: the polygon side is aggregate-sized by contract,
+    so it broadcasts once (ray.put) and the corpus streams through a
+    zero-shuffle vectorized rejection test (one numpy compare per
+    rectangle, OR-folded); for polygon sets beyond driver memory the
+    fallback is the pip_join_shuffle cell-join followed by a left-anti
+    on event_id."""
+    import ray
+    polys_ref = ray.put(_nation_rects(sf_dir=sf_dir))
+
+    def outside(b: pa.Table) -> pa.Table:
+        polys = ray.get(polys_ref)
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(lon), bool)
+        for p in polys:
+            hit |= ((lon >= p["minx"]) & (lon <= p["maxx"])
+                    & (lat >= p["miny"]) & (lat <= p["maxy"]))
+        return pa.table({"event_id": pa.array(
+            b.column("event_id").to_numpy(zero_copy_only=False)[~hit],
+            pa.int64())})
+
+    return _events_points(sf_dir).map_batches(
+        outside, batch_format="pyarrow")
+
+
+_SQL_PIP_ANTI = (
+    "SELECT p.event_id FROM (" + _SQL_POINTS + ") p "
+    "WHERE NOT EXISTS (SELECT 1 FROM nation n "
+    "WHERE p.lon BETWEEN (n.n_nationkey*14.0 - 168.0) - 8.05 "
+    "AND (n.n_nationkey*14.0 - 168.0) + 8.05 "
+    "AND p.lat BETWEEN (n.n_nationkey*6.0 - 72.0) - 5.05 "
+    "AND (n.n_nationkey*6.0 - 72.0) + 5.05)")
+
+
+def q_pca_project(sf_dir: str, k: int = 2):
+    """Distributed PCA projection of the embedding corpus onto its top-k
+    principal components — the dimensionality-reduction front end of
+    visualization, whitening and spectral dedup pipelines.
+
+    Shape for scale: pass 1 reduces each block to the d×d Gram matrix +
+    d-vector sum + count (fixed-size algebraic partials — the corpus
+    never shuffles and the driver holds O(d²) floats, never rows); the
+    driver eigendecomposes the d×d covariance (d=64 here; the partial
+    shape holds to d≈4096 before the Gram block itself needs tiling);
+    pass 2 broadcasts (μ, W) once and projects zero-shuffle. Component
+    signs are canonicalized (largest-|loading| coordinate positive) so
+    output is deterministic across eigensolver builds. No SQL oracle —
+    eigendecomposition is not SQL-expressible; the gate is exact
+    agreement (atol 1e-8) with single-process numpy PCA on the same
+    table in tests/test_round3_ops.py."""
+    import ray
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding").combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(-1, dim)
+        g = mat.T @ mat
+        return pa.table({
+            "n": pa.array([len(mat)], pa.int64()),
+            "sx": pa.array([mat.sum(axis=0).tobytes()], pa.binary()),
+            "gram": pa.array([g.tobytes()], pa.binary()),
+            "dim": pa.array([dim], pa.int64())})
+
+    parts = (_read_pq(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding"])
+             .map_batches(gram_partial, batch_format="pyarrow")
+             .take_all())                    # O(#blocks) fixed-size rows
+    d = int(parts[0]["dim"])
+    n_tot = sum(int(p["n"]) for p in parts)
+    sx = np.zeros(d)
+    gram = np.zeros((d, d))
+    for p in parts:
+        sx += np.frombuffer(p["sx"], np.float64)
+        gram += np.frombuffer(p["gram"], np.float64).reshape(d, d)
+    mu = sx / n_tot
+    cov = (gram - n_tot * np.outer(mu, mu)) / max(n_tot - 1, 1)
+    w, v = np.linalg.eigh(cov)               # ascending eigenvalues
+    comps = v[:, ::-1][:, :k]                # top-k columns
+    # canonical sign: largest-|loading| coordinate of each component > 0
+    for j in range(comps.shape[1]):
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    ref = ray.put((mu, np.ascontiguousarray(comps)))
+
+    def project(b: pa.Table) -> pa.Table:
+        mu_, w_ = ray.get(ref)
+        emb = b.column("embedding").combine_chunks()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(-1, len(mu_))
+        y = (mat - mu_) @ w_
+        cols = {"vec_id": b.column("vec_id")}
+        for j in range(y.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(y[:, j])
+        return pa.table(cols)
+
+    return _read_pq(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -6574,6 +6827,12 @@ QUERIES = {
     "pagerank_int": q_pagerank_int,
     "hard_negatives": q_hard_negatives,
     "percent_rank": q_percent_rank,
+    "user_first_last": q_user_first_last,
+    "class_centroids": q_class_centroids,
+    "pip_anti": q_pip_anti,
+    # pca_project: eigendecomposition is not SQL-expressible; gate is
+    # exact agreement with single-process numpy PCA (test_round3_ops)
+    "pca_project": q_pca_project,
 }
 
 ORACLE_SQL = {
@@ -6725,6 +6984,9 @@ ORACLE_SQL.update({
     "pagerank_int": _sql_pagerank_int(),
     "hard_negatives": _SQL_HARD_NEGATIVES,
     "percent_rank": _SQL_PERCENT_RANK,
+    "user_first_last": _SQL_USER_FIRST_LAST,
+    "class_centroids": _SQL_CLASS_CENTROIDS,
+    "pip_anti": _SQL_PIP_ANTI,
 })
 
 # Remaining no-oracle entries, each with a reason:
@@ -6744,3 +7006,6 @@ ORACLE_SQL.update({
 # - audio_fp: same reasoning for the spectral audio fingerprint
 #   (rFFT band energies of decoded samples); gated by the planted
 #   REAL-WAV near-dup corpus in tests/test_round3_ops.py.
+# - pca_project: driver-side eigendecomposition of the distributed
+#   covariance is not SQL-expressible; gated by exact agreement with
+#   single-process numpy PCA on the full table (test_round3_ops.py).

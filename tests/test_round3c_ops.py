@@ -1,0 +1,138 @@
+"""Edge-case tests for the round-3 session-C operators:
+user_first_last, class_centroids, pip_anti, pca_project. (Oracle
+parity for the first three runs in test_queries_oracle.py; these pin
+the corners the random testdata can't reach, and pca_project's
+declared gate — exact agreement with single-process numpy PCA —
+lives here.)"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geojson_vt_ray.pipelines import queries as Q
+
+
+def _write(tmp_path, name, table):
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def _events_table(rows):
+    """rows: (event_id, user_id, ts_us, event_type, value)"""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+
+
+def _emb_table(vecs, labels=None):
+    if labels is None:
+        labels = [0] * len(vecs)
+    return pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+
+
+# ------------------------------------------------------ user_first_last
+def test_user_first_last_ts_tie_and_singleton(ray_session, tmp_path):
+    """Timestamp ties break on event_id; a one-event user reports the
+    same event as both first and last; counts are lifetime-exact."""
+    rows = [
+        # user 1: two events at the SAME ts — event_id 10 is first
+        (11, 1, 1000, "b", 2.0),
+        (10, 1, 1000, "a", 1.0),
+        (12, 1, 2000, "c", 3.0),
+        # user 2: singleton
+        (20, 2, 500, "x", 9.5),
+        # user 3: last-ts tie — event_id 32 is last
+        (30, 3, 100, "p", 1.0),
+        (32, 3, 900, "r", 3.25),
+        (31, 3, 900, "q", 2.0),
+    ]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_user_first_last(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert got["user_id"].tolist() == [1, 2, 3]
+    assert got["first_type"].tolist() == ["a", "x", "p"]
+    assert got["first_cents"].tolist() == [100, 950, 100]
+    assert got["last_type"].tolist() == ["c", "x", "r"]
+    assert got["last_cents"].tolist() == [300, 950, 325]
+    assert got["n_events"].tolist() == [3, 1, 3]
+
+
+# ------------------------------------------------------ class_centroids
+def test_class_centroids_floor_semantics_and_labels(
+        ray_session, tmp_path):
+    """floor (not round): -0.5 -> -500000, tiny positives truncate to
+    0, negatives truncate DOWN; per-label isolation; n counts rows."""
+    vecs = [(-0.5, 1e-7), (0.25, -1e-7), (1.0, 2.0)]
+    labels = [0, 0, 1]
+    sf = _write(tmp_path, "embeddings", _emb_table(vecs, labels))
+    got = (Q.q_class_centroids(sf).to_pandas()
+           .sort_values(["label", "dim"], ignore_index=True))
+    assert got["label"].tolist() == [0, 0, 1, 1]
+    assert got["dim"].tolist() == [0, 1, 0, 1]
+    # label 0 dim 0: floor(-500000.0) + floor(250000.0) = -250000
+    # label 0 dim 1: floor(0.1...) + floor(-0.1...) = 0 + (-1) = -1
+    assert got["s"].tolist() == [-250000, -1, 1000000, 2000000]
+    assert got["n"].tolist() == [2, 2, 1, 1]
+
+
+# ------------------------------------------------------------- pip_anti
+def test_pip_anti_complement_of_pip_rect(ray_session, tmp_path):
+    """pip_anti is the exact complement of pip_rect's matched id set,
+    and rectangle edges are INCLUSIVE (an edge point is not anti)."""
+    # nation 0 rect: lon in [-176.05, -159.95], lat in [-77.05, -66.95]
+    nat = pa.table({"n_nationkey": pa.array([0], pa.int64()),
+                    "n_name": pa.array(["A"], pa.string()),
+                    "n_regionkey": pa.array([0], pa.int64())})
+    # lon = (eid % 3600)/10 - 180, lat = (eid % 1600)/10 - 80
+    #   eid 40  -> lon -176.0, lat -76.0  (inside)
+    #   eid 240 -> lon -156.0, lat -56.0  (outside)
+    #   eid 200 -> lon -160.0, lat -60.0  (lon inside, lat outside)
+    rows = [(40, 1, 0, "e", 0.0), (240, 1, 1, "e", 0.0),
+            (200, 1, 2, "e", 0.0)]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    pq.write_table(nat, str(tmp_path / "sf" / "nation.parquet"))
+    anti = set(Q.q_pip_anti(sf).to_pandas()["event_id"])
+    hit = set(Q.q_pip_rect(sf).to_pandas()["event_id"])
+    assert anti == {240, 200}
+    assert anti | hit == {40, 240, 200} and not (anti & hit)
+
+
+# ---------------------------------------------------------- pca_project
+def test_pca_project_matches_numpy(ray_session, tmp_path):
+    """The declared no-oracle gate: distributed covariance + driver
+    eigh reproduces single-process numpy PCA exactly (atol 1e-8),
+    including the canonical component-sign rule."""
+    rng = np.random.default_rng(42)
+    # anisotropic cloud: dominant variance along a known direction
+    base = rng.normal(size=(200, 6))
+    base[:, 0] *= 10.0
+    base[:, 1] *= 3.0
+    sf = _write(tmp_path, "embeddings", _emb_table(base))
+    got = (Q.q_pca_project(sf).to_pandas()
+           .sort_values("vec_id", ignore_index=True))
+
+    mat = np.array([list(map(np.float32, v)) for v in base],
+                   np.float32).astype(np.float64)
+    mu = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False)
+    _, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :2]
+    for j in range(2):
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    want = (mat - mu) @ comps
+    assert np.allclose(got[["pc1", "pc2"]].to_numpy(), want, atol=1e-8)
+    # the dominant planted axis is dim 0: pc1 must track it
+    c = np.corrcoef(got["pc1"].to_numpy(), mat[:, 0])[0, 1]
+    assert abs(c) > 0.99
