@@ -6536,6 +6536,76 @@ _SQL_USER_FIRST_LAST = (
     "MAX(n) AS n_events FROM r GROUP BY 1")
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact weighted (lower) median per event type — the robust
+    center of a weighted distribution (spend-weighted latency
+    medians, importance-weighted label centers). Weight is the
+    deterministic ``user_id % 5 + 1`` so the oracle is pure SQL;
+    the median is the smallest cents value whose cumulative weight
+    reaches half the group total (2·cum ≥ tot — integer arithmetic,
+    no tie semantics to align).
+
+    Shape for scale: blocks collapse to (group, cents, Σw) partials
+    bounded by the VALUE DOMAIN (integer cents), not rows — the same
+    histogram-selection contract as group_percentiles/percent_rank;
+    one domain-bounded groupby then a single-block cumulative scan
+    finishes. For unbounded domains the fallback is the two-pass
+    recursive histogram refinement of functions/percentile.py."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        w = (b.column("user_id").to_numpy(zero_copy_only=False)
+             % 5 + 1).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "cents": cents, "w": w})
+        g = (df.groupby(["event_type", "cents"], sort=False)["w"]
+             .sum().reset_index())
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64)),
+            "w": pa.array(g["w"].to_numpy(np.int64))})
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        out_g, out_m, out_t = [], [], []
+        for key, sub in df.groupby("event_type", sort=True):
+            sub = sub.sort_values("cents")
+            cum = sub["w"].to_numpy(np.int64).cumsum()
+            tot = int(cum[-1])
+            i = int(np.searchsorted(2 * cum, tot))
+            out_g.append(key)
+            out_m.append(int(sub["cents"].to_numpy(np.int64)[i]))
+            out_t.append(tot)
+        return pa.table({
+            "event_type": pa.array(out_g, pa.string()),
+            "wmedian_cents": pa.array(out_m, pa.int64()),
+            "total_w": pa.array(out_t, pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "user_id", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("w", alias_name="w"))
+            .repartition(1)
+            .map_batches(finalize, batch_format="pandas"))
+
+
+_SQL_WEIGHTED_MEDIAN = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+    "CAST(user_id % 5 + 1 AS BIGINT) AS w FROM events), "
+    "g AS (SELECT event_type, cents, SUM(w) AS w FROM c GROUP BY 1, 2), "
+    "cw AS (SELECT event_type, cents, "
+    "SUM(w) OVER (PARTITION BY event_type ORDER BY cents) AS cum, "
+    "SUM(w) OVER (PARTITION BY event_type) AS tot FROM g) "
+    "SELECT event_type, CAST(MIN(cents) AS BIGINT) AS wmedian_cents, "
+    "CAST(MAX(tot) AS BIGINT) AS total_w FROM cw "
+    "WHERE 2 * cum >= tot GROUP BY 1")
+
+
 def q_class_centroids(sf_dir: str):
     """Per-label embedding centroid inputs — the exact (Σ floor(1e6·x)
     per dimension, count) every class-prototype computation reduces to
@@ -6828,6 +6898,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "percent_rank": q_percent_rank,
     "user_first_last": q_user_first_last,
+    "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
     # pca_project: eigendecomposition is not SQL-expressible; gate is
@@ -6985,6 +7056,7 @@ ORACLE_SQL.update({
     "hard_negatives": _SQL_HARD_NEGATIVES,
     "percent_rank": _SQL_PERCENT_RANK,
     "user_first_last": _SQL_USER_FIRST_LAST,
+    "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,
 })

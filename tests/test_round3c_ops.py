@@ -67,6 +67,31 @@ def test_user_first_last_ts_tie_and_singleton(ray_session, tmp_path):
     assert got["n_events"].tolist() == [3, 1, 3]
 
 
+# ------------------------------------------------------ weighted_median
+def test_weighted_median_weights_boundary_singleton(
+        ray_session, tmp_path):
+    """Weights shift the median away from the unweighted one; the
+    2·cum == tot boundary picks the LOWER median; singleton groups
+    work. w = user_id % 5 + 1."""
+    rows = [
+        # group a: cents/weights (100, w3), (200, w1), (300, w1)
+        #   tot=5, cum(100)=3, 2*3 >= 5 -> wmedian 100
+        #   (unweighted median would be 200)
+        (1, 2, 0, "a", 1.0), (2, 0, 1, "a", 2.0), (3, 0, 2, "a", 3.0),
+        # group b: (100, w2), (200, w2) -> tot=4, 2*cum(100)=4 == tot
+        #   -> lower median 100
+        (4, 1, 0, "b", 1.0), (5, 1, 1, "b", 2.0),
+        # group c: singleton (725, w4)
+        (6, 3, 0, "c", 7.25),
+    ]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_weighted_median(sf).to_pandas()
+           .sort_values("event_type", ignore_index=True))
+    assert got["event_type"].tolist() == ["a", "b", "c"]
+    assert got["wmedian_cents"].tolist() == [100, 100, 725]
+    assert got["total_w"].tolist() == [5, 4, 4]
+
+
 # ------------------------------------------------------ class_centroids
 def test_class_centroids_floor_semantics_and_labels(
         ray_session, tmp_path):
