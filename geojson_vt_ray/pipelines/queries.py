@@ -6536,6 +6536,94 @@ _SQL_USER_FIRST_LAST = (
     "MAX(n) AS n_events FROM r GROUP BY 1")
 
 
+def q_ntile(sf_dir: str, k: int = 4, bucket_w: int = 256):
+    """NTILE(k) per event type over the (cents, event_id) total order
+    — the equal-frequency bucket assignment behind quartile labels,
+    decile reports and stratified splits, with SQL's exact uneven-
+    remainder rule (the first n mod k buckets get one extra row).
+
+    Unlike percent_rank (pure value-domain rank), NTILE needs each
+    row's exact ORDER POSITION including tie-breaks, so the shape is
+    the distributed two-pass scan of pack_sequences generalized to a
+    composite order: pass 1 counts rows per (group, cents-range
+    bucket) — bounded by value-domain/bucket_w, never rows — and the
+    driver cumsums bucket offsets per group in cents order; pass 2
+    groups by (group, bucket), sorts the bucket locally by
+    (cents, event_id), and adds the broadcast offset. Position →
+    tile is closed-form integer arithmetic from the group sizes."""
+    import ray
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "cents": pa.array(cents),
+            "bucket": pa.array(cents // bucket_w)})
+
+    def ds_cents():
+        return _read_pq(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "value"]
+                        ).map_batches(to_cents, batch_format="pyarrow")
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "bucket": b.column("bucket").to_numpy(
+                zero_copy_only=False)})
+        g = (df.groupby(["event_type", "bucket"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+            "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    parts = (ds_cents().map_batches(bucket_partial,
+                                    batch_format="pyarrow")
+             .to_pandas())   # one row per (block, group, bucket) — tiny
+    bs = (parts.groupby(["event_type", "bucket"])["c"].sum()
+          .reset_index().sort_values(["event_type", "bucket"]))
+    offs, sizes = {}, {}
+    for g, sub in bs.groupby("event_type", sort=False):
+        c = sub["c"].to_numpy(np.int64)
+        excl = np.concatenate(([0], np.cumsum(c)[:-1]))
+        offs[g] = dict(zip(sub["bucket"].to_numpy(np.int64),
+                           excl.tolist()))
+        sizes[g] = int(c.sum())
+    ref = ray.put((offs, sizes))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs_l, sizes_l = ray.get(ref)
+        g = g.sort_values(["cents", "event_id"], kind="mergesort")
+        key = g["event_type"].iloc[0]
+        p = (np.arange(len(g), dtype=np.int64)
+             + offs_l[key][int(g["bucket"].iloc[0])])
+        n = sizes_l[key]
+        base, rem = n // k, n % k
+        if base == 0:
+            tile = p + 1
+        else:
+            lo = p < rem * (base + 1)
+            tile = np.where(
+                lo, p // (base + 1),
+                rem + (p - rem * (base + 1)) // base) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "tile": tile.astype(np.int64)})
+
+    return (ds_cents().groupby(["event_type", "bucket"])
+            .map_groups(assign, batch_format="pandas")
+            .select_columns(["event_id", "tile"]))
+
+
+_SQL_NTILE = (
+    "WITH c AS (SELECT event_id, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, CAST(NTILE(4) OVER (PARTITION BY event_type "
+    "ORDER BY cents, event_id) AS BIGINT) AS tile FROM c")
+
+
 def q_weighted_median(sf_dir: str):
     """Exact weighted (lower) median per event type — the robust
     center of a weighted distribution (spend-weighted latency
@@ -6898,6 +6986,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "percent_rank": q_percent_rank,
     "user_first_last": q_user_first_last,
+    "ntile": q_ntile,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7056,6 +7145,7 @@ ORACLE_SQL.update({
     "hard_negatives": _SQL_HARD_NEGATIVES,
     "percent_rank": _SQL_PERCENT_RANK,
     "user_first_last": _SQL_USER_FIRST_LAST,
+    "ntile": _SQL_NTILE,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

@@ -67,6 +67,38 @@ def test_user_first_last_ts_tie_and_singleton(ray_session, tmp_path):
     assert got["n_events"].tolist() == [3, 1, 3]
 
 
+# ---------------------------------------------------------------- ntile
+def test_ntile_remainder_ties_and_tiny_group(ray_session, tmp_path):
+    """SQL's uneven-remainder rule (n=6, k=4 -> sizes 2,2,1,1), ties
+    split across tile boundaries by event_id, and n < k gives every
+    row its own tile."""
+    rows = [
+        # group a: six rows, ALL the same cents — order is event_id
+        #   tiles: (1,1),(2,2),(3),(4) -> ids 1,2 | 3,4 | 5 | 6
+        (1, 0, 0, "a", 5.0), (2, 0, 1, "a", 5.0), (3, 0, 2, "a", 5.0),
+        (4, 0, 3, "a", 5.0), (5, 0, 4, "a", 5.0), (6, 0, 5, "a", 5.0),
+        # group b: two rows (n < k): tiles 1 and 2 by cents order
+        (7, 0, 0, "b", 9.0), (8, 0, 1, "b", 3.0),
+    ]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_ntile(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    assert got["event_id"].tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert got["tile"].tolist() == [1, 1, 2, 2, 3, 4, 2, 1]
+
+
+def test_ntile_cross_bucket_prefix(ray_session, tmp_path):
+    """Rows whose cents land in DIFFERENT range buckets (bucket_w=256)
+    must still get globally consistent positions: values far apart
+    force multi-bucket offsets."""
+    rows = [(i, 0, i, "a", float(i * 100)) for i in range(1, 9)]
+    # cents = 10000*i spread across many 256-wide buckets; order = i
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_ntile(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    assert got["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
 # ------------------------------------------------------ weighted_median
 def test_weighted_median_weights_boundary_singleton(
         ray_session, tmp_path):
