@@ -6536,6 +6536,99 @@ _SQL_USER_FIRST_LAST = (
     "MAX(n) AS n_events FROM r GROUP BY 1")
 
 
+_LATE_US = 3_600_000_000  # allowed lateness: 1 hour
+
+
+def q_late_events(sf_dir: str, bucket_w: int = 4096):
+    """Watermark late-data detection — the event-time streaming
+    primitive: replaying the log in arrival order (event_id), an
+    event is LATE if its event time trails the watermark (running max
+    event time seen over all EARLIER arrivals) by more than the
+    allowed lateness. Returns each late event with the watermark that
+    condemned it — the rows a streaming engine would route to a
+    late-data side output. The synthetic log arrives perfectly
+    time-sorted, so event time is ts minus a deterministic per-event
+    skew ((event_id*2654435761) % 7919 seconds — a Knuth-hash spread,
+    SQL-identical) to model real out-of-order arrival.
+
+    Shape for scale: running max is associative, so this is the
+    two-pass distributed scan in its prefix-MAX form (the prefix-SUM
+    form drives pack_sequences/rolling_sum): pass 1 reduces each
+    block to one max per arrival-range bucket, the driver holds one
+    exclusive running max per bucket (~rows/bucket_w entries; pick
+    bucket_w so this stays ~1e6 at any corpus), pass 2 is a per-bucket
+    local cummax plus the broadcast bucket prefix — zero shuffles
+    beyond the bucket groupby."""
+    import ray
+
+    def ds_ts():
+        def prep(b: pa.Table) -> pa.Table:
+            eid = b.column("event_id").to_numpy(zero_copy_only=False)
+            skew = (eid * 2654435761) % 7919 * 1_000_000
+            ets = (b.column("ts").cast(pa.int64())
+                   .to_numpy(zero_copy_only=False) - skew)
+            return pa.table({
+                "event_id": pa.array(eid),
+                "ts_us": pa.array(ets.astype(np.int64)),
+                "bucket": pa.array((eid // bucket_w).astype(np.int64))})
+        return _read_pq(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts"]).map_batches(
+            prep, batch_format="pyarrow")
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bucket": b.column("bucket").to_numpy(zero_copy_only=False),
+            "ts_us": b.column("ts_us").to_numpy(zero_copy_only=False)})
+        g = df.groupby("bucket", sort=False)["ts_us"].max().reset_index()
+        return pa.table({
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+            "mx": pa.array(g["ts_us"].to_numpy(np.int64))})
+
+    parts = (ds_ts().map_batches(bucket_partial, batch_format="pyarrow")
+             .to_pandas())           # one row per (block, bucket) — tiny
+    bm = parts.groupby("bucket")["mx"].max().sort_index()
+    idx = bm.index.to_numpy(np.int64)
+    # exclusive running max aligned to each PRESENT bucket
+    run = np.maximum.accumulate(bm.to_numpy(np.int64))
+    # sentinel low enough that no real ts is "late" against it, high
+    # enough that subtracting the lateness cannot wrap int64
+    excl = {int(idx[0]): -(1 << 62)}
+    for i in range(1, len(idx)):
+        excl[int(idx[i])] = int(run[i - 1])
+    ref = ray.put(excl)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        excl_l = ray.get(ref)
+        g = g.sort_values("event_id", kind="mergesort")
+        ts = g["ts_us"].to_numpy(np.int64)
+        prev = np.maximum.accumulate(ts)
+        # watermark BEFORE each row: bucket prefix, then local shift
+        pre = np.empty(len(ts), np.int64)
+        pre[0] = excl_l[int(g["bucket"].iloc[0])]
+        if len(ts) > 1:
+            pre[1:] = np.maximum(prev[:-1], pre[0])
+        wm = pre - _LATE_US
+        late = ts < wm
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[late],
+            "ts_us": ts[late],
+            "watermark_us": pre[late] - _LATE_US})
+
+    return (ds_ts().groupby("bucket")
+            .map_groups(flag, batch_format="pandas")
+            .select_columns(["event_id", "ts_us", "watermark_us"]))
+
+
+_SQL_LATE_EVENTS = (
+    "WITH e AS (SELECT event_id, epoch_us(ts) "
+    "- (event_id * 2654435761) % 7919 * 1000000 AS ts_us FROM events), "
+    "c AS (SELECT event_id, ts_us, MAX(ts_us) OVER (ORDER BY event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max "
+    "FROM e) "
+    f"SELECT event_id, ts_us, prev_max - {_LATE_US} AS watermark_us "
+    f"FROM c WHERE ts_us < prev_max - {_LATE_US}")
+
+
 def q_ntile(sf_dir: str, k: int = 4, bucket_w: int = 256):
     """NTILE(k) per event type over the (cents, event_id) total order
     — the equal-frequency bucket assignment behind quartile labels,
@@ -6987,6 +7080,7 @@ QUERIES = {
     "percent_rank": q_percent_rank,
     "user_first_last": q_user_first_last,
     "ntile": q_ntile,
+    "late_events": q_late_events,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7146,6 +7240,7 @@ ORACLE_SQL.update({
     "percent_rank": _SQL_PERCENT_RANK,
     "user_first_last": _SQL_USER_FIRST_LAST,
     "ntile": _SQL_NTILE,
+    "late_events": _SQL_LATE_EVENTS,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

@@ -99,6 +99,39 @@ def test_ntile_cross_bucket_prefix(ray_session, tmp_path):
     assert got["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4, 4]
 
 
+# ---------------------------------------------------------- late_events
+def test_late_events_cross_bucket_watermark(ray_session, tmp_path):
+    """The watermark must carry ACROSS arrival-range buckets
+    (bucket_w=4096): a huge event time in bucket 0 condemns a
+    trailing event in bucket 1; the first arrival is never late;
+    the comparison is strict (ts == watermark is on time). Engine
+    output is checked against an independent scalar replay."""
+    H = 3_600_000_000
+    base = 10_000 * H
+    # (event_id, ts_us): ids 0..2 in bucket 0, 5000/5001 in bucket 1
+    evs = [(0, base), (1, base + 10 * H), (2, base + 10 * H),
+           (5000, base + 2 * H),        # trails wm by 8h -> late
+           (5001, base + 20 * H)]
+    rows = [(eid, 0, ts, "e", 0.0) for eid, ts in evs]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_late_events(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+
+    # scalar replay with the same deterministic skew
+    def etime(eid, ts):
+        return ts - (eid * 2654435761) % 7919 * 1_000_000
+    want = []
+    wm_max = None
+    for eid, ts in sorted(evs):
+        et = etime(eid, ts)
+        if wm_max is not None and et < wm_max - H:
+            want.append((eid, et, wm_max - H))
+        wm_max = et if wm_max is None else max(wm_max, et)
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert 5000 in {w[0] for w in want}          # the planted late row
+    assert 0 not in {w[0] for w in want}         # first arrival safe
+
+
 # ------------------------------------------------------ weighted_median
 def test_weighted_median_weights_boundary_singleton(
         ray_session, tmp_path):
