@@ -118,3 +118,52 @@ def test_golden_tiles_roundtrip():
             assert got["tags"] == (want.get("tags") or {})
             if isinstance(want.get("id"), int) and want["id"] >= 0:
                 assert got["id"] == want["id"]
+
+
+def test_read_mvt_roundtrips_export(ray_session, tmp_path):
+    """The MVT source re-ingests the sink's {z}/{x}/{y}.mvt tree: one
+    row per feature, per-tile feature multisets equal to get_tile's
+    JSON (geometry flattened to the internal ring_lens/xy layout),
+    tile set identical to the export manifest."""
+    import os
+    import ray.data as rd
+    from geojson_vt_ray.config import TileOptions
+    from geojson_vt_ray.pipelines.pyramid import slice_pyramid
+    from geojson_vt_ray.sources.docs import synthesize_corpus
+    from geojson_vt_ray.sources.mvt_source import read_mvt
+
+    docs = rd.from_arrow(synthesize_corpus(30))
+    opts = TileOptions(index_max_zoom=2, index_max_points=0)
+    ts = slice_pyramid(docs, opts, str(tmp_path / "pyr"))
+    mvt_dir = str(tmp_path / "mvt")
+    manifest = ts.export_mvt(mvt_dir).to_pandas()
+
+    df = read_mvt(mvt_dir).to_pandas()
+    # tile set matches the manifest exactly
+    got_tiles = set(map(tuple, df[["z", "x", "y"]].drop_duplicates()
+                        .to_numpy()))
+    want_tiles = set(map(tuple,
+                         manifest[["z", "x", "y"]].to_numpy()))
+    assert got_tiles == want_tiles
+    assert (df["layer"] == "geojsonvt").all()
+
+    checked = 0
+    for (z, x, y), sub in df.groupby(["z", "x", "y"]):
+        want = ts.get_tile(int(z), int(x), int(y))["features"]
+        assert len(sub) == len(want)
+        sub = sub.sort_values("fidx")
+        for (_, row), w in zip(sub.iterrows(), want):
+            assert int(row["type"]) == w["type"]
+            geom = w["geometry"] if w["type"] != 1 else [w["geometry"]]
+            flat = [c for r in geom for pt in r for c in pt]
+            assert list(row["xy"]) == flat
+            assert list(row["ring_lens"]) == [len(r) for r in geom]
+        checked += 1
+        if checked >= 6:
+            break
+
+    # layer filter and loud failure on a missing tree
+    assert read_mvt(mvt_dir, layer="nope").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_mvt(str(tmp_path / "missing"))
