@@ -6365,6 +6365,93 @@ _SQL_HARD_NEGATIVES = (
     " WHERE rnk <= 1")
 
 
+def q_knn_classify(sf_dir: str, k: int = 5):
+    """k-NN majority-vote classification: for each query embedding
+    (vec_id % 20 == 0) the label that wins among its k most
+    cosine-similar OTHER vectors (vote ties break to the smaller
+    label) plus the vote count — the classical lazy classifier and
+    the label-propagation step of semi-supervised curation.
+
+    Shape for scale: hard_negatives' one-pass broadcast shape — the
+    bounded query matrix ships once via ray.put; each batch emits a
+    ≤k-rows-per-query candidate partial (one matmul + lexsort); the
+    driver merges O(batches × queries × k) skinny candidate rows,
+    re-selects the global top-k and votes in numpy. The corpus
+    streams, nothing shuffles. Same exact (cosine DESC, vec_id) tie
+    order as ann_topk."""
+    import pyarrow.parquet as pq
+    import ray
+    from ..functions.similarity import _norm_rows
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    vals = emb.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False)
+    mat = vals.reshape(len(ids), -1)
+    qm = ids % 20 == 0
+    qmat = _norm_rows(mat[qm].astype(np.float64))
+    qids = ids[qm].astype(np.int64)
+    qref = ray.put((qmat, qids))
+
+    def partial(b: pa.Table) -> pa.Table:
+        q, qi = ray.get(qref)
+        col = b.column("embedding").combine_chunks()
+        m = _norm_rows(col.flatten().to_numpy(zero_copy_only=False)
+                       .reshape(len(col), -1).astype(np.float64))
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        vl = b.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sims = m @ q.T                                   # (n, nq)
+        o_q, o_id, o_l, o_s = [], [], [], []
+        for j in range(sims.shape[1]):                   # bounded queries
+            ok = vid != qi[j]
+            s, iv, il = sims[ok, j], vid[ok], vl[ok]
+            top = np.lexsort((iv, -s))[:k]
+            o_q.append(np.full(len(top), qi[j], np.int64))
+            o_id.append(iv[top])
+            o_l.append(il[top])
+            o_s.append(s[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(o_q)),
+            "vec_id": pa.array(np.concatenate(o_id).astype(np.int64)),
+            "label": pa.array(np.concatenate(o_l)),
+            "cosine": pa.array(np.concatenate(o_s))})
+
+    cand = (_read_pq(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding", "label"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas())            # O(batches × queries × k) — bounded
+    out_q, out_l, out_v = [], [], []
+    for qid, sub in cand.groupby("query_id", sort=True):
+        s = sub["cosine"].to_numpy()
+        iv = sub["vec_id"].to_numpy(np.int64)
+        il = sub["label"].to_numpy(np.int64)
+        top = np.lexsort((iv, -s))[:k]
+        labs, cnt = np.unique(il[top], return_counts=True)
+        w = np.lexsort((labs, -cnt))[0]      # most votes, then min label
+        out_q.append(int(qid))
+        out_l.append(int(labs[w]))
+        out_v.append(int(cnt[w]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "pred_label": pa.array(out_l, pa.int64()),
+                     "votes": pa.array(out_v, pa.int64())})
+
+
+_SQL_KNN_CLASSIFY = (
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 20 = 0), "
+    "nn AS (SELECT q.vec_id AS query_id, v.label, ROW_NUMBER() OVER ("
+    "PARTITION BY q.vec_id ORDER BY list_cosine_similarity("
+    "CAST(v.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) "
+    "DESC, v.vec_id) AS rnk FROM embeddings v, q "
+    "WHERE v.vec_id <> q.vec_id), "
+    "votes AS (SELECT query_id, CAST(label AS BIGINT) AS label, "
+    "COUNT(*) AS votes FROM nn WHERE rnk <= 5 GROUP BY 1, 2) "
+    "SELECT query_id, label AS pred_label, votes FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY votes DESC, label) AS r FROM votes) WHERE r = 1")
+
+
 def q_percent_rank(sf_dir: str):
     """Exact percent-rank inputs per event within its type: n_lt =
     #rows with strictly smaller integer cents (RANK()−1), n_group =
@@ -7081,6 +7168,7 @@ QUERIES = {
     "user_first_last": q_user_first_last,
     "ntile": q_ntile,
     "late_events": q_late_events,
+    "knn_classify": q_knn_classify,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7241,6 +7329,7 @@ ORACLE_SQL.update({
     "user_first_last": _SQL_USER_FIRST_LAST,
     "ntile": _SQL_NTILE,
     "late_events": _SQL_LATE_EVENTS,
+    "knn_classify": _SQL_KNN_CLASSIFY,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

@@ -197,6 +197,29 @@ def test_pip_anti_complement_of_pip_rect(ray_session, tmp_path):
     assert anti | hit == {40, 240, 200} and not (anti & hit)
 
 
+# --------------------------------------------------------- knn_classify
+def test_knn_classify_vote_tie_and_self_exclusion(
+        ray_session, tmp_path):
+    """A 2-2-1 vote among the 5 nearest ties between two labels and
+    must break to the SMALLER label; the query's own row never votes."""
+    import math
+
+    def at(deg):
+        r = math.radians(deg)
+        return (math.cos(r), math.sin(r))
+
+    # vec_id 0 is the only query (0 % 20 == 0); neighbors by angle
+    vecs = [at(0),                       # query itself
+            at(5), at(10), at(15), at(20), at(25),   # the 5 nearest
+            at(80)]                      # far decoy
+    labels = [7, 2, 1, 2, 1, 3, 9]
+    sf = _write(tmp_path, "embeddings", _emb_table(vecs, labels))
+    got = Q.q_knn_classify(sf).to_pandas()
+    assert got["query_id"].tolist() == [0]
+    assert got["pred_label"].tolist() == [1]   # tie 2-2 -> min label
+    assert got["votes"].tolist() == [2]
+
+
 # ---------------------------------------------------------- pca_project
 def test_pca_project_matches_numpy(ray_session, tmp_path):
     """The declared no-oracle gate: distributed covariance + driver
