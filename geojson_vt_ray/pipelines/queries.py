@@ -6365,6 +6365,62 @@ _SQL_HARD_NEGATIVES = (
     " WHERE rnk <= 1")
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Duplicate rate per corpus source — the curation health metric
+    that decides which feeds get throttled: per source, the total doc
+    count and how many of its docs share an exact content hash with
+    ANY other doc corpus-wide (both sides of a cross-source duplicate
+    count as duplicated).
+
+    Shape for scale: blocks reduce to (md5, source) pairs — the text
+    never shuffles; ONE coarse-bucket groupby co-locates each hash's
+    rows (the bucket is a function of the hash, so no group spans
+    buckets and Ray never sees 1e9 tiny md5 groups); the per-bucket
+    UDF counts group sizes vectorized and emits per-source partials;
+    a final #sources-bounded groupby sums."""
+    from ray.data.aggregate import Sum
+    from ..functions.dedup import _md5_hex
+    mask = _coarse_mask()
+
+    def hashes(b: pa.Table) -> pa.Table:
+        h = _md5_hex(b.column("text").to_pylist())
+        hb = np.array([int(x[:12], 16) for x in h], np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.string()),
+            "source": b.column("source"),
+            "bucket": pa.array(hb & mask)})
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        n_per_h = df.groupby("h")["source"].transform("size")
+        dup = (n_per_h > 1).to_numpy()
+        g = (pd.DataFrame({"source": df["source"], "d": dup})
+             .groupby("source", sort=False)
+             .agg(n_docs=("d", "size"), n_dup_docs=("d", "sum"))
+             .reset_index())
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "n_dup_docs": pa.array(
+                g["n_dup_docs"].to_numpy(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["text", "source"])
+            .map_batches(hashes, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_dup_docs", alias_name="n_dup_docs")))
+
+
+_SQL_DUP_RATE = (
+    "WITH h AS (SELECT source, md5(text) AS ch FROM documents), "
+    "c AS (SELECT ch, COUNT(*) AS n FROM h GROUP BY 1) "
+    "SELECT source, COUNT(*) AS n_docs, "
+    "CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_docs FROM h JOIN c USING (ch) GROUP BY 1")
+
+
 def q_knn_classify(sf_dir: str, k: int = 5):
     """k-NN majority-vote classification: for each query embedding
     (vec_id % 20 == 0) the label that wins among its k most
@@ -7169,6 +7225,7 @@ QUERIES = {
     "ntile": q_ntile,
     "late_events": q_late_events,
     "knn_classify": q_knn_classify,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7330,6 +7387,7 @@ ORACLE_SQL.update({
     "ntile": _SQL_NTILE,
     "late_events": _SQL_LATE_EVENTS,
     "knn_classify": _SQL_KNN_CLASSIFY,
+    "dup_rate_by_source": _SQL_DUP_RATE,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

@@ -1,0 +1,80 @@
+"""Compaction gates: content-exact rewrite, file-count reduction,
+rolling split at target_rows, and killed-run resume semantics."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geojson_vt_ray.functions.maintenance import (_leaf_dirs,
+                                                  compact_parquet)
+
+
+def _fragmented_store(root, n_parts=2, files_per_part=16,
+                      rows_per_file=10):
+    """Hive store key=0../key=1.. with many tiny fragments."""
+    n = 0
+    for p in range(n_parts):
+        leaf = root / f"key={p}"
+        leaf.mkdir(parents=True)
+        for f in range(files_per_part):
+            ids = list(range(n, n + rows_per_file))
+            n += rows_per_file
+            pq.write_table(
+                pa.table({"id": pa.array(ids, pa.int64()),
+                          "v": pa.array([i * 2 for i in ids],
+                                        pa.int64())}),
+                str(leaf / f"frag-{f:03d}.parquet"))
+    return n
+
+
+def _read_ids(root) -> list[int]:
+    out = []
+    for cur, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.extend(pq.read_table(os.path.join(cur, f))
+                           .column("id").to_pylist())
+    return sorted(out)
+
+
+def test_compact_content_exact_and_fewer_files(ray_session, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    total = _fragmented_store(src)
+    manifest = compact_parquet(str(src), str(dst), target_rows=1000)
+    assert sorted(m["leaf"] for m in manifest) == ["key=0", "key=1"]
+    assert all(m["files_in"] == 16 and m["files_out"] == 1
+               for m in manifest)
+    assert _read_ids(dst) == _read_ids(src) == list(range(total))
+    # layout preserved
+    assert _leaf_dirs(str(dst)) == _leaf_dirs(str(src))
+
+
+def test_compact_rolls_at_target_rows(ray_session, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _fragmented_store(src, n_parts=1, files_per_part=10,
+                      rows_per_file=10)
+    manifest = compact_parquet(str(src), str(dst), target_rows=35)
+    # 100 rows in 10-row groups, roll when >= 35 -> 40/40/20
+    assert manifest[0]["files_out"] == 3
+    leaf = dst / "key=0"
+    sizes = sorted(pq.read_table(str(leaf / f)).num_rows
+                   for f in os.listdir(leaf))
+    assert sizes == [20, 40, 40]
+    assert _read_ids(dst) == _read_ids(src)
+
+
+def test_compact_resume_skips_finished_and_cleans_partial(
+        ray_session, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _fragmented_store(src)
+    # simulate a prior run that finished key=0 only
+    first = compact_parquet(str(src), str(dst), target_rows=1000)
+    assert len(first) == 2
+    import shutil
+    shutil.rmtree(str(dst / "key=1"))
+    second = compact_parquet(str(src), str(dst), target_rows=1000)
+    assert [m["leaf"] for m in second] == ["key=1"]   # key=0 skipped
+    assert _read_ids(dst) == _read_ids(src)
+    # a third run is a no-op
+    assert compact_parquet(str(src), str(dst), target_rows=1000) == []

@@ -197,6 +197,28 @@ def test_pip_anti_complement_of_pip_rect(ray_session, tmp_path):
     assert anti | hit == {40, 240, 200} and not (anti & hit)
 
 
+# --------------------------------------------------- dup_rate_by_source
+def test_dup_rate_by_source_cross_source_dups(ray_session, tmp_path):
+    """BOTH sides of a cross-source exact duplicate count as
+    duplicated; unique docs don't; totals are per-source. (The random
+    testdata has no exact dups, so the counting path is pinned here.)"""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["same text", "same text", "unique one",
+                          "same text", "other dup", "other dup"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+        "n_chars": pa.array([9, 9, 10, 9, 9, 9], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    got = (Q.q_dup_rate_by_source(sf).to_pandas()
+           .sort_values("source", ignore_index=True))
+    assert got["source"].tolist() == ["a", "b"]
+    assert got["n_docs"].tolist() == [3, 3]
+    # a: docs 1,2 dup (with each other + doc 4); b: doc 4 + the 5/6 pair
+    assert got["n_dup_docs"].tolist() == [2, 3]
+
+
 # --------------------------------------------------------- knn_classify
 def test_knn_classify_vote_tie_and_self_exclusion(
         ray_session, tmp_path):
