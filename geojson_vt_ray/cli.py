@@ -149,6 +149,23 @@ def cmd_export_mvt(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact a partitioned parquet store's small files (see
+    functions/maintenance.py): one Ray task per hive leaf, rolling
+    writer at --target-rows, resume skips finished leaves."""
+    _ensure_ray()
+    from .functions.maintenance import compact_parquet
+    manifest = compact_parquet(args.src, args.out,
+                               target_rows=args.target_rows)
+    print(json.dumps({
+        "src": args.src, "out": args.out,
+        "leaves_compacted": len(manifest),
+        "files_in": sum(m["files_in"] for m in manifest),
+        "files_out": sum(m["files_out"] for m in manifest),
+        "rows": sum(m["rows"] for m in manifest)}))
+    return 0
+
+
 def cmd_gen_tiles(args) -> int:
     from .pipelines.pyramid import TileSet
     ts = TileSet(args.pyramid)
@@ -245,6 +262,14 @@ def main(argv=None) -> int:
     em.add_argument("--out", required=True)
     em.add_argument("--layer", default="geojsonvt")
     em.set_defaults(fn=cmd_export_mvt)
+
+    cp = sub.add_parser(
+        "compact", help="compact a partitioned parquet store's "
+        "small files (resumable, per-leaf Ray tasks)")
+    cp.add_argument("--src", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-rows", type=int, default=1_000_000)
+    cp.set_defaults(fn=cmd_compact)
 
     ge = sub.add_parser("gen-tiles", help="enumerate every first-pass tile")
     ge.add_argument("--pyramid", required=True)
