@@ -6365,6 +6365,94 @@ _SQL_HARD_NEGATIVES = (
     " WHERE rnk <= 1")
 
 
+def q_cdc_upsert(sf_dir: str):
+    """CDC apply / MERGE-INTO: a change stream of UPDATEs (every 10th
+    order re-priced one cent up, status 'U') and INSERTs (every
+    1000th+7 order cloned under a new key, status 'I') lands on the
+    base snapshot; per key the highest-priority row wins (delta over
+    base) — the latest-wins upsert every warehouse ingestion loop
+    runs. The delta is derived deterministically from the base so the
+    oracle is pure SQL; the engine machinery is delta-source-agnostic.
+
+    Shape for scale: no join — base and delta UNION as streams with a
+    priority column; ONE coarse-bucket groupby co-locates each key's
+    rows (bucket = f(key): groups never span buckets, Ray never sees
+    per-key groups); the per-bucket UDF keeps the max-priority row
+    per key vectorized. Skew-safe: a hot key costs one bucket-local
+    argmax, not a shuffled join."""
+    mask = _coarse_mask()
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pa.array(k),
+            "o_orderstatus": b.column("o_orderstatus"),
+            "total_cents": pa.array(cents),
+            "pri": pa.array(np.zeros(len(k), np.int64))})
+
+    def delta_rows(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        um = k % 10 == 0
+        im = k % 1000 == 7
+        return pa.table({
+            "o_orderkey": pa.array(np.r_[k[um], k[im] + 100_000_000]),
+            "o_orderstatus": pa.array(
+                ["U"] * int(um.sum()) + ["I"] * int(im.sum()),
+                pa.string()),
+            "total_cents": pa.array(np.r_[cents[um] + 1, cents[im]]),
+            "pri": pa.array(np.ones(int(um.sum()) + int(im.sum()),
+                                    np.int64))})
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = _read_pq(f"{sf_dir}/orders.parquet", columns=cols
+                    ).map_batches(base_rows, batch_format="pyarrow")
+    delta = _read_pq(f"{sf_dir}/orders.parquet", columns=cols
+                     ).map_batches(delta_rows, batch_format="pyarrow")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array(k & mask))
+
+    def keep_latest(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_orderkey", "pri"],
+                            kind="mergesort")
+        w = df.groupby("o_orderkey", sort=False).tail(1)
+        return pa.table({
+            "o_orderkey": pa.array(w["o_orderkey"].to_numpy(np.int64)),
+            "o_orderstatus": pa.array(w["o_orderstatus"].tolist(),
+                                      pa.string()),
+            "total_cents": pa.array(
+                w["total_cents"].to_numpy(np.int64))})
+
+    return (base.union(delta)
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(keep_latest, batch_format="pandas")
+            .select_columns(["o_orderkey", "o_orderstatus",
+                             "total_cents"]))
+
+
+_SQL_CDC_UPSERT = (
+    "WITH base AS (SELECT o_orderkey, o_orderstatus, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents, "
+    "0 AS pri FROM orders), "
+    "delta AS (SELECT o_orderkey, 'U' AS o_orderstatus, "
+    "total_cents + 1 AS total_cents, 1 AS pri FROM base "
+    "WHERE o_orderkey % 10 = 0 "
+    "UNION ALL SELECT o_orderkey + 100000000, 'I', total_cents, 1 "
+    "FROM base WHERE o_orderkey % 1000 = 7), "
+    "u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey "
+    "ORDER BY pri DESC) AS rn FROM "
+    "(SELECT * FROM base UNION ALL SELECT * FROM delta)) "
+    "SELECT o_orderkey, o_orderstatus, total_cents FROM u WHERE rn = 1")
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Duplicate rate per corpus source — the curation health metric
     that decides which feeds get throttled: per source, the total doc
@@ -7226,6 +7314,7 @@ QUERIES = {
     "late_events": q_late_events,
     "knn_classify": q_knn_classify,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "cdc_upsert": q_cdc_upsert,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7388,6 +7477,7 @@ ORACLE_SQL.update({
     "late_events": _SQL_LATE_EVENTS,
     "knn_classify": _SQL_KNN_CLASSIFY,
     "dup_rate_by_source": _SQL_DUP_RATE,
+    "cdc_upsert": _SQL_CDC_UPSERT,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

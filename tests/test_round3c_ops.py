@@ -197,6 +197,27 @@ def test_pip_anti_complement_of_pip_rect(ray_session, tmp_path):
     assert anti | hit == {40, 240, 200} and not (anti & hit)
 
 
+# ------------------------------------------------------------ cdc_upsert
+def test_cdc_upsert_update_insert_untouched(ray_session, tmp_path):
+    """Update wins over base for keys % 10 == 0, the %1000==7 clone
+    lands under key+1e8 with status 'I', and untouched keys pass
+    through byte-identical."""
+    orders = pa.table({
+        "o_orderkey": pa.array([3, 7, 10], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "P"], pa.string()),
+        "o_totalprice": pa.array([5.25, 1.10, 99.99], pa.float64()),
+        "o_orderdate": pa.array([0, 0, 0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["x"] * 3, pa.string())})
+    sf = _write(tmp_path, "orders", orders)
+    got = (Q.q_cdc_upsert(sf).to_pandas()
+           .sort_values("o_orderkey", ignore_index=True))
+    assert got["o_orderkey"].tolist() == [3, 7, 10, 100000007]
+    assert got["o_orderstatus"].tolist() == ["F", "O", "U", "I"]
+    # untouched keep base cents; updated key 10 is +1; insert clones
+    assert got["total_cents"].tolist() == [525, 110, 10000, 110]
+
+
 # --------------------------------------------------- dup_rate_by_source
 def test_dup_rate_by_source_cross_source_dups(ray_session, tmp_path):
     """BOTH sides of a cross-source exact duplicate count as
