@@ -4,27 +4,31 @@ The small-file problem is the canonical failure mode of long-lived
 streaming stores (a tile store appended per-shard, an event log
 flushed per-task): millions of KB-sized parquet files whose open/footer
 overhead dominates every later read. `compact_parquet` rewrites each
-hive partition's fragments into files of ~`target_rows` rows while
-preserving content exactly.
+hive partition's fragments into files of ~`target_rows` rows (and
+row groups coalesced to the same size — tiny input row groups do NOT
+survive) while preserving content exactly.
 
 Distributed shape: the driver holds only the LEAF-DIRECTORY list (one
 entry per hive partition — bounded by the partition scheme, never by
 rows); each leaf compacts in its own Ray task, STREAMING its fragments
-row-group-by-row-group through a rolling writer (a leaf larger than
-worker memory never materializes — peak memory is one row group plus
-one output buffer). Output is written to a NEW tree, one `part-NNNN`
-series per leaf, and a leaf whose output directory already exists is
-skipped — so a killed compaction resumes by rerunning, finished
-partitions cost a directory stat (the same resumability contract as
-the pyramid store).
+row-group-by-row-group into a bounded buffer that flushes every
+`target_rows` rows (peak memory is one output file's rows, never the
+leaf). A leaf is published by moving its finished parts into place and
+writing a `_SUCCESS` marker LAST — so a killed compaction resumes by
+rerunning: finished partitions (marker present) cost one stat; a leaf
+with a stale half-written tmp dir or a crashed partial publish is
+rebuilt from scratch (stale state is deleted, never reused).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+_MARKER = "_SUCCESS"
 
 
 def _leaf_dirs(root: str) -> list[str]:
@@ -33,57 +37,73 @@ def _leaf_dirs(root: str) -> list[str]:
     out = []
     for cur, _dirs, files in os.walk(root):
         if any(f.endswith(".parquet") for f in files):
-            out.append(os.path.relpath(cur, root))
+            rel = os.path.relpath(cur, root)
+            out.append("" if rel == "." else rel)
     return sorted(out)
 
 
-def _compact_leaf(src_leaf: str, dst_leaf: str,
+def _compact_leaf(src_leaf: str, dst_leaf: str, rel: str,
                   target_rows: int) -> dict:
-    """Stream every fragment of one leaf through a rolling writer.
+    """Stream every fragment of one leaf through a rolling buffer.
     Returns a manifest row. Runs inside a Ray task."""
     files = sorted(os.path.join(src_leaf, f)
                    for f in os.listdir(src_leaf)
                    if f.endswith(".parquet"))
-    tmp = dst_leaf + ".inprogress"
-    os.makedirs(tmp, exist_ok=True)
-    writer = None
-    part = n_rows = rows_in_part = 0
+    tmp = dst_leaf.rstrip(os.sep) + ".inprogress"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)        # stale tmp from a killed run: never reuse
+    os.makedirs(tmp)
+    part = n_rows = 0
+    buf: list[pa.Table] = []
+    buf_rows = 0
     schema = None
-    try:
-        for path in files:
-            pf = pq.ParquetFile(path)
-            if schema is None:
-                schema = pf.schema_arrow
-            for rg in range(pf.num_row_groups):
-                tbl = pf.read_row_group(rg)
-                # tolerate benign fragment-schema drift (field order)
-                tbl = tbl.select(schema.names).cast(schema)
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(tmp, f"part-{part:04d}.parquet"),
-                        schema)
-                writer.write_table(tbl)
-                n_rows += tbl.num_rows
-                rows_in_part += tbl.num_rows
-                if rows_in_part >= target_rows:
-                    writer.close()
-                    writer = None
-                    part += 1
-                    rows_in_part = 0
-    finally:
-        if writer is not None:
-            writer.close()
-    os.rename(tmp, dst_leaf)   # atomic publish: resume sees all-or-none
-    return {"leaf": os.path.basename(dst_leaf) or dst_leaf,
-            "files_in": len(files), "files_out": part + 1,
-            "rows": n_rows}
+
+    def _flush():
+        nonlocal part, buf, buf_rows
+        if not buf:
+            return
+        pq.write_table(pa.concat_tables(buf),
+                       os.path.join(tmp, f"part-{part:04d}.parquet"),
+                       row_group_size=target_rows)
+        part += 1
+        buf, buf_rows = [], 0
+
+    for path in files:
+        pf = pq.ParquetFile(path)
+        if schema is None:
+            schema = pf.schema_arrow
+        for rg in range(pf.num_row_groups):
+            tbl = pf.read_row_group(rg)
+            # tolerate benign fragment-schema drift (field order)
+            tbl = tbl.select(schema.names).cast(schema)
+            buf.append(tbl)
+            buf_rows += tbl.num_rows
+            n_rows += tbl.num_rows
+            if buf_rows >= target_rows:
+                _flush()
+    _flush()
+    # Publish: move parts into place, write the marker LAST. A crash
+    # between the two leaves parquet files but no marker — the resume
+    # path treats that as unfinished and rebuilds the leaf.
+    os.makedirs(dst_leaf, exist_ok=True)
+    for f in os.listdir(dst_leaf):           # clear a crashed partial publish
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.remove(os.path.join(dst_leaf, f))
+    for f in sorted(os.listdir(tmp)):
+        os.replace(os.path.join(tmp, f), os.path.join(dst_leaf, f))
+    with open(os.path.join(dst_leaf, _MARKER), "w"):
+        pass
+    os.rmdir(tmp)
+    return {"leaf": rel or ".", "files_in": len(files),
+            "files_out": part, "rows": n_rows}
 
 
 def compact_parquet(src_dir: str, dst_dir: str,
                     target_rows: int = 1_000_000) -> list[dict]:
     """Compact every hive leaf of ``src_dir`` into ``dst_dir`` (same
-    relative layout). Returns one manifest dict per COMPACTED leaf;
-    leaves whose destination already exists are skipped (resume)."""
+    relative layout; a flat src compacts into dst_dir itself). Returns
+    one manifest dict per COMPACTED leaf; leaves whose destination
+    holds a ``_SUCCESS`` marker are skipped (resume)."""
     import ray
 
     leaves = _leaf_dirs(src_dir)
@@ -92,14 +112,10 @@ def compact_parquet(src_dir: str, dst_dir: str,
 
     @ray.remote
     def work(rel: str) -> dict:
-        return _compact_leaf(os.path.join(src_dir, rel),
-                             os.path.join(dst_dir, rel), target_rows)
+        return _compact_leaf(os.path.join(src_dir, rel) if rel else src_dir,
+                             os.path.join(dst_dir, rel) if rel else dst_dir,
+                             rel, target_rows)
 
-    todo = []
-    for rel in leaves:
-        dst_leaf = os.path.join(dst_dir, rel)
-        if os.path.isdir(dst_leaf):
-            continue                       # finished in a prior run
-        os.makedirs(os.path.dirname(dst_leaf) or dst_dir, exist_ok=True)
-        todo.append(rel)
+    todo = [rel for rel in leaves
+            if not os.path.isfile(os.path.join(dst_dir, rel, _MARKER))]
     return ray.get([work.remote(rel) for rel in todo])

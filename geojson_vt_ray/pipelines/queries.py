@@ -6555,17 +6555,26 @@ def q_knn_classify(sf_dir: str, k: int = 5):
             o_id.append(iv[top])
             o_l.append(il[top])
             o_s.append(s[top])
+        if o_q:                          # empty when no query vectors exist
+            qc, idc = np.concatenate(o_q), np.concatenate(o_id)
+            lc, sc = np.concatenate(o_l), np.concatenate(o_s)
+        else:
+            qc = idc = lc = np.empty(0, np.int64)
+            sc = np.empty(0, np.float64)
         return pa.table({
-            "query_id": pa.array(np.concatenate(o_q)),
-            "vec_id": pa.array(np.concatenate(o_id).astype(np.int64)),
-            "label": pa.array(np.concatenate(o_l)),
-            "cosine": pa.array(np.concatenate(o_s))})
+            "query_id": pa.array(qc.astype(np.int64)),
+            "vec_id": pa.array(idc.astype(np.int64)),
+            "label": pa.array(lc.astype(np.int64)),
+            "cosine": pa.array(sc.astype(np.float64))})
 
     cand = (_read_pq(f"{sf_dir}/embeddings.parquet",
                      columns=["vec_id", "embedding", "label"])
             .map_batches(partial, batch_format="pyarrow")
             .to_pandas())            # O(batches × queries × k) — bounded
     out_q, out_l, out_v = [], [], []
+    if cand.empty:       # no query vectors: to_pandas may drop columns
+        cand = pd.DataFrame(columns=["query_id", "vec_id",
+                                     "label", "cosine"])
     for qid, sub in cand.groupby("query_id", sort=True):
         s = sub["cosine"].to_numpy()
         iv = sub["vec_id"].to_numpy(np.int64)
@@ -6795,7 +6804,9 @@ def q_late_events(sf_dir: str, bucket_w: int = 4096):
     def ds_ts():
         def prep(b: pa.Table) -> pa.Table:
             eid = b.column("event_id").to_numpy(zero_copy_only=False)
-            skew = (eid * 2654435761) % 7919 * 1_000_000
+            # (a*b)%m reduced mod-m first: bit-equal to the oracle's
+            # exact product for eid>=0, and wrap-free past eid~3.5e9
+            skew = (eid % 7919) * (2654435761 % 7919) % 7919 * 1_000_000
             ets = (b.column("ts").cast(pa.int64())
                    .to_numpy(zero_copy_only=False) - skew)
             return pa.table({

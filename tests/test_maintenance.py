@@ -59,9 +59,15 @@ def test_compact_rolls_at_target_rows(ray_session, tmp_path):
     assert manifest[0]["files_out"] == 3
     leaf = dst / "key=0"
     sizes = sorted(pq.read_table(str(leaf / f)).num_rows
-                   for f in os.listdir(leaf))
+                   for f in os.listdir(leaf) if f.endswith(".parquet"))
     assert sizes == [20, 40, 40]
     assert _read_ids(dst) == _read_ids(src)
+    # row groups are coalesced (ceil(rows/35) per file), not passed
+    # through from the 10-row inputs
+    for f in os.listdir(leaf):
+        if f.endswith(".parquet"):
+            pf = pq.ParquetFile(str(leaf / f))
+            assert pf.num_row_groups == -(-pf.metadata.num_rows // 35)
 
 
 def test_compact_resume_skips_finished_and_cleans_partial(
@@ -78,3 +84,46 @@ def test_compact_resume_skips_finished_and_cleans_partial(
     assert _read_ids(dst) == _read_ids(src)
     # a third run is a no-op
     assert compact_parquet(str(src), str(dst), target_rows=1000) == []
+
+
+def test_compact_flat_unpartitioned_store(ray_session, tmp_path):
+    """A flat dir (no hive keys) compacts into dst_dir itself."""
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    src.mkdir()
+    for f in range(8):
+        ids = list(range(f * 10, f * 10 + 10))
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64()),
+                                 "v": pa.array(ids, pa.int64())}),
+                       str(src / f"frag-{f:03d}.parquet"))
+    manifest = compact_parquet(str(src), str(dst), target_rows=1000)
+    assert manifest == [{"leaf": ".", "files_in": 8, "files_out": 1,
+                         "rows": 80}]
+    assert _read_ids(dst) == list(range(80))
+    # rerun resumes as a no-op, not a silent empty "success"
+    assert compact_parquet(str(src), str(dst), target_rows=1000) == []
+
+
+def test_compact_exact_multiple_files_out(ray_session, tmp_path):
+    """files_out matches disk when rows are an exact target multiple."""
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _fragmented_store(src, n_parts=1, files_per_part=10,
+                      rows_per_file=10)
+    manifest = compact_parquet(str(src), str(dst), target_rows=50)
+    on_disk = [f for f in os.listdir(dst / "key=0")
+               if f.endswith(".parquet")]
+    assert manifest[0]["files_out"] == len(on_disk) == 2
+
+
+def test_compact_discards_stale_inprogress(ray_session, tmp_path):
+    """Leftover tmp parts from a killed run never leak into output."""
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _fragmented_store(src, n_parts=1, files_per_part=4,
+                      rows_per_file=10)
+    stale = dst / "key=0.inprogress"
+    stale.mkdir(parents=True)
+    pq.write_table(pa.table({"id": pa.array([999], pa.int64()),
+                             "v": pa.array([999], pa.int64())}),
+                   str(stale / "part-0007.parquet"))
+    compact_parquet(str(src), str(dst), target_rows=1000)
+    assert _read_ids(dst) == _read_ids(src)          # no 999 anywhere
+    assert not stale.exists()

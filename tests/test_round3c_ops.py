@@ -292,3 +292,44 @@ def test_pca_project_matches_numpy(ray_session, tmp_path):
     # the dominant planted axis is dim 0: pc1 must track it
     c = np.corrcoef(got["pc1"].to_numpy(), mat[:, 0])[0, 1]
     assert abs(c) > 0.99
+
+
+def test_late_events_huge_event_ids_no_wrap(ray_session, tmp_path):
+    """event_ids past ~3.5e9 must not wrap the int64 skew product:
+    the engine's modular-reduced skew must equal the exact Python-int
+    computation the SQL oracle performs."""
+    H = 3_600_000_000
+    base = 10_000 * H
+    big = 5_000_000_000                       # eid * 2654435761 > 2^63
+    evs = [(big, base), (big + 1, base + 10 * H),
+           (big + 9000, base + 2 * H),        # trails wm -> late
+           (big + 9001, base + 20 * H)]
+    rows = [(eid, 0, ts, "e", 0.0) for eid, ts in evs]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_late_events(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+
+    def etime(eid, ts):                       # exact Python ints
+        return ts - (eid * 2654435761) % 7919 * 1_000_000
+    want, wm_max = [], None
+    for eid, ts in sorted(evs):
+        et = etime(eid, ts)
+        if wm_max is not None and et < wm_max - H:
+            want.append((eid, et, wm_max - H))
+        wm_max = et if wm_max is None else max(wm_max, et)
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert len(want) >= 1                     # the planted late row
+
+
+def test_knn_classify_no_query_vectors(ray_session, tmp_path):
+    """A corpus with no vec_id % 20 == 0 rows yields an empty result,
+    not a crash inside the per-batch partial."""
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 0], pa.int32())})
+    sf = _write(tmp_path, "embeddings", tbl)
+    got = Q.q_knn_classify(sf).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["query_id", "pred_label", "votes"]
