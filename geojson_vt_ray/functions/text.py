@@ -217,3 +217,65 @@ def ngram_stats_partial(batch: pa.Table, n: int = 8,
         "tkey": pa.array([zlib.crc32(g.encode("utf-8")) for g in grams],
                          pa.uint32()),
     })
+
+
+def _explode_tokens(batch: pa.Table, text_col: str):
+    """Vectorized token explode: Arrow regex split of the whole batch
+    (no per-doc Python), returning (flat token ndarray, per-doc token
+    counts) with empty boundary tokens still present — callers filter.
+    Split class mirrors _RE2_TOKEN_RE so SQL oracles using the same
+    character class tokenize identically."""
+    import pyarrow.compute as pc
+    col = batch.column(text_col)
+    if col.num_chunks != 1:
+        col = col.combine_chunks()
+    lst = pc.split_pattern_regex(col, pattern="[\\t\\n\\f\\r ]+")
+    flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(lst).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return flat, lens
+
+
+def term_first_doc_partial(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Per-batch partial for the vocabulary-growth curve: one row per
+    distinct term in the batch with the SMALLEST doc_id containing it.
+    Mergeable by MIN — the shuffle moves the batch vocabulary, never
+    the token stream."""
+    import zlib
+
+    flat, lens = _explode_tokens(batch, text_col)
+    docs = np.repeat(
+        batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    df = pd.DataFrame({"term": flat, "doc": docs})
+    df = df[df["term"] != ""]
+    g = df.groupby("term", sort=True)["doc"].min()
+    terms = g.index.to_numpy()
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "first_doc": pa.array(g.to_numpy(np.int64)),
+        "tkey": pa.array([zlib.crc32(t.encode("utf-8")) for t in terms],
+                         pa.uint32()),
+    })
+
+
+def term_source_partial(batch: pa.Table,
+                        text_col: str = "text") -> pa.Table:
+    """Per-batch partial for cross-source vocabulary overlap: the
+    batch's DISTINCT (term, source) pairs. Merge is another distinct —
+    idempotent, so re-executed blocks can never overcount. Pair volume
+    is bounded by batch vocabulary x #sources."""
+    import zlib
+
+    flat, lens = _explode_tokens(batch, text_col)
+    srcs = np.repeat(
+        batch.column("source").to_numpy(zero_copy_only=False), lens)
+    df = pd.DataFrame({"term": flat, "source": srcs})
+    df = (df[df["term"] != ""]
+          .drop_duplicates(["term", "source"], ignore_index=True))
+    return pa.table({
+        "term": pa.array(df["term"].to_numpy(), pa.string()),
+        "source": pa.array(df["source"].to_numpy(), pa.string()),
+        "tkey": pa.array([zlib.crc32(t.encode("utf-8"))
+                          for t in df["term"]], pa.uint32()),
+    })

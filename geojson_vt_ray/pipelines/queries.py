@@ -7188,6 +7188,143 @@ def q_pca_project(sf_dir: str, k: int = 2):
         project, batch_format="pyarrow")
 
 
+def q_vocab_growth(sf_dir: str, bucket_w: int = 50):
+    """Vocabulary-growth (Heaps-law) curve: for each doc_id range
+    bucket of width ``bucket_w``, how many NEW distinct terms first
+    appear there, plus the running cumulative vocabulary size — the
+    diminishing-returns diagnostic behind "is more crawl data still
+    adding vocabulary?" decisions.
+
+    Shape for scale: per-batch (term, min doc_id) partials collapse the
+    token stream to the batch vocabulary before the shuffle (vectorized
+    Arrow regex split — no per-doc Python); the distributed MIN per
+    term rides the same coarse-key merge as term_stats (the vocabulary
+    is never broadcast and never lands on the driver); each coarse
+    group reduces straight to (bucket, count) partials, so the driver
+    merges only O(groups x buckets) skinny rows and runs the final
+    cumulative sum over the bucket list (corpus_docs / bucket_w
+    entries — pick bucket_w so this stays ~1e6 at any corpus)."""
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    cmask = _coarse_mask()
+
+    part = ds.map_batches(F_text.term_first_doc_partial,
+                          batch_format="pyarrow")
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        tk = b.column("tkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((tk & cmask).astype(np.int32)))
+
+    def merge_first(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("term", sort=False)["first_doc"].min()
+        vc = pd.Series(m.to_numpy(np.int64) // bucket_w).value_counts()
+        return pd.DataFrame({
+            "bucket": vc.index.to_numpy(np.int64),
+            "new_terms": vc.to_numpy(np.int64)})
+
+    parts = (part.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("pkey").map_groups(merge_first,
+                                         batch_format="pandas")
+             .to_pandas())            # O(groups x buckets) — tiny
+    agg = parts.groupby("bucket")["new_terms"].sum().sort_index()
+    return pa.table({
+        "bucket": pa.array(agg.index.to_numpy(np.int64)),
+        "new_terms": pa.array(agg.to_numpy(np.int64)),
+        "cum_terms": pa.array(agg.cumsum().to_numpy(np.int64))})
+
+
+_SQL_VOCAB_GROWTH = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+')) AS term "
+    "FROM documents), "
+    "f AS (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term), "
+    "b AS (SELECT fd // 50 AS bucket, COUNT(*) AS new_terms "
+    "FROM f GROUP BY 1) "
+    "SELECT bucket, new_terms, CAST(SUM(new_terms) OVER ("
+    "ORDER BY bucket) AS BIGINT) AS cum_terms FROM b ORDER BY bucket")
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary overlap between sources: for every source
+    pair (a < b), the number of distinct terms both use and the size
+    of their vocabulary union — the exact integer core of the
+    "how redundant are these two crawls?" curation question.
+
+    Shape for scale: a bounded distinct scan fixes the source->bit
+    mapping (sources are a catalog, never corpus-sized); per-batch
+    DISTINCT (term, source) partials (idempotent under re-execution)
+    ride the coarse-key term merge; each coarse group reduces its
+    term->source-bitmask table straight to O(sources^2) pair-count
+    partials, so the driver merges groups x pairs skinny rows — the
+    vocabulary itself never shuffles wholesale, never broadcasts, and
+    never reaches the driver."""
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "source"])
+    srcs = sorted(ds.unique("source"))          # bounded catalog
+    bit = {s: 1 << i for i, s in enumerate(srcs)}
+    ns = len(srcs)
+    cmask = _coarse_mask()
+
+    part = ds.map_batches(F_text.term_source_partial,
+                          batch_format="pyarrow")
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        tk = b.column("tkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((tk & cmask).astype(np.int32)))
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["term", "source"])
+        masks = (d["source"].map(bit).astype(np.int64)
+                 .groupby(d["term"], sort=False).sum().to_numpy())
+        ai, bi, cnt = [], [], []
+        for i in range(ns):
+            vi = (masks >> i) & 1
+            ai.append(i); bi.append(-1)           # -1 = vocab size row
+            cnt.append(int(vi.sum()))
+            for j in range(i + 1, ns):
+                ai.append(i); bi.append(j)
+                cnt.append(int((vi & ((masks >> j) & 1)).sum()))
+        return pd.DataFrame({"a": np.array(ai, np.int64),
+                             "b": np.array(bi, np.int64),
+                             "n": np.array(cnt, np.int64)})
+
+    parts = (part.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("pkey").map_groups(pair_partial,
+                                         batch_format="pandas")
+             .to_pandas())            # O(groups x sources^2) — tiny
+    tot = parts.groupby(["a", "b"])["n"].sum()
+    vocab = {a: int(tot.get((a, -1), 0)) for a in range(ns)}
+    rows = []
+    for (a, b), common in tot.items():
+        if b < 0 or common == 0:      # inner-join semantics: skip empty
+            continue
+        rows.append((srcs[a], srcs[b], int(common),
+                     vocab[a] + vocab[b] - int(common)))
+    rows.sort()
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], pa.string()),
+        "source_b": pa.array([r[1] for r in rows], pa.string()),
+        "common_terms": pa.array([r[2] for r in rows], pa.int64()),
+        "union_terms": pa.array([r[3] for r in rows], pa.int64())})
+
+
+_SQL_SOURCE_VOCAB_OVERLAP = (
+    "WITH tok0 AS (SELECT source, "
+    "unnest(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+')) AS term "
+    "FROM documents), "
+    "toks AS (SELECT DISTINCT source, term FROM tok0), "
+    "v AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source) "
+    "SELECT a.source AS source_a, b.source AS source_b, "
+    "COUNT(*) AS common_terms, "
+    "CAST(MIN(va.n) + MIN(vb.n) - COUNT(*) AS BIGINT) AS union_terms "
+    "FROM toks a JOIN toks b ON a.term = b.term AND a.source < b.source "
+    "JOIN v va ON va.source = a.source "
+    "JOIN v vb ON vb.source = b.source "
+    "GROUP BY a.source, b.source ORDER BY source_a, source_b")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -7326,6 +7463,8 @@ QUERIES = {
     "knn_classify": q_knn_classify,
     "dup_rate_by_source": q_dup_rate_by_source,
     "cdc_upsert": q_cdc_upsert,
+    "vocab_growth": q_vocab_growth,
+    "source_vocab_overlap": q_source_vocab_overlap,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7489,6 +7628,8 @@ ORACLE_SQL.update({
     "knn_classify": _SQL_KNN_CLASSIFY,
     "dup_rate_by_source": _SQL_DUP_RATE,
     "cdc_upsert": _SQL_CDC_UPSERT,
+    "vocab_growth": _SQL_VOCAB_GROWTH,
+    "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

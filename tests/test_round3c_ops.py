@@ -333,3 +333,47 @@ def test_knn_classify_no_query_vectors(ray_session, tmp_path):
     got = Q.q_knn_classify(sf).to_pandas()
     assert len(got) == 0
     assert list(got.columns) == ["query_id", "pred_label", "votes"]
+
+
+def _docs_table(rows):
+    """rows: (doc_id, text, lang, source)"""
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+
+
+def test_vocab_growth_first_seen_and_cumsum(ray_session, tmp_path):
+    """A term counts only in the bucket of its FIRST doc; empty docs
+    contribute nothing; the cumulative column is a running total over
+    present buckets (gaps allowed)."""
+    rows = [(0, "alpha beta", "en", "s0"),
+            (1, "", "en", "s0"),                    # empty doc
+            (49, "alpha gamma", "en", "s0"),        # alpha NOT recounted
+            (50, "alpha beta delta", "en", "s0"),   # only delta is new
+            (150, "epsilon", "en", "s0")]           # bucket 3 (gap at 2)
+    sf = _write(tmp_path, "documents", _docs_table(rows))
+    got = Q.q_vocab_growth(sf).to_pandas()
+    assert got["bucket"].tolist() == [0, 1, 3]
+    assert got["new_terms"].tolist() == [3, 1, 1]   # alpha,beta,gamma | delta | epsilon
+    assert got["cum_terms"].tolist() == [3, 4, 5]
+
+
+def test_source_vocab_overlap_pairs_and_union(ray_session, tmp_path):
+    """Overlap counts distinct terms only (repeats collapse), the union
+    arithmetic is exact, zero-overlap pairs are omitted (inner-join
+    semantics), and a single-source corpus yields no rows."""
+    rows = [(0, "a b c", "en", "s1"),
+            (1, "b b c d", "en", "s2"),             # repeats collapse
+            (2, "x y", "en", "s3")]                 # disjoint from s1/s2
+    sf = _write(tmp_path, "documents", _docs_table(rows))
+    got = (Q.q_source_vocab_overlap(sf).to_pandas()
+           .sort_values(["source_a", "source_b"], ignore_index=True))
+    assert [tuple(r) for r in got.to_numpy()] == [("s1", "s2", 2, 4)]
+    # single source: no pairs at all
+    (tmp_path / "one").mkdir()
+    sf2 = _write(tmp_path / "one", "documents",
+                 _docs_table([(0, "a b", "en", "only")]))
+    assert len(Q.q_source_vocab_overlap(sf2).to_pandas()) == 0
