@@ -7325,6 +7325,127 @@ _SQL_SOURCE_VOCAB_OVERLAP = (
     "GROUP BY a.source, b.source ORDER BY source_a, source_b")
 
 
+def q_order_reconcile(sf_dir: str):
+    """Ledger reconciliation (the audit / data-quality shape): FULL
+    OUTER join of the orders ledger against the per-order lineitem
+    cent rollup, classifying every orderkey as only_orders /
+    only_lineitem / both_match / both_mismatch with the exact summed
+    absolute cent discrepancy — the "do these two systems agree?"
+    nightly check. Deterministic filters plant one-sided rows at any
+    scale: the ledger keeps o_orderkey % 89 != 0, the detail stream
+    keeps l_orderkey % 97 != 0.
+
+    Shape for scale: the detail side pre-aggregates to per-order
+    integer-cent partials (per-batch groupby, then one coarse-key
+    combine) BEFORE the join, so the join input is order-cardinality,
+    not line-cardinality; the reconcile itself is Ray's distributed
+    full_outer hash join — both sides corpus-scale, no broadcast
+    assumption; statuses collapse per-batch to <=4-row partials, so
+    the driver merges O(batches x 4) rows."""
+    nparts = F_dedup._num_join_partitions()
+    cmask = _coarse_mask()
+
+    def o_side(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        oc = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = ok % 89 != 0
+        return pa.table({"okey": pa.array(ok[keep]),
+                         "o_cents": pa.array(oc[keep])})
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]
+                      ).map_batches(o_side, batch_format="pyarrow")
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        lk = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lc = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = lk % 97 != 0
+        df = (pd.DataFrame({"lkey": lk[keep], "l_cents": lc[keep]})
+              .groupby("lkey", sort=False, as_index=False)["l_cents"]
+              .sum())
+        return pa.table({
+            "lkey": pa.array(df["lkey"].to_numpy(np.int64)),
+            "l_cents": pa.array(df["l_cents"].to_numpy(np.int64)),
+            "pkey": pa.array(
+                (df["lkey"].to_numpy(np.int64) & cmask).astype(
+                    np.int32))})
+
+    def l_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("lkey", sort=False, as_index=False)
+                ["l_cents"].sum())
+
+    detail = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice"])
+              .map_batches(l_partial, batch_format="pyarrow")
+              .groupby("pkey").map_groups(l_merge,
+                                          batch_format="pandas"))
+
+    def typed(b: pa.Table) -> pa.Table:     # pandas groups -> fixed types
+        return pa.table({
+            "lkey": b.column("lkey").cast(pa.int64()),
+            "l_cents": b.column("l_cents").cast(pa.int64())})
+
+    joined = orders.join(
+        detail.map_batches(typed, batch_format="pyarrow"),
+        "full_outer", nparts, on=("okey",), right_on=("lkey",),
+        aggregator_ray_remote_args=_agg_args(nparts))
+
+    _STATUSES = ["both_match", "both_mismatch",
+                 "only_lineitem", "only_orders"]
+
+    def status_partial(b: pa.Table) -> pa.Table:
+        oc_col = b.column("o_cents").combine_chunks()
+        lc_col = b.column("l_cents").combine_chunks()
+        has_o = pc.is_valid(oc_col).to_numpy(zero_copy_only=False)
+        has_l = pc.is_valid(lc_col).to_numpy(zero_copy_only=False)
+        oc = oc_col.fill_null(0).to_numpy(zero_copy_only=False)
+        lc = lc_col.fill_null(0).to_numpy(zero_copy_only=False)
+        both = has_o & has_l
+        match = both & (oc == lc)
+        n = np.array([match.sum(), (both & ~match).sum(),
+                      (~has_o & has_l).sum(),
+                      (has_o & ~has_l).sum()], np.int64)
+        diff = int(np.abs(oc[both & ~match] - lc[both & ~match]).sum())
+        return pa.table({
+            "status": pa.array(_STATUSES, pa.string()),
+            "n": pa.array(n),
+            "abs_diff_cents": pa.array([0, diff, 0, 0], pa.int64())})
+
+    parts = (joined.map_batches(status_partial, batch_format="pyarrow")
+             .to_pandas())            # O(batches x 4) — tiny
+    agg = (parts.groupby("status", as_index=False)
+           [["n", "abs_diff_cents"]].sum())
+    agg = agg[agg["n"] > 0].sort_values("status", ignore_index=True)
+    return pa.table({
+        "status": pa.array(agg["status"].to_numpy(), pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "abs_diff_cents": pa.array(
+            agg["abs_diff_cents"].to_numpy(np.int64))})
+
+
+_SQL_ORDER_RECONCILE = (
+    "WITH o AS (SELECT o_orderkey AS k, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS oc FROM orders "
+    "WHERE o_orderkey % 89 <> 0), "
+    "l AS (SELECT l_orderkey AS k, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS lc FROM lineitem WHERE l_orderkey % 97 <> 0 GROUP BY 1), "
+    "j AS (SELECT oc, lc FROM o FULL OUTER JOIN l ON o.k = l.k) "
+    "SELECT CASE WHEN oc IS NULL THEN 'only_lineitem' "
+    "WHEN lc IS NULL THEN 'only_orders' "
+    "WHEN oc = lc THEN 'both_match' ELSE 'both_mismatch' END AS status, "
+    "COUNT(*) AS n, "
+    "CAST(COALESCE(SUM(CASE WHEN oc IS NOT NULL AND lc IS NOT NULL "
+    "AND oc <> lc THEN ABS(oc - lc) END), 0) AS BIGINT) "
+    "AS abs_diff_cents FROM j GROUP BY 1 ORDER BY status")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -7465,6 +7586,7 @@ QUERIES = {
     "cdc_upsert": q_cdc_upsert,
     "vocab_growth": q_vocab_growth,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "order_reconcile": q_order_reconcile,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7630,6 +7752,7 @@ ORACLE_SQL.update({
     "cdc_upsert": _SQL_CDC_UPSERT,
     "vocab_growth": _SQL_VOCAB_GROWTH,
     "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
+    "order_reconcile": _SQL_ORDER_RECONCILE,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

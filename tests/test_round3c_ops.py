@@ -377,3 +377,43 @@ def test_source_vocab_overlap_pairs_and_union(ray_session, tmp_path):
     sf2 = _write(tmp_path / "one", "documents",
                  _docs_table([(0, "a b", "en", "only")]))
     assert len(Q.q_source_vocab_overlap(sf2).to_pandas()) == 0
+
+
+def test_order_reconcile_all_statuses(ray_session, tmp_path):
+    """Plants every status: exact cent match, mismatch with known
+    absolute diff, ledger-only, and detail-only orderkeys (keys
+    chosen to survive the %89/%97 planted filters); multi-line orders
+    sum before comparison."""
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 89], pa.int64()),
+        "o_custkey": pa.array([0] * 4, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+        # 1: matches 10.00+2.50; 2: lineitem sums 5.00 (diff 100);
+        # 3: no lineitem rows; 89: dropped by the ledger filter
+        "o_totalprice": pa.array([12.50, 6.00, 7.00, 1.00],
+                                 pa.float64()),
+        "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string())})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 4, 97], pa.int64()),
+        "l_partkey": pa.array([0] * 5, pa.int64()),
+        "l_suppkey": pa.array([0] * 5, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 5, pa.float64()),
+        # order 4 exists only here; 97 dropped by the detail filter
+        "l_extendedprice": pa.array([10.00, 2.50, 5.00, 9.99, 1.00],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0] * 5, pa.float64()),
+        "l_tax": pa.array([0.0] * 5, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 5, pa.string()),
+        "l_linestatus": pa.array(["O"] * 5, pa.string()),
+        "l_shipdate": pa.array([0] * 5, pa.timestamp("us"))})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    got = (Q.q_order_reconcile(sf).to_pandas()
+           .sort_values("status", ignore_index=True))
+    assert [tuple(r) for r in got.to_numpy()] == [
+        ("both_match", 1, 0),
+        ("both_mismatch", 1, 100),
+        ("only_lineitem", 1, 0),
+        ("only_orders", 1, 0)]
