@@ -478,12 +478,17 @@ class GramPrefix:
     it as a first aggregate and an order-index join)."""
 
     def __init__(self, n_tokens: int, t_num: int, t_den: int,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 size_ratio: int = 0):
         self.n_tokens = n_tokens
         self.t_num = t_num
         self.t_den = t_den
         self.text_col = text_col
         self.id_col = id_col
+        # size_ratio > 0 switches to CONTAINMENT prefixes: the partner
+        # may be up to R x smaller, so the guaranteed overlap drops to
+        # ceil(t*size/R) and the prefix must grow accordingly
+        self.size_ratio = size_ratio
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b.column(self.id_col).to_pylist()
@@ -494,9 +499,16 @@ class GramPrefix:
             size = len(s)
             if size == 0:
                 continue
-            # prefix len = size - ceil(t*size) + 1, t = t_num/t_den
-            plen = size - (self.t_num * size + self.t_den - 1) \
-                // self.t_den + 1
+            if self.size_ratio:
+                # containment: overlap >= ceil(t*min) >= ceil(t*size/R)
+                # for BOTH sides when max <= R*min, so prefix len
+                # size - ceil(t*size/R) + 1 keeps the filter lossless
+                den = self.t_den * self.size_ratio
+                plen = size - (self.t_num * size + den - 1) // den + 1
+            else:
+                # prefix len = size - ceil(t*size) + 1, t = t_num/t_den
+                plen = size - (self.t_num * size + self.t_den - 1) \
+                    // self.t_den + 1
             o_gh.append(s[:plen])
             o_id.append(np.full(plen, doc_id, np.int64))
             o_sz.append(np.full(plen, size, np.int64))
@@ -616,6 +628,112 @@ def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
     return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
                                ("n_inter", pa.int64()),
                                ("n_union", pa.int64())])
+
+
+def containment_join_exact(ds, t_num: int = 4, t_den: int = 5,
+                           size_ratio: int = 2, n_tokens: int = 5,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """EXACT all-pairs CONTAINMENT join: pairs (id_a < id_b) whose word
+    n-gram sets satisfy |inter| >= ceil(t * min(|A|,|B|)) AND
+    max(|A|,|B|) <= size_ratio * min(|A|,|B|) — the asymmetric near-dup
+    predicate behind quote/boilerplate/prefix-copy detection, where a
+    small doc is mostly CONTAINED in a bigger one but their Jaccard is
+    diluted by the size gap. Returns exact integer (n_inter, min_size,
+    max_size) so the threshold test is integer-exact.
+
+    Same three-stage shape as jaccard_join_exact (prefix candidates ->
+    distributed pair dedup -> join-verify). Losslessness: when
+    max <= R*min, the guaranteed overlap ceil(t*min) >= ceil(t*|X|/R)
+    for BOTH sides, so prefixes of length |X| - ceil(t*|X|/R) + 1
+    (GramPrefix size_ratio mode) must intersect for every qualifying
+    pair. The bounded size ratio is part of the declared predicate —
+    without it no prefix bound exists (a 3-gram doc contained in a
+    1e6-gram doc would force full-set indexing); R=2 covers the
+    near-dup regime this operator exists for. Shuffles move prefix
+    rows and 8 B/gram payloads; nothing corpus-sized on the driver."""
+    assert 0 < t_num <= t_den and size_ratio >= 1
+
+    bs = _bundle_batch_size(ds)
+    prefix = ds.map_batches(
+        GramPrefix(n_tokens, t_num, t_den, text_col, id_col,
+                   size_ratio=size_ratio),
+        batch_format="pyarrow", batch_size=bs)
+
+    cmask = _coarse_mask_fn()
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        gh = b.column("gh").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((gh & np.uint64(cmask)).astype(np.int32)))
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby("gh", sort=False):
+            if len(sub) < 2:
+                continue
+            order = np.argsort(sub[id_col].to_numpy())
+            ids = sub[id_col].to_numpy()[order]
+            szs = sub["set_size"].to_numpy()[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            lo = np.minimum(szs[ii], szs[jj])
+            hi = np.maximum(szs[ii], szs[jj])
+            keep = hi <= size_ratio * lo
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b)}).drop_duplicates()
+
+    cand = (prefix.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("pkey").map_groups(pairs_in_group,
+                                        batch_format="pandas"))
+
+    nparts = _num_join_partitions()
+    uniq = _dedup_candidate_pairs(cand, nparts, cmask)
+
+    gs_ds = ds.map_batches(GramSetBytes(n_tokens, text_col, id_col),
+                           batch_format="pyarrow",
+                           batch_size=bs).materialize()
+    j = _join_pair_payload(uniq, gs_ds, nparts, id_col, "gs")
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_pylist()
+        ib = b.column("id_b").to_pylist()
+        ga = b.column("gs_a").to_pylist()
+        gb = b.column("gs").to_pylist()
+        o_a, o_b, o_i, o_lo, o_hi = [], [], [], [], []
+        for a, b_, ra, rb in zip(ia, ib, ga, gb):
+            sa = np.frombuffer(ra, np.uint64)
+            sb = np.frombuffer(rb, np.uint64)
+            lo = min(len(sa), len(sb))
+            hi = max(len(sa), len(sb))
+            if lo == 0 or hi > size_ratio * lo:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            # |inter| >= ceil(t*lo)  <=>  t_den*inter >= t_num*lo
+            # (inter is an int: den*inter >= num*lo iff
+            #  inter >= num*lo/den iff inter >= ceil(num*lo/den))
+            if t_den * inter >= t_num * lo:
+                o_a.append(a)
+                o_b.append(b_)
+                o_i.append(inter)
+                o_lo.append(lo)
+                o_hi.append(hi)
+        return pa.table({"id_a": pa.array(o_a, pa.int64()),
+                         "id_b": pa.array(o_b, pa.int64()),
+                         "n_inter": pa.array(o_i, pa.int64()),
+                         "min_size": pa.array(o_lo, pa.int64()),
+                         "max_size": pa.array(o_hi, pa.int64())})
+
+    out = j.map_batches(verify, batch_format="pyarrow")
+    return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("n_inter", pa.int64()),
+                               ("min_size", pa.int64()),
+                               ("max_size", pa.int64())])
 
 
 # ----------------------------------------------- connected components

@@ -1616,6 +1616,36 @@ _SQL_JACCARD_JOIN = (
     "WHERE 2 * n_inter >= n_union ORDER BY id_a, id_b")
 
 
+def q_containment_join(sf_dir: str):
+    """EXACT all-pairs CONTAINMENT join: word-5-gram |inter| >=
+    ceil(0.8 * min) with max <= 2 * min (dedup.containment_join_exact)
+    — the asymmetric quote/boilerplate near-dup predicate Jaccard
+    misses when one doc is much bigger. Integer-only output so the
+    threshold matches the cross-join oracle bit-for-bit."""
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    return F_dedup.containment_join_exact(ds, t_num=4, t_den=5,
+                                          size_ratio=2, n_tokens=5)
+
+
+_SQL_CONTAINMENT_JOIN = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts "
+    "FROM documents), "
+    "idx AS (SELECT doc_id, ts, "
+    "unnest(range(1, greatest(1, len(ts)-3))) AS i FROM toks), "
+    "grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') "
+    "AS g FROM idx), "
+    "sets AS (SELECT doc_id, list(g) AS s FROM grams GROUP BY doc_id), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter, "
+    "CAST(least(len(a.s), len(b.s)) AS BIGINT) AS min_size, "
+    "CAST(greatest(len(a.s), len(b.s)) AS BIGINT) AS max_size "
+    "FROM sets a JOIN sets b ON a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, n_inter, min_size, max_size FROM pairs "
+    "WHERE 5 * n_inter >= 4 * min_size AND max_size <= 2 * min_size "
+    "ORDER BY id_a, id_b")
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs at Hamming radius 3 (banded blocking is
     complete at this radius by pigeonhole — dedup.simhash_pairs). Oracle
@@ -7587,6 +7617,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "source_vocab_overlap": q_source_vocab_overlap,
     "order_reconcile": q_order_reconcile,
+    "containment_join": q_containment_join,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7753,6 +7784,7 @@ ORACLE_SQL.update({
     "vocab_growth": _SQL_VOCAB_GROWTH,
     "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
     "order_reconcile": _SQL_ORDER_RECONCILE,
+    "containment_join": _SQL_CONTAINMENT_JOIN,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

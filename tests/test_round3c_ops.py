@@ -417,3 +417,44 @@ def test_order_reconcile_all_statuses(ray_session, tmp_path):
         ("both_mismatch", 1, 100),
         ("only_lineitem", 1, 0),
         ("only_orders", 1, 0)]
+
+
+def test_containment_join_asymmetric_pairs(ray_session, tmp_path):
+    """Plants: (1) a small doc 80%-contained in a doc <2x its size ->
+    reported with exact sizes; (2) a perfect containment BEYOND the 2x
+    size-ratio bound -> excluded by the declared predicate; (3) an
+    in-ratio pair below the 0.8 containment threshold -> excluded.
+    Cross-checked against a brute-force set computation."""
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)              # 36 distinct 5-grams
+    # (1) small doc = first 24 tokens of base: its 20 grams are all in
+    # base's 36; sizes 20 vs 36 <= 2x, containment 20/20 = 1.0
+    small = " ".join(words[:24])
+    # (2) tiny doc = first 9 tokens: 5 grams, all in base, but
+    # 36 > 2*5 -> ratio bound excludes it
+    tiny = " ".join(words[:9])
+    # (3) half-overlap in-ratio pair: shares 10 of its 20 grams with
+    # small via the first 14 tokens, rest disjoint -> 10/20 < 0.8
+    half = " ".join(words[:14] + [f"z{i}" for i in range(10)])
+    rows = [(0, base, "en", "s"), (1, small, "en", "s"),
+            (2, tiny, "en", "s"), (3, half, "en", "s")]
+    sf = _write(tmp_path, "documents", _docs_table(rows))
+    got = Q.q_containment_join(sf).to_pandas()
+
+    def grams(t):
+        ts = t.split()
+        return {" ".join(ts[i:i + 5]) for i in range(len(ts) - 4)}
+
+    want = []
+    gs = {i: grams(t) for i, t, _, _ in rows}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            inter = len(gs[a] & gs[b])
+            lo = min(len(gs[a]), len(gs[b]))
+            hi = max(len(gs[a]), len(gs[b]))
+            if lo and 5 * inter >= 4 * lo and hi <= 2 * lo:
+                want.append((a, b, inter, lo, hi))
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert (0, 1, 20, 20, 36) in want          # the planted pair
+    assert all(p[:2] != (0, 2) for p in want)  # ratio-bound exclusion
+    assert all(p[:2] != (1, 3) for p in want)  # threshold exclusion
