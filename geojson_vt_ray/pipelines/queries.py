@@ -7476,6 +7476,77 @@ _SQL_ORDER_RECONCILE = (
     "AS abs_diff_cents FROM j GROUP BY 1 ORDER BY status")
 
 
+def q_trending_terms(sf_dir: str, k: int = 20):
+    """Period-over-period trending terms: split the corpus into an
+    "old" and a "new" period (deterministic doc_id % 2 stand-in for an
+    ingest-date column), count each term's total frequency in both,
+    and report the top-k risers by exact integer delta — the "what is
+    this crawl suddenly full of?" drift diagnostic.
+
+    Shape for scale: per-batch (term, tf_old, tf_new) partials collapse
+    the token stream to the batch vocabulary before the shuffle
+    (vectorized Arrow regex explode); the distributed SUM per term
+    rides the coarse-key merge (vocabulary never broadcast, never
+    driver-side); each coarse group cuts to its LOCAL top-k on the
+    shared total order (delta DESC, term ASC) — sound because a term's
+    whole total lives in one group — so the driver merges O(groups x k)
+    rows and takes the global top-k."""
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    cmask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        import zlib
+        flat, lens = F_text._explode_tokens(b, "text")
+        period = np.repeat(
+            b.column("doc_id").to_numpy(zero_copy_only=False) % 2, lens)
+        df = pd.DataFrame({"term": flat, "p": period})
+        df = df[df["term"] != ""]
+        g = (df.groupby(["term", "p"], sort=False).size()
+             .unstack(fill_value=0).reindex(columns=[0, 1],
+                                            fill_value=0))
+        terms = g.index.to_numpy()
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf_old": pa.array(g[0].to_numpy(np.int64)),
+            "tf_new": pa.array(g[1].to_numpy(np.int64)),
+            "pkey": pa.array(np.array(
+                [zlib.crc32(t.encode("utf-8")) for t in terms],
+                np.uint32) & np.uint32(cmask), pa.uint32())})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("term", sort=False)[["tf_old", "tf_new"]].sum()
+        m["delta"] = m["tf_new"] - m["tf_old"]
+        m = m.sort_values(["delta", "term"],
+                          ascending=[False, True]).head(k)
+        return m.reset_index()
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("pkey").map_groups(merge_topk,
+                                         batch_format="pandas")
+             .to_pandas())             # O(groups x k) — tiny
+    top = (parts.sort_values(["delta", "term"],
+                             ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.table({
+        "term": pa.array(top["term"].to_numpy(), pa.string()),
+        "tf_old": pa.array(top["tf_old"].to_numpy(np.int64)),
+        "tf_new": pa.array(top["tf_new"].to_numpy(np.int64)),
+        "delta": pa.array(top["delta"].to_numpy(np.int64))})
+
+
+_SQL_TRENDING_TERMS = (
+    "WITH toks AS (SELECT doc_id % 2 AS p, "
+    "unnest(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+')) AS term "
+    "FROM documents), "
+    "c AS (SELECT term, "
+    "CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tf_old, "
+    "CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf_new "
+    "FROM toks GROUP BY term) "
+    "SELECT term, tf_old, tf_new, tf_new - tf_old AS delta FROM c "
+    "ORDER BY delta DESC, term LIMIT 20")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -7618,6 +7689,7 @@ QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "order_reconcile": q_order_reconcile,
     "containment_join": q_containment_join,
+    "trending_terms": q_trending_terms,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7785,6 +7857,7 @@ ORACLE_SQL.update({
     "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
     "order_reconcile": _SQL_ORDER_RECONCILE,
     "containment_join": _SQL_CONTAINMENT_JOIN,
+    "trending_terms": _SQL_TRENDING_TERMS,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

@@ -458,3 +458,27 @@ def test_containment_join_asymmetric_pairs(ray_session, tmp_path):
     assert (0, 1, 20, 20, 36) in want          # the planted pair
     assert all(p[:2] != (0, 2) for p in want)  # ratio-bound exclusion
     assert all(p[:2] != (1, 3) for p in want)  # threshold exclusion
+
+
+def test_trending_terms_tiebreak_and_boundary_cut(ray_session, tmp_path):
+    """Delta ties break on term ASC at the k boundary; a term absent
+    from one period counts 0 there; result is ordered (delta DESC,
+    term ASC)."""
+    # period = doc_id % 2: docs 0,2 are "old", 1,3 are "new"
+    rows = [(0, "aa aa bb cc", "en", "s"),      # old: aa=2 bb=1 cc=1
+            (1, "aa aa aa bb dd", "en", "s"),   # new: aa=3 bb=1 dd=1
+            (2, "cc", "en", "s"),               # old: cc=1
+            (3, "dd", "en", "s")]               # new: dd=1
+    # deltas: aa=+1, bb=0, cc=-2, dd=+2 (dd absent old, cc absent new)
+    sf = _write(tmp_path, "documents", _docs_table(rows))
+    got = Q.q_trending_terms(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [
+        ("dd", 0, 2, 2), ("aa", 2, 3, 1), ("bb", 1, 1, 0),
+        ("cc", 2, 0, -2)]
+    # k=2 boundary with a delta tie: ee and dd both +2 -> term ASC wins
+    rows2 = rows + [(5, "ee ee", "en", "s")]
+    (tmp_path / "t2").mkdir()
+    sf2 = _write(tmp_path / "t2", "documents", _docs_table(rows2))
+    got2 = Q.q_trending_terms(sf2, k=2).to_pandas()
+    assert [tuple(r) for r in got2.to_numpy()] == [
+        ("dd", 0, 2, 2), ("ee", 0, 2, 2)]
