@@ -7547,6 +7547,112 @@ _SQL_TRENDING_TERMS = (
     "ORDER BY delta DESC, term LIMIT 20")
 
 
+def q_ohlc_bars(sf_dir: str):
+    """Time-series downsampling to OHLC candles: per (event_type, UTC
+    hour) the opening value (first by (ts, event_id)), high, low,
+    closing value (last by (ts, event_id)) and row count, in exact
+    integer cents — the stream-to-bars compaction every metrics /
+    market pipeline runs.
+
+    Shape for scale: per-batch algebraic partials carry one candidate
+    row per (type, hour) — (open ts/id/cents, close ts/id/cents, high,
+    low, n), all mergeable by argmin/argmax/max/min/sum — so the
+    shuffle moves O(batches x groups-per-batch) skinny rows, never the
+    stream; ONE coarse-bucket groupby (bucket = f(type, hour)), a
+    vectorized per-bucket re-selection, and the driver collects only
+    the bar table itself (#types x #hours — bounded by the time range,
+    not the row count)."""
+    import zlib
+    cmask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hour": ts // 3_600_000_000,
+                           "ts": ts, "eid": eid, "cents": cents})
+        df = df.sort_values(["event_type", "hour", "ts", "eid"],
+                            kind="mergesort", ignore_index=True)
+        g = df.groupby(["event_type", "hour"], sort=False)
+        first = g.nth(0)
+        last = g.nth(-1)
+        agg = g["cents"].agg(["max", "min", "size"])
+        out = pd.DataFrame({
+            "event_type": agg.index.get_level_values(0),
+            "hour": agg.index.get_level_values(1).to_numpy(np.int64),
+            "o_ts": first["ts"].to_numpy(np.int64),
+            "o_eid": first["eid"].to_numpy(np.int64),
+            "o_c": first["cents"].to_numpy(np.int64),
+            "c_ts": last["ts"].to_numpy(np.int64),
+            "c_eid": last["eid"].to_numpy(np.int64),
+            "c_c": last["cents"].to_numpy(np.int64),
+            "high": agg["max"].to_numpy(np.int64),
+            "low": agg["min"].to_numpy(np.int64),
+            "n": agg["size"].to_numpy(np.int64)})
+        pk = np.array([zlib.crc32(f"{t}|{h}".encode()) for t, h in
+                       zip(out["event_type"], out["hour"])], np.uint32)
+        out["pkey"] = (pk & np.uint32(cmask)).astype(np.int32)
+        return table_from_pandas(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "hour", "o_ts", "o_eid"],
+                          kind="mergesort", ignore_index=True)
+        gb = g.groupby(["event_type", "hour"], sort=False)
+        first = gb.nth(0)                  # min (o_ts, o_eid) candidate
+        gc = g.sort_values(["event_type", "hour", "c_ts", "c_eid"],
+                           kind="mergesort", ignore_index=True)
+        last = gc.groupby(["event_type", "hour"], sort=False).nth(-1)
+        agg = gb.agg(high=("high", "max"), low=("low", "min"),
+                     n=("n", "sum"))
+        return pd.DataFrame({
+            "event_type": agg.index.get_level_values(0),
+            "hour": agg.index.get_level_values(1).to_numpy(np.int64),
+            "open": first["o_c"].to_numpy(np.int64),
+            "high": agg["high"].to_numpy(np.int64),
+            "low": agg["low"].to_numpy(np.int64),
+            "close": last["c_c"].to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64)})
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "ts", "event_type", "value"])
+    bars = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(merge, batch_format="pandas")
+            .to_pandas())              # bar-table-sized, bounded
+    bars = bars.sort_values(["event_type", "hour"], ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(bars["event_type"].to_numpy(),
+                               pa.string()),
+        "hour": pa.array(bars["hour"].to_numpy(np.int64)),
+        "open": pa.array(bars["open"].to_numpy(np.int64)),
+        "high": pa.array(bars["high"].to_numpy(np.int64)),
+        "low": pa.array(bars["low"].to_numpy(np.int64)),
+        "close": pa.array(bars["close"].to_numpy(np.int64)),
+        "n": pa.array(bars["n"].to_numpy(np.int64))})
+
+
+_SQL_OHLC_BARS = (
+    "WITH e AS (SELECT event_type, "
+    "epoch_us(ts) // 3600000000 AS hour, ts, event_id, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+    "w AS (SELECT event_type, hour, cents, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type, hour "
+    "ORDER BY ts, event_id) AS rn_a, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type, hour "
+    "ORDER BY ts DESC, event_id DESC) AS rn_d FROM e), "
+    "agg AS (SELECT event_type, hour, MAX(cents) AS high, "
+    "MIN(cents) AS low, COUNT(*) AS n FROM e GROUP BY 1, 2) "
+    "SELECT a.event_type, a.hour, o.cents AS \"open\", a.high, a.low, "
+    "c.cents AS \"close\", a.n FROM agg a "
+    "JOIN w o ON o.event_type = a.event_type AND o.hour = a.hour "
+    "AND o.rn_a = 1 "
+    "JOIN w c ON c.event_type = a.event_type AND c.hour = a.hour "
+    "AND c.rn_d = 1 ORDER BY a.event_type, a.hour")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -7690,6 +7796,7 @@ QUERIES = {
     "order_reconcile": q_order_reconcile,
     "containment_join": q_containment_join,
     "trending_terms": q_trending_terms,
+    "ohlc_bars": q_ohlc_bars,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7858,6 +7965,7 @@ ORACLE_SQL.update({
     "order_reconcile": _SQL_ORDER_RECONCILE,
     "containment_join": _SQL_CONTAINMENT_JOIN,
     "trending_terms": _SQL_TRENDING_TERMS,
+    "ohlc_bars": _SQL_OHLC_BARS,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

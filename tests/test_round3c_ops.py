@@ -482,3 +482,28 @@ def test_trending_terms_tiebreak_and_boundary_cut(ray_session, tmp_path):
     got2 = Q.q_trending_terms(sf2, k=2).to_pandas()
     assert [tuple(r) for r in got2.to_numpy()] == [
         ("dd", 0, 2, 2), ("ee", 0, 2, 2)]
+
+
+def test_ohlc_bars_tie_and_hour_boundary(ray_session, tmp_path):
+    """Open/close pick by (ts, event_id) — a ts tie breaks on event_id;
+    events one microsecond across an hour boundary land in different
+    bars; high/low are independent of arrival order."""
+    H = 3_600_000_000
+    rows = [
+        # bar (x, hour 0): open is eid 2 (ts tie 1000, lower eid),
+        # close is eid 5 (latest ts), high 9.00 mid-bar, low 0.50
+        (3, 1, 1000, "x", 4.00),
+        (2, 1, 1000, "x", 1.25),
+        (4, 1, 2000, "x", 9.00),
+        (6, 1, 2500, "x", 0.50),
+        (5, 1, H - 1, "x", 7.75),
+        # one event exactly at the boundary -> hour 1, its own bar
+        (7, 1, H, "x", 3.00),
+        # different type shares hour 0 but is its own bar
+        (8, 2, 1500, "y", 2.00)]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = Q.q_ohlc_bars(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [
+        ("x", 0, 125, 900, 50, 775, 5),
+        ("x", 1, 300, 300, 300, 300, 1),
+        ("y", 0, 200, 200, 200, 200, 1)]
