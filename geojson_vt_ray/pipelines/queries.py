@@ -7653,6 +7653,142 @@ _SQL_OHLC_BARS = (
     "AND c.rn_d = 1 ORDER BY a.event_type, a.hour")
 
 
+def q_ri_audit(sf_dir: str):
+    """Referential-integrity audit across four foreign keys: for each
+    FK, total child rows, orphan rows (child key missing from the
+    parent) and distinct orphan keys — the nightly "are my join keys
+    still sound?" data-quality sweep. Deterministic parent-side
+    filters plant orphans at any scale (parent keeps key % m != 0 for
+    per-FK moduli), mirroring real partial-load / late-dimension
+    corruption.
+
+    Shape for scale, per FK: the child collapses to per-batch DISTINCT
+    (key, n_rows) partials before any shuffle (child cardinality ->
+    batch key cardinality); Ray's distributed left_anti hash join
+    against the parent's distinct-key partials finds orphan partials
+    (both sides corpus-scale, no broadcast, no driver key set —
+    q_anti_join's contract; duplicate left keys pass the anti join
+    independently, so no pre-join global merge is needed); a
+    distributed Sum-aggregate groupby then merges the orphan partials
+    per key (orphan-sized input), and per-batch (Σn, count) partials
+    leave the driver merging 4 x O(batches) two-int rows."""
+    from ray.data.aggregate import Sum
+    nparts = F_dedup._num_join_partitions()
+
+    def audit(child_path, child_cols, child_key, parent_path,
+              parent_key, modulus, fk_name):
+        child = _read_pq(child_path, columns=child_cols)
+
+        def child_part(b: pa.Table) -> pa.Table:
+            k = b.column(child_key).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            u, n = np.unique(k, return_counts=True)
+            return pa.table({
+                "ckey": pa.array(u),
+                "n": pa.array(n.astype(np.int64))})
+
+        keys = child.map_batches(child_part, batch_format="pyarrow")
+
+        # cap read tasks at the file's row-group count: Ray's default
+        # byte-range split of a tiny parquet yields empty-bundle read
+        # tasks (schema-less RefBundles -> executor warnings); at scale
+        # row groups >> cpus so this never reduces parallelism
+        import pyarrow.parquet as _pq
+        try:
+            nrg = max(1, _pq.read_metadata(parent_path).num_row_groups)
+        except Exception:
+            nrg = None
+        parent = _read_pq(parent_path, columns=[parent_key],
+                          **({"override_num_blocks": nrg}
+                             if nrg else {}))
+
+        def parent_part(b: pa.Table) -> pa.Table:
+            k = np.unique(b.column(parent_key).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            k = k[k % modulus != 0]          # planted partial load
+            return pa.table({"pk": pa.array(k)})
+
+        pkeys = parent.map_batches(parent_part, batch_format="pyarrow")
+        orphans = (keys.join(pkeys, "left_anti", nparts, on=("ckey",),
+                             right_on=("pk",),
+                             aggregator_ray_remote_args=_agg_args(nparts))
+                   .groupby("ckey").aggregate(Sum("n", alias_name="n")))
+
+        def reduce_part(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "orphan_rows": pa.array([int(n.sum())], pa.int64()),
+                "orphan_keys": pa.array([len(n)], pa.int64())})
+
+        parts = orphans.map_batches(
+            reduce_part, batch_format="pyarrow").to_pandas()
+        n_child = child.count()
+        if "orphan_rows" not in parts.columns:   # fully-covered FK:
+            return (fk_name, n_child, 0, 0)      # no orphan blocks
+        return (fk_name, n_child,
+                int(parts["orphan_rows"].sum()),
+                int(parts["orphan_keys"].sum()))
+
+    li = f"{sf_dir}/lineitem.parquet"
+    rows = [
+        audit(li, ["l_orderkey"], "l_orderkey",
+              f"{sf_dir}/orders.parquet", "o_orderkey", 101,
+              "lineitem.l_orderkey->orders"),
+        audit(li, ["l_partkey"], "l_partkey",
+              f"{sf_dir}/part.parquet", "p_partkey", 31,
+              "lineitem.l_partkey->part"),
+        audit(li, ["l_suppkey"], "l_suppkey",
+              f"{sf_dir}/supplier.parquet", "s_suppkey", 13,
+              "lineitem.l_suppkey->supplier"),
+        audit(f"{sf_dir}/orders.parquet", ["o_custkey"], "o_custkey",
+              f"{sf_dir}/customer.parquet", "c_custkey", 53,
+              "orders.o_custkey->customer"),
+    ]
+    rows.sort(key=lambda r: r[0])
+    return pa.table({
+        "fk": pa.array([r[0] for r in rows], pa.string()),
+        "n_child": pa.array([r[1] for r in rows], pa.int64()),
+        "orphan_rows": pa.array([r[2] for r in rows], pa.int64()),
+        "orphan_keys": pa.array([r[3] for r in rows], pa.int64())})
+
+
+_SQL_RI_AUDIT = (
+    "SELECT 'lineitem.l_orderkey->orders' AS fk, "
+    "(SELECT COUNT(*) FROM lineitem) AS n_child, "
+    "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 "
+    "FROM orders o WHERE o.o_orderkey = l.l_orderkey "
+    "AND o.o_orderkey % 101 <> 0)) AS orphan_rows, "
+    "(SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 101 <> 0)) "
+    "AS orphan_keys "
+    "UNION ALL SELECT 'lineitem.l_partkey->part', "
+    "(SELECT COUNT(*) FROM lineitem), "
+    "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 "
+    "FROM part p WHERE p.p_partkey = l.l_partkey "
+    "AND p.p_partkey % 31 <> 0)), "
+    "(SELECT COUNT(DISTINCT l_partkey) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM part p "
+    "WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 31 <> 0)) "
+    "UNION ALL SELECT 'lineitem.l_suppkey->supplier', "
+    "(SELECT COUNT(*) FROM lineitem), "
+    "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 "
+    "FROM supplier s WHERE s.s_suppkey = l.l_suppkey "
+    "AND s.s_suppkey % 13 <> 0)), "
+    "(SELECT COUNT(DISTINCT l_suppkey) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM supplier s "
+    "WHERE s.s_suppkey = l.l_suppkey AND s.s_suppkey % 13 <> 0)) "
+    "UNION ALL SELECT 'orders.o_custkey->customer', "
+    "(SELECT COUNT(*) FROM orders), "
+    "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 "
+    "FROM customer c WHERE c.c_custkey = o.o_custkey "
+    "AND c.c_custkey % 53 <> 0)), "
+    "(SELECT COUNT(DISTINCT o_custkey) FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 53 <> 0)) "
+    "ORDER BY fk")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -7797,6 +7933,7 @@ QUERIES = {
     "containment_join": q_containment_join,
     "trending_terms": q_trending_terms,
     "ohlc_bars": q_ohlc_bars,
+    "ri_audit": q_ri_audit,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -7966,6 +8103,7 @@ ORACLE_SQL.update({
     "containment_join": _SQL_CONTAINMENT_JOIN,
     "trending_terms": _SQL_TRENDING_TERMS,
     "ohlc_bars": _SQL_OHLC_BARS,
+    "ri_audit": _SQL_RI_AUDIT,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

@@ -507,3 +507,61 @@ def test_ohlc_bars_tie_and_hour_boundary(ray_session, tmp_path):
         ("x", 0, 125, 900, 50, 775, 5),
         ("x", 1, 300, 300, 300, 300, 1),
         ("y", 0, 200, 200, 200, 200, 1)]
+
+
+def test_ri_audit_planted_orphans(ray_session, tmp_path):
+    """Orphans = child keys whose parent row is filtered by the planted
+    modulus (or never existed); orphan_rows counts every child row,
+    orphan_keys each key once; a fully-covered FK reports zeros."""
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 101], pa.int64()),
+        "o_custkey": pa.array([1, 2, 53], pa.int64()),  # 53 filtered
+        "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+        "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+        "o_orderdate": pa.array([0] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 3, pa.string())})
+    li = pa.table({
+        # l_orderkey: 101 is parent-filtered (%101), 7 has no parent
+        # at all (two rows -> 2 orphan rows, 1 orphan key); 1 is fine
+        "l_orderkey": pa.array([1, 101, 7, 7], pa.int64()),
+        "l_partkey": pa.array([1, 2, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1, 2], pa.int32()),
+        "l_quantity": pa.array([1.0] * 4, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+        "l_discount": pa.array([0.0] * 4, pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 4, pa.string()),
+        "l_linestatus": pa.array(["O"] * 4, pa.string()),
+        "l_shipdate": pa.array([0] * 4, pa.timestamp("us"))})
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 53], pa.int64()),
+        "c_name": pa.array(["a", "b", "c"], pa.string()),
+        "c_nationkey": pa.array([0] * 3, pa.int64()),
+        "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+        "c_mktsegment": pa.array(["s"] * 3, pa.string())})
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["x", "y"], pa.string()),
+        "p_brand": pa.array(["b"] * 2, pa.string()),
+        "p_type": pa.array(["t"] * 2, pa.string()),
+        "p_size": pa.array([1, 2], pa.int64()),
+        "p_retailprice": pa.array([1.0, 2.0], pa.float64())})
+    sup = pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["u", "v"], pa.string()),
+        "s_nationkey": pa.array([0, 0], pa.int64()),
+        "s_acctbal": pa.array([0.0, 0.0], pa.float64())})
+    sf = _write(tmp_path, "orders", orders)
+    for name, t in [("lineitem", li), ("customer", cust),
+                    ("part", part), ("supplier", sup)]:
+        _write(tmp_path, name, t)
+    got = Q.q_ri_audit(sf).to_pandas()
+    rows = {r[0]: tuple(r[1:]) for r in got.to_numpy()}
+    # l_orderkey: rows for 101 (filtered) + 7,7 (absent) = 3 rows/2 keys
+    assert rows["lineitem.l_orderkey->orders"] == (4, 3, 2)
+    # parts/suppliers 1,2 not multiples of 31/13 -> fully covered
+    assert rows["lineitem.l_partkey->part"] == (4, 0, 0)
+    assert rows["lineitem.l_suppkey->supplier"] == (4, 0, 0)
+    # o_custkey 53 is parent-filtered -> 1 orphan row/key
+    assert rows["orders.o_custkey->customer"] == (3, 1, 1)
