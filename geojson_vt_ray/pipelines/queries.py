@@ -7789,6 +7789,104 @@ _SQL_RI_AUDIT = (
     "ORDER BY fk")
 
 
+def q_rolling_active_users(sf_dir: str):
+    """Exact DAU / WAU engagement curve: for every observed UTC day,
+    the distinct users active THAT day (dau) and within the trailing
+    7-day window (wau) — the canonical sliding-window COUNT DISTINCT
+    that naive groupbys re-scan 7x for.
+
+    Shape for scale: per-batch DISTINCT (user, day) partials collapse
+    the stream before the shuffle; ONE coarse user-bucket groupby
+    co-locates each user's days; inside a bucket everything is
+    vectorized run-length work — a user active on day a covers WAU
+    days [a, a+6], so per-user sorted days merge into intervals
+    (gap > 6 splits) and expand via one np.repeat/arange pass; each
+    bucket reduces to (day, dau_n, wau_n) partials bounded by the day
+    domain, so the driver merges O(buckets x days) skinny rows (days
+    are time-range-bounded, never row-count-bounded)."""
+    cmask = _coarse_mask()
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = ts // DAY_US
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        u = pairs[:, 0]
+        return pa.table({
+            "user_id": pa.array(u),
+            "day": pa.array(pairs[:, 1]),
+            "pkey": pa.array(((u * 2654435761) & cmask).astype(
+                np.int32))})
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        # typed Arrow out: a pandas return on an EMPTY sort partition
+        # becomes a schema-less block (executor schema warnings)
+        df = (g[["user_id", "day"]].drop_duplicates()
+              .sort_values(["user_id", "day"], ignore_index=True))
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        if not len(d):
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "dau_n": pa.array([], pa.int64()),
+                             "wau_n": pa.array([], pa.int64())})
+        dau = pd.Series(d).value_counts()
+        # per-user interval merge: a new interval starts at a new user
+        # or a gap > 6 days (coverage [a, a+6] windows would be disjoint)
+        new = np.ones(len(d), bool)
+        if len(d) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 6)
+        starts = d[new]
+        # interval end = last active day of the run + 6
+        idx = np.flatnonzero(new)
+        ends = d[np.append(idx[1:] - 1, len(d) - 1)] + 6
+        lens = ends - starts + 1
+        cov = np.repeat(starts, lens) + (
+            np.arange(lens.sum()) - np.repeat(
+                np.cumsum(lens) - lens, lens))
+        wau = pd.Series(cov).value_counts()
+        days = np.union1d(dau.index.to_numpy(), wau.index.to_numpy())
+        return pa.table({
+            "day": pa.array(days.astype(np.int64)),
+            "dau_n": pa.array(
+                dau.reindex(days, fill_value=0).to_numpy(np.int64)),
+            "wau_n": pa.array(
+                wau.reindex(days, fill_value=0).to_numpy(np.int64))})
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts"])
+    # repartition pre-shuffle: the distinct partials are far smaller
+    # than the stream, and narrow sort partitions over the collapsed
+    # rows would otherwise surface empty (schema-less) partitions
+    nparts = F_dedup._num_join_partitions()
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .repartition(nparts)
+             .groupby("pkey").map_groups(bucket_counts,
+                                         batch_format="pandas")
+             .to_pandas())             # O(buckets x days) — tiny
+    agg = (parts.groupby("day", as_index=False)[["dau_n", "wau_n"]]
+           .sum())
+    agg = (agg[agg["dau_n"] > 0]       # only observed days are rows
+           .sort_values("day", ignore_index=True))
+    return pa.table({
+        "day": pa.array(agg["day"].to_numpy(np.int64)),
+        "dau": pa.array(agg["dau_n"].to_numpy(np.int64)),
+        "wau": pa.array(agg["wau_n"].to_numpy(np.int64))})
+
+
+_SQL_ROLLING_ACTIVE_USERS = (
+    "WITH e AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // 86400000000 AS day FROM events), "
+    "days AS (SELECT DISTINCT day FROM e) "
+    "SELECT d.day, "
+    "(SELECT COUNT(DISTINCT e2.user_id) FROM e e2 "
+    "WHERE e2.day = d.day) AS dau, "
+    "(SELECT COUNT(DISTINCT e3.user_id) FROM e e3 "
+    "WHERE e3.day BETWEEN d.day - 6 AND d.day) AS wau "
+    "FROM days d ORDER BY d.day")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -7934,6 +8032,7 @@ QUERIES = {
     "trending_terms": q_trending_terms,
     "ohlc_bars": q_ohlc_bars,
     "ri_audit": q_ri_audit,
+    "rolling_active_users": q_rolling_active_users,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8104,6 +8203,7 @@ ORACLE_SQL.update({
     "trending_terms": _SQL_TRENDING_TERMS,
     "ohlc_bars": _SQL_OHLC_BARS,
     "ri_audit": _SQL_RI_AUDIT,
+    "rolling_active_users": _SQL_ROLLING_ACTIVE_USERS,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

@@ -565,3 +565,38 @@ def test_ri_audit_planted_orphans(ray_session, tmp_path):
     assert rows["lineitem.l_suppkey->supplier"] == (4, 0, 0)
     # o_custkey 53 is parent-filtered -> 1 orphan row/key
     assert rows["orders.o_custkey->customer"] == (3, 1, 1)
+
+
+def test_rolling_active_users_window_and_gaps(ray_session, tmp_path):
+    """A user active on days 0 and 9 (gap > 6) covers two disjoint WAU
+    intervals; overlapping users both count; a day is a row only if
+    someone was active ON it; WAU at day d counts activity in
+    [d-6, d]. Independent scalar check."""
+    D = 86_400_000_000
+    # (event_id, user, ts) — user 1 on days 0 and 9; user 2 on days
+    # 1 and 9; user 3 on day 3 only
+    evs = [(0, 1, 0), (1, 1, 9 * D), (2, 2, 1 * D), (3, 2, 9 * D),
+           (4, 3, 3 * D), (5, 3, 3 * D + 5)]   # same-day dup event
+    rows = [(eid, u, ts, "e", 0.0) for eid, u, ts in evs]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = Q.q_rolling_active_users(sf).to_pandas()
+
+    active = {}
+    for _, u, ts in evs:
+        active.setdefault(u, set()).add(ts // D)
+    obs_days = sorted({d for s in active.values() for d in s})
+    want = []
+    for d in obs_days:
+        dau = sum(1 for s in active.values() if d in s)
+        wau = sum(1 for s in active.values()
+                  if any(d - 6 <= a <= d for a in s))
+        want.append((d, dau, wau))
+    assert [tuple(r) for r in got.to_numpy()] == want
+    # pin the interesting values: day 9's window is [3, 9] — user 3's
+    # day-3 activity sits EXACTLY on the d-6 boundary and counts
+    assert want[-1] == (9, 2, 3)
+    assert (3, 1, 3) in want        # day 3: all three in window
+    # day 0 row exists (user 1 only); day 2 is not a row (nobody
+    # active ON it) even though WAU would be nonzero there
+    assert want[0] == (0, 1, 1)
+    assert 2 not in {w[0] for w in want}
