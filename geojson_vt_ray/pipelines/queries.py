@@ -7887,6 +7887,145 @@ _SQL_ROLLING_ACTIVE_USERS = (
     "FROM days d ORDER BY d.day")
 
 
+def q_reorder_gaps(sf_dir: str):
+    """Repeat-purchase interval distribution: for every customer's
+    consecutive order pair (ordered by o_orderdate, o_orderkey), the
+    gap in whole days, histogrammed — the classic
+    inter-arrival-time / retention-modeling input.
+
+    Shape for scale: ONE crc-coarse customer-bucket shuffle co-locates
+    each customer's orders (markov_transitions' contract); per bucket
+    a single lexsort + shifted diff computes every gap with no
+    per-customer Python; gaps collapse to per-bucket (gap_days, n)
+    partials bounded by the date range, so the final groupby and the
+    driver see the histogram domain, never the order stream."""
+    mask = _coarse_mask()
+    DAY_US = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ck": pa.array(ck, pa.int64()),
+            "pkey": pa.array((ck & mask).astype(np.int32)),
+            "d": pc.cast(pc.divide(b.column("o_orderdate").cast(
+                pa.int64()), DAY_US), pa.int64()),
+            "ok": b.column("o_orderkey")})
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        ck = g["ck"].to_numpy()
+        order = np.lexsort((g["ok"].to_numpy(), g["d"].to_numpy(), ck))
+        ck = ck[order]
+        d = g["d"].to_numpy()[order]
+        same = ck[1:] == ck[:-1]
+        gap = (d[1:] - d[:-1])[same]
+        uq, cnt = np.unique(gap, return_counts=True)
+        return pa.table({
+            "gap_days": pa.array(uq.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    out = (_read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("pkey").map_groups(gaps, batch_format="pandas")
+           .groupby("gap_days").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("gap_days", ignore_index=True))
+    return pa.table({
+        "gap_days": pa.array(out["gap_days"].to_numpy(np.int64)),
+        "n": pa.array(out["n"].to_numpy(np.int64))})
+
+
+_SQL_REORDER_GAPS = (
+    "WITH o AS (SELECT o_custkey, "
+    "epoch_us(o_orderdate) // 86400000000 AS d, "
+    "lag(epoch_us(o_orderdate) // 86400000000) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pd "
+    "FROM orders) "
+    "SELECT d - pd AS gap_days, COUNT(*) AS n FROM o "
+    "WHERE pd IS NOT NULL GROUP BY 1 ORDER BY gap_days")
+
+
+def q_fold_leakage(sf_dir: str, k: int = 5):
+    """Train/eval fold-leakage audit: assign every document a
+    deterministic fold (doc_id % k) and find content fingerprints —
+    md5 of the first 16 whitespace tokens, the shared-prefix /
+    boilerplate key that catches near-dup leaks exact-text hashing
+    misses — that span more than one fold: the "my eval split
+    contains my training data" check that must run before any split
+    ships. Output is the (n_folds, n_hashes, n_docs) histogram of
+    leaky fingerprints.
+
+    Shape for scale: (fingerprint, fold) partials — the text never
+    shuffles (dedup_exact's contract); ONE coarse-bucket groupby
+    co-locates each hash (groups never span buckets); a vectorized
+    per-bucket nunique/count collapses to (n_folds, n_hashes,
+    n_docs) partials, so the driver merges O(buckets x k) rows."""
+    import hashlib
+    cmask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        h = [hashlib.md5(" ".join(
+            F_text._RE2_TOKEN_RE.findall(t)[:16]).encode(
+            "utf-8")).hexdigest() for t in texts]
+        df = (pd.DataFrame({"h": h, "fold": ids % k, "n": 1})
+              .groupby(["h", "fold"], sort=False, as_index=False)
+              ["n"].sum())
+        hk = np.array([int(x[:8], 16) for x in df["h"]], np.uint32)
+        return pa.table({
+            "h": pa.array(df["h"].to_numpy(), pa.string()),
+            "fold": pa.array(df["fold"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "pkey": pa.array(hk & np.uint32(cmask), pa.uint32())})
+
+    def bucket_hist(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("h", sort=False).agg(
+            n_folds=("fold", "nunique"), n_docs=("n", "sum"))
+        m = m[m["n_folds"] > 1]
+        if not len(m):
+            return pa.table({"n_folds": pa.array([], pa.int64()),
+                             "n_hashes": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        hist = m.groupby("n_folds").agg(
+            n_hashes=("n_docs", "size"), n_docs=("n_docs", "sum"))
+        return pa.table({
+            "n_folds": pa.array(hist.index.to_numpy(np.int64)),
+            "n_hashes": pa.array(hist["n_hashes"].to_numpy(np.int64)),
+            "n_docs": pa.array(hist["n_docs"].to_numpy(np.int64))})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    nparts = F_dedup._num_join_partitions()
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .repartition(nparts)
+             .groupby("pkey").map_groups(bucket_hist,
+                                         batch_format="pandas")
+             .to_pandas())             # O(buckets x k) — tiny
+    if not len(parts):
+        return pa.table({"n_folds": pa.array([], pa.int64()),
+                         "n_hashes": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64())})
+    agg = (parts.groupby("n_folds", as_index=False)
+           [["n_hashes", "n_docs"]].sum()
+           .sort_values("n_folds", ignore_index=True))
+    return pa.table({
+        "n_folds": pa.array(agg["n_folds"].to_numpy(np.int64)),
+        "n_hashes": pa.array(agg["n_hashes"].to_numpy(np.int64)),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64))})
+
+
+_SQL_FOLD_LEAKAGE = (
+    "WITH d AS (SELECT md5(array_to_string("
+    "regexp_extract_all(text, '\\S+')[1:16], ' ')) AS h, "
+    "doc_id % 5 AS fold FROM documents), "
+    "m AS (SELECT h, COUNT(DISTINCT fold) AS n_folds, "
+    "COUNT(*) AS n_docs FROM d GROUP BY h) "
+    "SELECT n_folds, COUNT(*) AS n_hashes, "
+    "CAST(SUM(n_docs) AS BIGINT) AS n_docs FROM m WHERE n_folds > 1 "
+    "GROUP BY n_folds ORDER BY n_folds")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8033,6 +8172,8 @@ QUERIES = {
     "ohlc_bars": q_ohlc_bars,
     "ri_audit": q_ri_audit,
     "rolling_active_users": q_rolling_active_users,
+    "reorder_gaps": q_reorder_gaps,
+    "fold_leakage": q_fold_leakage,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8204,6 +8345,8 @@ ORACLE_SQL.update({
     "ohlc_bars": _SQL_OHLC_BARS,
     "ri_audit": _SQL_RI_AUDIT,
     "rolling_active_users": _SQL_ROLLING_ACTIVE_USERS,
+    "reorder_gaps": _SQL_REORDER_GAPS,
+    "fold_leakage": _SQL_FOLD_LEAKAGE,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

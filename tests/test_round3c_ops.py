@@ -600,3 +600,52 @@ def test_rolling_active_users_window_and_gaps(ray_session, tmp_path):
     # active ON it) even though WAU would be nonzero there
     assert want[0] == (0, 1, 1)
     assert 2 not in {w[0] for w in want}
+
+
+def test_reorder_gaps_per_customer_and_ties(ray_session, tmp_path):
+    """Gaps are WITHIN a customer only (no cross-customer pair); a
+    same-date pair yields gap 0; the histogram sums counts across
+    customers."""
+    D = 86_400_000_000
+    rows = [
+        # cust 1: days 0, 3, 3, 10 -> gaps 3, 0, 7
+        (1, 1, 0), (2, 1, 3 * D), (3, 1, 3 * D), (4, 1, 10 * D),
+        # cust 2: days 5, 8 -> gap 3
+        (5, 2, 5 * D), (6, 2, 8 * D),
+        # cust 3: singleton -> no gap
+        (7, 3, 100 * D)]
+    orders = pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+        "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+        "o_orderdate": pa.array([r[2] for r in rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * len(rows), pa.string())})
+    sf = _write(tmp_path, "orders", orders)
+    got = Q.q_reorder_gaps(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (0, 1), (3, 2), (7, 1)]
+
+
+def test_fold_leakage_fingerprint_spans(ray_session, tmp_path):
+    """Docs sharing the first-16-token fingerprint in DIFFERENT folds
+    (doc_id % 5) are leaks; same-fold duplicates are not; the
+    histogram buckets by how many folds a fingerprint spans."""
+    prefix = " ".join(f"t{i}" for i in range(16))
+    rows = [
+        # fingerprint A in folds 0, 1, 2 (ids 0, 1, 2) + a same-fold
+        # twin (id 5 -> fold 0): n_folds 3, n_docs 4
+        (0, prefix + " tail0", "en", "s"),
+        (1, prefix + " tail1", "en", "s"),
+        (2, prefix + " tail2", "en", "s"),
+        (5, prefix + " tail3", "en", "s"),
+        # fingerprint B duplicated ONLY inside fold 0 (ids 10, 15):
+        # not a leak
+        (10, "b0 b1 b2", "en", "s"),
+        (15, "b0 b1 b2", "en", "s"),
+        # unique doc: not a leak
+        (3, "solo doc", "en", "s")]
+    sf = _write(tmp_path, "documents", _docs_table(rows))
+    got = Q.q_fold_leakage(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [(3, 1, 4)]
