@@ -7675,7 +7675,7 @@ def q_ri_audit(sf_dir: str):
     from ray.data.aggregate import Sum
     nparts = F_dedup._num_join_partitions()
 
-    def audit(child_path, child_cols, child_key, parent_path,
+    def build(child_path, child_cols, child_key, parent_path,
               parent_key, modulus, fk_name):
         child = _read_pq(child_path, columns=child_cols)
 
@@ -7720,9 +7720,19 @@ def q_ri_audit(sf_dir: str):
                 "orphan_rows": pa.array([int(n.sum())], pa.int64()),
                 "orphan_keys": pa.array([len(n)], pa.int64())})
 
-        parts = orphans.map_batches(
-            reduce_part, batch_format="pyarrow").to_pandas()
-        n_child = child.count()
+        # total child rows from parquet metadata — a count() here
+        # would re-execute the whole child pipeline per FK
+        try:
+            n_child = _pq.read_metadata(child_path).num_rows
+        except Exception:
+            n_child = child.count()
+        reduced = orphans.map_batches(reduce_part,
+                                      batch_format="pyarrow")
+        return fk_name, n_child, reduced
+
+    def collect(built):
+        fk_name, n_child, reduced = built
+        parts = reduced.to_pandas()
         if "orphan_rows" not in parts.columns:   # fully-covered FK:
             return (fk_name, n_child, 0, 0)      # no orphan blocks
         return (fk_name, n_child,
@@ -7730,20 +7740,25 @@ def q_ri_audit(sf_dir: str):
                 int(parts["orphan_keys"].sum()))
 
     li = f"{sf_dir}/lineitem.parquet"
-    rows = [
-        audit(li, ["l_orderkey"], "l_orderkey",
-              f"{sf_dir}/orders.parquet", "o_orderkey", 101,
-              "lineitem.l_orderkey->orders"),
-        audit(li, ["l_partkey"], "l_partkey",
-              f"{sf_dir}/part.parquet", "p_partkey", 31,
-              "lineitem.l_partkey->part"),
-        audit(li, ["l_suppkey"], "l_suppkey",
-              f"{sf_dir}/supplier.parquet", "s_suppkey", 13,
-              "lineitem.l_suppkey->supplier"),
-        audit(f"{sf_dir}/orders.parquet", ["o_custkey"], "o_custkey",
-              f"{sf_dir}/customer.parquet", "c_custkey", 53,
-              "orders.o_custkey->customer"),
+    specs = [
+        (li, ["l_orderkey"], "l_orderkey",
+         f"{sf_dir}/orders.parquet", "o_orderkey", 101,
+         "lineitem.l_orderkey->orders"),
+        (li, ["l_partkey"], "l_partkey",
+         f"{sf_dir}/part.parquet", "p_partkey", 31,
+         "lineitem.l_partkey->part"),
+        (li, ["l_suppkey"], "l_suppkey",
+         f"{sf_dir}/supplier.parquet", "s_suppkey", 13,
+         "lineitem.l_suppkey->supplier"),
+        (f"{sf_dir}/orders.parquet", ["o_custkey"], "o_custkey",
+         f"{sf_dir}/customer.parquet", "c_custkey", 53,
+         "orders.o_custkey->customer"),
     ]
+    # sequential on purpose: concurrent executions of several
+    # hash-join pipelines can deadlock on aggregator-actor CPU
+    # reservations at small cpu counts (see join_aggregator_args);
+    # the 4x setup cost is fixed overhead that amortizes with scale
+    rows = [collect(build(*s)) for s in specs]
     rows.sort(key=lambda r: r[0])
     return pa.table({
         "fk": pa.array([r[0] for r in rows], pa.string()),
