@@ -8041,6 +8041,105 @@ _SQL_FOLD_LEAKAGE = (
     "GROUP BY n_folds ORDER BY n_folds")
 
 
+_SEARCH_QTERMS = ("vector", "join", "hash", "stream")
+
+
+def q_search_rank(sf_dir: str, k: int = 10):
+    """Query-driven retrieval ranking: score every document against a
+    fixed multi-term query by integer tf-idf — tf(term, doc) x
+    (1_000_000 // df(term)) summed over the query — and return the
+    top-k (score DESC, doc_id ASC). The idf weight is integer floor
+    division so the ranking is bit-stable across engines (no float
+    log).
+
+    Shape for scale: ONE tokenize pass emits a WIDE per-doc partial —
+    (doc_id, tf per query term) — so every row is self-contained
+    (|q| ints, no doc spans batches); the zero-row filter drops docs
+    missing every term. df = per-batch nonzero counts per column,
+    a |q|-int partial the driver sums and broadcasts back as the idf
+    vector; the score pass is one vectorized matvec per batch with a
+    per-batch local top-k cut on the shared (score DESC, doc_id)
+    order, so the driver merges O(batches x k) rows. The query table
+    never shuffles anything corpus-sized."""
+    terms = np.array(_SEARCH_QTERMS)
+    nq = len(terms)
+
+    def tf_part(b: pa.Table) -> pa.Table:
+        flat, lens = F_text._explode_tokens(b, "text")
+        docs = np.repeat(
+            b.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        m = np.isin(flat, terms)
+        if not m.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 **{f"tf{i}": pa.array([], pa.int64())
+                    for i in range(nq)}})
+        d = docs[m]
+        # term index 0..nq-1 per hit: position in sorted order, then
+        # argsort(terms)[pos] maps back to query order
+        ti = np.argsort(terms)[
+            np.searchsorted(np.sort(terms), flat[m])]
+        ud, inv = np.unique(d, return_inverse=True)
+        tf = np.zeros((len(ud), nq), np.int64)
+        np.add.at(tf, (inv, ti), 1)
+        return pa.table({
+            "doc_id": pa.array(ud.astype(np.int64)),
+            **{f"tf{i}": pa.array(tf[:, i]) for i in range(nq)}})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    tfq = ds.map_batches(tf_part, batch_format="pyarrow").materialize()
+
+    def df_part(b: pa.Table) -> pa.Table:
+        return pa.table({f"df{i}": pa.array(
+            [int((b.column(f"tf{i}").to_numpy(
+                zero_copy_only=False) > 0).sum())], pa.int64())
+            for i in range(nq)})
+
+    dfs = tfq.map_batches(df_part, batch_format="pyarrow").to_pandas()
+    df_v = np.array([int(dfs[f"df{i}"].sum()) for i in range(nq)],
+                    np.int64)
+    idf = np.where(df_v > 0, 1_000_000 // np.maximum(df_v, 1), 0)
+
+    def score_part(b: pa.Table) -> pa.Table:
+        tf = np.stack([b.column(f"tf{i}").to_numpy(
+            zero_copy_only=False) for i in range(nq)], axis=1)
+        score = tf @ idf
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = score > 0
+        ids, score = ids[keep], score[keep]
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score": pa.array(score[order])})
+
+    parts = (tfq.map_batches(score_part, batch_format="pyarrow",
+                             batch_size=None)
+             .to_pandas())             # O(batches x k) — tiny
+    top = (parts.sort_values(["score", "doc_id"],
+                             ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+        "score": pa.array(top["score"].to_numpy(np.int64))})
+
+
+_SQL_SEARCH_RANK = (
+    "WITH q(term) AS (VALUES ('vector'), ('join'), ('hash'), "
+    "('stream')), "
+    "toks AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+    "WHERE term IN (SELECT term FROM q) GROUP BY 1, 2), "
+    "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf "
+    "GROUP BY 1), "
+    "s AS (SELECT tf.doc_id, "
+    "SUM(tf.tf * (1000000 // df.df)) AS score "
+    "FROM tf JOIN df USING (term) GROUP BY 1) "
+    "SELECT doc_id, CAST(score AS BIGINT) AS score FROM s "
+    "ORDER BY score DESC, doc_id LIMIT 10")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8189,6 +8288,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "reorder_gaps": q_reorder_gaps,
     "fold_leakage": q_fold_leakage,
+    "search_rank": q_search_rank,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8362,6 +8462,7 @@ ORACLE_SQL.update({
     "rolling_active_users": _SQL_ROLLING_ACTIVE_USERS,
     "reorder_gaps": _SQL_REORDER_GAPS,
     "fold_leakage": _SQL_FOLD_LEAKAGE,
+    "search_rank": _SQL_SEARCH_RANK,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

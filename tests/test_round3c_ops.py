@@ -649,3 +649,29 @@ def test_fold_leakage_fingerprint_spans(ray_session, tmp_path):
     sf = _write(tmp_path, "documents", _docs_table(rows))
     got = Q.q_fold_leakage(sf).to_pandas()
     assert [tuple(r) for r in got.to_numpy()] == [(3, 1, 4)]
+
+
+def test_search_rank_idf_weighting_and_ties(ray_session, tmp_path):
+    """Rarer query terms weigh more (integer idf = 1e6 // df); docs
+    missing every query term are excluded; score ties break on
+    doc_id ASC."""
+    rows = [
+        # 'vector' appears in docs 0,1,2 (df=3, idf=333333);
+        # 'hash' only in doc 0 (df=1, idf=1000000)
+        (0, "vector hash", "en", "s"),          # 333333 + 1000000
+        (1, "vector vector", "en", "s"),        # 2 * 333333 = 666666
+        (2, "vector join", "en", "s"),          # 333333 + idf(join)
+        # 'join' in docs 2,3 (df=2, idf=500000)
+        (3, "join", "en", "s"),                 # 500000
+        (4, "nothing relevant here", "en", "s"),  # excluded
+        # tie: doc 5 and 6 both score exactly idf(join) = 500000
+        (5, "join xx", "en", "s"),
+        (6, "join yy", "en", "s")]
+    sf = _write(tmp_path, "documents", _docs_table(rows))
+    got = Q.q_search_rank(sf).to_pandas()
+    # dfs: vector=3, join=4 (docs 2,3,5,6) -> idf(join)=250000
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (0, 1333333),          # 333333 + 1000000
+        (1, 666666),
+        (2, 583333),           # 333333 + 250000
+        (3, 250000), (5, 250000), (6, 250000)]  # tie -> doc_id order
