@@ -8140,6 +8140,61 @@ _SQL_SEARCH_RANK = (
     "ORDER BY score DESC, doc_id LIMIT 10")
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the part co-purchase graph: how many
+    nodes have each degree — the first thing anyone plots about a
+    graph (power-law check, skew diagnostics for the BFS / triangle /
+    PageRank operators that share this edge list).
+
+    Shape for scale: the shared distinct-edge builder
+    (_copurchase_edges — per-order pair explode + distributed pair
+    dedup); each edge block emits vectorized (node, deg) partials
+    (one np.unique per endpoint column); a node-bounded Sum-aggregate
+    groupby yields exact degrees (nodes are the part catalog, bounded);
+    per-batch degree bincounts collapse to (degree, n_nodes) partials
+    so the driver merges O(batches x degrees)."""
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            b.column("id_a").to_numpy(zero_copy_only=False),
+            b.column("id_b").to_numpy(zero_copy_only=False)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    deg = (edges.map_batches(deg_part, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(u.astype(np.int64)),
+                         "n_nodes": pa.array(c.astype(np.int64))})
+
+    parts = (deg.map_batches(hist_part, batch_format="pyarrow")
+             .to_pandas())             # O(batches x degrees) — tiny
+    agg = (parts.groupby("degree", as_index=False)["n_nodes"].sum()
+           .sort_values("degree", ignore_index=True))
+    return pa.table({
+        "degree": pa.array(agg["degree"].to_numpy(np.int64)),
+        "n_nodes": pa.array(agg["n_nodes"].to_numpy(np.int64))})
+
+
+_SQL_DEGREE_HIST = (
+    "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+    "FROM dp a JOIN dp b USING(l_orderkey) "
+    "WHERE a.l_partkey < b.l_partkey), "
+    "n AS (SELECT unnest([u, v]) AS node FROM e), "
+    "d AS (SELECT node, COUNT(*) AS deg FROM n GROUP BY 1) "
+    "SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+    "FROM d GROUP BY 1 ORDER BY degree")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8289,6 +8344,7 @@ QUERIES = {
     "reorder_gaps": q_reorder_gaps,
     "fold_leakage": q_fold_leakage,
     "search_rank": q_search_rank,
+    "degree_hist": q_degree_hist,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8463,6 +8519,7 @@ ORACLE_SQL.update({
     "reorder_gaps": _SQL_REORDER_GAPS,
     "fold_leakage": _SQL_FOLD_LEAKAGE,
     "search_rank": _SQL_SEARCH_RANK,
+    "degree_hist": _SQL_DEGREE_HIST,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

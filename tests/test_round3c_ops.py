@@ -675,3 +675,28 @@ def test_search_rank_idf_weighting_and_ties(ray_session, tmp_path):
         (1, 666666),
         (2, 583333),           # 333333 + 250000
         (3, 250000), (5, 250000), (6, 250000)]  # tie -> doc_id order
+
+
+def test_degree_hist_known_graph(ray_session, tmp_path):
+    """A hand-built basket set with known co-purchase graph: order 1
+    buys parts {1,2,3} (triangle), order 2 buys {3,4} — degrees:
+    1:2, 2:2, 3:3, 4:1 -> histogram {1:1, 2:2, 3:1}. Duplicate
+    (order, part) lines must not create parallel edges."""
+    rows = [(1, 1), (1, 2), (1, 3), (1, 3),    # dup line collapses
+            (2, 3), (2, 4)]
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([0] * len(rows), pa.int64()),
+        "l_linenumber": pa.array(range(len(rows)), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+        "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+        "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+        "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+        "l_shipdate": pa.array([0] * len(rows), pa.timestamp("us"))})
+    sf = _write(tmp_path, "lineitem", li)
+    got = Q.q_degree_hist(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (1, 1), (2, 2), (3, 1)]
