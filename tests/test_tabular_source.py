@@ -1,0 +1,72 @@
+"""Format-agnostic tabular source: CSV and JSONL dumps of a registry
+table must produce the SAME canonical Arrow table (schema + values)
+as the parquet original, and registry pipelines must run over the
+normalized Dataset unchanged."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.parquet as pq
+import pytest
+
+from geojson_vt_ray.sources.tabular import read_table, CANONICAL
+
+
+@pytest.fixture()
+def doc_dumps(tmp_path):
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    p = tmp_path / "documents.parquet"
+    pq.write_table(t, str(p))
+    c = tmp_path / "documents.csv"
+    pacsv.write_csv(t, str(c))
+    j = tmp_path / "documents.jsonl"
+    with open(j, "w") as f:
+        for row in t.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    return t, str(p), str(c), str(j)
+
+
+def _canon(ds):
+    df = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    return df
+
+
+def test_csv_jsonl_parquet_identical(ray_session, doc_dumps):
+    t, p, c, j = doc_dumps
+    want = _canon(read_table(p, "documents"))
+    got_csv = _canon(read_table(c, "documents"))
+    got_json = _canon(read_table(j, "documents"))
+    assert want.equals(got_csv)
+    assert want.equals(got_json)
+    # canonical dtypes survived the format round trip
+    sch = read_table(c, "documents").schema()
+    types = dict(zip(sch.names, sch.types))
+    for name, typ in CANONICAL["documents"].items():
+        assert types[name] == typ, name
+
+
+def test_events_timestamp_normalization(ray_session, tmp_path):
+    """A JSONL events dump carries epoch-micros ints; the source must
+    cast them back to timestamp[us] so time operators run unchanged."""
+    rows = [{"event_id": 1, "ts": 3_600_000_000, "user_id": 7,
+             "event_type": "click", "value": 1.5, "props": "{}"},
+            {"event_id": 2, "ts": 7_200_000_000, "user_id": 7,
+             "event_type": "view", "value": 2.0, "props": "{}"}]
+    j = tmp_path / "events.jsonl"
+    with open(j, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = read_table(str(j), "events")
+    sch = ds.schema()
+    assert dict(zip(sch.names, sch.types))["ts"] == pa.timestamp("us")
+    got = ds.to_pandas().sort_values("event_id", ignore_index=True)
+    assert got["ts"].astype("int64").tolist() == [
+        3_600_000_000, 7_200_000_000]  # datetime64[us] view
+
+
+def test_unknown_table_and_extension_raise(ray_session, tmp_path):
+    with pytest.raises(ValueError):
+        read_table("/tmp/x.parquet", "nope")
+    with pytest.raises(ValueError):
+        read_table(str(tmp_path / "x.xml"), "documents")
