@@ -7662,103 +7662,125 @@ def q_ri_audit(sf_dir: str):
     per-FK moduli), mirroring real partial-load / late-dimension
     corruption.
 
-    Shape for scale, per FK: the child collapses to per-batch DISTINCT
-    (key, n_rows) partials before any shuffle (child cardinality ->
-    batch key cardinality); Ray's distributed left_anti hash join
-    against the parent's distinct-key partials finds orphan partials
-    (both sides corpus-scale, no broadcast, no driver key set —
-    q_anti_join's contract; duplicate left keys pass the anti join
-    independently, so no pre-join global merge is needed); a
-    distributed Sum-aggregate groupby then merges the orphan partials
-    per key (orphan-sized input), and per-batch (Σn, count) partials
-    leave the driver merging 4 x O(batches) two-int rows."""
+    Shape for scale: ONE composite-key anti-join carries all four FKs
+    at once — the child side reads lineitem ONCE (one column-pruned
+    pass emits tagged (fk, key, n_rows) DISTINCT partials for its
+    three FKs) unioned with the orders child pass; the parent side
+    unions four tagged distinct-key streams; Ray's distributed
+    left_anti hash join on (fk, key) finds orphan partials (both
+    sides corpus-scale, no broadcast, no driver key set — q_anti_join's
+    contract; duplicate left keys pass the anti join independently,
+    so no pre-join global merge is needed); a Sum-aggregate groupby
+    on (fk, key) merges orphan partials (orphan-sized input), and
+    per-batch per-fk (Σn, count) partials leave the driver merging
+    O(batches x 4) rows. Child totals come from parquet metadata."""
     from ray.data.aggregate import Sum
+    import pyarrow.parquet as _pq
     nparts = F_dedup._num_join_partitions()
 
-    def build(child_path, child_cols, child_key, parent_path,
-              parent_key, modulus, fk_name):
-        child = _read_pq(child_path, columns=child_cols)
+    _FK_NAMES = ["lineitem.l_orderkey->orders",
+                 "lineitem.l_partkey->part",
+                 "lineitem.l_suppkey->supplier",
+                 "orders.o_custkey->customer"]
 
-        def child_part(b: pa.Table) -> pa.Table:
-            k = b.column(child_key).to_numpy(
+    def li_part(b: pa.Table) -> pa.Table:
+        fks, keys, ns = [], [], []
+        for fk, col in ((0, "l_orderkey"), (1, "l_partkey"),
+                        (2, "l_suppkey")):
+            k = b.column(col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             u, n = np.unique(k, return_counts=True)
-            return pa.table({
-                "ckey": pa.array(u),
-                "n": pa.array(n.astype(np.int64))})
+            fks.append(np.full(len(u), fk, np.int32))
+            keys.append(u)
+            ns.append(n.astype(np.int64))
+        return pa.table({
+            "fk": pa.array(np.concatenate(fks)),
+            "ckey": pa.array(np.concatenate(keys)),
+            "n": pa.array(np.concatenate(ns))})
 
-        keys = child.map_batches(child_part, batch_format="pyarrow")
+    def ord_part(b: pa.Table) -> pa.Table:
+        k = b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(k, return_counts=True)
+        return pa.table({
+            "fk": pa.array(np.full(len(u), 3, np.int32)),
+            "ckey": pa.array(u),
+            "n": pa.array(n.astype(np.int64))})
 
+    li_path = f"{sf_dir}/lineitem.parquet"
+    ord_path = f"{sf_dir}/orders.parquet"
+    children = (_read_pq(li_path, columns=["l_orderkey", "l_partkey",
+                                           "l_suppkey"])
+                .map_batches(li_part, batch_format="pyarrow")
+                .union(_read_pq(ord_path, columns=["o_custkey"])
+                       .map_batches(ord_part, batch_format="pyarrow")))
+
+    def parent_reader(path, key, modulus, fk):
         # cap read tasks at the file's row-group count: Ray's default
         # byte-range split of a tiny parquet yields empty-bundle read
-        # tasks (schema-less RefBundles -> executor warnings); at scale
-        # row groups >> cpus so this never reduces parallelism
-        import pyarrow.parquet as _pq
+        # tasks (schema-less RefBundles -> executor warnings); at
+        # scale row groups >> cpus so this never reduces parallelism
         try:
-            nrg = max(1, _pq.read_metadata(parent_path).num_row_groups)
+            nrg = max(1, _pq.read_metadata(path).num_row_groups)
         except Exception:
             nrg = None
-        parent = _read_pq(parent_path, columns=[parent_key],
-                          **({"override_num_blocks": nrg}
-                             if nrg else {}))
 
-        def parent_part(b: pa.Table) -> pa.Table:
-            k = np.unique(b.column(parent_key).to_numpy(
+        def part(b: pa.Table) -> pa.Table:
+            k = np.unique(b.column(key).to_numpy(
                 zero_copy_only=False).astype(np.int64))
             k = k[k % modulus != 0]          # planted partial load
-            return pa.table({"pk": pa.array(k)})
-
-        pkeys = parent.map_batches(parent_part, batch_format="pyarrow")
-        orphans = (keys.join(pkeys, "left_anti", nparts, on=("ckey",),
-                             right_on=("pk",),
-                             aggregator_ray_remote_args=_agg_args(nparts))
-                   .groupby("ckey").aggregate(Sum("n", alias_name="n")))
-
-        def reduce_part(b: pa.Table) -> pa.Table:
-            n = b.column("n").to_numpy(zero_copy_only=False)
             return pa.table({
-                "orphan_rows": pa.array([int(n.sum())], pa.int64()),
-                "orphan_keys": pa.array([len(n)], pa.int64())})
+                "fk": pa.array(np.full(len(k), fk, np.int32)),
+                "pk": pa.array(k)})
 
-        # total child rows from parquet metadata — a count() here
-        # would re-execute the whole child pipeline per FK
-        try:
-            n_child = _pq.read_metadata(child_path).num_rows
-        except Exception:
-            n_child = child.count()
-        reduced = orphans.map_batches(reduce_part,
-                                      batch_format="pyarrow")
-        return fk_name, n_child, reduced
+        return _read_pq(path, columns=[key],
+                        **({"override_num_blocks": nrg} if nrg
+                           else {})).map_batches(
+            part, batch_format="pyarrow")
 
-    def collect(built):
-        fk_name, n_child, reduced = built
-        parts = reduced.to_pandas()
-        if "orphan_rows" not in parts.columns:   # fully-covered FK:
-            return (fk_name, n_child, 0, 0)      # no orphan blocks
-        return (fk_name, n_child,
-                int(parts["orphan_rows"].sum()),
-                int(parts["orphan_keys"].sum()))
+    parents = parent_reader(ord_path, "o_orderkey", 101, 0)
+    for path, key, m, fk in [(f"{sf_dir}/part.parquet", "p_partkey",
+                              31, 1),
+                             (f"{sf_dir}/supplier.parquet",
+                              "s_suppkey", 13, 2),
+                             (f"{sf_dir}/customer.parquet",
+                              "c_custkey", 53, 3)]:
+        parents = parents.union(parent_reader(path, key, m, fk))
 
-    li = f"{sf_dir}/lineitem.parquet"
-    specs = [
-        (li, ["l_orderkey"], "l_orderkey",
-         f"{sf_dir}/orders.parquet", "o_orderkey", 101,
-         "lineitem.l_orderkey->orders"),
-        (li, ["l_partkey"], "l_partkey",
-         f"{sf_dir}/part.parquet", "p_partkey", 31,
-         "lineitem.l_partkey->part"),
-        (li, ["l_suppkey"], "l_suppkey",
-         f"{sf_dir}/supplier.parquet", "s_suppkey", 13,
-         "lineitem.l_suppkey->supplier"),
-        (f"{sf_dir}/orders.parquet", ["o_custkey"], "o_custkey",
-         f"{sf_dir}/customer.parquet", "c_custkey", 53,
-         "orders.o_custkey->customer"),
-    ]
-    # sequential on purpose: concurrent executions of several
-    # hash-join pipelines can deadlock on aggregator-actor CPU
-    # reservations at small cpu counts (see join_aggregator_args);
-    # the 4x setup cost is fixed overhead that amortizes with scale
-    rows = [collect(build(*s)) for s in specs]
+    orphans = (children.join(parents, "left_anti", nparts,
+                             on=("fk", "ckey"), right_on=("fk", "pk"),
+                             aggregator_ray_remote_args=_agg_args(nparts))
+               .groupby(["fk", "ckey"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def reduce_part(b: pa.Table) -> pa.Table:
+        fk = b.column("fk").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        rows = np.zeros(4, np.int64)
+        keys = np.zeros(4, np.int64)
+        np.add.at(rows, fk, n)
+        np.add.at(keys, fk, 1)
+        return pa.table({
+            "fk": pa.array(np.arange(4, dtype=np.int64)),
+            "orphan_rows": pa.array(rows),
+            "orphan_keys": pa.array(keys)})
+
+    parts = (orphans.map_batches(reduce_part, batch_format="pyarrow")
+             .to_pandas())             # O(batches x 4) — tiny
+    # child totals from parquet metadata — a count() would re-run
+    # the whole child pipeline per FK
+    n_li = _pq.read_metadata(li_path).num_rows
+    n_ord = _pq.read_metadata(ord_path).num_rows
+    n_child = [n_li, n_li, n_li, n_ord]
+    if "orphan_rows" in parts.columns and len(parts):
+        agg = parts.groupby("fk")[["orphan_rows", "orphan_keys"]].sum()
+    else:                              # every FK fully covered
+        agg = pd.DataFrame(columns=["orphan_rows", "orphan_keys"])
+    rows = []
+    for fk, name in enumerate(_FK_NAMES):
+        o_rows = int(agg["orphan_rows"].get(fk, 0))
+        o_keys = int(agg["orphan_keys"].get(fk, 0))
+        rows.append((name, n_child[fk], o_rows, o_keys))
     rows.sort(key=lambda r: r[0])
     return pa.table({
         "fk": pa.array([r[0] for r in rows], pa.string()),
