@@ -3389,7 +3389,11 @@ def q_decontam(sf_dir: str, n: int = 5, mod: int = 7,
             return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                              "n_contam": pa.array(out_n, pa.int64())})
 
-    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+    # broadcast gram ref in the captured closure: same lost-ref caveat
+    # as BloomProbe/CandidateCounts — Ray Data retries tasks itself,
+    # actor restarts add nothing but a core_worker log line
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=2,
+                          max_restarts=0)
 
 
 _SQL_DECONTAM = (
