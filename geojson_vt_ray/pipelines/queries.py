@@ -8221,6 +8221,186 @@ _SQL_DEGREE_HIST = (
     "FROM d GROUP BY 1 ORDER BY degree")
 
 
+def q_distinctive_terms(sf_dir: str, k: int = 5):
+    """Per-source distinctive vocabulary: for every source, the top-k
+    terms by integer distinctiveness score — tf_in_source * 1e6 //
+    tf_total — the "what does THIS crawl talk about that the others
+    don't?" corpus-comparison diagnostic (a bit-stable integer stand-in
+    for per-source tf-idf keywords).
+
+    Shape for scale: per-batch (source, term, tf) vocabulary partials;
+    coarse TERM-key merge co-locates every count of a term, so each
+    group computes exact term totals AND per-source scores locally;
+    the group cuts to its local top-k PER SOURCE on the shared
+    (score DESC, term ASC) order — sound because a term's whole count
+    lives in one group — so the driver merges O(groups x sources x k)
+    rows and takes the global per-source top-k."""
+    import zlib
+    cmask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, lens = F_text._explode_tokens(b, "text")
+        srcs = np.repeat(
+            b.column("source").to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"term": flat, "source": srcs})
+        df = df[df["term"] != ""]
+        g = (df.groupby(["term", "source"], sort=False)
+             .size().reset_index(name="tf"))
+        terms = g["term"].to_numpy()
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "source": pa.array(g["source"].to_numpy(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(np.int64)),
+            "pkey": pa.array(np.array(
+                [zlib.crc32(t.encode("utf-8")) for t in terms],
+                np.uint32) & np.uint32(cmask), pa.uint32())})
+
+    def group_topk(g: pd.DataFrame) -> pa.Table:
+        m = (g.groupby(["term", "source"], sort=False, as_index=False)
+             ["tf"].sum())
+        tot = m.groupby("term")["tf"].transform("sum")
+        m["score"] = m["tf"].to_numpy(np.int64) * 1_000_000 \
+            // tot.to_numpy(np.int64)
+        m = (m.sort_values(["source", "score", "term"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+             .groupby("source", sort=False).head(k))
+        return pa.table({
+            "source": pa.array(m["source"].to_numpy(), pa.string()),
+            "term": pa.array(m["term"].to_numpy(), pa.string()),
+            "tf": pa.array(m["tf"].to_numpy(np.int64)),
+            "score": pa.array(m["score"].to_numpy(np.int64))})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["text", "source"])
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("pkey").map_groups(group_topk,
+                                         batch_format="pandas")
+             .to_pandas())         # O(groups x sources x k) — tiny
+    top = (parts.sort_values(["source", "score", "term"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+           .groupby("source", sort=False).head(k)
+           .reset_index(drop=True))
+    return pa.table({
+        "source": pa.array(top["source"].to_numpy(), pa.string()),
+        "term": pa.array(top["term"].to_numpy(), pa.string()),
+        "tf": pa.array(top["tf"].to_numpy(np.int64)),
+        "score": pa.array(top["score"].to_numpy(np.int64))})
+
+
+_SQL_DISTINCTIVE_TERMS = (
+    "WITH toks AS (SELECT source, "
+    "unnest(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+')) AS term "
+    "FROM documents), "
+    "c AS (SELECT source, term, COUNT(*) AS tf FROM toks "
+    "GROUP BY 1, 2), "
+    "t AS (SELECT term, SUM(tf) AS tot FROM c GROUP BY 1), "
+    "s AS (SELECT c.source, c.term, c.tf, "
+    "CAST(c.tf * 1000000 // t.tot AS BIGINT) AS score, "
+    "ROW_NUMBER() OVER (PARTITION BY c.source "
+    "ORDER BY c.tf * 1000000 // t.tot DESC, c.term) AS rn "
+    "FROM c JOIN t USING (term)) "
+    "SELECT source, term, tf, score FROM s WHERE rn <= 5 "
+    "ORDER BY source, score DESC, term")
+
+
+def q_volume_anomaly(sf_dir: str):
+    """Traffic-spike detection: hourly event counts, flagging hours
+    whose volume exceeds 2x the median hourly volume — the first-line
+    ops alarm ("did an ingest loop double-fire?"). Integer-exact: the
+    median is the percentile_disc(0.5) order statistic (rank
+    ceil(n/2), the repo-wide convention) and the 2x test is strict
+    integer comparison.
+
+    Shape for scale: per-batch hour bincount partials; one
+    hour-bounded Sum-aggregate groupby (hours are time-range-bounded,
+    never row-count-bounded); the driver holds only the hour table,
+    takes the order statistic, and filters."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u, c = np.unique(ts // 3_600_000_000, return_counts=True)
+        return pa.table({"hour": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = (_read_pq(f"{sf_dir}/events.parquet", columns=["ts"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("hour").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())            # hour-bounded
+    n = np.sort(counts["n"].to_numpy(np.int64))
+    med = int(n[max(1, -(-len(n) // 2)) - 1]) if len(n) else 0
+    out = (counts[counts["n"] > 2 * med]
+           .sort_values("hour", ignore_index=True))
+    return pa.table({
+        "hour": pa.array(out["hour"].to_numpy(np.int64)),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "med": pa.array(np.full(len(out), med, np.int64))})
+
+
+_SQL_VOLUME_ANOMALY = (
+    "WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+    "COUNT(*) AS n FROM events GROUP BY 1), "
+    "m AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP ("
+    "ORDER BY n) AS BIGINT) AS med FROM c) "
+    "SELECT c.hour, c.n, m.med FROM c, m WHERE c.n > 2 * m.med "
+    "ORDER BY c.hour")
+
+
+def q_vector_outliers(sf_dir: str, k: int = 10):
+    """Embedding-QA outlier scan: the top-k vectors by exact integer
+    squared norm — Σ floor(1e6·x)² per vector (class_centroids' fixed-
+    point floor convention, so the ranking is bit-stable) — the "which
+    embeddings blew up?" check run before any cosine pipeline trusts
+    its inputs.
+
+    Shape for scale: one streaming pass; each batch is one zero-copy
+    reshape + vectorized quantize-square-rowsum, cut to a local top-k
+    on the shared (sq_norm DESC, vec_id ASC) order; the driver merges
+    O(batches x k) rows. Nothing corpus-sized anywhere."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding").combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sq_norm": pa.array([], pa.int64())})
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(-1, dim)
+        q = np.floor(mat * 1_000_000.0).astype(np.int64)
+        sq = (q * q).sum(axis=1)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sq))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order].astype(np.int64)),
+            "sq_norm": pa.array(sq[order])})
+
+    parts = (_read_pq(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())             # O(batches x k) — tiny
+    top = (parts.sort_values(["sq_norm", "vec_id"],
+                             ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.table({
+        "vec_id": pa.array(top["vec_id"].to_numpy(np.int64)),
+        "sq_norm": pa.array(top["sq_norm"].to_numpy(np.int64))})
+
+
+_SQL_VECTOR_OUTLIERS = (
+    "WITH u AS (SELECT vec_id, UNNEST(embedding) AS e "
+    "FROM embeddings), "
+    "s AS (SELECT vec_id, "
+    "SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT) * "
+    "CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS sq "
+    "FROM u GROUP BY 1) "
+    "SELECT vec_id, CAST(sq AS BIGINT) AS sq_norm FROM s "
+    "ORDER BY sq DESC, vec_id LIMIT 10")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8371,6 +8551,9 @@ QUERIES = {
     "fold_leakage": q_fold_leakage,
     "search_rank": q_search_rank,
     "degree_hist": q_degree_hist,
+    "distinctive_terms": q_distinctive_terms,
+    "volume_anomaly": q_volume_anomaly,
+    "vector_outliers": q_vector_outliers,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8546,6 +8729,9 @@ ORACLE_SQL.update({
     "fold_leakage": _SQL_FOLD_LEAKAGE,
     "search_rank": _SQL_SEARCH_RANK,
     "degree_hist": _SQL_DEGREE_HIST,
+    "distinctive_terms": _SQL_DISTINCTIVE_TERMS,
+    "volume_anomaly": _SQL_VOLUME_ANOMALY,
+    "vector_outliers": _SQL_VECTOR_OUTLIERS,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

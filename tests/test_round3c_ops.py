@@ -700,3 +700,59 @@ def test_degree_hist_known_graph(ray_session, tmp_path):
     got = Q.q_degree_hist(sf).to_pandas()
     assert [tuple(r) for r in got.to_numpy()] == [
         (1, 1), (2, 2), (3, 1)]
+
+
+def test_distinctive_terms_exclusive_and_shared(ray_session, tmp_path):
+    """A term exclusive to one source scores exactly 1e6; an evenly
+    shared term scores 5e5 for each; per-source top-k ordering is
+    (score DESC, term ASC); a source with fewer than k terms returns
+    them all."""
+    rows = [
+        (0, "only shared", "en", "a"),
+        (1, "shared extra extra", "en", "b")]
+    sf = _write(tmp_path, "documents", _docs_table(rows))
+    got = Q.q_distinctive_terms(sf).to_pandas()
+    want = [
+        # source a: 'only' exclusive (1e6), 'shared' 1 of 2 (5e5)
+        ("a", "only", 1, 1_000_000), ("a", "shared", 1, 500_000),
+        # source b: 'extra' exclusive tf=2, then 'shared'
+        ("b", "extra", 2, 1_000_000), ("b", "shared", 1, 500_000)]
+    assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_volume_anomaly_median_rank_and_strictness(
+        ray_session, tmp_path):
+    """Median is the ceil(n/2) order statistic (even hour count picks
+    the LOWER middle); exactly 2x median is NOT flagged (strict >);
+    counts, not distinct users, drive the volume."""
+    H = 3_600_000_000
+    # hour volumes: h0=1, h1=2, h2=4, h3=9
+    # sorted [1,2,4,9], n=4 -> rank ceil(2)=2 -> med=2
+    # flag n > 4: only h3 (h2 == 2*med exactly -> excluded)
+    vols = {0: 1, 1: 2, 2: 4, 3: 9}
+    rows = []
+    eid = 0
+    for h, v in vols.items():
+        for _ in range(v):
+            rows.append((eid, 1, h * H + eid, "e", 0.0))
+            eid += 1
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = Q.q_volume_anomaly(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [(3, 9, 2)]
+
+
+def test_vector_outliers_floor_and_tiebreak(ray_session, tmp_path):
+    """Fixed-point floor BEFORE squaring (so -0.5 and 0.5 differ only
+    via floor: floor(-5e5)=-500000 squares equal, but floor(0.5·1e6)
+    =500000 too — use an asymmetric probe instead); exact tie on
+    sq_norm breaks by vec_id ASC."""
+    vecs = [
+        (1.0, 0.0),       # 1e12
+        (0.0, -1.0),      # (-1e6)^2 = 1e12 -> ties with vec 0
+        (0.6, 0.6),       # 2 * 36e10 = 7.2e11
+        (0.1, 0.1)]       # 2e10
+    sf = _write(tmp_path, "embeddings", _emb_table(vecs))
+    got = Q.q_vector_outliers(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (0, 10**12), (1, 10**12),
+        (2, 2 * 600000**2), (3, 2 * 100000**2)]
