@@ -521,6 +521,43 @@ class GramPrefix:
                          "set_size": pa.array(np.concatenate(o_sz))})
 
 
+def _pairs_from_prefix_group(g: pd.DataFrame, id_col: str):
+    """All intra-gram candidate pairs of one coarse prefix bucket,
+    fully vectorized: sort by (gh, id), find gram-group boundaries,
+    then a two-level repeat/arange triangular expansion emits every
+    (i < j) pair — no Python iteration over the millions of size-1/
+    size-2 gram groups a near-dup corpus produces (the per-gram
+    pandas groupby loop this replaces was 6x the whole MinHash
+    pipeline on a 200k-doc twin corpus). Returns flat
+    (ids_a, ids_b, size_a, size_b); ids ascend within each pair
+    because ids sort within a gram group and a doc emits a gram at
+    most once."""
+    gh = g["gh"].to_numpy()
+    ids = g[id_col].to_numpy()
+    szs = g["set_size"].to_numpy()
+    order = np.lexsort((ids, gh))
+    gh, ids, szs = gh[order], ids[order], szs[order]
+    new = np.r_[True, gh[1:] != gh[:-1]] if len(gh) else \
+        np.empty(0, bool)
+    starts = np.flatnonzero(new)
+    c = np.diff(np.r_[starts, len(gh)])
+    keep = c >= 2
+    starts, c = starts[keep], c[keep]
+    empty = np.empty(0, np.int64)
+    if not len(c):
+        return empty, empty, empty, empty
+    c1 = c - 1
+    gi = np.repeat(np.arange(len(c)), c1)
+    i_val = np.arange(int(c1.sum())) - np.repeat(
+        np.cumsum(c1) - c1, c1)
+    k = c[gi] - 1 - i_val
+    p = np.repeat(np.arange(len(k)), k)
+    j_off = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+    a_idx = starts[gi[p]] + i_val[p]
+    b_idx = a_idx + 1 + j_off
+    return ids[a_idx], ids[b_idx], szs[a_idx], szs[b_idx]
+
+
 class GramSetBytes:
     """map_batches stage: text -> (id, gs) with the FULL sorted gram-hash
     set as raw uint64 bytes (join payload, same trick as ShingleBytes)."""
@@ -567,27 +604,15 @@ def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
             "pkey", pa.array((gh & np.uint64(cmask)).astype(np.int32)))
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, sub in g.groupby("gh", sort=False):
-            if len(sub) < 2:
-                continue
-            order = np.argsort(sub[id_col].to_numpy())
-            ids = sub[id_col].to_numpy()[order]
-            szs = sub["set_size"].to_numpy()[order]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            # length filter: J <= min/max, so need
-            # t_den * min_size >= t_num * max_size
-            lo = np.minimum(szs[ii], szs[jj])
-            hi = np.maximum(szs[ii], szs[jj])
-            keep = t_den * lo >= t_num * hi
-            out_a.append(ids[ii][keep])
-            out_b.append(ids[jj][keep])
-        if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
+        ia, ib, sa, sb = _pairs_from_prefix_group(g, id_col)
+        # length filter: J <= min/max, so need
+        # t_den * min_size >= t_num * max_size
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        keep = t_den * lo >= t_num * hi
         return pd.DataFrame({
-            "id_a": np.concatenate(out_a),
-            "id_b": np.concatenate(out_b)}).drop_duplicates()
+            "id_a": ia[keep].astype(np.int64),
+            "id_b": ib[keep].astype(np.int64)}).drop_duplicates()
 
     cand = (prefix.map_batches(add_coarse, batch_format="pyarrow")
             .groupby("pkey").map_groups(pairs_in_group,
@@ -668,25 +693,13 @@ def containment_join_exact(ds, t_num: int = 4, t_den: int = 5,
             "pkey", pa.array((gh & np.uint64(cmask)).astype(np.int32)))
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, sub in g.groupby("gh", sort=False):
-            if len(sub) < 2:
-                continue
-            order = np.argsort(sub[id_col].to_numpy())
-            ids = sub[id_col].to_numpy()[order]
-            szs = sub["set_size"].to_numpy()[order]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            lo = np.minimum(szs[ii], szs[jj])
-            hi = np.maximum(szs[ii], szs[jj])
-            keep = hi <= size_ratio * lo
-            out_a.append(ids[ii][keep])
-            out_b.append(ids[jj][keep])
-        if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
+        ia, ib, sa, sb = _pairs_from_prefix_group(g, id_col)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        keep = hi <= size_ratio * lo
         return pd.DataFrame({
-            "id_a": np.concatenate(out_a),
-            "id_b": np.concatenate(out_b)}).drop_duplicates()
+            "id_a": ia[keep].astype(np.int64),
+            "id_b": ib[keep].astype(np.int64)}).drop_duplicates()
 
     cand = (prefix.map_batches(add_coarse, batch_format="pyarrow")
             .groupby("pkey").map_groups(pairs_in_group,

@@ -139,7 +139,8 @@ def main() -> int:
     ap.add_argument("--store-gb", type=float, default=8.0)
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--keep-corpus", action="store_true")
-    ap.add_argument("--query", choices=("curate", "minhash"),
+    ap.add_argument("--query",
+                    choices=("curate", "minhash", "containment"),
                     default="curate")
     args = ap.parse_args()
 
@@ -162,7 +163,8 @@ def main() -> int:
         t0 = time.perf_counter()
         gen = synthesize(os.path.join(sf_dir, "documents.parquet"),
                          args.replicas, args.text_mult,
-                         dup_mode=("pairs" if args.query == "minhash"
+                         dup_mode=("pairs" if args.query in
+                                   ("minhash", "containment")
                                    else "groups"))
         t_gen = time.perf_counter() - t0
 
@@ -174,6 +176,18 @@ def main() -> int:
             ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "text"])
             pairs = minhash_dedup_pairs(ds, threshold=0.5)
+            n_out = pairs.num_rows
+        elif args.query == "containment":
+            # byte-identical pair corpus: every (2r, 2r+1) twin has
+            # containment 1.0 at ratio 1, every other pair shares
+            # essentially no 5-grams -> expected = n_base*(replicas//2)
+            from geojson_vt_ray import functions as _  # noqa: F401
+            from geojson_vt_ray.functions.dedup import (
+                containment_join_exact)
+            from geojson_vt_ray.pipelines.queries import _read_pq
+            ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+            pairs = containment_join_exact(ds)
             n_out = pairs.num_rows
         else:
             from geojson_vt_ray.pipelines.queries import q_curate
