@@ -577,3 +577,48 @@ def test_knn_join_partial_matches_brute_force_at_all_slice_sizes():
                          t.column("point_id").to_pylist(),
                          t.column("dist2").to_pylist()))
         assert got == want, f"slice cap {max_elems}"
+
+
+def test_pairs_from_prefix_group_matches_bruteforce():
+    """Property test: the two-level repeat/arange triangular expansion
+    must emit EXACTLY the per-gram (i < j) pairs a brute-force nested
+    loop produces, for random group-size mixes (sizes 1/2/3+, empty
+    frame, all-one-gram)."""
+    import numpy as np
+    import pandas as pd
+
+    from geojson_vt_ray.functions.dedup import _pairs_from_prefix_group
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n_grams = int(rng.integers(0, 12))
+        rows = []
+        for gi in range(n_grams):
+            size = int(rng.integers(1, 6))
+            docs = rng.choice(1000, size=size, replace=False)
+            for d in docs:
+                rows.append((np.uint64(gi * 7 + 1), int(d),
+                             int(rng.integers(1, 50))))
+        g = pd.DataFrame(rows, columns=["gh", "doc_id", "set_size"]) \
+            if rows else pd.DataFrame(
+            {"gh": pd.Series([], dtype="uint64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "set_size": pd.Series([], dtype="int64")})
+        ia, ib, sa, sb = _pairs_from_prefix_group(g, "doc_id")
+        got = sorted(zip(ia.tolist(), ib.tolist(),
+                         sa.tolist(), sb.tolist()))
+
+        want = []
+        if rows:
+            size_of = {}
+            by_gram = {}
+            for gh, d, s in rows:
+                by_gram.setdefault(gh, []).append(d)
+                size_of[(gh, d)] = s
+            for gh, docs in by_gram.items():
+                for a in docs:
+                    for b in docs:
+                        if a < b:
+                            want.append((a, b, size_of[(gh, a)],
+                                         size_of[(gh, b)]))
+        assert got == sorted(want), f"trial {trial}"
