@@ -8401,6 +8401,82 @@ _SQL_VECTOR_OUTLIERS = (
     "ORDER BY sq DESC, vec_id LIMIT 10")
 
 
+def q_doclen_percentiles(sf_dir: str):
+    """Corpus length profile: exact per-language p50/p90/p99 of
+    document length (n_chars) — the first quality gate a curation
+    pipeline checks ("is this language's slice full of stubs?").
+    Reuses the two-pass histogram-selection operator
+    (functions/percentile.py): counts shuffle, documents never do;
+    no global sort; integer-exact vs percentile_disc."""
+    from ..functions.percentile import group_percentiles
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "cents": b.column("n_chars").cast(pa.int64())})
+
+    return group_percentiles(ds.map_batches(prep,
+                                            batch_format="pyarrow"),
+                             "lang", "cents", ps=(0.5, 0.9, 0.99))
+
+
+_SQL_DOCLEN_PERCENTILES = (
+    "SELECT lang, "
+    "CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) "
+    "AS BIGINT) AS p50, "
+    "CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars) "
+    "AS BIGINT) AS p90, "
+    "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) "
+    "AS BIGINT) AS p99 "
+    "FROM documents GROUP BY lang ORDER BY lang")
+
+
+def q_component_sizes(sf_dir: str):
+    """Connected-component size histogram of the part co-purchase
+    graph: how many components have each size — the fragmentation
+    diagnostic behind "is this graph one blob or many islands?"
+    (and the graph twin of the dedup-cluster size profile).
+
+    Shape for scale: the shared distinct-edge builder feeds the
+    repo's distributed min-label propagation with pointer jumping
+    (dedup.label_propagation_clusters — every round a keyed shuffle,
+    O(log diameter) rounds, no driver union-find); the returned
+    (node, cluster) table is node-bounded (the part catalog), so the
+    driver's size histogram is a bounded value_counts, never a
+    corpus pass. Isolated parts (no co-purchase edge) are not graph
+    nodes, matching the propagation contract."""
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
+    labels = F_dedup.label_propagation_clusters(edges).to_pandas()
+    sizes = labels["cluster_id"].value_counts()
+    hist = sizes.value_counts().sort_index()
+    return pa.table({
+        "size": pa.array(hist.index.to_numpy(np.int64)),
+        "n_components": pa.array(hist.to_numpy(np.int64))})
+
+
+_SQL_COMPONENT_SIZES = (
+    "WITH RECURSIVE dp AS (SELECT DISTINCT l_orderkey, l_partkey "
+    "FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+    "FROM dp a JOIN dp b USING(l_orderkey) "
+    "WHERE a.l_partkey < b.l_partkey), "
+    "ee AS (SELECT u AS s, v AS d FROM e "
+    "UNION ALL SELECT v, u FROM e), "
+    "nodes AS (SELECT DISTINCT s AS node FROM ee), "
+    "reach AS (SELECT node AS s, node AS d FROM nodes "
+    "UNION SELECT r.s, ee.d FROM reach r JOIN ee ON ee.s = r.d), "
+    "lab AS (SELECT s AS node, MIN(d) AS cid FROM reach GROUP BY 1), "
+    "sz AS (SELECT cid, COUNT(*) AS sz FROM lab GROUP BY 1) "
+    "SELECT CAST(sz AS BIGINT) AS size, "
+    "CAST(COUNT(*) AS BIGINT) AS n_components FROM sz "
+    "GROUP BY 1 ORDER BY size")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8554,6 +8630,8 @@ QUERIES = {
     "distinctive_terms": q_distinctive_terms,
     "volume_anomaly": q_volume_anomaly,
     "vector_outliers": q_vector_outliers,
+    "doclen_percentiles": q_doclen_percentiles,
+    "component_sizes": q_component_sizes,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8732,6 +8810,8 @@ ORACLE_SQL.update({
     "distinctive_terms": _SQL_DISTINCTIVE_TERMS,
     "volume_anomaly": _SQL_VOLUME_ANOMALY,
     "vector_outliers": _SQL_VECTOR_OUTLIERS,
+    "doclen_percentiles": _SQL_DOCLEN_PERCENTILES,
+    "component_sizes": _SQL_COMPONENT_SIZES,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

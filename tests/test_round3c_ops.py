@@ -756,3 +756,27 @@ def test_vector_outliers_floor_and_tiebreak(ray_session, tmp_path):
     assert [tuple(r) for r in got.to_numpy()] == [
         (0, 10**12), (1, 10**12),
         (2, 2 * 600000**2), (3, 2 * 100000**2)]
+
+
+def test_component_sizes_multiple_islands(ray_session, tmp_path):
+    """Disjoint baskets make disjoint components: orders {1,2,3},
+    {10,11}, {20,21} -> sizes 3,2,2 -> histogram {2:2, 3:1}; a
+    single-part order contributes no node at all."""
+    baskets = [(1, [1, 2, 3]), (2, [10, 11]), (3, [20, 21]),
+               (4, [99])]                      # isolated: no edge
+    rows = [(o, p) for o, ps in baskets for p in ps]
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([0] * len(rows), pa.int64()),
+        "l_linenumber": pa.array(range(len(rows)), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+        "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+        "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+        "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+        "l_shipdate": pa.array([0] * len(rows), pa.timestamp("us"))})
+    sf = _write(tmp_path, "lineitem", li)
+    got = Q.q_component_sizes(sf).to_pandas()
+    assert [tuple(r) for r in got.to_numpy()] == [(2, 2), (3, 1)]
