@@ -8477,6 +8477,130 @@ _SQL_COMPONENT_SIZES = (
     "GROUP BY 1 ORDER BY size")
 
 
+def q_forward_fill(sf_dir: str):
+    """LAST_VALUE IGNORE NULLS forward fill: at every event, the
+    integer-cent value of that user's most recent 'purchase' at or
+    before it (order (ts, event_id)), -1 before the first purchase —
+    the carry-last-observation feature-engineering primitive.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
+    single lexsort + one np.maximum.accumulate over purchase
+    positions (user boundaries invalidate carried positions by
+    comparing against each user's first row) — no per-user Python,
+    no per-row state."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "is_p": pc.equal(b.column("event_type"), "purchase"),
+            "cents": cents})
+
+    def fill(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        uid = uid[order]
+        eid = g["event_id"].to_numpy()[order]
+        cents = g["cents"].to_numpy(np.int64)[order]
+        isp = g["is_p"].to_numpy(bool)[order]
+        i = np.arange(len(uid))
+        carrier = np.where(isp, i, -1)
+        m = np.maximum.accumulate(carrier) if len(uid) else carrier
+        brk = np.r_[True, uid[1:] != uid[:-1]] if len(uid) else \
+            np.empty(0, bool)
+        first = np.flatnonzero(brk)
+        uidx = np.cumsum(brk) - 1
+        valid = m >= first[uidx] if len(uid) else m
+        out = np.where(valid, cents[np.maximum(m, 0)], -1)
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": pa.array(uid),
+                         "last_purchase_cents": pa.array(
+                             out.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .repartition(F_dedup._num_join_partitions())
+            .groupby("pkey").map_groups(fill, batch_format="pandas"))
+
+
+_SQL_FORWARD_FILL = (
+    "WITH c AS (SELECT event_id, user_id, ts, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, user_id, COALESCE(last_value("
+    "CASE WHEN event_type = 'purchase' THEN cents END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) "
+    "AS last_purchase_cents FROM c")
+
+
+def q_rolling_time_sum(sf_dir: str):
+    """Time-RANGE rolling aggregate: per event, the sum of that
+    user's integer cents over the trailing ONE HOUR window
+    [ts - 1h, ts] — the RANGE-frame complement of q_rolling_sum's
+    ROWS frame, with SQL's peer rule (all rows sharing a timestamp
+    get the same window value).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket
+    the stream collapses to per-(user, distinct ts) sums — which
+    makes RANGE peer semantics free — then pandas' C time-based
+    rolling (closed='both') computes every window in one pass, and
+    the per-ts values broadcast back to rows with a vectorized merge.
+    Window sums stay < 2^53 so the float accumulation is exact."""
+    mask = _coarse_mask()
+    H_US = 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "cents": cents})
+
+    def window(g: pd.DataFrame) -> pa.Table:
+        df = g[["event_id", "user_id", "ts", "cents"]]
+        per_ts = (df.groupby(["user_id", "ts"], sort=True,
+                             as_index=False)["cents"].sum())
+        per_ts["t"] = pd.to_datetime(per_ts["ts"], unit="us")
+        roll = (per_ts.groupby("user_id", sort=False)
+                .rolling(pd.Timedelta(hours=1), on="t",
+                         closed="both")["cents"].sum())
+        per_ts["wsum"] = roll.to_numpy(np.int64)
+        m = df.merge(per_ts[["user_id", "ts", "wsum"]],
+                     on=["user_id", "ts"], how="left")
+        return pa.table({
+            "event_id": pa.array(m["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(m["user_id"].to_numpy(np.int64)),
+            "wsum_cents": pa.array(m["wsum"].to_numpy(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .repartition(F_dedup._num_join_partitions())
+            .groupby("pkey").map_groups(window, batch_format="pandas"))
+
+
+_SQL_ROLLING_TIME_SUM = (
+    "WITH c AS (SELECT event_id, user_id, ts, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, user_id, CAST(SUM(cents) OVER ("
+    "PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS wsum_cents FROM c")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8632,6 +8756,8 @@ QUERIES = {
     "vector_outliers": q_vector_outliers,
     "doclen_percentiles": q_doclen_percentiles,
     "component_sizes": q_component_sizes,
+    "forward_fill": q_forward_fill,
+    "rolling_time_sum": q_rolling_time_sum,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8812,6 +8938,8 @@ ORACLE_SQL.update({
     "vector_outliers": _SQL_VECTOR_OUTLIERS,
     "doclen_percentiles": _SQL_DOCLEN_PERCENTILES,
     "component_sizes": _SQL_COMPONENT_SIZES,
+    "forward_fill": _SQL_FORWARD_FILL,
+    "rolling_time_sum": _SQL_ROLLING_TIME_SUM,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

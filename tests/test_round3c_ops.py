@@ -780,3 +780,47 @@ def test_component_sizes_multiple_islands(ray_session, tmp_path):
     sf = _write(tmp_path, "lineitem", li)
     got = Q.q_component_sizes(sf).to_pandas()
     assert [tuple(r) for r in got.to_numpy()] == [(2, 2), (3, 1)]
+
+
+def test_forward_fill_boundaries_and_ties(ray_session, tmp_path):
+    """Fill carries the latest purchase at-or-before each event
+    ((ts, event_id) order, including the purchase row itself); user
+    boundaries reset the carry (-1 before a user's first purchase);
+    a ts tie orders by event_id."""
+    rows = [
+        # user 1: view, purchase(1.50), view, purchase(2.00) tie-after
+        (1, 1, 100, "view", 9.0),
+        (2, 1, 200, "purchase", 1.50),
+        (3, 1, 300, "view", 9.0),
+        (4, 1, 300, "purchase", 2.00),   # same ts as 3, later eid
+        (5, 1, 400, "view", 9.0),
+        # user 2: never purchases
+        (6, 2, 100, "view", 9.0)]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_forward_fill(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    assert got["last_purchase_cents"].tolist() == [
+        -1, 150, 150, 200, 200, -1]
+
+
+def test_rolling_time_sum_range_peers_and_window(ray_session,
+                                                 tmp_path):
+    """RANGE frame: timestamp peers all get the SAME window value
+    (including a peer later in event_id order); the window is
+    [ts - 1h, ts] inclusive on both ends; user isolation holds."""
+    H = 3_600_000_000
+    rows = [
+        (1, 1, 0, "e", 1.00),            # 100
+        (2, 1, H, "e", 2.00),            # exactly 1h later: included
+        (3, 1, H, "e", 4.00),            # peer of 2
+        (4, 1, 2 * H + 1, "e", 8.00),    # 0 and H now out of range?
+        # window [H+1, 2H+1]: rows at H excluded (H < H+1) -> 800
+        (5, 2, H, "e", 16.00)]           # other user
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = (Q.q_rolling_time_sum(sf).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    # row1: [−1h, 0] -> 100
+    # rows 2,3 (peers at ts=H): [0, H] -> 100+200+400 = 700 BOTH
+    # row4: [H+1, 2H+1] -> 800 alone
+    # row5 (user 2): 1600
+    assert got["wsum_cents"].tolist() == [100, 700, 700, 800, 1600]
