@@ -8601,6 +8601,116 @@ _SQL_ROLLING_TIME_SUM = (
     "AS BIGINT) AS wsum_cents FROM c")
 
 
+def q_rfm_scores(sf_dir: str):
+    """RFM customer scoring: per customer the recency (last order
+    day), frequency (order count) and monetary (total integer cents)
+    metrics, each scored 1-4 against the EXACT corpus-wide quartile
+    boundaries (percentile_disc 0.25/0.5/0.75, the repo convention;
+    score = 1 + #boundaries strictly below the value) — the
+    segmentation table every marketing/curation pipeline starts from.
+
+    Shape for scale: per-batch algebraic (cust, max day, n, Σcents)
+    partials; ONE coarse customer-bucket merge (metrics table is
+    customer-cardinality and stays distributed); the nine quartile
+    boundaries come from three histogram-selection passes over the
+    metrics Dataset (counts shuffle, customers never — the
+    group_percentiles contract) and broadcast as nine ints; the
+    scoring pass is zero-shuffle vectorized comparisons."""
+    from ..functions.percentile import group_percentiles
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = b.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"ck": ck, "day": day, "cents": cents})
+        g = df.groupby("ck", sort=False).agg(
+            r=("day", "max"), f=("day", "size"), m=("cents", "sum"))
+        return pa.table({
+            "o_custkey": pa.array(g.index.to_numpy(np.int64)),
+            "r": pa.array(g["r"].to_numpy(np.int64)),
+            "f": pa.array(g["f"].to_numpy(np.int64)),
+            "m": pa.array(g["m"].to_numpy(np.int64)),
+            "pkey": pa.array((g.index.to_numpy(np.int64) & mask)
+                             .astype(np.int32))})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("o_custkey", sort=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+        return pa.table({
+            "o_custkey": pa.array(m.index.to_numpy(np.int64)),
+            "r": pa.array(m["r"].to_numpy(np.int64)),
+            "f": pa.array(m["f"].to_numpy(np.int64)),
+            "m": pa.array(m["m"].to_numpy(np.int64))})
+
+    metrics = (_read_pq(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+               .map_batches(partial, batch_format="pyarrow")
+               .repartition(F_dedup._num_join_partitions())
+               .groupby("pkey").map_groups(merge,
+                                           batch_format="pandas")
+               .materialize())        # consumed four times below
+
+    def const_group(col):
+        def add(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "g": pa.array(["all"] * b.num_rows, pa.string()),
+                "v": b.column(col).cast(pa.int64())})
+        return add
+
+    bounds = {}
+    for col in ("r", "f", "m"):
+        t = group_percentiles(
+            metrics.map_batches(const_group(col),
+                                batch_format="pyarrow"),
+            "g", "v", ps=(0.25, 0.5, 0.75))
+        bounds[col] = [t.column(f"p{q}")[0].as_py()
+                       for q in (25, 50, 75)]
+
+    def score(b: pa.Table) -> pa.Table:
+        out = {"o_custkey": b.column("o_custkey")}
+        for col, name in (("r", "r_score"), ("f", "f_score"),
+                          ("m", "m_score")):
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            s = np.ones(len(v), np.int64)
+            for bd in bounds[col]:
+                s += (v > bd)
+            out[name] = pa.array(s)
+        return pa.table(out)
+
+    return metrics.map_batches(score, batch_format="pyarrow")
+
+
+_SQL_RFM_SCORES = (
+    "WITH m AS (SELECT o_custkey, "
+    "MAX(epoch_us(o_orderdate) // 86400000000) AS r, "
+    "COUNT(*) AS f, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS mo FROM orders GROUP BY 1), "
+    "b AS (SELECT "
+    "percentile_disc(0.25) WITHIN GROUP (ORDER BY r) AS r25, "
+    "percentile_disc(0.50) WITHIN GROUP (ORDER BY r) AS r50, "
+    "percentile_disc(0.75) WITHIN GROUP (ORDER BY r) AS r75, "
+    "percentile_disc(0.25) WITHIN GROUP (ORDER BY f) AS f25, "
+    "percentile_disc(0.50) WITHIN GROUP (ORDER BY f) AS f50, "
+    "percentile_disc(0.75) WITHIN GROUP (ORDER BY f) AS f75, "
+    "percentile_disc(0.25) WITHIN GROUP (ORDER BY mo) AS m25, "
+    "percentile_disc(0.50) WITHIN GROUP (ORDER BY mo) AS m50, "
+    "percentile_disc(0.75) WITHIN GROUP (ORDER BY mo) AS m75 FROM m) "
+    "SELECT o_custkey, "
+    "1 + CAST(r > r25 AS INT) + CAST(r > r50 AS INT) "
+    "+ CAST(r > r75 AS INT) AS r_score, "
+    "1 + CAST(f > f25 AS INT) + CAST(f > f50 AS INT) "
+    "+ CAST(f > f75 AS INT) AS f_score, "
+    "1 + CAST(mo > m25 AS INT) + CAST(mo > m50 AS INT) "
+    "+ CAST(mo > m75 AS INT) AS m_score "
+    "FROM m, b ORDER BY o_custkey")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8758,6 +8868,7 @@ QUERIES = {
     "component_sizes": q_component_sizes,
     "forward_fill": q_forward_fill,
     "rolling_time_sum": q_rolling_time_sum,
+    "rfm_scores": q_rfm_scores,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -8940,6 +9051,7 @@ ORACLE_SQL.update({
     "component_sizes": _SQL_COMPONENT_SIZES,
     "forward_fill": _SQL_FORWARD_FILL,
     "rolling_time_sum": _SQL_ROLLING_TIME_SUM,
+    "rfm_scores": _SQL_RFM_SCORES,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

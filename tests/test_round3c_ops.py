@@ -824,3 +824,30 @@ def test_rolling_time_sum_range_peers_and_window(ray_session,
     # row4: [H+1, 2H+1] -> 800 alone
     # row5 (user 2): 1600
     assert got["wsum_cents"].tolist() == [100, 700, 700, 800, 1600]
+
+
+def test_rfm_scores_boundary_equality(ray_session, tmp_path):
+    """A value EQUAL to a quartile boundary does not pass it
+    (strict >): with 4 customers of monetary 100/200/300/400, the
+    percentile_disc boundaries are 100/200/300 (rank = ceil(p*4)),
+    so scores are 1/2/3/4; single-order customers share frequency
+    boundaries -> all f_score 1."""
+    D = 86_400_000_000
+    rows = [(i, i, float(i)) for i in range(1, 5)]
+    orders = pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[0] * D for r in rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 4, pa.string())})
+    sf = _write(tmp_path, "orders", orders)
+    got = (Q.q_rfm_scores(sf).to_pandas()
+           .sort_values("o_custkey", ignore_index=True))
+    # monetary cents 100..400 -> boundaries 100/200/300 -> 1,2,3,4
+    assert got["m_score"].tolist() == [1, 2, 3, 4]
+    # recency days 1..4, same boundaries rule -> 1,2,3,4
+    assert got["r_score"].tolist() == [1, 2, 3, 4]
+    # all frequencies equal 1 -> every boundary is 1 -> nobody above
+    assert got["f_score"].tolist() == [1, 1, 1, 1]
