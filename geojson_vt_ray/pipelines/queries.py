@@ -8877,6 +8877,29 @@ QUERIES = {
     "pca_project": q_pca_project,
 }
 
+# Adjudication-priority reorder: round 2's driver correctness file
+# covered exactly the FIRST 50 registry entries, so every operator
+# that has never received a driver row (everything added in round 3,
+# plus the 15 that missed the round-2 snapshot) leads, and the 47+3
+# already-adjudicated round-2 entries trail. Chronology stays in the
+# literal above; iteration order is what the driver truncates on.
+_R02_ADJUDICATED = frozenset((
+    "tile_assign cell_count pip_rect pip_join_shuffle knn "
+    "raster_overlay agg_lineitem top_revenue join_broadcast "
+    "window_events window_sliding user_overlap asof_join "
+    "asof_join_broadcast range_join distinct_users sessionize "
+    "topk_per_segment anti_join sample_docs dedup_exact token_counts "
+    "term_stats dup_ngrams quality lang_counts jaccard_join "
+    "group_percentiles tfidf_top cooccur stratified_sample retention "
+    "posting_lists simhash simhash_pairs langid fingerprint ann_topk "
+    "embed_neardup media_features frame_sample audio_features "
+    "pyramid_tiles pyramid_stats approx_distinct_users ann_ivf "
+    "ann_lsh minhash_pairs dedup_clusters ngram_jaccard_adj").split())
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _R02_ADJUDICATED},
+    **{k: v for k, v in QUERIES.items() if k in _R02_ADJUDICATED},
+}
+
 ORACLE_SQL = {
     "tile_assign": _sql_tile_assign(),
     "cell_count": _sql_cell_count(),
