@@ -99,3 +99,57 @@ def read_docs_geojsonseq(path, prefix: str = "doc"):
     return (rd.from_items(items)
             .repartition(len(items))
             .map_batches(parse, batch_format="numpy", batch_size=1))
+
+
+def write_docs_geojsonseq(ds, out_dir: str,
+                          rows_per_file: int = 10000) -> "object":
+    """Inverse of read_docs_geojsonseq: export a doc-table Dataset (or
+    pa.Table) as a sharded line-delimited GeoJSON tree — one Feature
+    per line, one `part-NNNNNN.geojsonl` per contiguous seq range —
+    the interchange format tippecanoe/ogr2ogr consume.
+
+    Distributed shape: shard = seq // rows_per_file, ONE coarse
+    groupby co-locates each shard, and a task per shard streams its
+    lines out in seq order (tmp-file + atomic rename, so a killed run
+    never publishes a partial shard). File rank equals shard rank, so
+    `read_docs_geojsonseq(out_dir)` reproduces the IDENTICAL doc
+    table (doc_id/seq/spans) — asserted in tests. Returns the
+    (shard, path, rows) manifest as a pa.Table (driver-held,
+    file-list-sized)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(ds, pa.Table):
+        ds = rd.from_arrow(ds)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        seq = b.column("seq").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "shard", pa.array((seq // rows_per_file).astype("int64")))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("seq", "ascending")])
+        g = g.take(order)
+        shard = int(g.column("shard")[0].as_py())
+        path = os.path.join(out_dir, f"part-{shard:06d}.geojsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for spans in g.column("spans").to_pylist():
+                geo = next(s["text"] for s in spans
+                           if s["kind"] == "geo")
+                f.write(geo + "\n")
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "path": pa.array([path], pa.string()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    manifest = (ds.map_batches(add_shard, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(write_shard, batch_format="pyarrow")
+                .to_pandas()
+                .sort_values("shard", ignore_index=True))
+    return pa.table({
+        "shard": pa.array(manifest["shard"].to_numpy(), pa.int64()),
+        "path": pa.array(manifest["path"].to_numpy(), pa.string()),
+        "rows": pa.array(manifest["rows"].to_numpy(), pa.int64())})

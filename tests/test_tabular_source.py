@@ -70,3 +70,35 @@ def test_unknown_table_and_extension_raise(ray_session, tmp_path):
         read_table("/tmp/x.parquet", "nope")
     with pytest.raises(ValueError):
         read_table(str(tmp_path / "x.xml"), "documents")
+
+
+def test_geojsonseq_sink_roundtrip(ray_session, tmp_path):
+    """write_docs_geojsonseq -> read_docs_geojsonseq reproduces the
+    IDENTICAL doc table (doc_id, seq, spans), across multiple shards,
+    with atomic per-shard publish."""
+    import os
+
+    import ray.data as rd
+
+    from geojson_vt_ray.sources.docs import (doc_table_from_geojson,
+                                             load_seed_geometries)
+    from geojson_vt_ray.sources.geojsonseq import (
+        read_docs_geojsonseq, write_docs_geojsonseq)
+
+    feats = load_seed_geometries()[:25]
+    t = doc_table_from_geojson(
+        {"type": "FeatureCollection", "features": feats})
+    out = str(tmp_path / "seq")
+    manifest = write_docs_geojsonseq(
+        rd.from_arrow(t), out, rows_per_file=10).to_pandas()
+    assert manifest["rows"].tolist() == [10, 10, 5]
+    assert sorted(os.listdir(out)) == [
+        "part-000000.geojsonl", "part-000001.geojsonl",
+        "part-000002.geojsonl"]
+    back = (read_docs_geojsonseq(out).to_pandas()
+            .sort_values("seq", ignore_index=True))
+    orig = t.to_pandas().sort_values("seq", ignore_index=True)
+    assert back["doc_id"].tolist() == orig["doc_id"].tolist()
+    assert back["seq"].tolist() == orig["seq"].tolist()
+    assert back["spans"].apply(list).tolist() == \
+        orig["spans"].apply(list).tolist()
