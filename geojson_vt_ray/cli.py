@@ -190,6 +190,18 @@ def cmd_query(args) -> int:
     import pandas as pd
     import pyarrow as pa
     import ray.data
+    if getattr(args, "explain", False):
+        res = QUERIES[args.name](args.sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            # lazy logical plan — nothing has executed yet
+            print(res._plan.get_plan_as_string(type(res)))
+        else:
+            print(f"{args.name}: driver-collected result "
+                  f"({type(res).__name__}) — the pipeline executes "
+                  "eagerly inside the query function; run without "
+                  "--explain and read the per-stage breakdown in "
+                  "Ray's dataset logs")
+        return 0
     res = QUERIES[args.name](args.sf_dir)
     if args.out:
         if isinstance(res, pa.Table):
@@ -282,6 +294,9 @@ def main(argv=None) -> int:
     qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     qp.add_argument("--out", default=None)
     qp.add_argument("--list", action="store_true")
+    qp.add_argument("--explain", action="store_true",
+                    help="print the lazy Ray Data logical plan "
+                    "instead of executing")
     qp.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
