@@ -127,3 +127,62 @@ def test_compact_discards_stale_inprogress(ray_session, tmp_path):
     compact_parquet(str(src), str(dst), target_rows=1000)
     assert _read_ids(dst) == _read_ids(src)          # no 999 anywhere
     assert not stale.exists()
+
+
+# ------------------------------------------------------------- IVM
+def _events_ds(rows):
+    """rows: (user_id, cents)"""
+    import pyarrow as pa
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "cents": pa.array([r[1] for r in rows], pa.int64())}))
+
+
+def test_ivm_update_equals_full_rebuild(ray_session, tmp_path):
+    """Two sequential incremental folds == one-shot aggregate over
+    the union; counts and sums exact; version dirs publish with
+    _SUCCESS last."""
+    import os
+
+    from geojson_vt_ray.functions.maintenance import (ivm_update,
+                                                      read_ivm)
+
+    store = str(tmp_path / "agg")
+    base = [(1, 100), (1, 50), (2, 10)]
+    d1 = [(2, 5), (3, 1)]
+    d2 = [(1, 7), (3, 2), (3, 3)]
+    ivm_update(store, _events_ds(base), ["user_id"], ["cents"])
+    ivm_update(store, _events_ds(d1), ["user_id"], ["cents"])
+    p = ivm_update(store, _events_ds(d2), ["user_id"], ["cents"])
+    assert os.path.basename(p) == "v0002"
+    got = (read_ivm(store).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    # one-shot truth
+    import pandas as pd
+    full = pd.DataFrame(base + d1 + d2, columns=["user_id", "cents"])
+    want = (full.groupby("user_id", as_index=False)
+            .agg(cents=("cents", "sum"), n_rows=("cents", "size")))
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["cents"].tolist() == want["cents"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+
+
+def test_ivm_stale_tmp_rebuilt(ray_session, tmp_path):
+    """A marker-less version dir (killed run) is deleted and its
+    version number reused; readers never see it."""
+    import os
+
+    import pytest
+
+    from geojson_vt_ray.functions.maintenance import (ivm_update,
+                                                      read_ivm)
+
+    store = str(tmp_path / "agg")
+    os.makedirs(os.path.join(store, "v0000"))  # stale, no _SUCCESS
+    with pytest.raises(FileNotFoundError):
+        read_ivm(store)
+    ivm_update(store, _events_ds([(1, 1)]), ["user_id"], ["cents"])
+    got = read_ivm(store).to_pandas()
+    assert got["cents"].tolist() == [1]
+    assert sorted(os.listdir(store))[0] == "v0000"
