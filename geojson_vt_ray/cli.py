@@ -295,8 +295,11 @@ def main(argv=None) -> int:
     qp.add_argument("--out", default=None)
     qp.add_argument("--list", action="store_true")
     qp.add_argument("--explain", action="store_true",
-                    help="print the lazy Ray Data logical plan "
-                    "instead of executing")
+                    help="print the Ray Data logical plan of a "
+                    "Dataset-returning query without executing it; "
+                    "driver-collected queries (pa.Table results) "
+                    "execute eagerly inside their function and "
+                    "report that instead")
     qp.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

@@ -591,68 +591,23 @@ def jaccard_join_exact(ds, t_num: int = 1, t_den: int = 2,
     """
     assert 0 < t_num <= t_den
 
-    bs = _bundle_batch_size(ds)
-    prefix = ds.map_batches(GramPrefix(n_tokens, t_num, t_den,
-                                       text_col, id_col),
-                            batch_format="pyarrow", batch_size=bs)
-
-    cmask = _coarse_mask_fn()
-
-    def add_coarse(b: pa.Table) -> pa.Table:
-        gh = b.column("gh").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "pkey", pa.array((gh & np.uint64(cmask)).astype(np.int32)))
-
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ia, ib, sa, sb = _pairs_from_prefix_group(g, id_col)
+    def pair_filter(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
         # length filter: J <= min/max, so need
         # t_den * min_size >= t_num * max_size
-        lo = np.minimum(sa, sb)
-        hi = np.maximum(sa, sb)
-        keep = t_den * lo >= t_num * hi
-        return pd.DataFrame({
-            "id_a": ia[keep].astype(np.int64),
-            "id_b": ib[keep].astype(np.int64)}).drop_duplicates()
+        return t_den * lo >= t_num * hi
 
-    cand = (prefix.map_batches(add_coarse, batch_format="pyarrow")
-            .groupby("pkey").map_groups(pairs_in_group,
-                                        batch_format="pandas"))
+    def verify_pair(sa: np.ndarray, sb: np.ndarray):
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if t_den * inter >= t_num * union and union > 0:
+            return (inter, union)
+        return None
 
-    # global pair dedup before the verify joins (a pair can share many
-    # prefix grams landing in different coarse buckets)
-    nparts = _num_join_partitions()
-    uniq = _dedup_candidate_pairs(cand, nparts, cmask)
-
-    gs_ds = ds.map_batches(GramSetBytes(n_tokens, text_col, id_col),
-                           batch_format="pyarrow",
-                           batch_size=bs).materialize()
-    j = _join_pair_payload(uniq, gs_ds, nparts, id_col, "gs")
-
-    def verify(b: pa.Table) -> pa.Table:
-        ia = b.column("id_a").to_pylist()
-        ib = b.column("id_b").to_pylist()
-        ga = b.column("gs_a").to_pylist()
-        gb = b.column("gs").to_pylist()
-        o_a, o_b, o_i, o_u = [], [], [], []
-        for a, b_, ra, rb in zip(ia, ib, ga, gb):
-            sa = np.frombuffer(ra, np.uint64)
-            sb = np.frombuffer(rb, np.uint64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            if t_den * inter >= t_num * union and union > 0:
-                o_a.append(a)
-                o_b.append(b_)
-                o_i.append(inter)
-                o_u.append(union)
-        return pa.table({"id_a": pa.array(o_a, pa.int64()),
-                         "id_b": pa.array(o_b, pa.int64()),
-                         "n_inter": pa.array(o_i, pa.int64()),
-                         "n_union": pa.array(o_u, pa.int64())})
-
-    out = j.map_batches(verify, batch_format="pyarrow")
-    return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
-                               ("n_inter", pa.int64()),
-                               ("n_union", pa.int64())])
+    return _allpairs_verified(
+        ds, GramPrefix(n_tokens, t_num, t_den, text_col, id_col),
+        pair_filter, verify_pair,
+        [("n_inter", pa.int64()), ("n_union", pa.int64())],
+        n_tokens, text_col, id_col)
 
 
 def containment_join_exact(ds, t_num: int = 4, t_den: int = 5,
@@ -679,11 +634,44 @@ def containment_join_exact(ds, t_num: int = 4, t_den: int = 5,
     rows and 8 B/gram payloads; nothing corpus-sized on the driver."""
     assert 0 < t_num <= t_den and size_ratio >= 1
 
+    def pair_filter(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        return hi <= size_ratio * lo
+
+    def verify_pair(sa: np.ndarray, sb: np.ndarray):
+        lo = min(len(sa), len(sb))
+        hi = max(len(sa), len(sb))
+        if lo == 0 or hi > size_ratio * lo:
+            return None
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        # |inter| >= ceil(t*lo)  <=>  t_den*inter >= t_num*lo
+        # (inter is an int: den*inter >= num*lo iff
+        #  inter >= num*lo/den iff inter >= ceil(num*lo/den))
+        if t_den * inter >= t_num * lo:
+            return (inter, lo, hi)
+        return None
+
+    return _allpairs_verified(
+        ds, GramPrefix(n_tokens, t_num, t_den, text_col, id_col,
+                       size_ratio=size_ratio),
+        pair_filter, verify_pair,
+        [("n_inter", pa.int64()), ("min_size", pa.int64()),
+         ("max_size", pa.int64())],
+        n_tokens, text_col, id_col)
+
+
+def _allpairs_verified(ds, prefix_stage, pair_filter, verify_pair,
+                       out_cols, n_tokens, text_col, id_col):
+    """Shared three-stage AllPairs shape for the exact gram-set joins
+    (jaccard_join_exact / containment_join_exact): prefix candidates
+    (coarse gram-key buckets, vectorized triangular expansion, the
+    caller's (min_size, max_size) pair_filter) -> distributed pair
+    dedup -> double hash-join verify on gram-set payloads, where
+    verify_pair(sa, sb) returns the extra output tuple or None.
+    Shuffles move prefix rows and 8 B/gram payloads; nothing
+    corpus-sized on the driver."""
     bs = _bundle_batch_size(ds)
-    prefix = ds.map_batches(
-        GramPrefix(n_tokens, t_num, t_den, text_col, id_col,
-                   size_ratio=size_ratio),
-        batch_format="pyarrow", batch_size=bs)
+    prefix = ds.map_batches(prefix_stage, batch_format="pyarrow",
+                            batch_size=bs)
 
     cmask = _coarse_mask_fn()
 
@@ -694,9 +682,7 @@ def containment_join_exact(ds, t_num: int = 4, t_den: int = 5,
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
         ia, ib, sa, sb = _pairs_from_prefix_group(g, id_col)
-        lo = np.minimum(sa, sb)
-        hi = np.maximum(sa, sb)
-        keep = hi <= size_ratio * lo
+        keep = pair_filter(np.minimum(sa, sb), np.maximum(sa, sb))
         return pd.DataFrame({
             "id_a": ia[keep].astype(np.int64),
             "id_b": ib[keep].astype(np.int64)}).drop_duplicates()
@@ -705,6 +691,8 @@ def containment_join_exact(ds, t_num: int = 4, t_den: int = 5,
             .groupby("pkey").map_groups(pairs_in_group,
                                         batch_format="pandas"))
 
+    # global pair dedup before the verify joins (a pair can share many
+    # prefix grams landing in different coarse buckets)
     nparts = _num_join_partitions()
     uniq = _dedup_candidate_pairs(cand, nparts, cmask)
 
@@ -713,40 +701,34 @@ def containment_join_exact(ds, t_num: int = 4, t_den: int = 5,
                            batch_size=bs).materialize()
     j = _join_pair_payload(uniq, gs_ds, nparts, id_col, "gs")
 
+    names = [c for c, _ in out_cols]
+    types = [t for _, t in out_cols]
+
     def verify(b: pa.Table) -> pa.Table:
         ia = b.column("id_a").to_pylist()
         ib = b.column("id_b").to_pylist()
         ga = b.column("gs_a").to_pylist()
         gb = b.column("gs").to_pylist()
-        o_a, o_b, o_i, o_lo, o_hi = [], [], [], [], []
+        o_a, o_b = [], []
+        extra = [[] for _ in names]
         for a, b_, ra, rb in zip(ia, ib, ga, gb):
-            sa = np.frombuffer(ra, np.uint64)
-            sb = np.frombuffer(rb, np.uint64)
-            lo = min(len(sa), len(sb))
-            hi = max(len(sa), len(sb))
-            if lo == 0 or hi > size_ratio * lo:
+            row = verify_pair(np.frombuffer(ra, np.uint64),
+                              np.frombuffer(rb, np.uint64))
+            if row is None:
                 continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            # |inter| >= ceil(t*lo)  <=>  t_den*inter >= t_num*lo
-            # (inter is an int: den*inter >= num*lo iff
-            #  inter >= num*lo/den iff inter >= ceil(num*lo/den))
-            if t_den * inter >= t_num * lo:
-                o_a.append(a)
-                o_b.append(b_)
-                o_i.append(inter)
-                o_lo.append(lo)
-                o_hi.append(hi)
-        return pa.table({"id_a": pa.array(o_a, pa.int64()),
-                         "id_b": pa.array(o_b, pa.int64()),
-                         "n_inter": pa.array(o_i, pa.int64()),
-                         "min_size": pa.array(o_lo, pa.int64()),
-                         "max_size": pa.array(o_hi, pa.int64())})
+            o_a.append(a)
+            o_b.append(b_)
+            for lst, v in zip(extra, row):
+                lst.append(v)
+        cols = {"id_a": pa.array(o_a, pa.int64()),
+                "id_b": pa.array(o_b, pa.int64())}
+        for name, typ, lst in zip(names, types, extra):
+            cols[name] = pa.array(lst, typ)
+        return pa.table(cols)
 
     out = j.map_batches(verify, batch_format="pyarrow")
-    return _pairs_result(out, [("id_a", pa.int64()), ("id_b", pa.int64()),
-                               ("n_inter", pa.int64()),
-                               ("min_size", pa.int64()),
-                               ("max_size", pa.int64())])
+    return _pairs_result(out, [("id_a", pa.int64()),
+                               ("id_b", pa.int64())] + out_cols)
 
 
 # ----------------------------------------------- connected components

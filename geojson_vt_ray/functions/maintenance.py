@@ -190,6 +190,9 @@ def ivm_update(store: str, delta, key_cols: list[str],
     merged = upd.groupby(key_cols).aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols + [count_col]])
     merged.write_parquet(dst)
+    # a zero-row merge writes no files and does NOT create dst — an
+    # empty first delta must still publish an (empty) version
+    os.makedirs(dst, exist_ok=True)
     with open(os.path.join(dst, _MARKER), "w"):
         pass
     return dst

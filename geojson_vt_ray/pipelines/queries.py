@@ -7772,9 +7772,15 @@ def q_ri_audit(sf_dir: str):
     parts = (orphans.map_batches(reduce_part, batch_format="pyarrow")
              .to_pandas())             # O(batches x 4) — tiny
     # child totals from parquet metadata — a count() would re-run
-    # the whole child pipeline per FK
-    n_li = _pq.read_metadata(li_path).num_rows
-    n_ord = _pq.read_metadata(ord_path).num_rows
+    # the whole child pipeline per FK (directory layouts fall back
+    # to a plain distributed count of the raw read)
+    def _rows(path):
+        try:
+            return _pq.read_metadata(path).num_rows
+        except Exception:
+            return _read_pq(path).count()
+    n_li = _rows(li_path)
+    n_ord = _rows(ord_path)
     n_child = [n_li, n_li, n_li, n_ord]
     if "orphan_rows" in parts.columns and len(parts):
         agg = parts.groupby("fk")[["orphan_rows", "orphan_keys"]].sum()

@@ -136,9 +136,13 @@ def write_docs_geojsonseq(ds, out_dir: str,
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             for spans in g.column("spans").to_pylist():
-                geo = next(s["text"] for s in spans
-                           if s["kind"] == "geo")
-                f.write(geo + "\n")
+                geo = [s["text"] for s in spans if s["kind"] == "geo"]
+                if not geo:
+                    raise ValueError(
+                        "doc without a geo span cannot export to "
+                        "GeoJSONSeq (spans kinds: "
+                        f"{[s['kind'] for s in spans]})")
+                f.write(geo[0] + "\n")
         os.replace(tmp, path)
         return pa.table({"shard": pa.array([shard], pa.int64()),
                          "path": pa.array([path], pa.string()),
@@ -147,8 +151,12 @@ def write_docs_geojsonseq(ds, out_dir: str,
     manifest = (ds.map_batches(add_shard, batch_format="pyarrow")
                 .groupby("shard")
                 .map_groups(write_shard, batch_format="pyarrow")
-                .to_pandas()
-                .sort_values("shard", ignore_index=True))
+                .to_pandas())
+    if "shard" not in manifest.columns:      # empty input dataset
+        return pa.table({"shard": pa.array([], pa.int64()),
+                         "path": pa.array([], pa.string()),
+                         "rows": pa.array([], pa.int64())})
+    manifest = manifest.sort_values("shard", ignore_index=True)
     return pa.table({
         "shard": pa.array(manifest["shard"].to_numpy(), pa.int64()),
         "path": pa.array(manifest["path"].to_numpy(), pa.string()),

@@ -51,11 +51,16 @@ _EXT_FORMAT = {".parquet": "parquet", ".csv": "csv",
 
 def _detect_format(path: str) -> str:
     if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            ext = os.path.splitext(f)[1]
-            if ext in _EXT_FORMAT:
-                return _EXT_FORMAT[ext]
-        raise ValueError(f"no readable tabular files under {path}")
+        found = {_EXT_FORMAT[e] for e in (
+            os.path.splitext(f)[1] for f in os.listdir(path))
+            if e in _EXT_FORMAT}
+        if not found:
+            raise ValueError(f"no readable tabular files under {path}")
+        if len(found) > 1:
+            raise ValueError(
+                f"mixed tabular formats under {path}: {sorted(found)} "
+                "— pass fmt= explicitly or split the directory")
+        return found.pop()
     ext = os.path.splitext(path)[1]
     if ext not in _EXT_FORMAT:
         raise ValueError(f"unsupported tabular extension: {path}")
@@ -104,7 +109,8 @@ def read_table(path: str, table: str, fmt: str | None = None,
     elif fmt == "csv":
         ds = rd.read_csv(path)
     elif fmt == "json":
-        ds = rd.read_json(path)
+        # file_extensions=None: Ray's default filter rejects .ndjson
+        ds = rd.read_json(path, file_extensions=None)
     else:
         raise ValueError(f"unsupported format: {fmt!r}")
     ds = ds.map_batches(_Normalize(CANONICAL[table]),
