@@ -8717,6 +8717,52 @@ _SQL_RFM_SCORES = (
     "FROM m, b ORDER BY o_custkey")
 
 
+def q_ohlc_long(sf_dir: str):
+    """UNPIVOT / melt: the OHLC candle table reshaped wide→long —
+    one (event_type, hour, field, cents) row per candle component —
+    the inverse of pivot_events and the standard long-form feed for
+    plotting / metric stores.
+
+    Shape for scale: the bar table is already bounded (time range ×
+    types — q_ohlc_bars' contract); the melt itself is one vectorized
+    4x repeat/tile pass, zero shuffles."""
+    bars = q_ohlc_bars(sf_dir)
+    n = bars.num_rows
+    fields = ["close", "high", "low", "open"]   # canonical order
+    et = bars.column("event_type").to_numpy(zero_copy_only=False)
+    hour = bars.column("hour").to_numpy(zero_copy_only=False)
+    mat = np.stack([bars.column(f).to_numpy(zero_copy_only=False)
+                    for f in fields], axis=1)
+    return pa.table({
+        "event_type": pa.array(np.repeat(et, len(fields)),
+                               pa.string()),
+        "hour": pa.array(np.repeat(hour, len(fields))),
+        "field": pa.array(np.tile(np.array(fields), n), pa.string()),
+        "cents": pa.array(mat.reshape(-1))})
+
+
+_SQL_OHLC_LONG = (
+    "WITH e AS (SELECT event_type, "
+    "epoch_us(ts) // 3600000000 AS hour, ts, event_id, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+    "w AS (SELECT event_type, hour, cents, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type, hour "
+    "ORDER BY ts, event_id) AS rn_a, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type, hour "
+    "ORDER BY ts DESC, event_id DESC) AS rn_d FROM e), "
+    "agg AS (SELECT event_type, hour, MAX(cents) AS high, "
+    "MIN(cents) AS low, COUNT(*) AS n FROM e GROUP BY 1, 2), "
+    "bars AS (SELECT a.event_type, a.hour, o.cents AS \"open\", "
+    "a.high, a.low, c.cents AS \"close\" FROM agg a "
+    "JOIN w o ON o.event_type = a.event_type AND o.hour = a.hour "
+    "AND o.rn_a = 1 "
+    "JOIN w c ON c.event_type = a.event_type AND c.hour = a.hour "
+    "AND c.rn_d = 1) "
+    "SELECT event_type, hour, field, cents FROM bars "
+    "UNPIVOT (cents FOR field IN (\"open\", high, low, \"close\")) "
+    "ORDER BY event_type, hour, field")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8875,6 +8921,7 @@ QUERIES = {
     "forward_fill": q_forward_fill,
     "rolling_time_sum": q_rolling_time_sum,
     "rfm_scores": q_rfm_scores,
+    "ohlc_long": q_ohlc_long,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -9081,6 +9128,7 @@ ORACLE_SQL.update({
     "forward_fill": _SQL_FORWARD_FILL,
     "rolling_time_sum": _SQL_ROLLING_TIME_SUM,
     "rfm_scores": _SQL_RFM_SCORES,
+    "ohlc_long": _SQL_OHLC_LONG,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,
