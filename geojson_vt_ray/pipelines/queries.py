@@ -8763,6 +8763,77 @@ _SQL_OHLC_LONG = (
     "ORDER BY event_type, hour, field")
 
 
+def q_session_len_hist(sf_dir: str):
+    """Session-length histogram: how many 30-min-gap sessions contain
+    each number of events — the bounce-rate / engagement-depth curve
+    (n_events = 1 rows ARE the bounces), sharing q_sessionize's exact
+    gap convention (strict > 30 min, (ts, event_id) order).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket
+    one lexsort + diff + cumsum assigns session ids and a double
+    bincount collapses straight to (n_events, n_sessions) partials,
+    so the driver merges O(buckets x max_len) skinny rows — the
+    session table itself never materializes anywhere."""
+    GAP_US = 1_800_000_000
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id")})
+
+    def hist(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        uid = uid[order]
+        ts = g["ts"].to_numpy(np.int64)[order]
+        if not len(uid):
+            return pa.table({"n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        new = np.ones(len(uid), bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        sess = np.cumsum(new) - 1
+        lens = np.bincount(sess)
+        u, c = np.unique(lens, return_counts=True)
+        return pa.table({"n_events": pa.array(u.astype(np.int64)),
+                         "n_sessions": pa.array(c.astype(np.int64))})
+
+    parts = (_read_pq(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts"])
+             .map_batches(prep, batch_format="pyarrow")
+             .repartition(F_dedup._num_join_partitions())
+             .groupby("pkey").map_groups(hist, batch_format="pandas")
+             .to_pandas())             # O(buckets x max_len) — tiny
+    agg = (parts.groupby("n_events", as_index=False)
+           ["n_sessions"].sum()
+           .sort_values("n_events", ignore_index=True))
+    return pa.table({
+        "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+        "n_sessions": pa.array(agg["n_sessions"].to_numpy(np.int64))})
+
+
+_SQL_SESSION_LEN_HIST = (
+    "WITH s AS (SELECT user_id, CAST(session_id AS BIGINT) AS sid, "
+    "COUNT(*) AS n_events FROM ("
+    " SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id"
+    "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id "
+    "FROM ("
+    "  SELECT user_id, ts, event_id, CASE WHEN"
+    "   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL"
+    "   OR ts - LAG(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id)"
+    "      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess "
+    "FROM events))"
+    " GROUP BY 1, 2) "
+    "SELECT n_events, COUNT(*) AS n_sessions FROM s "
+    "GROUP BY 1 ORDER BY n_events")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8922,6 +8993,7 @@ QUERIES = {
     "rolling_time_sum": q_rolling_time_sum,
     "rfm_scores": q_rfm_scores,
     "ohlc_long": q_ohlc_long,
+    "session_len_hist": q_session_len_hist,
     "weighted_median": q_weighted_median,
     "class_centroids": q_class_centroids,
     "pip_anti": q_pip_anti,
@@ -9129,6 +9201,7 @@ ORACLE_SQL.update({
     "rolling_time_sum": _SQL_ROLLING_TIME_SUM,
     "rfm_scores": _SQL_RFM_SCORES,
     "ohlc_long": _SQL_OHLC_LONG,
+    "session_len_hist": _SQL_SESSION_LEN_HIST,
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,

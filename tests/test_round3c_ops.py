@@ -851,3 +851,22 @@ def test_rfm_scores_boundary_equality(ray_session, tmp_path):
     assert got["r_score"].tolist() == [1, 2, 3, 4]
     # all frequencies equal 1 -> every boundary is 1 -> nobody above
     assert got["f_score"].tolist() == [1, 1, 1, 1]
+
+
+def test_session_len_hist_gap_rule(ray_session, tmp_path):
+    """A gap of exactly 30 min does NOT split (strict >); one more
+    microsecond does; sessions never span users; bounces (length-1
+    sessions) count."""
+    M30 = 1_800_000_000
+    rows = [
+        # user 1: events at 0, 30min (same session), then +30min+1us
+        # (new session, singleton)
+        (1, 1, 0, "e", 0.0),
+        (2, 1, M30, "e", 0.0),
+        (3, 1, 2 * M30 + 1, "e", 0.0),
+        # user 2: one event at the same ts as user 1's -> own session
+        (4, 2, 0, "e", 0.0)]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = Q.q_session_len_hist(sf).to_pandas()
+    # sessions: [1,2], [3], [4] -> lengths 2,1,1
+    assert [tuple(r) for r in got.to_numpy()] == [(1, 2), (2, 1)]
