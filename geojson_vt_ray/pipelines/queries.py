@@ -8834,6 +8834,261 @@ _SQL_SESSION_LEN_HIST = (
     "GROUP BY 1 ORDER BY n_events")
 
 
+def q_conversion_time(sf_dir: str):
+    """View->purchase conversion latency: for every user, the wait
+    between their FIRST ``view`` event and the first ``purchase``
+    strictly after it; users that never convert are dropped.
+
+    Shape for scale: the read prunes to 3 columns and the batch prep
+    filters to the two event types before anything moves; ONE
+    crc-coarse user-bucket shuffle, then two vectorized pandas
+    groupbys inside each bucket (first view per user, first
+    qualifying purchase per user). Output is <= one row per
+    converting user — never event-sized past the shuffle."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(["view", "purchase"]))
+        b = b.filter(keep)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "is_purchase": pc.equal(b.column("event_type"), "purchase"),
+        })
+
+    def convert(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "wait_us": pa.array([], pa.int64())})
+        views = g[~g["is_purchase"]]
+        pur = g[g["is_purchase"]]
+        if not len(views) or not len(pur):
+            return empty
+        fv = views.groupby("user_id")["ts"].min().rename("fv")
+        p = pur.merge(fv, left_on="user_id", right_index=True)
+        p = p[p["ts"] > p["fv"]]
+        if not len(p):
+            return empty
+        fp = p.groupby("user_id", as_index=False).agg(
+            fv=("fv", "first"), fp=("ts", "min"))
+        return pa.table({
+            "user_id": pa.array(fp["user_id"].to_numpy(np.int64)),
+            "wait_us": pa.array(
+                (fp["fp"] - fp["fv"]).to_numpy(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "ts", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(convert, batch_format="pandas")
+            .sort("user_id"))
+
+
+_SQL_CONVERSION_TIME = (
+    "WITH v AS (SELECT user_id, MIN(ts) AS fv FROM events "
+    " WHERE event_type = 'view' GROUP BY 1), "
+    "p AS (SELECT e.user_id, MIN(e.ts) AS fp, MIN(v.fv) AS fv "
+    " FROM events e JOIN v USING (user_id) "
+    " WHERE e.event_type = 'purchase' AND e.ts > v.fv GROUP BY 1) "
+    "SELECT user_id, CAST(epoch_us(fp) - epoch_us(fv) AS BIGINT) "
+    "AS wait_us FROM p ORDER BY user_id")
+
+
+def q_dense_rank_topk(sf_dir: str, k: int = 3):
+    """Top-k WITH ties: every order whose o_totalprice is among the k
+    highest DISTINCT prices of its o_orderpriority class (DENSE_RANK
+    <= k) — the tie-preserving variant that plain sort+limit gets
+    wrong when the k-th value repeats.
+
+    Shape for scale: ZERO shuffle. Pass 1 streams per-batch partial
+    top-k distinct prices per priority (<= 5*k doubles per block) to
+    a driver merge that fixes the per-priority cutoff + rank table;
+    pass 2 re-streams the same pruned 3 columns filtering against the
+    broadcast rank table. Both passes are embarrassingly parallel."""
+    path = f"{sf_dir}/orders.parquet"
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["o_orderpriority", "o_totalprice"]).to_pandas()
+        top = (df.drop_duplicates()
+                 .sort_values("o_totalprice", ascending=False,
+                              kind="mergesort")
+                 .groupby("o_orderpriority", sort=False).head(k))
+        return pa.table({
+            "o_orderpriority": pa.array(top["o_orderpriority"],
+                                        pa.string()),
+            "o_totalprice": pa.array(
+                top["o_totalprice"].to_numpy(np.float64))})
+
+    parts = (_read_pq(path, columns=cols[1:])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())           # O(blocks * groups * k) — tiny
+    rank_tbl = (parts.drop_duplicates()
+                .sort_values("o_totalprice", ascending=False,
+                             kind="mergesort")
+                .groupby("o_orderpriority", sort=False).head(k))
+    rank_tbl = rank_tbl.assign(
+        rnk=rank_tbl.groupby("o_orderpriority")["o_totalprice"]
+        .rank(method="first", ascending=False).astype(np.int64))
+
+    def expand(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = df.merge(rank_tbl, on=["o_orderpriority", "o_totalprice"])
+        return pa.table({
+            "o_orderpriority": pa.array(out["o_orderpriority"],
+                                        pa.string()),
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+            "o_totalprice": pa.array(
+                out["o_totalprice"].to_numpy(np.float64)),
+            "rnk": pa.array(out["rnk"].to_numpy(np.int64))})
+
+    return (_read_pq(path, columns=cols)
+            .map_batches(expand, batch_format="pyarrow")
+            .sort(["o_orderpriority", "rnk", "o_orderkey"]))
+
+
+_SQL_DENSE_RANK_TOPK = (
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM ("
+    " SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority "
+    "   ORDER BY o_totalprice DESC) AS BIGINT) AS rnk FROM orders) "
+    "WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey")
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style rule-based document quality gate (Rae et al. 2021,
+    'Scaling Language Models' appendix A — public): per doc the token
+    stats and a pass flag over four rules, phrased as INTEGER
+    cross-multiplications so the flag is exact on both engines:
+      R1  word count in [15, 100000]
+      R2  mean token length in [3, 10]   (3*n_words <= sum_chars
+                                          AND sum_chars <= 10*n_words)
+      R3  top-token fraction <= 0.2      (5*top_count <= n_words)
+      R4  distinct-token ratio >= 0.3    (10*n_distinct >= 3*n_words)
+
+    Shape for scale: zero shuffle — per batch one Arrow split_pattern
+    explode (list_flatten + list_parent_indices, no per-row Python)
+    feeds a single pandas groupby; output is exactly 1 row/doc."""
+    def stats(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        wl = pc.utf8_length(flat).to_numpy()
+        df = pd.DataFrame({"d": parent,
+                           "w": flat.to_pandas(),
+                           "wl": wl})
+        per_word = df.groupby(["d", "w"], sort=False).agg(
+            c=("wl", "size"), wl=("wl", "first")).reset_index()
+        per_word["chars"] = per_word["c"] * per_word["wl"]
+        s = per_word.groupby("d", sort=False).agg(
+            n_words=("c", "sum"), n_distinct=("c", "size"),
+            top_count=("c", "max"), sum_chars=("chars", "sum"))
+        s = s.reindex(np.arange(b.num_rows), fill_value=0)
+        nw = s["n_words"].to_numpy(np.int64)
+        nd = s["n_distinct"].to_numpy(np.int64)
+        tc = s["top_count"].to_numpy(np.int64)
+        sc = s["sum_chars"].to_numpy(np.int64)
+        passes = ((nw >= 15) & (nw <= 100000)
+                  & (3 * nw <= sc) & (sc <= 10 * nw)
+                  & (5 * tc <= nw) & (10 * nd >= 3 * nw))
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_words": pa.array(nw),
+            "n_distinct": pa.array(nd),
+            "top_count": pa.array(tc),
+            "sum_chars": pa.array(sc),
+            "passes": pa.array(passes.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+            .map_batches(stats, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+_SQL_GOPHER_FILTER = (
+    "WITH w AS (SELECT doc_id, word, COUNT(*) AS c, "
+    "  LENGTH(word) AS wl FROM (SELECT doc_id, "
+    "  unnest(string_split(text, ' ')) AS word FROM documents) "
+    " GROUP BY 1, 2, 4), "
+    "s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+    "  CAST(MAX(c) AS BIGINT) AS top_count, "
+    "  CAST(SUM(c * wl) AS BIGINT) AS sum_chars FROM w GROUP BY 1) "
+    "SELECT doc_id, n_words, n_distinct, top_count, sum_chars, "
+    " CAST(CASE WHEN n_words BETWEEN 15 AND 100000 "
+    "  AND 3*n_words <= sum_chars AND sum_chars <= 10*n_words "
+    "  AND 5*top_count <= n_words AND 10*n_distinct >= 3*n_words "
+    " THEN 1 ELSE 0 END AS BIGINT) AS passes "
+    "FROM s ORDER BY doc_id")
+
+
+def q_prefix_dup(sf_dir: str, n_tokens: int = 2):
+    """Boilerplate-prefix detection: group documents on their first
+    ``n_tokens`` whitespace tokens and report every prefix shared by
+    more than one document, with the doc count and the smallest
+    doc_id as exemplar — the cheap screen that catches templated /
+    mirrored corpora before any expensive near-dup pass.
+
+    Shape for scale: per batch an Arrow ``split_pattern(max_splits)``
+    + ``list_slice`` + ``binary_join`` builds prefixes with zero
+    per-row Python, and a pandas partial collapses the block to its
+    DISTINCT prefixes (count, min id). ONE crc-coarse groupby over
+    prefix hashes merges the partials; document text never shuffles
+    and the driver only ever sees the final >1-doc aggregate."""
+    import zlib
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ",
+                                max_splits=n_tokens)
+        prefix = pc.binary_join(
+            pc.list_slice(toks, 0, n_tokens), " ")
+        df = pd.DataFrame({
+            "prefix": prefix.to_pandas(),
+            "doc_id": b.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("prefix", as_index=False).agg(
+            n_docs=("doc_id", "size"), exemplar=("doc_id", "min"))
+        pk = np.fromiter((zlib.crc32(s.encode()) & mask
+                          for s in g["prefix"]),
+                         np.int32, len(g))
+        return pa.table({
+            "pkey": pa.array(pk),
+            "prefix": pa.array(g["prefix"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "exemplar": pa.array(g["exemplar"].to_numpy(np.int64))})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("prefix", as_index=False).agg(
+            n_docs=("n_docs", "sum"), exemplar=("exemplar", "min"))
+        m = m[m["n_docs"] > 1]
+        return pa.table({
+            "prefix": pa.array(m["prefix"], pa.string()),
+            "n_docs": pa.array(m["n_docs"].to_numpy(np.int64)),
+            "exemplar": pa.array(m["exemplar"].to_numpy(np.int64))})
+
+    out = (_read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("pkey").map_groups(merge, batch_format="pandas")
+           .to_pandas())              # >1-doc prefixes only — tiny
+    out = out.sort_values(["n_docs", "prefix"],
+                          ascending=[False, True], ignore_index=True)
+    return pa.table({
+        "prefix": pa.array(out["prefix"], pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+        "exemplar": pa.array(out["exemplar"].to_numpy(np.int64))})
+
+
+_SQL_PREFIX_DUP = (
+    "WITH p AS (SELECT doc_id, array_to_string(list_slice("
+    "  string_split(text, ' '), 1, 2), ' ') AS prefix FROM documents) "
+    "SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    " MIN(doc_id) AS exemplar FROM p GROUP BY 1 HAVING COUNT(*) > 1 "
+    "ORDER BY n_docs DESC, prefix")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -8866,6 +9121,10 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "interval_union": q_interval_union,
     "streaks": q_streaks,
+    "conversion_time": q_conversion_time,
+    "dense_rank_topk": q_dense_rank_topk,
+    "gopher_filter": q_gopher_filter,
+    "prefix_dup": q_prefix_dup,
     # -- (2) implementation changed this round --
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
     "minhash_pairs": q_minhash_pairs,
@@ -9059,6 +9318,10 @@ ORACLE_SQL = {
     "dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
     "interval_union": _SQL_INTERVAL_UNION,
     "streaks": _SQL_STREAKS,
+    "conversion_time": _SQL_CONVERSION_TIME,
+    "dense_rank_topk": _SQL_DENSE_RANK_TOPK,
+    "gopher_filter": _SQL_GOPHER_FILTER,
+    "prefix_dup": _SQL_PREFIX_DUP,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
     "jaccard_join": _SQL_JACCARD_JOIN,
     "group_percentiles": _SQL_GROUP_PERCENTILES,
