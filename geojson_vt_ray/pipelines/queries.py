@@ -9089,6 +9089,258 @@ _SQL_PREFIX_DUP = (
     "ORDER BY n_docs DESC, prefix")
 
 
+_CORR_MEASURES = ("qty", "price", "disc", "tax")
+_CORR_PAIRS = [(a, b) for i, a in enumerate(_CORR_MEASURES)
+               for b in _CORR_MEASURES[i + 1:]]
+
+
+def _round_half_away(arr) -> "np.ndarray":
+    """floor(x + 0.5) as int64 — matches DuckDB ROUND's half-away mode
+    for non-negative values (Arrow's pc.round is half-to-even, which
+    diverges on exact .5 doubles, e.g. 2-decimal prices rounded to
+    whole dollars)."""
+    v = arr.to_numpy(zero_copy_only=False) if hasattr(arr, "to_numpy") \
+        else np.asarray(arr)
+    return np.floor(v + 0.5).astype(np.int64)
+
+
+def _lineitem_measures_int(b: pa.Table) -> dict:
+    """lineitem's four numeric measures quantized to exact int64 units
+    (qty as-is, price in whole dollars, discount/tax in cents) so every
+    moment partial below is an order-independent integer sum."""
+    return {
+        "qty": _round_half_away(b.column("l_quantity")),
+        "price": _round_half_away(b.column("l_extendedprice")),
+        "disc": _round_half_away(pc.multiply(
+            b.column("l_discount"), pa.scalar(100.0))),
+        "tax": _round_half_away(pc.multiply(
+            b.column("l_tax"), pa.scalar(100.0)))}
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    measures (quantity, whole-dollar price, discount cents, tax cents)
+    — the column-profiling primitive behind feature selection and
+    near-constant / redundant-column detection in dataset curation.
+
+    Exactness strategy: the measures are quantized to int64 so all six
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are exact
+    order-independent integer sums; the float correlation is ONE double
+    expression of identical shape on the engine and oracle side,
+    rounded to 6 decimals, so both engines see the same IEEE inputs.
+
+    Shape for scale: each block collapses to 6 moment rows (one per
+    pair); the shuffle carries O(6·blocks) fixed-width rows, never
+    lineitems. Int64 capacity: Σ(price²) ≈ n·1.2e10 holds to ~7e8 rows;
+    beyond that split hi/lo words (see group_moments note)."""
+    from ray.data.aggregate import Sum
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_quantity", "l_extendedprice",
+                           "l_discount", "l_tax"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _lineitem_measures_int(b)
+        pairs, n, sx, sy, sxx, syy, sxy = [], [], [], [], [], [], []
+        for a, c in _CORR_PAIRS:
+            x, y = m[a], m[c]
+            pairs.append(f"{a}_{c}")
+            n.append(len(x))
+            sx.append(int(x.sum()))
+            sy.append(int(y.sum()))
+            sxx.append(int((x * x).sum()))
+            syy.append(int((y * y).sum()))
+            sxy.append(int((x * y).sum()))
+        return pa.table({
+            "pair": pa.array(pairs, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "sx": pa.array(sx, pa.int64()),
+            "sy": pa.array(sy, pa.int64()),
+            "sxx": pa.array(sxx, pa.int64()),
+            "syy": pa.array(syy, pa.int64()),
+            "sxy": pa.array(sxy, pa.int64())})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        f = {c: b.column("sum_" + c).cast(pa.float64())
+             .to_numpy(zero_copy_only=False)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt((f["n"] * f["sxx"] - f["sx"] * f["sx"]) *
+                      (f["n"] * f["syy"] - f["sy"] * f["sy"]))
+        r = np.round(num / den, 6)
+        return pa.table({"pair": b.column("pair"),
+                         "corr": pa.array(r, pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(*[Sum(c, alias_name="sum_" + c)
+                         for c in ("n", "sx", "sy", "sxx", "syy",
+                                   "sxy")])
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+def _sql_corr_matrix() -> str:
+    base = ("SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty, "
+            "CAST(ROUND(l_extendedprice) AS BIGINT) AS price, "
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS disc, "
+            "CAST(ROUND(l_tax * 100) AS BIGINT) AS tax FROM lineitem")
+    aggs = ["COUNT(*) AS n"]
+    for c in _CORR_MEASURES:
+        aggs.append(f"SUM({c}) AS s_{c}")
+        aggs.append(f"SUM({c} * {c}) AS q_{c}")
+    for a, c in _CORR_PAIRS:
+        aggs.append(f"SUM({a} * {c}) AS x_{a}_{c}")
+    sels = []
+    for a, c in _CORR_PAIRS:
+        d = "CAST({} AS DOUBLE)"
+        n, sx, sy = d.format("n"), d.format(f"s_{a}"), d.format(f"s_{c}")
+        sxx, syy = d.format(f"q_{a}"), d.format(f"q_{c}")
+        sxy = d.format(f"x_{a}_{c}")
+        sels.append(
+            f"SELECT '{a}_{c}' AS pair, "
+            f"ROUND(({n} * {sxy} - {sx} * {sy}) / "
+            f"SQRT(({n} * {sxx} - {sx} * {sx}) * "
+            f"({n} * {syy} - {sy} * {sy})), 6) AS corr FROM m")
+    return (f"WITH c AS ({base}), m AS (SELECT {', '.join(aggs)} "
+            f"FROM c) " + " UNION ALL ".join(sels))
+
+
+def q_group_regression(sf_dir: str):
+    """Per-group simple OLS fit — slope, intercept and R² of
+    whole-dollar extended price on quantity, grouped by return flag
+    (the distributed regr_slope/regr_intercept/regr_r2 family). Same
+    exactness strategy as corr_matrix: int64 moment partials, one
+    shared-shape double expression at finalize, rounded to 6 decimals.
+
+    Shape for scale: blocks collapse to O(#groups) moment rows; one
+    tiny groupby finishes; the fit itself is driver-free arithmetic on
+    the aggregate."""
+    from ray.data.aggregate import Sum
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_returnflag", "l_quantity",
+                           "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _round_half_away(b.column("l_quantity"))
+        y = _round_half_away(b.column("l_extendedprice"))
+        g = np.asarray(b.column("l_returnflag").to_pylist())
+        uniq, inv = np.unique(g, return_inverse=True)
+        k = len(uniq)
+
+        def fold(v):
+            s = np.zeros(k, np.int64)
+            np.add.at(s, inv, v)
+            return s
+
+        return pa.table({
+            "l_returnflag": pa.array(uniq, pa.string()),
+            "n": pa.array(fold(np.ones(len(x), np.int64))),
+            "sx": pa.array(fold(x)), "sy": pa.array(fold(y)),
+            "sxx": pa.array(fold(x * x)), "syy": pa.array(fold(y * y)),
+            "sxy": pa.array(fold(x * y))})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        f = {c: b.column("sum_" + c).cast(pa.float64())
+             .to_numpy(zero_copy_only=False)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        varx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        vary = f["n"] * f["syy"] - f["sy"] * f["sy"]
+        slope = num / varx
+        intercept = (f["sy"] - slope * f["sx"]) / f["n"]
+        r2 = (num * num) / (varx * vary)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "slope": pa.array(np.round(slope, 6), pa.float64()),
+            "intercept": pa.array(np.round(intercept, 6), pa.float64()),
+            "r2": pa.array(np.round(r2, 6), pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name="sum_" + c)
+                         for c in ("n", "sx", "sy", "sxx", "syy",
+                                   "sxy")])
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+_SQL_GROUP_REGRESSION = (
+    "WITH c AS (SELECT l_returnflag, "
+    "CAST(ROUND(l_quantity) AS BIGINT) AS x, "
+    "CAST(ROUND(l_extendedprice) AS BIGINT) AS y FROM lineitem), "
+    "m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, "
+    "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, "
+    "CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy, "
+    "CAST(SUM(x*y) AS DOUBLE) AS sxy FROM c GROUP BY 1) "
+    "SELECT l_returnflag, "
+    "ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope, "
+    "ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) "
+    "AS intercept, "
+    "ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / "
+    "((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2 FROM m")
+
+
+def q_hourly_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each event type's hour-of-day
+    distribution — the temporal-concentration diagnostic (uniform
+    around-the-clock types score ln(24) ≈ 3.178, burst-hour types
+    near 0), the same distribution-skew primitive curation uses to
+    flag near-constant columns.
+
+    Exactness strategy: the (type, hour) histogram is an exact integer
+    groupby; H = ln(n) − Σc·ln(c)/n is evaluated over those integers in
+    doubles of identical expression shape on both sides, rounded to 6
+    decimals (libm ulp differences sit ~10 orders below the rounding
+    grid).
+
+    Shape for scale: blocks pre-combine to ≤24·#types count rows; one
+    count-bounded groupby; the entropy fold runs over the aggregate
+    (#types·24 rows), never the stream."""
+    from ray.data.aggregate import Sum
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hr = ((b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 3_600_000_000) % 24)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        uniq_t, inv = np.unique(ty, return_inverse=True)
+        key = inv * 24 + hr
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(uniq_t[uk // 24], pa.string()),
+            "hr": pa.array((uk % 24).astype(np.int64)),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    def entropy(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["event_type", "hr"], as_index=False)["c"].sum()
+        out_t, out_n, out_h = [], [], []
+        for ty, sub in g.groupby("event_type", sort=True):
+            c = sub["c"].to_numpy(np.int64).astype(np.float64)
+            n = c.sum()
+            h = np.log(n) - float((c * np.log(c)).sum()) / n
+            out_t.append(ty)
+            out_n.append(int(n))
+            out_h.append(round(h, 6))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "entropy": pa.array(out_h, pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "hr"])
+            .aggregate(Sum("c", alias_name="c"))
+            .repartition(1)
+            .map_batches(entropy, batch_format="pandas"))
+
+
+_SQL_HOURLY_ENTROPY = (
+    "WITH h AS (SELECT event_type, "
+    "(epoch_us(ts) // 3600000000) % 24 AS hr, COUNT(*) AS c "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT event_type, CAST(SUM(c) AS BIGINT) AS n, "
+    "ROUND(LN(CAST(SUM(c) AS DOUBLE)) - "
+    "SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / "
+    "CAST(SUM(c) AS DOUBLE), 6) AS entropy FROM h GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -9125,6 +9377,9 @@ QUERIES = {
     "dense_rank_topk": q_dense_rank_topk,
     "gopher_filter": q_gopher_filter,
     "prefix_dup": q_prefix_dup,
+    "corr_matrix": q_corr_matrix,
+    "group_regression": q_group_regression,
+    "hourly_entropy": q_hourly_entropy,
     # -- (2) implementation changed this round --
     "ngram_jaccard_adj": q_ngram_jaccard_adj,
     "minhash_pairs": q_minhash_pairs,
@@ -9322,6 +9577,9 @@ ORACLE_SQL = {
     "dense_rank_topk": _SQL_DENSE_RANK_TOPK,
     "gopher_filter": _SQL_GOPHER_FILTER,
     "prefix_dup": _SQL_PREFIX_DUP,
+    "corr_matrix": _sql_corr_matrix(),
+    "group_regression": _SQL_GROUP_REGRESSION,
+    "hourly_entropy": _SQL_HOURLY_ENTROPY,
     "ngram_jaccard_adj": _SQL_NGRAM_JACCARD,
     "jaccard_join": _SQL_JACCARD_JOIN,
     "group_percentiles": _SQL_GROUP_PERCENTILES,
