@@ -10,6 +10,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
@@ -165,27 +166,41 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
 _RE2_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
 
 
+def tokens_exploded(batch: pa.Table, text_col: str = "text"):
+    """Vectorized token explode with exact `[^\\t\\n\\f\\r ]+` semantics:
+    normalize the four whitespace chars to spaces (Arrow RE2 kernel),
+    split on space, flatten, drop empty tokens. Returns (parent_row
+    int64 ndarray, token StringArray) — no per-document Python loop."""
+    norm = pc.replace_substring_regex(
+        batch.column(text_col), r"[\t\n\f\r]", " ")
+    toks = pc.split_pattern(norm, " ")
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    kn = keep.to_numpy(zero_copy_only=False)
+    return parent[kn], flat.filter(keep)
+
+
 def term_stats_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch partial for corpus term statistics: one output row per
     distinct term in the batch with its document frequency (number of
     the batch's docs containing it) and term frequency (total
     occurrences). Mergeable by summation — the pre-aggregation step
     that keeps the term shuffle proportional to the batch vocabulary,
-    not the token stream."""
-    from collections import Counter
+    not the token stream. Tokenization and both counts are one Arrow
+    explode + two C-speed pandas groupbys (no per-doc Counter loop)."""
+    import pandas as pd
     import zlib
 
-    tf: Counter = Counter()
-    df: Counter = Counter()
-    for t in batch.column(text_col).to_pylist():
-        toks = _RE2_TOKEN_RE.findall(t)
-        tf.update(toks)
-        df.update(frozenset(toks))
-    terms = sorted(tf.keys())
+    parent, flat = tokens_exploded(batch, text_col)
+    d = pd.DataFrame({"doc": parent, "term": flat.to_pandas()})
+    tf_s = d.groupby("term", sort=True).size()
+    df_s = (d.drop_duplicates().groupby("term", sort=True).size())
+    terms = tf_s.index.tolist()
     return pa.table({
         "term": pa.array(terms, pa.string()),
-        "df": pa.array([df[t] for t in terms], pa.int64()),
-        "tf": pa.array([tf[t] for t in terms], pa.int64()),
+        "df": pa.array(df_s.to_numpy(np.int64)),
+        "tf": pa.array(tf_s.to_numpy(np.int64)),
         # stable shuffle key (process-independent, unlike hash())
         "tkey": pa.array([zlib.crc32(t.encode("utf-8")) for t in terms],
                          pa.uint32()),

@@ -1160,17 +1160,18 @@ def q_tfidf_top(sf_dir: str, k: int = _TFIDF_K):
     nparts = F_dedup._num_join_partitions()
 
     def doc_tf(b: pa.Table) -> pa.Table:
-        from collections import Counter
-        o_id, o_term, o_tf = [], [], []
-        for doc_id, t in zip(b.column("doc_id").to_pylist(),
-                             b.column("text").to_pylist()):
-            c = Counter(F_text._RE2_TOKEN_RE.findall(t))
-            o_id.extend([doc_id] * len(c))
-            o_term.extend(c.keys())
-            o_tf.extend(c.values())
-        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
-                         "term": pa.array(o_term, pa.string()),
-                         "tf": pa.array(o_tf, pa.int64())})
+        # vectorized (doc, term, tf) explode: Arrow split/flatten +
+        # one C-speed pandas groupby — no per-doc Counter loop
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        parent, flat = F_text.tokens_exploded(b)
+        d = pd.DataFrame({"doc_id": ids[parent],
+                          "term": flat.to_pandas()})
+        g = d.groupby(["doc_id", "term"], sort=False,
+                      as_index=False).size()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(g["term"], pa.string()),
+            "tf": pa.array(g["size"].to_numpy(np.int64))})
 
     tf_ds = ds.map_batches(doc_tf, batch_format="pyarrow")
 
@@ -4209,17 +4210,18 @@ def q_lm_score(sf_dir: str):
                   columns=["doc_id", "text"])
 
     def doc_tf(b: pa.Table) -> pa.Table:
-        from collections import Counter
-        o_id, o_term, o_tf = [], [], []
-        for doc_id, t in zip(b.column("doc_id").to_pylist(),
-                             b.column("text").to_pylist()):
-            c = Counter(F_text._RE2_TOKEN_RE.findall(t))
-            o_id.extend([doc_id] * len(c))
-            o_term.extend(c.keys())
-            o_tf.extend(c.values())
-        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
-                         "term": pa.array(o_term, pa.string()),
-                         "tf": pa.array(o_tf, pa.int64())})
+        # vectorized (doc, term, tf) explode: Arrow split/flatten +
+        # one C-speed pandas groupby — no per-doc Counter loop
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        parent, flat = F_text.tokens_exploded(b)
+        d = pd.DataFrame({"doc_id": ids[parent],
+                          "term": flat.to_pandas()})
+        g = d.groupby(["doc_id", "term"], sort=False,
+                      as_index=False).size()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(g["term"], pa.string()),
+            "tf": pa.array(g["size"].to_numpy(np.int64))})
 
     tf_ds = ds.map_batches(doc_tf, batch_format="pyarrow")
 

@@ -122,3 +122,21 @@ def test_hourly_entropy_degenerate_and_uniform(ray_session, tmp_path):
     assert out.loc["burst", "n"] == 5
     assert out.loc["flat", "entropy"] == round(math.log(24), 6)
     assert out.loc["flat", "n"] == 24
+
+
+# ------------------------------------------------- tokens_exploded
+def test_tokens_exploded_matches_regex_semantics():
+    """The vectorized explode must reproduce _RE2_TOKEN_RE.findall for
+    every whitespace layout: tabs/newlines/form-feeds/CR, runs of
+    separators, leading/trailing space, empty and whitespace-only
+    docs, and non-ASCII spaces (U+00A0 stays INSIDE a token)."""
+    from geojson_vt_ray.functions import text as T
+    texts = ["a b", "a\tb\nc", "", "   ", "\t\n\f\r", "x", " lead",
+             "trail ", "a  b", "nb sp", "mix \t y\r\nz", "é ü"]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    parent, flat = T.tokens_exploded(tbl)
+    got = {}
+    for p, tok in zip(parent, flat.to_pylist()):
+        got.setdefault(int(p), []).append(tok)
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == T._RE2_TOKEN_RE.findall(t), (i, t)
