@@ -4342,17 +4342,18 @@ def q_grid_cluster(sf_dir: str, level: int = 6):
     the operator is scale-invariant across sf dirs).
 
     Shape for scale: per-batch cell-count partials -> one small cell
-    groupby (the cell table is bounded by 4^level — an aggregate-level
-    resolution by contract); core filter broadcasts two scalars; the
-    neighbor edge list (<= 2 rows/cell) is built by a distributed hash
-    join of each core cell against its east/south neighbor key; the
-    components come from the SAME distributed min-label propagation
-    (pointer jumping, O(log diameter) rounds of keyed shuffles) that
-    powers dedup_clusters — no driver union-find. Only cell-table-sized
-    results ever reach the driver."""
+    groupby is the only event-stream-sized stage (the cell table is
+    bounded by 4^level — an aggregate-level resolution by contract, so
+    it is driver-safe at ANY corpus size); core filter broadcasts two
+    scalars; the neighbor edges (<= 2 per cell) and the min-label
+    components are computed on the driver with sorted-array membership
+    + union-find over that bounded table — round-tripping an
+    aggregate-sized table through distributed shuffles only buys
+    latency. For resolutions beyond driver memory, switch the tail to
+    F_dedup.label_propagation_clusters (the distributed path
+    dedup_clusters and component_sizes exercise)."""
     from ray.data.aggregate import Sum
     n = 1 << level
-    nparts = F_dedup._num_join_partitions()
 
     def partial(b: pa.Table) -> pa.Table:
         cx = b.column("cell_x").to_numpy(zero_copy_only=False)
@@ -4377,57 +4378,50 @@ def q_grid_cluster(sf_dir: str, level: int = 6):
                 b.column("node").to_numpy(zero_copy_only=False)[keep]),
             "n": pa.array(nn[keep])})
 
-    core = (cells.map_batches(core_filter, batch_format="pyarrow")
-            .materialize())
-    if core.count() == 0:
-        # uniform occupancy: no cell reaches the density threshold.
-        # Short-circuit — joining empty datasets trips ArrowInvalid in
-        # the hash-join finalize (empty-schema blocks), and there is
-        # nothing to cluster anyway.
+    cdf = (cells.map_batches(core_filter, batch_format="pyarrow")
+           .to_pandas())  # bounded by 4^level by contract
+    if not len(cdf):
+        # uniform occupancy: no cell reaches the density threshold
         return pa.table({"cell_x": pa.array([], pa.int64()),
                          "cell_y": pa.array([], pa.int64()),
                          "cluster_id": pa.array([], pa.int64()),
                          "n": pa.array([], pa.int64())})
 
-    def probes(b: pa.Table) -> pa.Table:
-        node = b.column("node").to_numpy(zero_copy_only=False)
-        east = node[node % n < n - 1]
-        south = node[node // n < n - 1]
-        return pa.table({
-            "node": pa.array(np.r_[east + 1, south + n].astype(np.int64)),
-            "src": pa.array(np.r_[east, south].astype(np.int64))})
+    cdf = cdf.sort_values("node", ignore_index=True)
+    node = cdf["node"].to_numpy(np.int64)       # sorted unique
+    east = node[node % n < n - 1]
+    south = node[node // n < n - 1]
+    e_ok = np.isin(east + 1, node, assume_unique=True)
+    s_ok = np.isin(south + n, node, assume_unique=True)
+    src = np.r_[east[e_ok], south[s_ok]]
+    dst = np.r_[east[e_ok] + 1, south[s_ok] + n]
 
-    edges = (core.select_columns(["node"])
-             .map_batches(probes, batch_format="pyarrow")
-             .join(core.select_columns(["node"]), "inner", nparts,
-                   on=("node",),
-                   aggregator_ray_remote_args=_agg_args(nparts)))
+    # union-find over cell indices; "attach larger root under smaller"
+    # makes every root the component's minimum index, i.e. (node being
+    # sorted ascending) the component's minimum cell key
+    par = np.arange(len(node))
 
-    def to_pairs(b: pa.Table) -> pa.Table:
-        return pa.table({"id_a": pa.array(
-            b.column("src").to_numpy(zero_copy_only=False), pa.int64()),
-            "id_b": pa.array(
-            b.column("node").to_numpy(zero_copy_only=False), pa.int64())})
+    def find(i: int) -> int:
+        while par[i] != i:
+            par[i] = par[par[i]]
+            i = par[i]
+        return i
 
-    ep = edges.map_batches(to_pairs, batch_format="pyarrow").to_pandas()
-    if len(ep):
-        lab = F_dedup.label_propagation_clusters(
-            pa.table({"id_a": pa.array(ep["id_a"], pa.int64()),
-                      "id_b": pa.array(ep["id_b"], pa.int64())})
-        ).to_pandas()
-    else:
-        lab = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                            "cluster_id": pd.Series([], dtype="int64")})
+    for a, b_ in zip(np.searchsorted(node, src),
+                     np.searchsorted(node, dst)):
+        ra, rb = find(a), find(b_)
+        if ra < rb:
+            par[rb] = ra
+        elif rb < ra:
+            par[ra] = rb
 
-    cdf = core.to_pandas()  # bounded by 4^level, aggregate-sized
-    m = cdf.merge(lab, left_on="node", right_on="doc_id", how="left")
-    cluster = m["cluster_id"].fillna(m["node"]).astype(np.int64)
-    node = m["node"].to_numpy()
+    cluster = node[np.fromiter((find(i) for i in range(len(node))),
+                               np.int64, len(node))]
     return pa.table({
         "cell_x": pa.array((node % n).astype(np.int64)),
         "cell_y": pa.array((node // n).astype(np.int64)),
-        "cluster_id": pa.array(cluster.to_numpy()),
-        "n": pa.array(m["n"].to_numpy().astype(np.int64))})
+        "cluster_id": pa.array(cluster),
+        "n": pa.array(cdf["n"].to_numpy(np.int64))})
 
 
 def _sql_grid_cluster(level: int = 6) -> str:
