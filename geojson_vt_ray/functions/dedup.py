@@ -889,6 +889,122 @@ def label_propagation_clusters(pairs, max_iters: int = 64):
                      "cluster_id": pa.array(df["label"], pa.int64())})
 
 
+def _min_label_cc(u: np.ndarray, v: np.ndarray):
+    """In-memory exact connected components over edge arrays (int64):
+    vectorized min-label iteration with pointer jumping. Returns
+    (nodes, labels) — sorted distinct node ids and, per node, the min
+    node id of its component. O((E+V) log V) worst case, all numpy."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[:len(u)], inv[len(u):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        # nodes are sorted ascending, so min INDEX == min node id
+        np.minimum.at(nxt, iu, lab[iv])
+        np.minimum.at(nxt, iv, lab[iu])
+        nxt = np.minimum(nxt, nxt[nxt])     # pointer jump (doubling)
+        nxt = np.minimum(nxt, nxt[nxt])
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return nodes, nodes[lab]
+
+
+def filtered_components(pairs, driver_edge_budget: int = 4_000_000,
+                        max_passes: int = 8):
+    """Connected components via filtering-contraction (the MapReduce
+    "filtering" method of Lattanzi et al., SPAA'11), tuned for graphs
+    whose NODE set is bounded (catalog dimensions, cluster reps) while
+    the EDGE set is corpus-derived.
+
+    Each pass is ONE coarse shuffle — vs TWO per round (of O(log
+    diameter) rounds) for label_propagation_clusters: edges land in a
+    bucket by a mixed hash of the pair, each bucket computes its local
+    components fully vectorized in memory (_min_label_cc), and emits
+    only the component STAR edges (local-min root -> node). The union
+    of per-bucket stars preserves global connectivity (an edge dropped
+    in a bucket has both endpoints connected through that bucket's
+    star), and every node survives a pass (a node arrives via an edge,
+    so its bucket-local component has >= 2 nodes and the star covers
+    it). A pass emits <= sum over buckets of each bucket's distinct
+    vertex count — strictly fewer edges than it read whenever any
+    bucket holds a cycle — so the edge set shrinks geometrically
+    toward the node set. Once it fits ``driver_edge_budget`` (16-byte
+    rows; the default caps driver memory at ~64 MB), one driver-side
+    vectorized min-label finish labels every node. Graphs still above
+    budget after ``max_passes`` fall back to
+    label_propagation_clusters — correctness never depends on shrink.
+
+    Same contract as label_propagation_clusters: pa.Table
+    (doc_id, cluster_id = min node id in its component), one row per
+    node appearing in any pair, sorted by doc_id.
+    """
+    import ray.data as rd
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    if isinstance(pairs, pa.Table):
+        if pairs.num_rows == 0:
+            return empty
+        ds = rd.from_arrow(pairs.select(["id_a", "id_b"]))
+    else:
+        ds = pairs.select_columns(["id_a", "id_b"])
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        return empty
+
+    def _contract(ds_in, n_edges):
+        # ~256k edges per bucket: big enough to find cycles, small
+        # enough that a bucket's numpy CC stays in a worker's heap
+        bmask = min(_coarse_mask_fn(),
+                    max(1, (1 << max(0, n_edges // 262144)
+                            .bit_length()) - 1))
+
+        def add_ckey(b: pa.Table) -> pa.Table:
+            a = b.column("id_a").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            c = b.column("id_b").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            mix = (a * np.uint64(0x9E3779B97F4A7C15)) ^ \
+                  (c * np.uint64(0xC2B2AE3D27D4EB4F))
+            return pa.table({
+                "id_a": b.column("id_a"), "id_b": b.column("id_b"),
+                "ckey": pa.array((mix & np.uint64(bmask)
+                                  ).astype(np.int32))})
+
+        def star(g: pd.DataFrame) -> pa.Table:
+            u = g["id_a"].to_numpy(np.int64)
+            v = g["id_b"].to_numpy(np.int64)
+            nodes, labs = _min_label_cc(u, v)
+            keep = nodes != labs
+            # root = local component min, so id_a < id_b is preserved
+            return pa.table({"id_a": pa.array(labs[keep]),
+                             "id_b": pa.array(nodes[keep])})
+
+        return (ds_in.map_batches(add_ckey, batch_format="pyarrow")
+                .groupby("ckey").map_groups(star, batch_format="pandas")
+                .materialize())
+
+    for _ in range(max_passes):
+        if n <= driver_edge_budget:
+            break
+        contracted = _contract(ds, n)
+        n2 = contracted.count()
+        if n2 >= n:      # already a forest per bucket; no further shrink
+            ds, n = contracted, n2
+            break
+        ds, n = contracted, n2
+    if n > driver_edge_budget:
+        return label_propagation_clusters(ds)
+
+    edf = ds.to_pandas()
+    nodes, labs = _min_label_cc(edf["id_a"].to_numpy(np.int64),
+                                edf["id_b"].to_numpy(np.int64))
+    return pa.table({"doc_id": pa.array(nodes),
+                     "cluster_id": pa.array(labs)})
+
+
 # -------------------------------------------------------------- simhash
 def simhash64(text: str) -> int:
     toks = text.split()

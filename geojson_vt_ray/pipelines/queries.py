@@ -4122,7 +4122,11 @@ def q_radius_count(sf_dir: str):
 
     return (_events_points(sf_dir)
             .map_batches(RadiusCount, batch_format="pyarrow",
-                         concurrency=2)
+                         concurrency=2,
+                         # the broadcast query ref lives in the object
+                         # store; restartable actors would log Ray's
+                         # lost-ref restart caveat into the bench tail
+                         max_restarts=0)
             .groupby("query_id").aggregate(Sum("n", alias_name="n")))
 
 
@@ -8442,10 +8446,11 @@ def q_component_sizes(sf_dir: str):
     diagnostic behind "is this graph one blob or many islands?"
     (and the graph twin of the dedup-cluster size profile).
 
-    Shape for scale: the shared distinct-edge builder feeds the
-    repo's distributed min-label propagation with pointer jumping
-    (dedup.label_propagation_clusters — every round a keyed shuffle,
-    O(log diameter) rounds, no driver union-find); the returned
+    Shape for scale: the shared distinct-edge builder feeds
+    filtering-contraction components (dedup.filtered_components —
+    one coarse shuffle per pass, per-bucket vectorized local CC
+    emitting only star edges, geometric edge shrink, size-gated
+    driver finish with a label-propagation fallback); the returned
     (node, cluster) table is node-bounded (the part catalog), so the
     driver's size histogram is a bounded value_counts, never a
     corpus pass. Isolated parts (no co-purchase edge) are not graph
@@ -8453,7 +8458,7 @@ def q_component_sizes(sf_dir: str):
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
     edges = _copurchase_edges(sf_dir, cmask, nparts)
-    labels = F_dedup.label_propagation_clusters(edges).to_pandas()
+    labels = F_dedup.filtered_components(edges).to_pandas()
     sizes = labels["cluster_id"].value_counts()
     hist = sizes.value_counts().sort_index()
     return pa.table({

@@ -622,3 +622,55 @@ def test_pairs_from_prefix_group_matches_bruteforce():
                             want.append((a, b, size_of[(gh, a)],
                                          size_of[(gh, b)]))
         assert got == sorted(want), f"trial {trial}"
+
+
+def test_filtered_components_matches_union_find(ray_session):
+    """Filtering-contraction CC must equal union-find on a chain +
+    triangle + pair graph, and with a tiny driver budget that FORCES
+    contraction passes the per-bucket star edges must still preserve
+    every component exactly."""
+    from geojson_vt_ray.functions.dedup import filtered_components
+    from geojson_vt_ray.pipelines.queries import _union_find_clusters
+    pairs = pa.table({
+        "id_a": pa.array([10, 11, 12, 13, 20, 21, 20, 30], pa.int64()),
+        "id_b": pa.array([11, 12, 13, 14, 21, 22, 22, 31], pa.int64())})
+    uf = _union_find_clusters(pairs)
+    assert filtered_components(pairs).equals(uf)
+    # budget below the edge count: at least one contraction pass runs
+    assert filtered_components(pairs, driver_edge_budget=4).equals(uf)
+
+
+def test_filtered_components_random_graph_forced_passes(ray_session):
+    """Random multi-component graph with a budget below the input edge
+    count but above the star-contracted size: at least one contraction
+    pass runs, then the driver finish labels every node — must equal
+    union-find node for node (union-find, not LP, as the reference:
+    it is instant on the driver, and LP equality is already pinned by
+    test_label_propagation_matches_union_find)."""
+    from geojson_vt_ray.functions.dedup import filtered_components
+    from geojson_vt_ray.pipelines.queries import _union_find_clusters
+    rng = np.random.default_rng(17)
+    # 3 planted components over 0..599 (disjoint id ranges) + chain
+    edges = []
+    for base in (0, 200, 400):
+        ids = rng.integers(base, base + 200, size=300)
+        jds = rng.integers(base, base + 200, size=300)
+        edges += [(min(a, b), max(a, b)) for a, b in zip(ids, jds)
+                  if a != b]
+    edges += [(i + 1000, i + 1001) for i in range(150)]   # long chain
+    edges = sorted(set(edges))
+    pairs = pa.table({
+        "id_a": pa.array([e[0] for e in edges], pa.int64()),
+        "id_b": pa.array([e[1] for e in edges], pa.int64())})
+    assert len(edges) > 800          # budget forces >=1 contraction
+    fc = filtered_components(pairs, driver_edge_budget=800, max_passes=8)
+    assert fc.equals(_union_find_clusters(pairs))
+
+
+def test_filtered_components_empty(ray_session):
+    from geojson_vt_ray.functions.dedup import filtered_components
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    out = filtered_components(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "cluster_id"]
