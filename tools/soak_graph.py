@@ -149,10 +149,28 @@ def main():
         out["bfs"] = {"t_sec": round(time.time() - t0, 2),
                       "rows": bfs.num_rows}
 
+        # component_sizes: R disjoint isomorphic copies -> the base
+        # graph's single 20000-part component appears exactly R times,
+        # i.e. histogram == {20000: R}. Above 10 replicas the edge set
+        # (~598k x R undirected) exceeds filtered_components' 4M driver
+        # budget, so this also exercises a REAL contraction pass (star
+        # edges, one coarse shuffle) before the driver finish — the
+        # scale path, not just the collect fast path.
+        t0 = time.time()
+        cs_df = Q.q_component_sizes(tmp).to_pandas()
+        got_hist = dict(zip(cs_df["size"].astype(int),
+                            cs_df["n_components"].astype(int)))
+        out["components"] = {
+            "t_sec": round(time.time() - t0, 2),
+            "hist": got_hist,
+            "expect_hist": {20000: args.replicas},
+            "exact": bool(got_hist == {20000: args.replicas})}
+
         out["rss_mb_end"] = round(rss_mb(), 1)
         out["spilled_mb"] = spill_mb()
         out["ok"] = bool(out["triangle"]["exact"]
-                         and out["basket"]["exact"])
+                         and out["basket"]["exact"]
+                         and out["components"]["exact"])
     finally:
         ray.shutdown()
         shutil.rmtree(tmp, ignore_errors=True)
