@@ -9342,6 +9342,240 @@ _SQL_HOURLY_ENTROPY = (
     "CAST(SUM(c) AS DOUBLE), 6) AS entropy FROM h GROUP BY 1")
 
 
+def q_moran_i(sf_dir: str, level: int = 6):
+    """Global Moran's I spatial autocorrelation of per-cell event
+    counts at z-``level`` (queen/8-neighbor contiguity, binary
+    weights, occupied cells only) — THE classic "is this map clustered
+    or random?" statistic of spatial statistics, over the same grid
+    cells as focal_density.
+
+    Exactness strategy: deviations are kept integral by scaling —
+    d_i = N*x_i − S (N = occupied cells, S = total events) — so the
+    cross-product num = Σ_ij w_ij d_i d_j, den = Σ d_i² and W = Σ w_ij
+    are exact integers on both sides (DuckDB sums them in HUGEINT; the
+    driver uses Python ints), cast to DOUBLE identically, and the
+    final ratio I = (N·num)/(W·den) follows the repo's
+    round-to-6-decimals contract (q_hourly_entropy).
+
+    Shape for scale: per-batch cell-count partials -> one grid-bounded
+    groupby (≤ 4**level cells regardless of corpus size); the neighbor
+    cross-sum runs on the driver over that contract-bounded table
+    (dense 2-D shifts, Python-int final fold — overflow-proof), the
+    same bounded-aggregate contract as grid_cluster's core-cell
+    union-find. The corpus itself never shuffles."""
+    from ray.data.aggregate import Sum
+    n = 1 << level
+
+    def partial(b: pa.Table) -> pa.Table:
+        cx = b.column("cell_x").to_numpy(zero_copy_only=False)
+        cy = b.column("cell_y").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(cy * n + cx, return_counts=True)
+        return pa.table({"node": pa.array(uniq.astype(np.int64)),
+                         "x": pa.array(cnt.astype(np.int64))})
+
+    cells = (_events_points(sf_dir)
+             .map_batches(AssignCells(level), batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("x", alias_name="x"))
+             .to_pandas())                  # grid-bounded: ≤ n*n rows
+    if len(cells) == 0:
+        return pa.table({
+            "n_cells": pa.array([], pa.int64()),
+            "w_pairs": pa.array([], pa.int64()),
+            "num": pa.array([], pa.float64()),
+            "den": pa.array([], pa.float64()),
+            "moran_i": pa.array([], pa.float64())})
+    node = cells["node"].to_numpy(np.int64)
+    x = cells["x"].to_numpy(np.int64)
+    nc, s = len(node), int(x.sum())
+    # dense grids: integer deviations and occupancy, shifted 8 ways
+    dg = np.zeros((n, n), np.int64)
+    occ = np.zeros((n, n), bool)
+    iy, ix = node // n, node % n
+    dg[iy, ix] = nc * x - s
+    occ[iy, ix] = True
+    tsum = np.zeros((n, n), np.int64)      # Σ of neighbor deviations
+    wcnt = np.zeros((n, n), np.int64)      # # of occupied neighbors
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            src = dg[max(0, -dy):n - max(0, dy),
+                     max(0, -dx):n - max(0, dx)]
+            osrc = occ[max(0, -dy):n - max(0, dy),
+                       max(0, -dx):n - max(0, dx)]
+            tsum[max(0, dy):n - max(0, -dy),
+                 max(0, dx):n - max(0, -dx)] += np.where(osrc, src, 0)
+            wcnt[max(0, dy):n - max(0, -dy),
+                 max(0, dx):n - max(0, -dx)] += osrc
+    # final folds in Python ints: products of int64-scale terms overflow
+    d_l = dg[iy, ix].tolist()
+    t_l = tsum[iy, ix].tolist()
+    num = sum(d * t for d, t in zip(d_l, t_l))
+    den = sum(d * d for d in d_l)
+    w = int(wcnt[iy, ix].sum())
+    moran = (round((float(nc) * float(num)) / (float(w) * float(den)),
+                   6) if w and den else None)
+    return pa.table({
+        "n_cells": pa.array([nc], pa.int64()),
+        "w_pairs": pa.array([w], pa.int64()),
+        "num": pa.array([float(num)], pa.float64()),
+        "den": pa.array([float(den)], pa.float64()),
+        "moran_i": pa.array([moran], pa.float64())})
+
+
+def _sql_moran_i(level: int = 6) -> str:
+    ix, iy = _sql_cell(level)
+    deltas = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                       for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
+    return (
+        f"WITH cells AS (SELECT {ix} AS ix, {iy} AS iy, COUNT(*) AS x "
+        f"FROM ({_SQL_POINTS}) GROUP BY 1, 2), "
+        "st AS (SELECT COUNT(*) AS nc, SUM(x) AS s FROM cells), "
+        "d AS (SELECT ix, iy, nc * x - s AS dv FROM cells CROSS JOIN st), "
+        f"dl(dx, dy) AS (VALUES {deltas}), "
+        "pr AS (SELECT a.dv AS da, b.dv AS db FROM d a CROSS JOIN dl "
+        "JOIN d b ON b.ix = a.ix + dx AND b.iy = a.iy + dy) "
+        "SELECT CAST((SELECT nc FROM st) AS BIGINT) AS n_cells, "
+        "CAST(COUNT(*) AS BIGINT) AS w_pairs, "
+        "CAST(COALESCE(SUM(da * db), 0) AS DOUBLE) AS num, "
+        "CAST((SELECT SUM(dv * dv) FROM d) AS DOUBLE) AS den, "
+        "CASE WHEN COUNT(*) = 0 OR (SELECT SUM(dv * dv) FROM d) = 0 "
+        "THEN NULL ELSE "
+        "ROUND((CAST((SELECT nc FROM st) AS DOUBLE) * "
+        "CAST(COALESCE(SUM(da * db), 0) AS DOUBLE)) / "
+        "(CAST(COUNT(*) AS DOUBLE) * "
+        "CAST((SELECT SUM(dv * dv) FROM d) AS DOUBLE)), 6) END "
+        "AS moran_i FROM pr")
+
+
+def q_dwell_time(sf_dir: str, level: int = 6):
+    """Per-cell total dwell time: each event "dwells" at its z-``level``
+    cell until that user's NEXT event ((ts, event_id) order); a user's
+    last event dwells 0. Total microseconds per cell — the
+    time-weighted footprint map behind "where do users spend time?"
+    (the trajectory twin of cell_count, which weights by visits).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle (every row of a
+    user lands in one bucket); per bucket a single lexsort + shifted
+    diff computes next-event deltas with user boundaries zeroed, and
+    per-cell partials leave the bucket — the final groupby is
+    cell-bounded. Integer microseconds end to end, exact."""
+    from ray.data.aggregate import Sum
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64)),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "cell_id": b.column("cell_id")})
+
+    def dwell(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        cid = g["cell_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, cid = uid[order], ts[order], cid[order]
+        dt = np.zeros(len(ts), np.int64)
+        if len(ts) > 1:
+            same = uid[1:] == uid[:-1]
+            dt[:-1] = np.where(same, ts[1:] - ts[:-1], 0)
+        out = (pd.DataFrame({"cell_id": cid, "dwell_us": dt})
+               .groupby("cell_id", as_index=False)["dwell_us"].sum())
+        return pa.table({
+            "cell_id": pa.array(out["cell_id"].to_numpy(np.int64)),
+            "dwell_us": pa.array(out["dwell_us"].to_numpy(np.int64))})
+
+    return (_events_points(sf_dir)
+            .map_batches(AssignCells(level), batch_format="pyarrow")
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(dwell, batch_format="pandas")
+            .groupby("cell_id")
+            .aggregate(Sum("dwell_us", alias_name="dwell_us")))
+
+
+def _sql_dwell_time(level: int = 6) -> str:
+    ix, iy = _sql_cell(level)
+    cell = f"(((1::BIGINT << {level}) * {iy} + {ix}) * 32) + {level}"
+    return (
+        f"WITH p AS (SELECT {cell} AS cell_id, epoch_us(ts) AS tus, "
+        "user_id, event_id FROM (" + _SQL_POINTS + ")), "
+        "q AS (SELECT cell_id, COALESCE(LEAD(tus) OVER (PARTITION BY "
+        "user_id ORDER BY tus, event_id) - tus, 0) AS dt FROM p) "
+        "SELECT cell_id, CAST(SUM(dt) AS BIGINT) AS dwell_us "
+        "FROM q GROUP BY 1")
+
+
+def q_new_vs_returning(sf_dir: str):
+    """Daily new-vs-returning active-user split: for every day, how
+    many of that day's distinct active users were seen for the FIRST
+    time (new) vs on any earlier day (returning) — the growth-
+    accounting primitive of every activation dashboard.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; all rows of a
+    user land in one bucket, so the bucket locally dedups (user, day)
+    pairs, takes each user's min day, classifies every active day, and
+    emits per-(day, class) count partials — the final groupby is
+    day-bounded. No distinct-users broadcast, no second shuffle."""
+    from ray.data.aggregate import Sum
+    mask = _coarse_mask()
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        # per-batch (user, day) pre-dedup shrinks the shuffle
+        key = np.stack([uid, day], axis=1)
+        key = np.unique(key, axis=0)
+        return pa.table({
+            "user_id": pa.array(key[:, 0].astype(np.int64)),
+            "day": pa.array(key[:, 1].astype(np.int64)),
+            "pkey": pa.array((key[:, 0] & mask).astype(np.int32))})
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        ud = g.drop_duplicates(subset=["user_id", "day"])
+        fd = ud.groupby("user_id")["day"].transform("min")
+        new = ud["day"].to_numpy() == fd.to_numpy()
+        out = (pd.DataFrame({"day": ud["day"].to_numpy(), "new": new})
+               .groupby(["day", "new"]).size().reset_index(name="c"))
+        piv = out.pivot_table(index="day", columns="new", values="c",
+                              fill_value=0, aggfunc="sum")
+        days = piv.index.to_numpy(np.int64)
+        nnew = (piv[True].to_numpy(np.int64) if True in piv.columns
+                else np.zeros(len(days), np.int64))
+        nret = (piv[False].to_numpy(np.int64) if False in piv.columns
+                else np.zeros(len(days), np.int64))
+        return pa.table({
+            "day": pa.array(days),
+            "n_new_users": pa.array(nnew),
+            "n_returning_users": pa.array(nret)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(classify, batch_format="pandas")
+            .groupby("day")
+            .aggregate(Sum("n_new_users", alias_name="n_new_users"),
+                       Sum("n_returning_users",
+                           alias_name="n_returning_users")))
+
+
+_SQL_NEW_VS_RETURNING = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // 86400000000 AS day FROM events), "
+    "f AS (SELECT user_id, MIN(day) AS fd FROM ud GROUP BY 1) "
+    "SELECT day, "
+    "CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_new_users, "
+    "CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_returning_users "
+    "FROM ud JOIN f USING (user_id) GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -9515,6 +9749,9 @@ QUERIES = {
     # pca_project: eigendecomposition is not SQL-expressible; gate is
     # exact agreement with single-process numpy PCA (test_round3_ops)
     "pca_project": q_pca_project,
+    "moran_i": q_moran_i,
+    "dwell_time": q_dwell_time,
+    "new_vs_returning": q_new_vs_returning,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -9727,6 +9964,9 @@ ORACLE_SQL.update({
     "weighted_median": _SQL_WEIGHTED_MEDIAN,
     "class_centroids": _SQL_CLASS_CENTROIDS,
     "pip_anti": _SQL_PIP_ANTI,
+    "moran_i": _sql_moran_i(),
+    "dwell_time": _sql_dwell_time(),
+    "new_vs_returning": _SQL_NEW_VS_RETURNING,
 })
 
 # Remaining no-oracle entries, each with a reason:
