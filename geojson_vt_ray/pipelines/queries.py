@@ -4085,7 +4085,13 @@ def q_radius_count(sf_dir: str):
     O(queries) partial rows before one tiny groupby-sum — the classic
     spatial range-aggregate shape (corpus streams, zero corpus shuffle).
     The distance keeps the scalar IEEE op order so the <= 625.0 boundary
-    agrees bit-for-bit with the SQL oracle."""
+    agrees bit-for-bit with the SQL oracle.
+
+    Pruning: each batch is lat-sorted once and a query only evaluates
+    the lat slice [qy-25, qy+25] found by searchsorted — a conservative
+    superset of its circle (|dlat| > r excludes a point regardless of
+    lon), so counts are identical while most distance pairs are never
+    formed (~3x fewer at the uniform-lat event distribution)."""
     import ray
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
@@ -4097,8 +4103,6 @@ def q_radius_count(sf_dir: str):
     qref = ray.put(queries)
 
     class RadiusCount:
-        _MAX_MATRIX_ELEMS = 8_000_000
-
         def __init__(self):
             q = (ray.get(qref) if isinstance(qref, ray.ObjectRef)
                  else qref)
@@ -4109,13 +4113,19 @@ def q_radius_count(sf_dir: str):
         def __call__(self, b: pa.Table) -> pa.Table:
             px = b.column("lon").to_numpy(zero_copy_only=False)
             py = b.column("lat").to_numpy(zero_copy_only=False)
+            order = np.argsort(py, kind="stable")
+            px, py = px[order], py[order]
             nq = len(self.qid)
             counts = np.zeros(nq, dtype=np.int64)
-            step = max(self._MAX_MATRIX_ELEMS // max(nq, 1), 1)
-            for i in range(0, len(px), step):
-                d2 = ((px[i:i + step, None] - self.qx[None, :]) ** 2
-                      + (py[i:i + step, None] - self.qy[None, :]) ** 2)
-                counts += (d2 <= 625.0).sum(axis=0)
+            lo = np.searchsorted(py, self.qy - 25.0, side="left")
+            hi = np.searchsorted(py, self.qy + 25.0, side="right")
+            for j in range(nq):
+                a, z = lo[j], hi[j]
+                if a >= z:
+                    continue
+                d2 = ((px[a:z] - self.qx[j]) ** 2
+                      + (py[a:z] - self.qy[j]) ** 2)
+                counts[j] = int((d2 <= 625.0).sum())
             nz = np.flatnonzero(counts)
             return pa.table({"query_id": pa.array(self.qid[nz]),
                              "n": pa.array(counts[nz])})
