@@ -9586,6 +9586,90 @@ _SQL_NEW_VS_RETURNING = (
     "FROM ud JOIN f USING (user_id) GROUP BY 1")
 
 
+_LINE_W = 5
+
+
+def q_line_dedup(sf_dir: str, w: int = _LINE_W):
+    """Per-document duplicated-"line" statistics (the C4/RefinedWeb
+    line-dedup signal, adapted to this corpus's newline-free text):
+    each document splits into consecutive non-overlapping ``w``-word
+    segments; a segment instance is DUPLICATED if the same segment
+    text occurs in more than one distinct document. Returns per doc
+    the total segment count and the duplicated-instance count — the
+    inputs of the "drop docs that are mostly boilerplate" filter.
+
+    Shape for scale: per-batch vectorized explode builds per-doc
+    segment instance counts (shuffle rows are batch-distinct
+    (doc, segment) pairs, never the token stream); ONE crc-coarse
+    segment-key shuffle co-locates all instances of a segment, the
+    bucket classifies instances by distinct-doc count and collapses to
+    per-doc partials; the final groupby is doc-bounded."""
+    import zlib
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, lens = F_text._explode_tokens(b, "text")
+        docs = np.repeat(
+            b.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        flat, docs = flat[keep], docs[keep]
+        df = pd.DataFrame({"doc": docs, "tok": flat})
+        si = (df.groupby("doc").cumcount().to_numpy() // w)
+        segs = (pd.DataFrame({"doc": docs, "si": si, "tok": flat})
+                .groupby(["doc", "si"], sort=False)["tok"]
+                .agg(" ".join).reset_index(name="seg"))
+        cnt = (segs.groupby(["doc", "seg"], sort=False)
+               .size().reset_index(name="n_inst"))
+        tk = np.asarray([zlib.crc32(s.encode("utf-8"))
+                         for s in cnt["seg"]], np.uint32)
+        return pa.table({
+            "doc_id": pa.array(cnt["doc"].to_numpy(np.int64)),
+            "seg": pa.array(cnt["seg"].to_numpy(), pa.string()),
+            "n_inst": pa.array(cnt["n_inst"].to_numpy(np.int64)),
+            "pkey": pa.array((tk & np.uint32(cmask)).astype(np.int32))})
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        nd = g.groupby("seg")["doc_id"].transform("nunique").to_numpy()
+        ni = g["n_inst"].to_numpy(np.int64)
+        out = (pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_segments": ni,
+            "n_dup_segments": np.where(nd > 1, ni, 0)})
+            .groupby("doc_id", as_index=False).sum())
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "n_segments": pa.array(
+                out["n_segments"].to_numpy(np.int64)),
+            "n_dup_segments": pa.array(
+                out["n_dup_segments"].to_numpy(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(classify, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Sum("n_segments", alias_name="n_segments"),
+                       Sum("n_dup_segments",
+                           alias_name="n_dup_segments")))
+
+
+def _sql_line_dedup(w: int = _LINE_W) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(text, '\\S+') AS ts FROM documents), "
+        "idx AS (SELECT doc_id, ts, unnest(range(0, "
+        f"CAST(ceil(len(ts) / {w}.0) AS BIGINT))) AS i FROM toks), "
+        "segs AS (SELECT doc_id, "
+        f"array_to_string(ts[i*{w}+1 : i*{w}+{w}], ' ') AS seg "
+        "FROM idx), "
+        "d AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs "
+        "GROUP BY 1) "
+        "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, "
+        "CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_segments FROM segs s JOIN d USING (seg) GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -9762,6 +9846,7 @@ QUERIES = {
     "moran_i": q_moran_i,
     "dwell_time": q_dwell_time,
     "new_vs_returning": q_new_vs_returning,
+    "line_dedup": q_line_dedup,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -9977,6 +10062,7 @@ ORACLE_SQL.update({
     "moran_i": _sql_moran_i(),
     "dwell_time": _sql_dwell_time(),
     "new_vs_returning": _SQL_NEW_VS_RETURNING,
+    "line_dedup": _sql_line_dedup(),
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -140,3 +140,43 @@ def test_new_vs_returning_split(ray_session, tmp_path):
     assert out["day"].tolist() == [0, 1, 2]
     assert out["n_new_users"].tolist() == [1, 2, 0]
     assert out["n_returning_users"].tolist() == [0, 1, 1]
+
+
+# ----------------------------------------------------------- line_dedup
+def test_line_dedup_planted_segments(ray_session, tmp_path):
+    """Segment duplication is CROSS-document: a segment repeated twice
+    inside one doc only is not duplicated; a segment shared by two
+    docs marks BOTH instances (all of them, including within-doc
+    repeats); the short tail segment counts as its own segment."""
+    seg_a = "alpha beta gamma delta epsilon"        # 5 words
+    seg_b = "one two three four five"
+    docs = [
+        # doc 0: seg_a + seg_a (self-repeat only) + 2-word tail
+        (0, f"{seg_a} {seg_a} tail words"),
+        # doc 1: seg_b + seg_a -> its seg_a instance is cross-dup,
+        # which also flips doc 0's two instances to dup
+        (1, f"{seg_b} {seg_a}"),
+        # doc 2: unique content, one partial segment
+        (2, "lonely little doc"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64())})
+    sf = _write(tmp_path, "documents", tbl)
+    out = (Q.q_line_dedup(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_segments"].tolist() == [3, 2, 1]
+    assert out["n_dup_segments"].tolist() == [2, 1, 0]
+    # DuckDB mirror on the same table
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = (con.execute(Q._sql_line_dedup()).fetchdf()
+            .sort_values("doc_id", ignore_index=True))
+    assert want["n_segments"].tolist() == [3, 2, 1]
+    assert want["n_dup_segments"].tolist() == [2, 1, 0]
