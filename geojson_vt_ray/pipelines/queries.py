@@ -9670,6 +9670,96 @@ def _sql_line_dedup(w: int = _LINE_W) -> str:
         "AS n_dup_segments FROM segs s JOIN d USING (seg) GROUP BY 1")
 
 
+def q_ks_drift(sf_dir: str, type_a: str = "purchase",
+               type_b: str = "view"):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types — THE distribution-drift detector
+    (train/serve skew, cohort shift, A/B sanity). D = sup over the
+    merged value domain of |F_a(v) − F_b(v)|; cross-multiplied to the
+    integer d_num = max |c_a·N_b − c_b·N_a| so the statistic is exact,
+    with the float ratio following the repo's shared-shape ROUND-6
+    contract.
+
+    Shape for scale: blocks collapse to (cents, n_a, n_b) count
+    partials bounded by the VALUE DOMAIN (integer cents), not rows —
+    the histogram contract of weighted_median/group_percentiles; one
+    domain-bounded groupby, then a single-block cumulative scan with
+    Python-int cross products (overflow-proof) finishes."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ty = b.column("event_type")
+        m = pc.or_(pc.equal(ty, type_a), pc.equal(ty, type_b))
+        b = b.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        isa = pc.equal(b.column("event_type"), type_a).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"cents": cents,
+                           "n_a": isa.astype(np.int64),
+                           "n_b": (~isa).astype(np.int64)})
+        g = df.groupby("cents", sort=False, as_index=False).sum()
+        return pa.table({
+            "cents": pa.array(g["cents"].to_numpy(np.int64)),
+            "n_a": pa.array(g["n_a"].to_numpy(np.int64)),
+            "n_b": pa.array(g["n_b"].to_numpy(np.int64))})
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"d_num": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64()),
+                          "ks_d": pa.array([], pa.float64())})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values("cents", ignore_index=True)
+        c1 = df["n_a"].to_numpy(np.int64).cumsum()
+        c2 = df["n_b"].to_numpy(np.int64).cumsum()
+        t1, t2 = int(c1[-1]), int(c2[-1])
+        # Python-int cross products: c*N overflows int64 at corpus
+        # scale long before the value domain does
+        d_num = max(abs(int(a) * t2 - int(b_) * t1)
+                    for a, b_ in zip(c1, c2))
+        ks = (round(float(d_num) / (float(t1) * float(t2)), 6)
+              if t1 and t2 else None)
+        return pa.table({
+            "d_num": pa.array([d_num], pa.int64()),
+            "n_a": pa.array([t1], pa.int64()),
+            "n_b": pa.array([t2], pa.int64()),
+            "ks_d": pa.array([ks], pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("cents")
+            .aggregate(Sum("n_a", alias_name="n_a"),
+                       Sum("n_b", alias_name="n_b"))
+            .repartition(1)
+            .map_batches(finalize, batch_format="pandas"))
+
+
+def _sql_ks_drift(type_a: str = "purchase", type_b: str = "view") -> str:
+    return (
+        "WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+        "event_type FROM events "
+        f"WHERE event_type IN ('{type_a}', '{type_b}')), "
+        "h AS (SELECT cents, "
+        f"SUM(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) "
+        "AS n_a, "
+        f"SUM(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) "
+        "AS n_b FROM v GROUP BY 1), "
+        "cw AS (SELECT SUM(n_a) OVER (ORDER BY cents) AS c1, "
+        "SUM(n_b) OVER (ORDER BY cents) AS c2, "
+        "SUM(n_a) OVER () AS t1, SUM(n_b) OVER () AS t2 FROM h) "
+        "SELECT CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS BIGINT) AS d_num, "
+        "CAST(MAX(t1) AS BIGINT) AS n_a, "
+        "CAST(MAX(t2) AS BIGINT) AS n_b, "
+        "CASE WHEN MAX(t1) = 0 OR MAX(t2) = 0 THEN NULL ELSE "
+        "ROUND(CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS DOUBLE) / "
+        "(CAST(MAX(t1) AS DOUBLE) * CAST(MAX(t2) AS DOUBLE)), 6) END "
+        "AS ks_d FROM cw GROUP BY TRUE")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -9847,6 +9937,7 @@ QUERIES = {
     "dwell_time": q_dwell_time,
     "new_vs_returning": q_new_vs_returning,
     "line_dedup": q_line_dedup,
+    "ks_drift": q_ks_drift,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -10063,6 +10154,7 @@ ORACLE_SQL.update({
     "dwell_time": _sql_dwell_time(),
     "new_vs_returning": _SQL_NEW_VS_RETURNING,
     "line_dedup": _sql_line_dedup(),
+    "ks_drift": _sql_ks_drift(),
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -180,3 +180,43 @@ def test_line_dedup_planted_segments(ray_session, tmp_path):
             .sort_values("doc_id", ignore_index=True))
     assert want["n_segments"].tolist() == [3, 2, 1]
     assert want["n_dup_segments"].tolist() == [2, 1, 0]
+
+
+# ------------------------------------------------------------- ks_drift
+def test_ks_drift_identical_disjoint_and_onesided(ray_session,
+                                                  tmp_path):
+    """Identical value distributions -> D = 0; fully disjoint value
+    ranges -> D = 1.0 (d_num = n_a*n_b); a type with zero rows ->
+    NULL ratio, zero numerator — all integer-exact."""
+    def ev(rows):
+        return pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(np.array([10**15] * len(rows),
+                                    dtype="datetime64[us]")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string())})
+
+    # identical: both types see values {1.00, 2.00}
+    sf = _write(tmp_path, "events", ev([
+        ("purchase", 1.0), ("purchase", 2.0),
+        ("view", 1.0), ("view", 2.0)]))
+    out = Q.q_ks_drift(sf).to_pandas().iloc[0]
+    assert out["d_num"] == 0 and out["ks_d"] == 0.0
+
+    # disjoint: purchases all below views
+    (tmp_path / "b").mkdir()
+    sf2 = _write(tmp_path / "b", "events", ev([
+        ("purchase", 1.0), ("purchase", 1.5),
+        ("view", 9.0), ("view", 9.5), ("view", 10.0)]))
+    out2 = Q.q_ks_drift(sf2).to_pandas().iloc[0]
+    assert out2["d_num"] == 2 * 3 and out2["ks_d"] == 1.0
+
+    # one-sided: no views at all
+    (tmp_path / "c").mkdir()
+    sf3 = _write(tmp_path / "c", "events",
+                 ev([("purchase", 1.0), ("purchase", 2.0)]))
+    out3 = Q.q_ks_drift(sf3).to_pandas().iloc[0]
+    assert out3["d_num"] == 0 and out3["n_b"] == 0
+    assert np.isnan(out3["ks_d"])
