@@ -9760,6 +9760,69 @@ def _sql_ks_drift(type_a: str = "purchase", type_b: str = "view") -> str:
         "AS ks_d FROM cw GROUP BY TRUE")
 
 
+_WS_T = (1 << 48) // 1000       # weight-1 keep probability = 1/1000
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional deterministic Bernoulli sample PUSHED BELOW
+    a join (the motif of "Streaming Weighted Sampling over Join
+    Queries", EDBT'23): keep each lineitem row with probability
+    proportional to its integer quantity — keep iff
+    md5_48(orderkey:linenumber) < quantity * T, T = 2^48/1000, i.e.
+    P = quantity/1000 (~2.5% expected at avg qty 25) — then join ONLY
+    the sample to orders for the priority attribute. Hash-based
+    selection is cluster-order-independent and exactly reproducible;
+    the comparison is pure int64 (48-bit hash x 50 max weight never
+    overflows), so engine and SQL agree bit for bit.
+
+    Shape for scale: the sampling predicate is a zero-shuffle
+    map_batches over lineitem (the join never sees the unsampled
+    ~97.5%); the surviving sample hash-joins to orders with the
+    repo's cluster-scaled fan-out. Sample-first join order is the
+    entire point of the operator."""
+    nparts = F_dedup._num_join_partitions()
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_linenumber", "l_quantity",
+                           "l_extendedprice"])
+
+    def samp(b: pa.Table) -> pa.Table:
+        import hashlib
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = b.column("l_linenumber").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = np.fromiter(
+            (int(hashlib.md5(f"{a}:{c}".encode()).hexdigest()[:12], 16)
+             for a, c in zip(ok, ln)), np.int64, count=len(ok))
+        keep = u < q * _WS_T
+        ep = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "l_orderkey": pa.array(ok[keep].astype(np.int64)),
+            "l_linenumber": pa.array(ln[keep].astype(np.int32)),
+            "qty": pa.array(q[keep]),
+            "ep_cents": pa.array(
+                ep.to_numpy(zero_copy_only=False)[keep])})
+
+    sampled = li.map_batches(samp, batch_format="pyarrow")
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_orderpriority"])
+    return sampled.join(orders, "inner", nparts,
+                        on=("l_orderkey",), right_on=("o_orderkey",),
+                        aggregator_ray_remote_args=_agg_args(nparts))
+
+
+_SQL_WEIGHTED_SAMPLE = (
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(l_quantity AS BIGINT) AS qty, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep_cents, "
+    "o_orderpriority "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE CAST(('0x' || substr(md5(l_orderkey || ':' || "
+    "l_linenumber), 1, 12)) AS BIGINT) < "
+    f"CAST(l_quantity AS BIGINT) * {_WS_T}")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -9938,6 +10001,7 @@ QUERIES = {
     "new_vs_returning": q_new_vs_returning,
     "line_dedup": q_line_dedup,
     "ks_drift": q_ks_drift,
+    "weighted_sample": q_weighted_sample,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -10155,6 +10219,7 @@ ORACLE_SQL.update({
     "new_vs_returning": _SQL_NEW_VS_RETURNING,
     "line_dedup": _sql_line_dedup(),
     "ks_drift": _sql_ks_drift(),
+    "weighted_sample": _SQL_WEIGHTED_SAMPLE,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -220,3 +220,48 @@ def test_ks_drift_identical_disjoint_and_onesided(ray_session,
     out3 = Q.q_ks_drift(sf3).to_pandas().iloc[0]
     assert out3["d_num"] == 0 and out3["n_b"] == 0
     assert np.isnan(out3["ks_d"])
+
+
+# ------------------------------------------------------- weighted_sample
+def test_weighted_sample_deterministic_and_weight_proportional(
+        ray_session, tmp_path):
+    """The kept set equals an independent hashlib recompute exactly
+    (order-independent determinism); zero-weight rows are never kept;
+    heavier rows are kept ~proportionally more often (50x weight on
+    fixed hashes)."""
+    import hashlib
+    n = 3000
+    qty = [0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 50.0)
+           for i in range(n)]
+    li = pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array([0] * n, pa.int64()),
+        "l_suppkey": pa.array([0] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_extendedprice": pa.array([100.0] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array(
+            [np.datetime64("2024-01-01", "us")] * n)})
+    orders = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array([1] * n, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n, pa.string()),
+        "o_totalprice": pa.array([1.0] * n, pa.float64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("2024-01-01", "us")] * n),
+        "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string())})
+    sf = _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    got = Q.q_weighted_sample(sf).to_pandas()
+    T = Q._WS_T
+    want = {i for i in range(n)
+            if int(hashlib.md5(f"{i}:1".encode()).hexdigest()[:12], 16)
+            < int(qty[i]) * T}
+    assert set(got["l_orderkey"].tolist()) == want
+    kept_q = got.groupby("qty").size()
+    assert 0 not in kept_q.index              # zero weight: never kept
+    assert kept_q.get(50, 0) > 10 * kept_q.get(1, 0)
