@@ -9823,6 +9823,84 @@ _SQL_WEIGHTED_SAMPLE = (
     f"CAST(l_quantity AS BIGINT) * {_WS_T}")
 
 
+def q_nearest_supplier(sf_dir: str):
+    """Nearest-facility assignment: every event point gets its closest
+    supplier-derived site (squared euclidean, ties to the smallest
+    s_suppkey) — the 1-NN classify step of territory assignment /
+    coverage analysis, and the k=1 specialization of knn_join against
+    a BROADCAST facility set.
+
+    Exactness: both coordinate grids are exact in DECIDEGREES
+    (events: event_id %% 3600 − 1800; suppliers: (s_suppkey %% 340)·10
+    − 1695), so distances, comparisons and tie-breaks are pure int64 —
+    no float anywhere.
+
+    Shape for scale: the facility table is small by contract →
+    broadcast arrays (sorted by s_suppkey so np.argmin's first-min
+    rule IS the tie-break); each batch computes a chunked int
+    distance matrix and emits one row per event — zero shuffle,
+    corpus streams."""
+    import ray
+    import pyarrow.parquet as pq
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey"])
+    sk = np.sort(sup.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    sx = (sk % 340) * 10 - 1695
+    sy = (sk % 150) * 10 - 775
+    ref = ray.put((sk, sx, sy))
+
+    class Nearest:
+        _CHUNK = 8_000_000
+
+        def __init__(self):
+            self.sk, self.sx, self.sy = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ev = b.column("event_id").to_numpy(zero_copy_only=False)
+            ex = (ev % 3600).astype(np.int64) - 1800
+            ey = (ev % 1600).astype(np.int64) - 800
+            nq = len(self.sk)
+            step = max(self._CHUNK // max(nq, 1), 1)
+            out_s = np.empty(len(ev), np.int64)
+            out_d = np.empty(len(ev), np.int64)
+            for i in range(0, len(ev), step):
+                dx = ex[i:i + step, None] - self.sx[None, :]
+                dy = ey[i:i + step, None] - self.sy[None, :]
+                d2 = dx * dx + dy * dy
+                j = d2.argmin(axis=1)     # first min = smallest key
+                out_s[i:i + step] = self.sk[j]
+                out_d[i:i + step] = d2[np.arange(len(j)), j]
+            return pa.table({
+                "event_id": pa.array(ev.astype(np.int64)),
+                "s_suppkey": pa.array(out_s),
+                "d2": pa.array(out_d)})
+
+    return (_read_pq(f"{sf_dir}/events.parquet", columns=["event_id"])
+            .map_batches(Nearest, batch_format="pyarrow",
+                         concurrency=2,
+                         # broadcast ref in constructor state: see
+                         # q_radius_count's max_restarts note
+                         max_restarts=0))
+
+
+_SQL_NEAREST_SUPPLIER = (
+    "WITH e AS (SELECT event_id, "
+    "CAST(event_id % 3600 AS BIGINT) - 1800 AS ex, "
+    "CAST(event_id % 1600 AS BIGINT) - 800 AS ey FROM events), "
+    "s AS (SELECT s_suppkey, "
+    "CAST(s_suppkey % 340 AS BIGINT) * 10 - 1695 AS sx, "
+    "CAST(s_suppkey % 150 AS BIGINT) * 10 - 775 AS sy FROM supplier), "
+    "d AS (SELECT event_id, s_suppkey, "
+    "(ex-sx)*(ex-sx) + (ey-sy)*(ey-sy) AS d2, "
+    "ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY "
+    "(ex-sx)*(ex-sx) + (ey-sy)*(ey-sy), s_suppkey) AS rn "
+    "FROM e CROSS JOIN s) "
+    "SELECT event_id, s_suppkey, CAST(d2 AS BIGINT) AS d2 "
+    "FROM d WHERE rn = 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -10002,6 +10080,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "ks_drift": q_ks_drift,
     "weighted_sample": q_weighted_sample,
+    "nearest_supplier": q_nearest_supplier,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -10220,6 +10299,7 @@ ORACLE_SQL.update({
     "line_dedup": _sql_line_dedup(),
     "ks_drift": _sql_ks_drift(),
     "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+    "nearest_supplier": _SQL_NEAREST_SUPPLIER,
 })
 
 # Remaining no-oracle entries, each with a reason:

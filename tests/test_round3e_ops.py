@@ -265,3 +265,34 @@ def test_weighted_sample_deterministic_and_weight_proportional(
     kept_q = got.groupby("qty").size()
     assert 0 not in kept_q.index              # zero weight: never kept
     assert kept_q.get(50, 0) > 10 * kept_q.get(1, 0)
+
+
+# -------------------------------------------------------- nearest_supplier
+def test_nearest_supplier_tiebreak_and_exactness(ray_session, tmp_path):
+    """Two suppliers equidistant from an event must assign the SMALLER
+    s_suppkey; distances are exact integer decidegrees."""
+    # suppliers 10 and 350: 10%340=10 vs 350%340=10 -> same sx;
+    # 10%150=10 vs 350%150=50 -> sy 10*10-775=-675 vs 50*10-775=-275.
+    # pick an event equidistant in ey between -675 and -275: ey=-475
+    # -> event_id % 1600 = 325; also fix ex anywhere: event_id=325
+    # gives ex=325-1800=-1475.
+    sup = pa.table({
+        "s_suppkey": pa.array([350, 10], pa.int64()),  # unsorted input
+        "s_name": pa.array(["a", "b"], pa.string()),
+        "s_nationkey": pa.array([0, 0], pa.int32())})
+    ev = pa.table({
+        "event_id": pa.array([325], pa.int64()),
+        "ts": pa.array(np.array([10**15], dtype="datetime64[us]")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string())})
+    sf = _write(tmp_path, "supplier", sup)
+    _write(tmp_path, "events", ev)
+    out = Q.q_nearest_supplier(sf).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # equidistant: |(-475)-(-675)| == |(-475)-(-275)| == 200
+    assert r["s_suppkey"] == 10          # smaller key wins the tie
+    want_d2 = (325 - 1800 - (10 * 10 - 1695)) ** 2 + 200 ** 2
+    assert r["d2"] == want_d2
