@@ -9901,6 +9901,130 @@ _SQL_NEAREST_SUPPLIER = (
     "FROM d WHERE rn = 1")
 
 
+_LAG_CORR_MAX = 3
+
+
+def q_lag_corr(sf_dir: str, max_lag: int = _LAG_CORR_MAX):
+    """Lagged cross-correlation of two daily series — revenue cents
+    (orders) vs event volume (events) at lags −max_lag..max_lag over a
+    dense zero-filled day grid — the "does activity LEAD revenue?"
+    diagnostic of time-series alignment (positive lag = events shifted
+    later).
+
+    Exactness strategy: both series are exact integer day aggregates;
+    the dense grid spans the union day range with zero fill; per lag
+    the six sufficient statistics are Python-int folds and the float
+    correlation is ONE double expression of identical shape on both
+    sides, rounded to 6 decimals (the corr_matrix contract).
+
+    Shape for scale: blocks collapse to per-day partials (the shuffle
+    carries day rows, never the stream); two day-bounded groupbys; the
+    lag fold runs over the day-bounded aggregate only."""
+    from ray.data.aggregate import Sum
+
+    def rev_part(b: pa.Table) -> pa.Table:
+        day = (b.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"day": day, "rev": cents})
+             .groupby("day", as_index=False)["rev"].sum())
+        return pa.table({
+            "day": pa.array(g["day"].to_numpy(np.int64)),
+            "rev": pa.array(g["rev"].to_numpy(np.int64))})
+
+    def ev_part(b: pa.Table) -> pa.Table:
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    rev = (_read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderdate", "o_totalprice"])
+           .map_batches(rev_part, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())                        # day-bounded
+    ev = (_read_pq(f"{sf_dir}/events.parquet", columns=["ts"])
+          .map_batches(ev_part, batch_format="pyarrow")
+          .groupby("day").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())                         # day-bounded
+    empty = pa.table({"lag": pa.array([], pa.int64()),
+                      "n_days": pa.array([], pa.int64()),
+                      "corr": pa.array([], pa.float64())})
+    if len(rev) == 0 and len(ev) == 0:
+        return empty
+    days = np.concatenate([rev["day"].to_numpy(np.int64),
+                           ev["day"].to_numpy(np.int64)])
+    mn, mx = int(days.min()), int(days.max())
+    span = mx - mn + 1
+    x = np.zeros(span, np.int64)
+    y = np.zeros(span, np.int64)
+    if len(rev):
+        x[rev["day"].to_numpy(np.int64) - mn] = \
+            rev["rev"].to_numpy(np.int64)
+    if len(ev):
+        y[ev["day"].to_numpy(np.int64) - mn] = ev["n"].to_numpy(np.int64)
+    out_l, out_n, out_c = [], [], []
+    for lag in range(-max_lag, max_lag + 1):
+        # pair x[t] with y[t + lag] within the grid
+        if lag >= 0:
+            xa, ya = x[:span - lag], y[lag:]
+        else:
+            xa, ya = x[-lag:], y[:span + lag]
+        n = len(xa)
+        if n == 0:
+            continue
+        xl, yl = xa.tolist(), ya.tolist()   # Python ints: no overflow
+        sx, sy = sum(xl), sum(yl)
+        sxx = sum(v * v for v in xl)
+        syy = sum(v * v for v in yl)
+        sxy = sum(a * b_ for a, b_ in zip(xl, yl))
+        fn, fsx, fsy = float(n), float(sx), float(sy)
+        fsxx, fsyy, fsxy = float(sxx), float(syy), float(sxy)
+        den = np.sqrt((fn * fsxx - fsx * fsx) * (fn * fsyy - fsy * fsy))
+        c = np.round((fn * fsxy - fsx * fsy) / den, 6) if den else \
+            float("nan")
+        out_l.append(lag)
+        out_n.append(n)
+        out_c.append(float(c))
+    return pa.table({"lag": pa.array(out_l, pa.int64()),
+                     "n_days": pa.array(out_n, pa.int64()),
+                     "corr": pa.array(out_c, pa.float64())})
+
+
+def _sql_lag_corr(max_lag: int = _LAG_CORR_MAX) -> str:
+    lags = ", ".join(f"({v})" for v in range(-max_lag, max_lag + 1))
+    d = "CAST({} AS DOUBLE)"
+    n, sx, sy = d.format("n"), d.format("sx"), d.format("sy")
+    sxx, syy, sxy = d.format("sxx"), d.format("syy"), d.format("sxy")
+    return (
+        "WITH r AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev "
+        "FROM orders GROUP BY 1), "
+        "e AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n "
+        "FROM events GROUP BY 1), "
+        "b AS (SELECT LEAST((SELECT MIN(day) FROM r), "
+        "(SELECT MIN(day) FROM e)) AS mn, "
+        "GREATEST((SELECT MAX(day) FROM r), "
+        "(SELECT MAX(day) FROM e)) AS mx), "
+        "g AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b), "
+        "s AS (SELECT g.day, COALESCE(r.rev, 0) AS x, "
+        "COALESCE(e.n, 0) AS y FROM g LEFT JOIN r USING (day) "
+        "LEFT JOIN e USING (day)), "
+        f"l(lag) AS (VALUES {lags}), "
+        "p AS (SELECT l.lag AS lag, a.x AS x, b2.y AS y FROM l "
+        "JOIN s a ON TRUE JOIN s b2 ON b2.day = a.day + l.lag), "
+        "m AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+        "SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy "
+        "FROM p GROUP BY 1) "
+        "SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days, "
+        f"ROUND(({n} * {sxy} - {sx} * {sy}) / "
+        f"SQRT(({n} * {sxx} - {sx} * {sx}) * "
+        f"({n} * {syy} - {sy} * {sy})), 6) AS corr FROM m ORDER BY lag")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -10081,6 +10205,7 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "weighted_sample": q_weighted_sample,
     "nearest_supplier": q_nearest_supplier,
+    "lag_corr": q_lag_corr,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -10300,6 +10425,7 @@ ORACLE_SQL.update({
     "ks_drift": _sql_ks_drift(),
     "weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "nearest_supplier": _SQL_NEAREST_SUPPLIER,
+    "lag_corr": _sql_lag_corr(),
 })
 
 # Remaining no-oracle entries, each with a reason:

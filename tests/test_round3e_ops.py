@@ -296,3 +296,53 @@ def test_nearest_supplier_tiebreak_and_exactness(ray_session, tmp_path):
     assert r["s_suppkey"] == 10          # smaller key wins the tie
     want_d2 = (325 - 1800 - (10 * 10 - 1695)) ** 2 + 200 ** 2
     assert r["d2"] == want_d2
+
+
+# ------------------------------------------------------------- lag_corr
+def test_lag_corr_planted_shift(ray_session, tmp_path):
+    """Events are revenue shifted one day later: corr must be exactly
+    1.0 at lag +1 (y[t+1] pairs with x[t]) and below 1 elsewhere; the
+    dense grid zero-fills days absent from one series."""
+    day = 86_400_000_000
+    # revenue pattern over days 0..4 (non-self-similar under shift)
+    pat = [1.0, 5.0, 2.0, 9.0, 3.0]
+    orders = pa.table({
+        "o_orderkey": pa.array(range(5), pa.int64()),
+        "o_custkey": pa.array([1] * 5, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+        "o_totalprice": pa.array(pat, pa.float64()),
+        "o_orderdate": pa.array(np.array(
+            [d * day for d in range(5)], dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1"] * 5, pa.string())})
+    # events on days 1..5: counts matching the pattern, +1 day
+    rows = []
+    eid = 0
+    for d, c in zip(range(1, 6), (1, 5, 2, 9, 3)):
+        for _ in range(c):
+            rows.append((eid, d * day + 5, 1))
+            eid += 1
+    events = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "events", events)
+    out = (Q.q_lag_corr(sf).to_pandas()
+           .set_index("lag").sort_index())
+    # grid spans days 0..5 (6 days); lag 1 pairs 5 days
+    assert out.loc[1, "n_days"] == 5
+    assert out.loc[1, "corr"] == 1.0
+    assert all(out.loc[lg, "corr"] < 1.0
+               for lg in out.index if lg != 1)
+    # DuckDB mirror on the same tables
+    import duckdb
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf}/{t}.parquet'")
+    want = con.execute(Q._sql_lag_corr()).fetchdf()
+    assert want.set_index("lag").loc[1, "corr"] == 1.0
