@@ -978,9 +978,17 @@ def filtered_components(pairs, driver_edge_budget: int = 4_000_000,
             v = g["id_b"].to_numpy(np.int64)
             nodes, labs = _min_label_cc(u, v)
             keep = nodes != labs
-            # root = local component min, so id_a < id_b is preserved
-            return pa.table({"id_a": pa.array(labs[keep]),
-                             "id_b": pa.array(nodes[keep])})
+            # singleton local components (self-loop-only nodes) have no
+            # star edge — re-emit their self-loop so the node survives
+            # the pass (label_propagation_clusters keeps such nodes,
+            # and the two finish paths must agree)
+            roots, counts = np.unique(labs, return_counts=True)
+            singles = roots[counts == 1]
+            # root = local component min, so id_a <= id_b is preserved
+            return pa.table({
+                "id_a": pa.array(np.concatenate([labs[keep], singles])),
+                "id_b": pa.array(np.concatenate([nodes[keep],
+                                                 singles]))})
 
         return (ds_in.map_batches(add_ckey, batch_format="pyarrow")
                 .groupby("ckey").map_groups(star, batch_format="pandas")
@@ -990,11 +998,10 @@ def filtered_components(pairs, driver_edge_budget: int = 4_000_000,
         if n <= driver_edge_budget:
             break
         contracted = _contract(ds, n)
-        n2 = contracted.count()
-        if n2 >= n:      # already a forest per bucket; no further shrink
-            ds, n = contracted, n2
+        prev = n
+        ds, n = contracted, contracted.count()
+        if n >= prev:    # already a forest per bucket; no further shrink
             break
-        ds, n = contracted, n2
     if n > driver_edge_budget:
         return label_propagation_clusters(ds)
 

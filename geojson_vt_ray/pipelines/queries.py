@@ -9446,17 +9446,21 @@ def _sql_moran_i(level: int = 6) -> str:
         f"dl(dx, dy) AS (VALUES {deltas}), "
         "pr AS (SELECT a.dv AS da, b.dv AS db FROM d a CROSS JOIN dl "
         "JOIN d b ON b.ix = a.ix + dx AND b.iy = a.iy + dy) "
+        # aggregate FROM d with GROUP BY TRUE so an empty events table
+        # yields 0 rows (matching the engine's empty return) while a
+        # pair-less single occupied cell still yields its one row
         "SELECT CAST((SELECT nc FROM st) AS BIGINT) AS n_cells, "
-        "CAST(COUNT(*) AS BIGINT) AS w_pairs, "
-        "CAST(COALESCE(SUM(da * db), 0) AS DOUBLE) AS num, "
-        "CAST((SELECT SUM(dv * dv) FROM d) AS DOUBLE) AS den, "
-        "CASE WHEN COUNT(*) = 0 OR (SELECT SUM(dv * dv) FROM d) = 0 "
-        "THEN NULL ELSE "
+        "CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS w_pairs, "
+        "CAST(COALESCE((SELECT SUM(da * db) FROM pr), 0) AS DOUBLE) "
+        "AS num, "
+        "CAST(SUM(dv * dv) AS DOUBLE) AS den, "
+        "CASE WHEN (SELECT COUNT(*) FROM pr) = 0 "
+        "OR SUM(dv * dv) = 0 THEN NULL ELSE "
         "ROUND((CAST((SELECT nc FROM st) AS DOUBLE) * "
-        "CAST(COALESCE(SUM(da * db), 0) AS DOUBLE)) / "
-        "(CAST(COUNT(*) AS DOUBLE) * "
-        "CAST((SELECT SUM(dv * dv) FROM d) AS DOUBLE)), 6) END "
-        "AS moran_i FROM pr")
+        "CAST(COALESCE((SELECT SUM(da * db) FROM pr), 0) AS DOUBLE)) / "
+        "(CAST((SELECT COUNT(*) FROM pr) AS DOUBLE) * "
+        "CAST(SUM(dv * dv) AS DOUBLE)), 6) END "
+        "AS moran_i FROM d GROUP BY TRUE")
 
 
 def q_dwell_time(sf_dir: str, level: int = 6):
@@ -9537,16 +9541,20 @@ def q_new_vs_returning(sf_dir: str):
                   columns=["user_id", "ts"])
 
     def prep(b: pa.Table) -> pa.Table:
-        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         day = (b.column("ts").cast(pa.int64())
                .to_numpy(zero_copy_only=False) // 86_400_000_000)
         # per-batch (user, day) pre-dedup shrinks the shuffle
-        key = np.stack([uid, day], axis=1)
-        key = np.unique(key, axis=0)
+        # (lexsort + neighbor-diff: the repo's pair-dedup idiom)
+        o = np.lexsort((day, uid))
+        uid, day = uid[o], day[o]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        uid, day = uid[keep], day[keep]
         return pa.table({
-            "user_id": pa.array(key[:, 0].astype(np.int64)),
-            "day": pa.array(key[:, 1].astype(np.int64)),
-            "pkey": pa.array((key[:, 0] & mask).astype(np.int32))})
+            "user_id": pa.array(uid),
+            "day": pa.array(day.astype(np.int64)),
+            "pkey": pa.array((uid & mask).astype(np.int32))})
 
     def classify(g: pd.DataFrame) -> pa.Table:
         ud = g.drop_duplicates(subset=["user_id", "day"])
@@ -9617,9 +9625,8 @@ def q_line_dedup(sf_dir: str, w: int = _LINE_W):
         keep = flat != ""
         flat, docs = flat[keep], docs[keep]
         df = pd.DataFrame({"doc": docs, "tok": flat})
-        si = (df.groupby("doc").cumcount().to_numpy() // w)
-        segs = (pd.DataFrame({"doc": docs, "si": si, "tok": flat})
-                .groupby(["doc", "si"], sort=False)["tok"]
+        df["si"] = df.groupby("doc").cumcount().to_numpy() // w
+        segs = (df.groupby(["doc", "si"], sort=False)["tok"]
                 .agg(" ".join).reset_index(name="seg"))
         cnt = (segs.groupby(["doc", "seg"], sort=False)
                .size().reset_index(name="n_inst"))
@@ -9795,14 +9802,15 @@ def q_weighted_sample(sf_dir: str):
             (int(hashlib.md5(f"{a}:{c}".encode()).hexdigest()[:12], 16)
              for a, c in zip(ok, ln)), np.int64, count=len(ok))
         keep = u < q * _WS_T
+        # cents only for the ~2.5% survivors, not the whole batch
         ep = pc.cast(pc.round(pc.multiply(
-            b.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+            b.column("l_extendedprice").filter(pa.array(keep)),
+            pa.scalar(100.0))), pa.int64())
         return pa.table({
             "l_orderkey": pa.array(ok[keep].astype(np.int64)),
             "l_linenumber": pa.array(ln[keep].astype(np.int32)),
             "qty": pa.array(q[keep]),
-            "ep_cents": pa.array(
-                ep.to_numpy(zero_copy_only=False)[keep])})
+            "ep_cents": ep})
 
     sampled = li.map_batches(samp, batch_format="pyarrow")
     orders = _read_pq(f"{sf_dir}/orders.parquet",

@@ -674,3 +674,19 @@ def test_filtered_components_empty(ray_session):
     out = filtered_components(empty)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "cluster_id"]
+
+
+def test_filtered_components_self_loops_both_paths(ray_session):
+    """A self-loop-only node must survive BOTH finish paths (direct
+    driver collect and forced contraction) exactly as
+    label_propagation_clusters keeps it."""
+    from geojson_vt_ray.functions.dedup import (filtered_components,
+                                                label_propagation_clusters)
+    pairs = pa.table({
+        "id_a": pa.array([5, 10, 11], pa.int64()),
+        "id_b": pa.array([5, 11, 12], pa.int64())})
+    lp = label_propagation_clusters(pairs)
+    assert filtered_components(pairs).equals(lp)
+    assert filtered_components(pairs, driver_edge_budget=1).equals(lp)
+    df = lp.to_pandas().set_index("doc_id")["cluster_id"]
+    assert df[5] == 5 and df[10] == 10 and df[12] == 10
