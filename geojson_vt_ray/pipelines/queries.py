@@ -9909,6 +9909,97 @@ _SQL_NEAREST_SUPPLIER = (
     "FROM d WHERE rn = 1")
 
 
+_TB_X0, _TB_X1, _TB_Y0, _TB_Y1 = 1200, 2399, 500, 1099
+
+
+def q_traj_bbox(sf_dir: str):
+    """Geofence segment analysis: clip each user's trajectory (events
+    ordered by (ts, event_id), points on the integer deci-degree grid)
+    against a fixed axis-aligned box and report, per user, how many
+    consecutive-event segments lie FULLY INSIDE the fence, how many
+    CROSS its boundary (exactly one endpoint inside), and the exact
+    integer sum of squared lengths of the inside segments — the
+    time-in-region / boundary-crossing primitive of geofence
+    analytics, sharing trajectory_len's ordering contract.
+
+    Exactness: endpoint-in-box tests and squared lengths are pure
+    int64 (no sqrt, no float), so sums are order-independent and agree
+    with any engine.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle (the same
+    unavoidable exchange as trajectory_len); per bucket a single
+    lexsort + vectorized diff/mask classifies every segment; output is
+    user-sized."""
+    mask = _coarse_mask()
+    x0, x1, y0, y1 = _TB_X0, _TB_X1, _TB_Y0, _TB_Y1
+
+    def prep(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(ev, pa.int64()),
+            "ix": pa.array(ev % 3600, pa.int64()),
+            "iy": pa.array(ev % 1600, pa.int64())})
+
+    def clip(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy(), uid))
+        uid = uid[order]
+        ix = g["ix"].to_numpy()[order]
+        iy = g["iy"].to_numpy()[order]
+        inb = ((ix >= x0) & (ix <= x1) & (iy >= y0) & (iy <= y1))
+        same = uid[1:] == uid[:-1]
+        seg_in = (inb[:-1] & inb[1:]) & same
+        seg_cross = (inb[:-1] ^ inb[1:]) & same
+        dx = np.diff(ix)
+        dy = np.diff(iy)
+        d2 = (dx * dx + dy * dy) * seg_in
+        # every per-segment array is already zero at cross-user
+        # positions (masked by `same`), so reduceat group sums are
+        # correct as-is; the padded trailing 0 covers a group whose
+        # first row is the last row (single-event user at the end)
+        fi = np.flatnonzero(np.r_[True, ~same])
+        n_in = np.add.reduceat(np.r_[seg_in.astype(np.int64), 0], fi)
+        n_cross = np.add.reduceat(
+            np.r_[seg_cross.astype(np.int64), 0], fi)
+        sum_d2 = np.add.reduceat(np.r_[d2, 0], fi)
+        return pa.table({
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "n_seg_inside": pa.array(n_in.astype(np.int64)),
+            "n_seg_crossing": pa.array(n_cross.astype(np.int64)),
+            "sum_d2_inside": pa.array(sum_d2.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(clip, batch_format="pandas"))
+
+
+_SQL_TRAJ_BBOX = (
+    "WITH e AS (SELECT user_id, ts, event_id, "
+    "event_id % 3600 AS ix, event_id % 1600 AS iy, "
+    f"(event_id % 3600 BETWEEN {_TB_X0} AND {_TB_X1}) AND "
+    f"(event_id % 1600 BETWEEN {_TB_Y0} AND {_TB_Y1}) AS inb "
+    "FROM events), "
+    "d AS (SELECT user_id, inb, lag(inb) OVER w AS pin, "
+    "ix - lag(ix) OVER w AS dx, iy - lag(iy) OVER w AS dy FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, "
+    "CAST(SUM(CASE WHEN pin AND inb THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_seg_inside, "
+    "CAST(SUM(CASE WHEN pin IS NOT NULL AND (pin != inb) THEN 1 "
+    "ELSE 0 END) AS BIGINT) AS n_seg_crossing, "
+    "CAST(SUM(CASE WHEN pin AND inb THEN dx*dx + dy*dy ELSE 0 END) "
+    "AS BIGINT) AS sum_d2_inside "
+    "FROM d GROUP BY user_id")
+
+
 _LAG_CORR_MAX = 3
 
 
@@ -10214,6 +10305,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "nearest_supplier": q_nearest_supplier,
     "lag_corr": q_lag_corr,
+    "traj_bbox": q_traj_bbox,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -10434,6 +10526,7 @@ ORACLE_SQL.update({
     "weighted_sample": _SQL_WEIGHTED_SAMPLE,
     "nearest_supplier": _SQL_NEAREST_SUPPLIER,
     "lag_corr": _sql_lag_corr(),
+    "traj_bbox": _SQL_TRAJ_BBOX,
 })
 
 # Remaining no-oracle entries, each with a reason:

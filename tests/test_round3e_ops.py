@@ -346,3 +346,48 @@ def test_lag_corr_planted_shift(ray_session, tmp_path):
                     f"'{sf}/{t}.parquet'")
     want = con.execute(Q._sql_lag_corr()).fetchdf()
     assert want.set_index("lag").loc[1, "corr"] == 1.0
+
+
+# ------------------------------------------------------------ traj_bbox
+def test_traj_bbox_inside_crossing_and_singletons(ray_session,
+                                                  tmp_path):
+    """Segments classify by endpoint membership: inside-inside counts
+    n_seg_inside and its exact squared length; inside-outside (either
+    direction) counts n_seg_crossing; outside-outside counts nothing;
+    single-event users emit an all-zero row."""
+    # fence: ix in [1200, 2399], iy in [500, 1099]
+    # event_id -> (ix, iy) = (id % 3600, id % 1600)
+    # pick ids: A=1300 (ix 1300, iy 1300-OUTSIDE y)? no: iy must be in
+    # range. id 2100 -> ix 2100, iy 500 (inside). id 2101 -> 2101, 501
+    # (inside). id 100 -> (100, 100) outside.
+    day = 10**15
+    rows = [
+        # user 1: inside -> inside -> outside (1 inside seg, 1 cross)
+        (2100, day + 1, 1), (2101, day + 2, 1), (100, day + 3, 1),
+        # user 2: outside -> outside (no counts, row still present)
+        (100, day + 1, 2), (200, day + 2, 2),
+        # user 3: single event
+        (2100, day + 9, 3)]
+    ev = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    sf = _write(tmp_path, "events", ev)
+    out = (Q.q_traj_bbox(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["n_seg_inside"].tolist() == [1, 0, 0]
+    assert out["n_seg_crossing"].tolist() == [1, 0, 0]
+    assert out["sum_d2_inside"].tolist() == [2, 0, 0]  # (1,1) step
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet'")
+    want = (con.execute(Q._SQL_TRAJ_BBOX).fetchdf()
+            .sort_values("user_id", ignore_index=True))
+    assert want["n_seg_inside"].tolist() == [1, 0, 0]
+    assert want["sum_d2_inside"].tolist() == [2, 0, 0]
