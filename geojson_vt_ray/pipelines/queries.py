@@ -345,7 +345,8 @@ def q_raster_overlay(sf_dir: str):
 
     ds = _events_points(sf_dir).map_batches(AssignCells(6),
                                             batch_format="pyarrow")
-    return ds.map_batches(Overlay, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Overlay, batch_format="pyarrow", concurrency=2,
+                          max_restarts=0)
 
 
 def _sql_raster_overlay():
@@ -541,7 +542,8 @@ def q_join_broadcast(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
-    return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+    return (ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2,
+                           max_restarts=0)
             .map_batches(partial, batch_format="pyarrow")
             .groupby("c_mktsegment")
             .aggregate(Sum("cnt", alias_name="n"),
@@ -967,7 +969,8 @@ def q_asof_join_broadcast(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
-    return ds.map_batches(AsOf, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(AsOf, batch_format="pyarrow", concurrency=2,
+                          max_restarts=0)
 
 
 _SQL_ASOF = (
@@ -2460,7 +2463,7 @@ def q_topk_per_segment(sf_dir: str):
                             columns=["o_custkey", "o_orderkey",
                                      "o_totalprice"])
     partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
-                              concurrency=2)
+                              concurrency=2, max_restarts=0)
     df = partials.to_pandas().sort_values(
         ["c_mktsegment", "o_totalprice", "o_orderkey"],
         ascending=[True, False, True], kind="mergesort")
