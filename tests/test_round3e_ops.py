@@ -391,3 +391,45 @@ def test_traj_bbox_inside_crossing_and_singletons(ray_session,
             .sort_values("user_id", ignore_index=True))
     assert want["n_seg_inside"].tolist() == [1, 0, 0]
     assert want["sum_d2_inside"].tolist() == [2, 0, 0]
+
+
+# ---------------------------------------------------------------- cusum
+def test_cusum_planted_level_shift(ray_session, tmp_path):
+    """A series of 4 days at count 1 then 4 days at count 5 shifts
+    level after day 3: centered counts are n*x - S = 8x - 24, so
+    C = (-16,-32,-48,-64,-48,-32,-16,0); max |C| = 64 at the shift
+    boundary (day 3), telescoping to 0 at the end. A constant series
+    reads cusum_max = 0 at its first day."""
+    day = 86_400_000_000
+    rows, eid = [], 0
+    for d in range(8):
+        for _ in range(1 if d < 4 else 5):
+            rows.append((eid, d * day + 3, 1, "shift"))
+            eid += 1
+    for d in range(3):                    # constant type: 2/day
+        for _ in range(2):
+            rows.append((eid, d * day + 3, 1, "flat"))
+            eid += 1
+    ev = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    sf = _write(tmp_path, "events", ev)
+    out = (Q.q_cusum(sf).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["shift", "n_days"] == 8
+    assert out.loc["shift", "cusum_max"] == 64
+    assert out.loc["shift", "change_day"] == 3
+    assert out.loc["flat", "cusum_max"] == 0
+    assert out.loc["flat", "change_day"] == 0
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet'")
+    want = con.execute(Q._SQL_CUSUM).fetchdf().set_index("event_type")
+    assert want.loc["shift", "cusum_max"] == 64
+    assert want.loc["shift", "change_day"] == 3
