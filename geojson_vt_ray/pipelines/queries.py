@@ -10207,6 +10207,270 @@ def _sql_lag_corr(max_lag: int = _LAG_CORR_MAX) -> str:
         f"({n} * {syy} - {sy} * {sy})), 6) AS corr FROM m ORDER BY lag")
 
 
+def q_concurrent_sessions(sf_dir: str):
+    """Peak concurrency per event type: each (user, type) contributes
+    one presence interval [first ts, last ts] (µs, inclusive); the
+    query reports, per type, how many intervals exist, the maximum
+    number simultaneously active, and the first instant that peak is
+    reached — the classic sweep-line "how many sessions were open at
+    once?" capacity primitive.
+
+    Exactness: all-integer. Deltas (+1 at start, −1 at end+1µs) are
+    aggregated per distinct timestamp BEFORE the cumulative sum, so
+    within-timestamp event order can never affect the running count,
+    and "first instant at peak" is a well-defined distinct timestamp.
+
+    Shape for scale: blocks collapse to (type, user) min/max partials;
+    one bounded groupby produces the interval table (users × types
+    rows); the sweep itself runs distributed in map_groups, one group
+    per event type, each a single np.unique + cumsum over that type's
+    interval endpoints (fits a worker up to ~1e8 users/type — the
+    driver never sees per-user data)."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        # lexsort grouping (no key packing: full int64 uid range)
+        order = np.lexsort((uid, inv))
+        inv, uid, ts = inv[order], uid[order], ts[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (uid[1:] != uid[:-1])])
+        lo = np.minimum.reduceat(ts, fi)
+        hi = np.maximum.reduceat(ts, fi)
+        return pa.table({
+            "event_type": pa.array(ut[inv[fi]], pa.string()),
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "s": pa.array(lo, pa.int64()),
+            "e": pa.array(hi, pa.int64())})
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        s = g["s"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64) + 1
+        t = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64),
+                            np.full(len(e), -1, np.int64)])
+        ut, inv = np.unique(t, return_inverse=True)
+        dsum = np.zeros(len(ut), np.int64)
+        np.add.at(dsum, inv, d)
+        conc = np.cumsum(dsum)
+        peak = int(conc.max())
+        first = int(ut[int(np.argmax(conc))])     # first index at max
+        return pa.table({
+            "event_type": pa.array([g["event_type"].iat[0]], pa.string()),
+            "n_intervals": pa.array([len(s)], pa.int64()),
+            "max_concurrent": pa.array([peak], pa.int64()),
+            "first_ts": pa.array([first], pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "user_id"])
+            .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+            .groupby("event_type")
+            .map_groups(sweep, batch_format="pandas"))
+
+
+_SQL_CONCURRENT_SESSIONS = (
+    "WITH iv AS (SELECT event_type, user_id, MIN(epoch_us(ts)) AS s, "
+    "MAX(epoch_us(ts)) + 1 AS e FROM events GROUP BY 1, 2), "
+    "d AS (SELECT event_type, s AS t, 1 AS delta FROM iv "
+    "UNION ALL SELECT event_type, e, -1 FROM iv), "
+    "g AS (SELECT event_type, t, SUM(delta) AS dsum FROM d "
+    "GROUP BY 1, 2), "
+    "c AS (SELECT event_type, t, SUM(dsum) OVER "
+    "(PARTITION BY event_type ORDER BY t) AS conc FROM g), "
+    "m AS (SELECT event_type, t, conc, ROW_NUMBER() OVER "
+    "(PARTITION BY event_type ORDER BY conc DESC, t ASC) AS rn FROM c), "
+    "ni AS (SELECT event_type, COUNT(*) AS n_intervals FROM iv "
+    "GROUP BY 1) "
+    "SELECT m.event_type, CAST(ni.n_intervals AS BIGINT) AS n_intervals, "
+    "CAST(m.conc AS BIGINT) AS max_concurrent, "
+    "CAST(m.t AS BIGINT) AS first_ts "
+    "FROM m JOIN ni USING (event_type) WHERE m.rn = 1")
+
+
+def q_auc_roc(sf_dir: str):
+    """Per-event-type ROC AUC of the value column (exact cents)
+    separating odd-user events (label 1) from even-user events
+    (label 0) — the standard model-evaluation metric, computed as the
+    tie-corrected Mann-Whitney U without materializing pairs:
+    2·U = Σ_s n_pos(s)·(2·N_neg(<s) + n_neg(s)) over the per-score
+    histogram, AUC = 2U / (2·P·N).
+
+    Exactness: 2U, P, N are exact integers; the only float is the
+    final one-expression ratio, rounded to 6 decimals with identical
+    shape on both sides (the corr_matrix contract).
+
+    Shape for scale: blocks collapse to (type, cents, label) count
+    partials; one bounded groupby (types × distinct cents); the fold
+    runs distributed in map_groups, one group per type, a single sort
+    + cumsum over that type's histogram."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        lab = (b.column("user_id").to_numpy(zero_copy_only=False)
+               % 2).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "np_": pa.array([], pa.int64()),
+                             "nn_": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        # lexsort grouping (no key packing: cents may be any int64)
+        order = np.lexsort((cents, inv))
+        inv, cents, lab = inv[order], cents[order], lab[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (cents[1:] != cents[:-1])])
+        pos = np.add.reduceat(lab, fi)
+        neg = np.add.reduceat(1 - lab, fi)
+        return pa.table({
+            "event_type": pa.array(ut[inv[fi]], pa.string()),
+            "cents": pa.array(cents[fi], pa.int64()),
+            "np_": pa.array(pos, pa.int64()),
+            "nn_": pa.array(neg, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(g["cents"].to_numpy(np.int64), kind="stable")
+        npos = g["np_"].to_numpy(np.int64)[order]
+        nneg = g["nn_"].to_numpy(np.int64)[order]
+        cumneg_below = np.concatenate(
+            [[0], np.cumsum(nneg)[:-1]])
+        u2 = int(np.sum(npos * (2 * cumneg_below + nneg)))
+        p, n = int(npos.sum()), int(nneg.sum())
+        auc = (np.round(float(u2) / (2.0 * p * n), 6)
+               if p and n else float("nan"))
+        return pa.table({
+            "event_type": pa.array([g["event_type"].iat[0]], pa.string()),
+            "n_pos": pa.array([p], pa.int64()),
+            "n_neg": pa.array([n], pa.int64()),
+            "auc": pa.array([auc], pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "user_id", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("np_", alias_name="np_"),
+                       Sum("nn_", alias_name="nn_"))
+            .groupby("event_type")
+            .map_groups(fold, batch_format="pandas"))
+
+
+_SQL_AUC_ROC = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS s, "
+    "CAST(user_id % 2 AS BIGINT) AS lab FROM events), "
+    "h AS (SELECT event_type, s, "
+    "SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS np_, "
+    "SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS nn_ "
+    "FROM c GROUP BY 1, 2), "
+    "w AS (SELECT event_type, np_, nn_, "
+    "COALESCE(SUM(nn_) OVER (PARTITION BY event_type ORDER BY s "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb "
+    "FROM h), "
+    "a AS (SELECT event_type, SUM(np_) AS p, SUM(nn_) AS n, "
+    "SUM(np_ * (2 * cb + nn_)) AS u2 FROM w GROUP BY 1) "
+    "SELECT event_type, CAST(p AS BIGINT) AS n_pos, "
+    "CAST(n AS BIGINT) AS n_neg, "
+    "ROUND(CAST(u2 AS DOUBLE) / (2.0 * p * n), 6) AS auc FROM a")
+
+
+def q_scd2_history(sf_dir: str):
+    """Type-2 slowly-changing-dimension history: collapse each user's
+    event stream (ordered by ts, event_id) into runs of consecutive
+    identical event_type and emit one validity row per run —
+    (user_id, run_idx, event_type, valid_from, valid_to, n_events),
+    valid_to = next run's valid_from, −1 for the open current run —
+    the standard "rebuild the dimension's change history from the
+    event log" primitive of warehouse loads.
+
+    Exactness: all-integer µs timestamps; (ts, event_id) is a total
+    order (event_id unique), so run boundaries are deterministic.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle (the
+    trajectory_len contract); per bucket a single lexsort + change
+    mask + reduceat emits every run; output is change-sized, never
+    event-sized, and the driver sees nothing."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string())})
+
+    def runs(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        ts = g["ts"].to_numpy(np.int64)[order]
+        ty = g["event_type"].to_numpy()[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_run = new_user | np.r_[True, ty[1:] != ty[:-1]]
+        ri = np.flatnonzero(new_run)              # run start indices
+        n_events = np.diff(np.r_[ri, len(uid)])
+        run_uid = uid[ri]
+        valid_from = ts[ri]
+        # run_idx: 1-based within user
+        user_start = np.flatnonzero(new_user[ri])  # runs starting a user
+        run_pos = np.arange(len(ri), dtype=np.int64)
+        base = np.zeros(len(ri), np.int64)
+        base[user_start] = run_pos[user_start]
+        np.maximum.accumulate(base, out=base)
+        run_idx = run_pos - base + 1
+        # valid_to: next run's start within the same user, else -1
+        same_next = np.r_[run_uid[1:] == run_uid[:-1], False]
+        valid_to = np.full(len(ri), -1, np.int64)
+        valid_to[:-1][same_next[:-1]] = valid_from[1:][same_next[:-1]]
+        return pa.table({
+            "user_id": pa.array(run_uid, pa.int64()),
+            "run_idx": pa.array(run_idx, pa.int64()),
+            "event_type": pa.array(ty[ri], pa.string()),
+            "valid_from": pa.array(valid_from, pa.int64()),
+            "valid_to": pa.array(valid_to, pa.int64()),
+            "n_events": pa.array(n_events.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(runs, batch_format="pandas"))
+
+
+_SQL_SCD2_HISTORY = (
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, "
+    "event_id FROM events), "
+    "o AS (SELECT *, LAG(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e), "
+    "r AS (SELECT *, SUM(CASE WHEN pt IS NULL OR pt != event_type "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id) AS run FROM o), "
+    "g AS (SELECT user_id, run, MIN(event_type) AS event_type, "
+    "MIN(t) AS valid_from, COUNT(*) AS n_events FROM r GROUP BY 1, 2) "
+    "SELECT user_id, CAST(run AS BIGINT) AS run_idx, event_type, "
+    "CAST(valid_from AS BIGINT) AS valid_from, "
+    "CAST(COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id "
+    "ORDER BY run), -1) AS BIGINT) AS valid_to, "
+    "CAST(n_events AS BIGINT) AS n_events FROM g")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -10390,6 +10654,9 @@ QUERIES = {
     "lag_corr": q_lag_corr,
     "traj_bbox": q_traj_bbox,
     "cusum": q_cusum,
+    "concurrent_sessions": q_concurrent_sessions,
+    "auc_roc": q_auc_roc,
+    "scd2_history": q_scd2_history,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -10410,8 +10677,18 @@ _R02_ADJUDICATED = frozenset((
     "embed_neardup media_features frame_sample audio_features "
     "pyramid_tiles pyramid_stats approx_distinct_users ann_ivf "
     "ann_lsh minhash_pairs dedup_clusters ngram_jaccard_adj").split())
+# Within the never-adjudicated tier, the no-oracle entries (the driver
+# can only rows-check them — their real gates are local recall/error
+# tests) yield their window slots to oracled entries, which get the
+# full rows+schema+hash adjudication.
+_NO_ORACLE = frozenset(
+    "approx_percentiles image_phash audio_fp semdedup pca_project "
+    "approx_distinct_users ann_ivf ann_lsh".split())
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _R02_ADJUDICATED},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _R02_ADJUDICATED and k not in _NO_ORACLE},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _R02_ADJUDICATED and k in _NO_ORACLE},
     **{k: v for k, v in QUERIES.items() if k in _R02_ADJUDICATED},
 }
 
@@ -10612,6 +10889,9 @@ ORACLE_SQL.update({
     "lag_corr": _sql_lag_corr(),
     "traj_bbox": _SQL_TRAJ_BBOX,
     "cusum": _SQL_CUSUM,
+    "concurrent_sessions": _SQL_CONCURRENT_SESSIONS,
+    "auc_roc": _SQL_AUC_ROC,
+    "scd2_history": _SQL_SCD2_HISTORY,
 })
 
 # Remaining no-oracle entries, each with a reason:

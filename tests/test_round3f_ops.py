@@ -1,0 +1,112 @@
+"""Edge-case tests for the round-3 session-F operators:
+concurrent_sessions, auc_roc, scd2_history. (Oracle parity runs in
+test_queries_oracle.py; these pin analytically-known corners —
+inclusive interval ends, tie-heavy AUC, run collapse/reopen — that
+random testdata can't reach.)"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geojson_vt_ray.pipelines import queries as Q
+
+
+def _write(tmp_path, name, table):
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def _events(rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+
+
+def _oracle(sf, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+# -------------------------------------------------- concurrent_sessions
+def test_concurrent_sessions_inclusive_ends(ray_session, tmp_path):
+    """Intervals are [first,last] INCLUSIVE: user 1 spans [10,20],
+    user 2 [15,25], user 4 touches exactly t=20 — at t=20 all three
+    are active (peak 3), even though user 1's interval *ends* there.
+    User 3 [30,40] never overlaps. First instant at peak is 20."""
+    rows = [
+        (0, 10, 1, "view", 1), (1, 20, 1, "view", 1),
+        (2, 15, 2, "view", 1), (3, 25, 2, "view", 1),
+        (4, 20, 4, "view", 1),                     # single-point interval
+        (5, 30, 3, "view", 1), (6, 40, 3, "view", 1),
+        # second type: two disjoint single-point intervals -> peak 1
+        (7, 100, 1, "click", 1), (8, 200, 2, "click", 1)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_concurrent_sessions(sf).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["view", "n_intervals"] == 4
+    assert out.loc["view", "max_concurrent"] == 3
+    assert out.loc["view", "first_ts"] == 20
+    assert out.loc["click", "max_concurrent"] == 1
+    assert out.loc["click", "first_ts"] == 100
+    want = _oracle(sf, Q._SQL_CONCURRENT_SESSIONS).set_index(
+        "event_type")
+    assert want.loc["view", "max_concurrent"] == 3
+    assert want.loc["view", "first_ts"] == 20
+
+
+# ------------------------------------------------------------- auc_roc
+def test_auc_roc_separation_and_ties(ray_session, tmp_path):
+    """Perfect separation (every odd-user score above every even-user
+    score) reads AUC = 1.0; an all-tied score column reads exactly 0.5
+    (the tie-corrected U counts half per tied pair)."""
+    rows = [
+        # type "sep": odd users (label 1) at 2.00, even (label 0) at 1.00
+        (0, 10, 1, "sep", 2.00), (1, 11, 3, "sep", 2.00),
+        (2, 12, 2, "sep", 1.00), (3, 13, 4, "sep", 1.00),
+        # type "tie": everything at 5.00
+        (4, 14, 1, "tie", 5.00), (5, 15, 2, "tie", 5.00),
+        (6, 16, 3, "tie", 5.00), (7, 17, 4, "tie", 5.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_auc_roc(sf).to_pandas().set_index("event_type")
+    assert out.loc["sep", "n_pos"] == 2 and out.loc["sep", "n_neg"] == 2
+    assert out.loc["sep", "auc"] == 1.0
+    assert out.loc["tie", "auc"] == 0.5
+    want = _oracle(sf, Q._SQL_AUC_ROC).set_index("event_type")
+    assert want.loc["sep", "auc"] == 1.0
+    assert want.loc["tie", "auc"] == 0.5
+
+
+# -------------------------------------------------------- scd2_history
+def test_scd2_history_run_collapse_and_reopen(ray_session, tmp_path):
+    """A,A,B,A collapses to 3 runs (the revisited A opens a NEW run,
+    not a merge); valid_to chains to the next run's valid_from; the
+    final run stays open (-1); a single-event user emits one open
+    run."""
+    rows = [
+        (0, 10, 1, "A", 1), (1, 20, 1, "A", 1),
+        (2, 30, 1, "B", 1), (3, 40, 1, "A", 1),
+        (4, 99, 2, "Z", 1)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_scd2_history(sf).to_pandas()
+           .sort_values(["user_id", "run_idx"], ignore_index=True))
+    assert out["user_id"].tolist() == [1, 1, 1, 2]
+    assert out["run_idx"].tolist() == [1, 2, 3, 1]
+    assert out["event_type"].tolist() == ["A", "B", "A", "Z"]
+    assert out["valid_from"].tolist() == [10, 30, 40, 99]
+    assert out["valid_to"].tolist() == [30, 40, -1, -1]
+    assert out["n_events"].tolist() == [2, 1, 1, 1]
+    want = (_oracle(sf, Q._SQL_SCD2_HISTORY)
+            .sort_values(["user_id", "run_idx"], ignore_index=True))
+    assert want["valid_to"].tolist() == [30, 40, -1, -1]
+    assert want["n_events"].tolist() == [2, 1, 1, 1]
