@@ -10471,6 +10471,260 @@ _SQL_SCD2_HISTORY = (
     "CAST(n_events AS BIGINT) AS n_events FROM g")
 
 
+def q_gini_concentration(sf_dir: str):
+    """Gini coefficient of account-balance cents per market segment —
+    the standard revenue/wealth concentration measure, computed from
+    the per-segment value histogram without materializing a sorted
+    per-customer list: with blocks of c tied values v starting at
+    cumulative rank p (0-based) in a segment of n rows summing to S,
+    numerator = Σ_blocks v·c·(2p + c − n) and G = num / (n·S).
+
+    Exactness: the numerator, n and S are exact integers (tied values
+    make the classic Σ(2i−n−1)x_(i) rank sum block-decomposable —
+    ties contribute identically under any within-tie order); the only
+    float is the final one-expression ratio, rounded to 6 decimals
+    (the corr_matrix contract).
+
+    Shape for scale: blocks collapse to (segment, cents) count
+    partials; one bounded groupby (segments × distinct cents); the
+    fold runs distributed in map_groups, one group per segment, a
+    single sort + cumsum over that segment's histogram."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        seg = np.asarray(b.column("c_mktsegment").to_pylist())
+        if len(seg) == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        us, inv = np.unique(seg, return_inverse=True)
+        order = np.lexsort((cents, inv))
+        inv, cents = inv[order], cents[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (cents[1:] != cents[:-1])])
+        cnt = np.diff(np.r_[fi, len(inv)])
+        return pa.table({
+            "c_mktsegment": pa.array(us[inv[fi]], pa.string()),
+            "cents": pa.array(cents[fi], pa.int64()),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(g["cents"].to_numpy(np.int64), kind="stable")
+        v = g["cents"].to_numpy(np.int64)[order]
+        c = g["c"].to_numpy(np.int64)[order]
+        p = np.concatenate([[0], np.cumsum(c)[:-1]])
+        n, s = int(c.sum()), int(np.sum(v * c))
+        num = int(np.sum(v * c * (2 * p + c - n)))
+        gini = (np.round(float(num) / (float(n) * float(s)), 6)
+                if s else float("nan"))
+        return pa.table({
+            "c_mktsegment": pa.array([g["c_mktsegment"].iat[0]],
+                                     pa.string()),
+            "n_customers": pa.array([n], pa.int64()),
+            "gini": pa.array([gini], pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/customer.parquet",
+                     columns=["c_mktsegment", "c_acctbal"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["c_mktsegment", "cents"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("c_mktsegment")
+            .map_groups(fold, batch_format="pandas"))
+
+
+_SQL_GINI = (
+    "WITH c AS (SELECT c_mktsegment AS seg, "
+    "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer), "
+    "h AS (SELECT seg, v, COUNT(*) AS c FROM c GROUP BY 1, 2), "
+    "w AS (SELECT seg, v, c, COALESCE(SUM(c) OVER "
+    "(PARTITION BY seg ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p "
+    "FROM h), "
+    "t AS (SELECT seg, SUM(c) AS n, SUM(v * c) AS s FROM h GROUP BY 1), "
+    "a AS (SELECT w.seg, SUM(w.v * w.c * (2 * w.p + w.c - t.n)) AS num "
+    "FROM w JOIN t ON w.seg = t.seg GROUP BY 1) "
+    "SELECT t.seg AS c_mktsegment, CAST(t.n AS BIGINT) AS n_customers, "
+    "ROUND(CAST(a.num AS DOUBLE) / "
+    "(CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)), 6) AS gini "
+    "FROM a JOIN t ON a.seg = t.seg")
+
+
+def q_balanced_resample(sf_dir: str):
+    """Language-balanced oversampling: every document of language L is
+    replicated k_L = ceil(max_lang_count / count_L) times (replica_idx
+    0..k_L−1), so each language's output count is within one
+    replication factor of the majority language — the deterministic
+    class-rebalancing primitive of training-data curation (no RNG:
+    reruns and retries produce identical output).
+
+    Shape for scale: one bounded (lang, count) groupby feeds a
+    driver-held lang→k map (languages are enumerable — the curate
+    contract); the replication itself is a stateless per-batch
+    np.repeat flat-map, so the corpus streams once and only metadata
+    rows (doc_id, lang, replica_idx) are emitted — text never moves."""
+    from ray.data.aggregate import Sum
+
+    def cnt(b: pa.Table) -> pa.Table:
+        lang = np.asarray(b.column("lang").to_pylist())
+        ul, c = np.unique(lang, return_counts=True)
+        return pa.table({"lang": pa.array(ul, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = (_read_pq(f"{sf_dir}/documents.parquet", columns=["lang"])
+              .map_batches(cnt, batch_format="pyarrow")
+              .groupby("lang").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())                      # langs-row, bounded
+    target = int(counts["c"].max())
+    kmap = {l: (target + int(c) - 1) // int(c)
+            for l, c in zip(counts["lang"], counts["c"])}
+
+    def replicate(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = np.asarray(b.column("lang").to_pylist())
+        k = np.array([kmap[l] for l in lang], np.int64)
+        idx = np.repeat(np.arange(len(did)), k)
+        # replica_idx: 0..k_i-1 per source row
+        off = np.repeat(np.cumsum(k) - k, k)
+        rep = np.arange(len(idx), dtype=np.int64) - off
+        return pa.table({
+            "doc_id": pa.array(did[idx], pa.int64()),
+            "lang": pa.array(lang[idx], pa.string()),
+            "replica_idx": pa.array(rep, pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "lang"])
+            .map_batches(replicate, batch_format="pyarrow"))
+
+
+_SQL_BALANCED_RESAMPLE = (
+    "WITH n AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1), "
+    "t AS (SELECT MAX(c) AS target FROM n), "
+    "k AS (SELECT lang, CAST((target + c - 1) // c AS BIGINT) AS k "
+    "FROM n, t) "
+    "SELECT d.doc_id, d.lang, "
+    "CAST(unnest(range(k.k)) AS BIGINT) AS replica_idx "
+    "FROM documents d JOIN k ON d.lang = k.lang")
+
+
+def q_traj_area(sf_dir: str):
+    """Signed enclosed area of each user's closed trajectory loop —
+    the shoelace sum 2A = Σ (x_i·y_{i+1} − x_{i+1}·y_i) over
+    consecutive points (ordered by ts, event_id, integer deci-degree
+    grid) plus the closing segment back to the first point — the
+    "area swept by this track" primitive of movement analytics
+    (sign encodes orientation; single-point loops read 0).
+
+    Exactness: pure int64 cross products on the integer grid, summed
+    order-independently; no float ever appears.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle (the
+    trajectory_len contract); per bucket a single lexsort +
+    vectorized cross-product sum with per-user closing terms via
+    first/last indices; output is user-sized."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(ev, pa.int64()),
+            "x": pa.array(ev % 3600, pa.int64()),
+            "y": pa.array(ev % 1600, pa.int64())})
+
+    def shoelace(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        x = g["x"].to_numpy(np.int64)[order]
+        y = g["y"].to_numpy(np.int64)[order]
+        same = uid[1:] == uid[:-1]
+        cross = (x[:-1] * y[1:] - x[1:] * y[:-1]) * same
+        fi = np.flatnonzero(np.r_[True, ~same])
+        li = np.r_[fi[1:] - 1, len(uid) - 1]
+        seg = np.add.reduceat(np.r_[cross, 0], fi)
+        closing = x[li] * y[fi] - x[fi] * y[li]
+        return pa.table({
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "n_points": pa.array((li - fi + 1).astype(np.int64)),
+            "area2": pa.array((seg + closing).astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(shoelace, batch_format="pandas"))
+
+
+_SQL_TRAJ_AREA = (
+    "WITH e AS (SELECT user_id, ts, event_id, "
+    "event_id % 3600 AS x, event_id % 1600 AS y FROM events), "
+    "o AS (SELECT user_id, x, y, LEAD(x) OVER w AS nx, "
+    "LEAD(y) OVER w AS ny, FIRST_VALUE(x) OVER w AS fx, "
+    "FIRST_VALUE(y) OVER w AS fy FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points, "
+    "CAST(SUM(x * COALESCE(ny, fy) - COALESCE(nx, fx) * y) AS BIGINT) "
+    "AS area2 FROM o GROUP BY user_id")
+
+
+def q_langid_confusion(sf_dir: str):
+    """Confusion matrix of the n-gram language identifier against the
+    corpus's true lang labels — (true_lang, pred_lang, n_docs) — the
+    standard classifier-evaluation rollup, fused into the langid scan
+    itself: prediction and true label live in the same batch, so NO
+    join ever happens (unlike an eval pipeline that re-joins
+    predictions to labels by doc_id).
+
+    Shape for scale: the LangId actor pool streams the corpus once;
+    blocks collapse to (true, pred) count partials; one bounded
+    groupby (langs² cells)."""
+    from ray.data.aggregate import Sum
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("lang").to_pylist())
+        p = np.asarray(b.column("pred_lang").to_pylist())
+        if len(t) == 0:
+            return pa.table({"true_lang": pa.array([], pa.string()),
+                             "pred_lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        ut, ti = np.unique(t, return_inverse=True)
+        up, pi = np.unique(p, return_inverse=True)
+        key = ti.astype(np.int64) * len(up) + pi
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"true_lang": pa.array(ut[uk // len(up)],
+                                               pa.string()),
+                         "pred_lang": pa.array(up[uk % len(up)],
+                                               pa.string()),
+                         "n_docs": pa.array(c.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text", "lang"])
+            .map_batches(F_text.LangId, batch_format="pyarrow",
+                         concurrency=2)
+            .map_batches(cells, batch_format="pyarrow")
+            .groupby(["true_lang", "pred_lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def _sql_langid_confusion() -> str:
+    import os
+    path = os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "..", "tests", "fixtures", "oracle", "langid.parquet"))
+    return (
+        "SELECT d.lang AS true_lang, f.pred_lang, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents d "
+        f"JOIN (SELECT doc_id, pred_lang FROM read_parquet('{path}') "
+        "WHERE n_events = (SELECT COUNT(*) FROM events)) f "
+        "ON d.doc_id = f.doc_id GROUP BY 1, 2")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -10657,6 +10911,10 @@ QUERIES = {
     "concurrent_sessions": q_concurrent_sessions,
     "auc_roc": q_auc_roc,
     "scd2_history": q_scd2_history,
+    "gini_concentration": q_gini_concentration,
+    "balanced_resample": q_balanced_resample,
+    "traj_area": q_traj_area,
+    "langid_confusion": q_langid_confusion,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -10892,6 +11150,10 @@ ORACLE_SQL.update({
     "concurrent_sessions": _SQL_CONCURRENT_SESSIONS,
     "auc_roc": _SQL_AUC_ROC,
     "scd2_history": _SQL_SCD2_HISTORY,
+    "gini_concentration": _SQL_GINI,
+    "balanced_resample": _SQL_BALANCED_RESAMPLE,
+    "traj_area": _SQL_TRAJ_AREA,
+    "langid_confusion": _sql_langid_confusion(),
 })
 
 # Remaining no-oracle entries, each with a reason:

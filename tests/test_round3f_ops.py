@@ -110,3 +110,100 @@ def test_scd2_history_run_collapse_and_reopen(ray_session, tmp_path):
             .sort_values(["user_id", "run_idx"], ignore_index=True))
     assert want["valid_to"].tolist() == [30, 40, -1, -1]
     assert want["n_events"].tolist() == [2, 1, 1, 1]
+
+
+def _docs(rows):
+    """rows: (doc_id, text, lang)."""
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+
+
+def _customers(rows):
+    """rows: (custkey, mktsegment, acctbal)."""
+    return pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+        "c_nationkey": pa.array([0] * len(rows), pa.int32()),
+        "c_acctbal": pa.array([float(r[2]) for r in rows], pa.float64()),
+        "c_mktsegment": pa.array([r[1] for r in rows], pa.string())})
+
+
+# --------------------------------------------------- gini_concentration
+def test_gini_equal_and_extreme(ray_session, tmp_path):
+    """All-equal balances read gini = 0; one customer holding
+    everything among n=4 reads (n-1)/n = 0.75 exactly."""
+    rows = [(1, "EQ", 5.00), (2, "EQ", 5.00), (3, "EQ", 5.00),
+            (4, "XT", 0.00), (5, "XT", 0.00), (6, "XT", 0.00),
+            (7, "XT", 80.00)]
+    sf = _write(tmp_path, "customer", _customers(rows))
+    out = (Q.q_gini_concentration(sf).to_pandas()
+           .set_index("c_mktsegment"))
+    assert out.loc["EQ", "gini"] == 0.0
+    assert out.loc["XT", "gini"] == 0.75
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"'{sf}/customer.parquet'")
+    want = con.execute(Q._SQL_GINI).fetchdf().set_index("c_mktsegment")
+    assert want.loc["EQ", "gini"] == 0.0
+    assert want.loc["XT", "gini"] == 0.75
+
+
+# ---------------------------------------------------- balanced_resample
+def test_balanced_resample_ceil_replication(ray_session, tmp_path):
+    """Majority lang (4 docs) keeps k=1; a 1-doc lang gets k=4 and a
+    3-doc lang k=ceil(4/3)=2 — per-lang output counts n*k, replica_idx
+    dense 0..k-1 per doc."""
+    rows = ([(i, f"t{i}", "en") for i in range(4)] +
+            [(10, "t", "fr")] +
+            [(20 + i, f"u{i}", "de") for i in range(3)])
+    sf = _write(tmp_path, "documents", _docs(rows))
+    out = Q.q_balanced_resample(sf).to_pandas()
+    cnt = out.groupby("lang").size()
+    assert cnt["en"] == 4 and cnt["fr"] == 4 and cnt["de"] == 6
+    fr = out[out["lang"] == "fr"]["replica_idx"].sort_values().tolist()
+    assert fr == [0, 1, 2, 3]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_BALANCED_RESAMPLE).fetchdf()
+    assert len(want) == len(out)
+
+
+# ------------------------------------------------------------ traj_area
+def test_traj_area_triangle_and_degenerates(ray_session, tmp_path):
+    """ids (0, 1600, 1) trace (0,0)->(1600,0)->(1,1): shoelace
+    2A = 1600. A two-point track is a degenerate loop (area 0); a
+    single point reads 0."""
+    rows = [(0, 10, 1), (1600, 20, 1), (1, 30, 1),
+            (7, 10, 2), (9, 20, 2),               # out-and-back: 0
+            (5, 10, 3)]                           # single point: 0
+    ev = _events([(r[0], r[1], r[2], "view", 1.0) for r in rows])
+    sf = _write(tmp_path, "events", ev)
+    out = (Q.q_traj_area(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["area2"].tolist() == [1600, 0, 0]
+    assert out["n_points"].tolist() == [3, 2, 1]
+    want = (_oracle(sf, Q._SQL_TRAJ_AREA)
+            .sort_values("user_id", ignore_index=True))
+    assert want["area2"].tolist() == [1600, 0, 0]
+
+
+# ----------------------------------------------------- langid_confusion
+def test_langid_confusion_cells_partition_corpus(ray_session, tmp_path):
+    """Cell counts partition the corpus: a CJK text labeled zh lands in
+    (zh, zh); the same CJK text mislabeled en lands in (en, zh) — and
+    row sums per true_lang equal the corpus's true-lang counts."""
+    zh = "一二三四五 这是一个测试"
+    rows = [(0, zh, "zh"), (1, zh, "en"), (2, zh, "zh")]
+    sf = _write(tmp_path, "documents", _docs(rows))
+    out = Q.q_langid_confusion(sf).to_pandas()
+    cells = {(r.true_lang, r.pred_lang): r.n_docs
+             for r in out.itertuples()}
+    assert cells[("zh", "zh")] == 2
+    assert cells[("en", "zh")] == 1
+    assert out["n_docs"].sum() == 3
