@@ -10725,6 +10725,221 @@ def _sql_langid_confusion() -> str:
         "ON d.doc_id = f.doc_id GROUP BY 1, 2")
 
 
+_CAL_BIN_CENTS = 3300          # fixed-width score bins (33.00 units)
+
+
+def q_calibration_bins(sf_dir: str):
+    """Model-calibration reliability table: events binned by fixed-width
+    score buckets (value cents // 3300 — data-independent binning, no
+    quantile pre-pass to shuffle), reporting per bin the event count,
+    positive count (user_id % 2 — the auc_roc label), the observed
+    positive rate and the mean score — the standard "is the score
+    probability-calibrated?" diagnostic.
+
+    Exactness: counts and cent sums are exact integers; the two floats
+    (pos_rate, avg score) are each ONE int/int division rounded to 6
+    decimals with identical shape on both sides.
+
+    Shape for scale: stateless per-batch (bin, n, n_pos, sum_cents)
+    partials → one bounded groupby (≈ score-range/3300 rows); no
+    driver work at all."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        sbin = cents // _CAL_BIN_CENTS
+        lab = (b.column("user_id").to_numpy(zero_copy_only=False)
+               % 2).astype(np.int64)
+        ub, inv = np.unique(sbin, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        npos = np.zeros(len(ub), np.int64)
+        np.add.at(npos, inv, lab)
+        sc = np.zeros(len(ub), np.int64)
+        np.add.at(sc, inv, cents)
+        return pa.table({"score_bin": pa.array(ub, pa.int64()),
+                         "n": pa.array(n), "n_pos": pa.array(npos),
+                         "sum_cents": pa.array(sc)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        npos = b.column("n_pos").to_numpy(zero_copy_only=False)
+        sc = b.column("sum_cents").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "score_bin": b.column("score_bin"),
+            "n": b.column("n"), "n_pos": b.column("n_pos"),
+            "pos_rate": pa.array(
+                np.round(npos.astype(np.float64) / n, 6), pa.float64()),
+            "avg_cents": pa.array(
+                np.round(sc.astype(np.float64) / n, 6), pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("score_bin")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_pos", alias_name="n_pos"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_CALIBRATION_BINS = (
+    "WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+    "CAST(user_id % 2 AS BIGINT) AS lab FROM events), "
+    f"h AS (SELECT cents // {_CAL_BIN_CENTS} AS score_bin, "
+    "COUNT(*) AS n, SUM(lab) AS n_pos, SUM(cents) AS sum_cents "
+    "FROM c GROUP BY 1) "
+    "SELECT CAST(score_bin AS BIGINT) AS score_bin, "
+    "CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos, "
+    "ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate, "
+    "ROUND(CAST(sum_cents AS DOUBLE) / n, 6) AS avg_cents FROM h")
+
+
+def q_psi_drift(sf_dir: str):
+    """Population stability index between even and odd days: the
+    events stream splits deterministically into period A (even day
+    number) and B (odd), each bucketed by the calibration score bins;
+    per bin the PSI contribution (p−q)·ln(p/q) measures distribution
+    drift (NULL when a side is empty — the standard convention is a
+    smoothing the caller chooses, not silently inventing one).
+
+    Exactness: bin counts and totals are exact integers; the float
+    contribution is ONE expression — (na/ta − nb/tb) ·
+    ln((na/ta)/(nb/tb)) — with identical shape on both sides,
+    rounded to 6 decimals.
+
+    Shape for scale: stateless (bin, n_a, n_b) partials → one bounded
+    groupby; the totals + per-bin finish run on the aggregate-sized
+    bin table (≤ score-range/3300 rows) on the driver — fixed-size,
+    like the heavy-hitters merge."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        sbin = cents // _CAL_BIN_CENTS
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        isb = (day % 2).astype(np.int64)
+        ub, inv = np.unique(sbin, return_inverse=True)
+        nb_ = np.zeros(len(ub), np.int64)
+        np.add.at(nb_, inv, isb)
+        na_ = np.bincount(inv).astype(np.int64) - nb_
+        return pa.table({"score_bin": pa.array(ub, pa.int64()),
+                         "n_a": pa.array(na_), "n_b": pa.array(nb_)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["ts", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("score_bin")
+           .aggregate(Sum("n_a", alias_name="n_a"),
+                      Sum("n_b", alias_name="n_b"))
+           .to_pandas())                          # bin-bounded
+    na_ = agg["n_a"].to_numpy(np.int64)
+    nb_ = agg["n_b"].to_numpy(np.int64)
+    ta, tb = int(na_.sum()), int(nb_.sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = na_.astype(np.float64) / ta
+        q = nb_.astype(np.float64) / tb
+        psi = np.round((p - q) * np.log(p / q), 6)
+    psi = np.where((na_ > 0) & (nb_ > 0), psi, np.nan)
+    return pa.table({
+        "score_bin": pa.array(agg["score_bin"].to_numpy(np.int64)),
+        "n_a": pa.array(na_), "n_b": pa.array(nb_),
+        "psi_bin": pa.array(psi, pa.float64())})
+
+
+_SQL_PSI_DRIFT = (
+    "WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) "
+    f"// {_CAL_BIN_CENTS} AS score_bin, "
+    "(epoch_us(ts) // 86400000000) % 2 AS isb FROM events), "
+    "h AS (SELECT score_bin, "
+    "SUM(CASE WHEN isb = 0 THEN 1 ELSE 0 END) AS n_a, "
+    "SUM(CASE WHEN isb = 1 THEN 1 ELSE 0 END) AS n_b "
+    "FROM c GROUP BY 1), "
+    "t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM h) "
+    "SELECT CAST(score_bin AS BIGINT) AS score_bin, "
+    "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+    "ROUND((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) * "
+    "ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)), 6) "
+    "ELSE NULL END AS psi_bin FROM h, t")
+
+
+def q_lift_gains(sf_dir: str):
+    """Cumulative gains / lift table: score bins ordered best-first
+    (descending), reporting per bin the cumulative share of all
+    events targeted and of all positives captured, and the lift —
+    (cum_pos/cum_n)/(P/n) — the standard "how much better than random
+    is targeting the top k%?" campaign diagnostic.
+
+    Exactness: cumulative counts are exact integers (cumsum over the
+    bounded bin table); each float is ONE expression of identical
+    shape on both sides, rounded to 6 decimals.
+
+    Shape for scale: same bounded (bin, n, n_pos) partials as
+    calibration_bins; the cumulative finish runs on the
+    aggregate-sized bin table on the driver — fixed-size."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        sbin = cents // _CAL_BIN_CENTS
+        lab = (b.column("user_id").to_numpy(zero_copy_only=False)
+               % 2).astype(np.int64)
+        ub, inv = np.unique(sbin, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        npos = np.zeros(len(ub), np.int64)
+        np.add.at(npos, inv, lab)
+        return pa.table({"score_bin": pa.array(ub, pa.int64()),
+                         "n": pa.array(n), "n_pos": pa.array(npos)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("score_bin")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_pos", alias_name="n_pos"))
+           .to_pandas())                          # bin-bounded
+    agg = agg.sort_values("score_bin", ascending=False,
+                          ignore_index=True)
+    n = agg["n"].to_numpy(np.int64)
+    npos = agg["n_pos"].to_numpy(np.int64)
+    cn = np.cumsum(n)
+    cp = np.cumsum(npos)
+    tn, tp = int(n.sum()), int(npos.sum())
+    lift = np.round((cp.astype(np.float64) / cn) /
+                    (float(tp) / tn), 6)
+    return pa.table({
+        "score_bin": pa.array(agg["score_bin"].to_numpy(np.int64)),
+        "cum_n": pa.array(cn.astype(np.int64)),
+        "cum_pos": pa.array(cp.astype(np.int64)),
+        "frac_targeted": pa.array(
+            np.round(cn.astype(np.float64) / tn, 6), pa.float64()),
+        "recall": pa.array(
+            np.round(cp.astype(np.float64) / tp, 6), pa.float64()),
+        "lift": pa.array(lift, pa.float64())})
+
+
+_SQL_LIFT_GAINS = (
+    "WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) "
+    f"// {_CAL_BIN_CENTS} AS score_bin, "
+    "CAST(user_id % 2 AS BIGINT) AS lab FROM events), "
+    "h AS (SELECT score_bin, COUNT(*) AS n, SUM(lab) AS n_pos "
+    "FROM c GROUP BY 1), "
+    "w AS (SELECT score_bin, "
+    "SUM(n) OVER (ORDER BY score_bin DESC) AS cn, "
+    "SUM(n_pos) OVER (ORDER BY score_bin DESC) AS cp FROM h), "
+    "t AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM h) "
+    "SELECT CAST(score_bin AS BIGINT) AS score_bin, "
+    "CAST(cn AS BIGINT) AS cum_n, CAST(cp AS BIGINT) AS cum_pos, "
+    "ROUND(CAST(cn AS DOUBLE) / tn, 6) AS frac_targeted, "
+    "ROUND(CAST(cp AS DOUBLE) / tp, 6) AS recall, "
+    "ROUND((CAST(cp AS DOUBLE) / cn) / "
+    "(CAST(tp AS DOUBLE) / tn), 6) AS lift FROM w, t")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -10915,6 +11130,9 @@ QUERIES = {
     "balanced_resample": q_balanced_resample,
     "traj_area": q_traj_area,
     "langid_confusion": q_langid_confusion,
+    "calibration_bins": q_calibration_bins,
+    "psi_drift": q_psi_drift,
+    "lift_gains": q_lift_gains,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -11154,6 +11372,9 @@ ORACLE_SQL.update({
     "balanced_resample": _SQL_BALANCED_RESAMPLE,
     "traj_area": _SQL_TRAJ_AREA,
     "langid_confusion": _sql_langid_confusion(),
+    "calibration_bins": _SQL_CALIBRATION_BINS,
+    "psi_drift": _SQL_PSI_DRIFT,
+    "lift_gains": _SQL_LIFT_GAINS,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -207,3 +207,74 @@ def test_langid_confusion_cells_partition_corpus(ray_session, tmp_path):
     assert cells[("zh", "zh")] == 2
     assert cells[("en", "zh")] == 1
     assert out["n_docs"].sum() == 3
+
+
+# ------------------------------------------------------ calibration_bins
+def test_calibration_bins_boundaries_and_rates(ray_session, tmp_path):
+    """Cents 3299 lands in bin 0, 3300 in bin 1 (floor division); the
+    observed pos_rate is the exact label share per bin."""
+    rows = [
+        (0, 10, 1, "v", 32.99),   # bin 0, label 1
+        (1, 11, 2, "v", 32.99),   # bin 0, label 0
+        (2, 12, 2, "v", 0.50),    # bin 0, label 0
+        (3, 13, 1, "v", 33.00),   # bin 1, label 1
+        (4, 14, 3, "v", 65.00)]   # bin 1, label 1
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_calibration_bins(sf).to_pandas()
+           .set_index("score_bin"))
+    assert out.loc[0, "n"] == 3 and out.loc[0, "n_pos"] == 1
+    assert out.loc[1, "n"] == 2 and out.loc[1, "n_pos"] == 2
+    assert out.loc[0, "pos_rate"] == round(1 / 3, 6)
+    assert out.loc[1, "pos_rate"] == 1.0
+    want = _oracle(sf, Q._SQL_CALIBRATION_BINS).set_index("score_bin")
+    assert want.loc[0, "n"] == 3 and want.loc[1, "pos_rate"] == 1.0
+
+
+# ------------------------------------------------------------ psi_drift
+def test_psi_drift_zero_and_one_sided(ray_session, tmp_path):
+    """Identical bin distributions on even and odd days read
+    psi_bin = 0 (p = q); a bin populated only in one period reads
+    NULL (no silent smoothing)."""
+    day = 86_400_000_000
+    rows = [
+        # bin 0: 2 events on day 0 (A), 2 on day 1 (B) -> p=q -> psi 0
+        (0, 0 * day + 1, 1, "v", 1.00), (1, 0 * day + 2, 1, "v", 1.00),
+        (2, 1 * day + 1, 1, "v", 1.00), (3, 1 * day + 2, 1, "v", 1.00),
+        # bin 2: only in period A -> NULL
+        (4, 0 * day + 3, 1, "v", 70.00),
+        # bin 1: only in period B -> NULL; keeps totals asymmetric
+        (5, 1 * day + 3, 1, "v", 40.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_psi_drift(sf).to_pandas().set_index("score_bin")
+    # bin 0: p = 2/3, q = 2/3 -> psi 0
+    assert out.loc[0, "psi_bin"] == 0.0
+    assert np.isnan(out.loc[2, "psi_bin"])
+    assert np.isnan(out.loc[1, "psi_bin"])
+    want = _oracle(sf, Q._SQL_PSI_DRIFT).set_index("score_bin")
+    assert want.loc[0, "psi_bin"] == 0.0
+    assert np.isnan(want.loc[2, "psi_bin"])
+
+
+# ----------------------------------------------------------- lift_gains
+def test_lift_gains_perfect_model(ray_session, tmp_path):
+    """All positives in the top score bin: the top row's lift is
+    (cp/cn)/(P/n) = (2/2)/(2/5) = 2.5 and recall 1.0; the bottom
+    (full-population) row always reads lift 1.0, recall 1.0."""
+    rows = [
+        (0, 10, 1, "v", 99.00), (1, 11, 3, "v", 99.00),  # pos, top bin
+        (2, 12, 2, "v", 1.00), (3, 13, 4, "v", 1.00),
+        (4, 14, 6, "v", 1.00)]                           # neg, bottom
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_lift_gains(sf).to_pandas()
+           .sort_values("score_bin", ascending=False,
+                        ignore_index=True))
+    assert out.loc[0, "cum_n"] == 2 and out.loc[0, "cum_pos"] == 2
+    assert out.loc[0, "lift"] == 2.5
+    assert out.loc[0, "recall"] == 1.0
+    assert out.loc[1, "lift"] == 1.0
+    assert out.loc[1, "frac_targeted"] == 1.0
+    want = (_oracle(sf, Q._SQL_LIFT_GAINS)
+            .sort_values("score_bin", ascending=False,
+                         ignore_index=True))
+    assert want.loc[0, "lift"] == 2.5
+    assert want.loc[1, "lift"] == 1.0
