@@ -10940,6 +10940,203 @@ _SQL_LIFT_GAINS = (
     "(CAST(tp AS DOUBLE) / tn), 6) AS lift FROM w, t")
 
 
+_HEX_W, _HEX_H = 200, 174      # staggered lattice pitch (174 ≈ 200·√3/2)
+
+
+def q_hexbin_count(sf_dir: str):
+    """Hexagonal-style density binning of event points: each point is
+    assigned to the nearest center of a staggered double lattice —
+    lattice A at (i·200, j·174), lattice B offset (+100, +87) — which
+    is the integer-exact Voronoi of a near-hexagonal grid (the classic
+    hexbin map without a single float: per-axis floor rounding gives
+    the nearest center in each rectangular lattice, and one int64
+    squared-distance compare picks between the two, ties to A).
+    Reports events and distinct users per cell.
+
+    Shape for scale: cell assignment is stateless vectorized integer
+    math; distinct users needs ONE (cell,user) dedup groupby, then the
+    per-cell rollup rides the already-clustered pairs — the same
+    two-level shape as cell_count + user distincts."""
+    from ray.data.aggregate import Sum
+
+    w, h = _HEX_W, _HEX_H
+
+    def assign(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        x = (ev % 3600).astype(np.int64)
+        y = (ev % 1600).astype(np.int64)
+        cxa = ((x + w // 2) // w) * w
+        cya = ((y + h // 2) // h) * h
+        cxb = (x // w) * w + w // 2
+        cyb = (y // h) * h + h // 2
+        d2a = (x - cxa) ** 2 + (y - cya) ** 2
+        d2b = (x - cxb) ** 2 + (y - cyb) ** 2
+        use_a = d2a <= d2b
+        return pa.table({
+            "cx": pa.array(np.where(use_a, cxa, cxb), pa.int64()),
+            "cy": pa.array(np.where(use_a, cya, cyb), pa.int64()),
+            "user_id": pa.array(uid, pa.int64())})
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        # batch-local dedup of (cell, user) + event counts
+        cx = b.column("cx").to_numpy(zero_copy_only=False)
+        cy = b.column("cy").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        if len(cx) == 0:
+            return pa.table({"cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((uid, cy, cx))
+        cx, cy, uid = cx[order], cy[order], uid[order]
+        fi = np.flatnonzero(np.r_[True, (cx[1:] != cx[:-1]) |
+                                  (cy[1:] != cy[:-1]) |
+                                  (uid[1:] != uid[:-1])])
+        n = np.diff(np.r_[fi, len(cx)])
+        return pa.table({"cx": pa.array(cx[fi], pa.int64()),
+                         "cy": pa.array(cy[fi], pa.int64()),
+                         "user_id": pa.array(uid[fi], pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    def cell_rollup(g: pd.DataFrame) -> pa.Table:
+        cx = g["cx"].to_numpy(np.int64)
+        cy = g["cy"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((cy, cx))
+        cx, cy, n = cx[order], cy[order], n[order]
+        fi = np.flatnonzero(np.r_[True, (cx[1:] != cx[:-1]) |
+                                  (cy[1:] != cy[:-1])])
+        nu = np.diff(np.r_[fi, len(cx)])
+        ne = np.add.reduceat(n, fi)
+        return pa.table({"cx": pa.array(cx[fi], pa.int64()),
+                         "cy": pa.array(cy[fi], pa.int64()),
+                         "n_events": pa.array(ne.astype(np.int64)),
+                         "n_users": pa.array(nu.astype(np.int64))})
+
+    mask = _coarse_mask()
+    pairs = (_read_pq(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id"])
+             .map_batches(assign, batch_format="pyarrow")
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["cx", "cy", "user_id"])
+             .aggregate(Sum("n", alias_name="n")))
+    # cells co-locate by coarse cx bucket; rollup per bucket
+    return (pairs
+            .map_batches(lambda b: b.append_column(
+                "pkey", pa.array((b.column("cx")
+                                  .to_numpy(zero_copy_only=False)
+                                  & mask).astype(np.int32))),
+                         batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(cell_rollup, batch_format="pandas"))
+
+
+_SQL_HEXBIN_COUNT = (
+    "WITH e AS (SELECT event_id % 3600 AS x, event_id % 1600 AS y, "
+    "user_id FROM events), "
+    "c AS (SELECT x, y, user_id, "
+    f"((x + {_HEX_W // 2}) // {_HEX_W}) * {_HEX_W} AS cxa, "
+    f"((y + {_HEX_H // 2}) // {_HEX_H}) * {_HEX_H} AS cya, "
+    f"(x // {_HEX_W}) * {_HEX_W} + {_HEX_W // 2} AS cxb, "
+    f"(y // {_HEX_H}) * {_HEX_H} + {_HEX_H // 2} AS cyb FROM e), "
+    "p AS (SELECT user_id, CASE WHEN "
+    "(x - cxa) * (x - cxa) + (y - cya) * (y - cya) <= "
+    "(x - cxb) * (x - cxb) + (y - cyb) * (y - cyb) "
+    "THEN cxa ELSE cxb END AS cx, CASE WHEN "
+    "(x - cxa) * (x - cxa) + (y - cya) * (y - cya) <= "
+    "(x - cxb) * (x - cxb) + (y - cyb) * (y - cyb) "
+    "THEN cya ELSE cyb END AS cy FROM c) "
+    "SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM p GROUP BY 1, 2")
+
+
+_CK_P1, _CK_P2, _CK_P3, _CK_P4 = (
+    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9, 0x27D4EB2F165667C5)
+_CK_M = 1 << 64
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent integrity digest of the events table, per
+    event type: each row hashes to (id·P1 + user·P2 + cents·P3 + t·P4)
+    mod 2⁶⁴ (odd 64-bit mixing constants) and the per-type digest is
+    the mod-2⁶⁴ SUM of row hashes — the anti-entropy checksum used to
+    certify replica/migration equality without moving data (a changed,
+    dropped or duplicated row changes the digest; commutativity makes
+    it partition-order-proof).
+
+    Exactness: numpy uint64 arithmetic wraps mod 2⁶⁴ by definition,
+    matching the oracle's HUGEINT products reduced % 2⁶⁴; all inputs
+    are non-negative so the two mod conventions agree.
+
+    Shape for scale: stateless per-batch (type, n, sum) partials →
+    one types-bounded groupby; digests merge by addition, so this is
+    the cheapest possible full-table verification (one streaming
+    pass, no shuffle of row data)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        uid = b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        cents = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64).astype(
+                np.uint64)
+        t = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (eid * np.uint64(_CK_P1) + uid * np.uint64(_CK_P2) +
+                 cents * np.uint64(_CK_P3) + t * np.uint64(_CK_P4))
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "checksum": pa.array([], pa.uint64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        ck = np.zeros(len(ut), np.uint64)
+        with np.errstate(over="ignore"):
+            np.add.at(ck, inv, h)
+        return pa.table({"event_type": pa.array(ut, pa.string()),
+                         "n_rows": pa.array(n),
+                         "checksum": pa.array(ck, pa.uint64())})
+
+    ds = (_read_pq(f"{sf_dir}/events.parquet",
+                   columns=["event_id", "ts", "user_id", "event_type",
+                            "value"])
+          .map_batches(partial, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        n = int(g["n_rows"].sum())
+        with np.errstate(over="ignore"):
+            ck = np.sum(g["checksum"].to_numpy(np.uint64),
+                        dtype=np.uint64)
+        return pa.table({
+            "event_type": pa.array([g["event_type"].iat[0]],
+                                   pa.string()),
+            "n_rows": pa.array([n], pa.int64()),
+            "checksum": pa.array([ck], pa.uint64())})
+
+    return ds.groupby("event_type").map_groups(
+        merge, batch_format="pandas")
+
+
+_SQL_TABLE_CHECKSUM = (
+    "WITH r AS (SELECT event_type, "
+    f"(CAST(event_id AS HUGEINT) * {_CK_P1} + "
+    f"CAST(user_id AS HUGEINT) * {_CK_P2} + "
+    f"CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) * {_CK_P3} + "
+    f"CAST(epoch_us(ts) AS HUGEINT) * {_CK_P4}) % {_CK_M} AS h "
+    "FROM events) "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(SUM(h) % {_CK_M} AS UBIGINT) AS checksum "
+    "FROM r GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -11133,6 +11330,8 @@ QUERIES = {
     "calibration_bins": q_calibration_bins,
     "psi_drift": q_psi_drift,
     "lift_gains": q_lift_gains,
+    "hexbin_count": q_hexbin_count,
+    "table_checksum": q_table_checksum,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -11375,6 +11574,8 @@ ORACLE_SQL.update({
     "calibration_bins": _SQL_CALIBRATION_BINS,
     "psi_drift": _SQL_PSI_DRIFT,
     "lift_gains": _SQL_LIFT_GAINS,
+    "hexbin_count": _SQL_HEXBIN_COUNT,
+    "table_checksum": _SQL_TABLE_CHECKSUM,
 })
 
 # Remaining no-oracle entries, each with a reason:
