@@ -11137,6 +11137,314 @@ _SQL_TABLE_CHECKSUM = (
     "FROM r GROUP BY 1")
 
 
+def q_interp_fill(sf_dir: str):
+    """Linear interpolation of missing days in each user's daily
+    spend series: the dense day grid between a user's first and last
+    active day (gap_fill's span contract) carries the exact daily cent
+    sum on observed days and the linear interpolation
+    (v₀·(t₁−t) + v₁·(t−t₀)) / (t₁−t₀) between the nearest observed
+    neighbors on missing days — the standard time-series imputation
+    primitive.
+
+    Exactness: the interpolation numerator and both day gaps are exact
+    integers; the only float is ONE shared-shape division, rounded to
+    6 decimals; observed days emit their exact integer cents.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle of (user, day,
+    cents) partials; per bucket the dense grid, prev/next observed
+    indices (maximum/minimum.accumulate — segment-safe because every
+    user's span endpoints are observed) and the interpolation are all
+    vectorized; output is span-sized."""
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        key = (uid.astype(np.uint64) << np.uint64(20)) | day.astype(
+            np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        fi = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        v = np.add.reduceat(cents, fi)
+        key = key[fi]
+        return pa.table({
+            "user_id": pa.array((key >> np.uint64(20)).astype(np.int64)),
+            "pkey": pa.array(((key >> np.uint64(20)).astype(np.int64)
+                              & mask).astype(np.int32)),
+            "day": pa.array((key & np.uint64((1 << 20) - 1))
+                            .astype(np.int64)),
+            "v": pa.array(v.astype(np.int64))})
+
+    def interp(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        key = (uid.astype(np.uint64) << np.uint64(20)) | day.astype(
+            np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, v = key[order], v[order]
+        brk = np.ones(len(key), bool)
+        brk[1:] = key[1:] != key[:-1]
+        ki = np.flatnonzero(brk)
+        v = np.add.reduceat(v, ki)          # cross-batch partials merge
+        key = key[ki]
+        uid = (key >> np.uint64(20)).astype(np.int64)
+        day = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
+        fi = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lo = day[fi]
+        hi = day[np.r_[fi[1:] - 1, len(day) - 1]]
+        span = hi - lo + 1
+        total = int(span.sum())
+        off = np.r_[0, np.cumsum(span[:-1])]
+        user_out = np.repeat(uid[fi], span)
+        day_out = (np.arange(total) - np.repeat(off, span)
+                   + np.repeat(lo, span))
+        v_out = np.zeros(total, np.int64)
+        m = np.zeros(total, bool)
+        uidx = np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1
+        pos = off[uidx] + (day - lo[uidx])
+        v_out[pos] = v
+        m[pos] = True
+        gidx = np.arange(total)
+        # prev/next observed index; span endpoints are observed, so the
+        # accumulate never leaks across user segments
+        pprev = np.maximum.accumulate(np.where(m, gidx, -1))
+        nnext = np.minimum.accumulate(
+            np.where(m, gidx, total + 1)[::-1])[::-1]
+        den = day_out[nnext] - day_out[pprev]
+        num = (v_out[pprev] * (day_out[nnext] - day_out) +
+               v_out[nnext] * (day_out - day_out[pprev]))
+        interp_v = np.round(num.astype(np.float64) /
+                            np.where(m, 1, den), 6)
+        cents_f = np.where(m, np.round(v_out.astype(np.float64), 6),
+                           interp_v)
+        return pa.table({
+            "user_id": pa.array(user_out),
+            "day": pa.array(day_out),
+            "cents_filled": pa.array(cents_f, pa.float64()),
+            "observed": pa.array(m.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(interp, batch_format="pandas"))
+
+
+_SQL_INTERP_FILL = (
+    "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v FROM events "
+    "GROUP BY 1, 2), "
+    "s AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d "
+    "GROUP BY 1), "
+    "cal AS (SELECT user_id, UNNEST(range(lo, hi + 1)) AS day FROM s), "
+    "j AS (SELECT cal.user_id, cal.day, d.v, d.day AS oday "
+    "FROM cal LEFT JOIN d ON d.user_id = cal.user_id "
+    "AND d.day = cal.day), "
+    "w AS (SELECT user_id, day, v, "
+    "LAST_VALUE(v IGNORE NULLS) OVER wp AS pv, "
+    "LAST_VALUE(oday IGNORE NULLS) OVER wp AS pd, "
+    "FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv, "
+    "FIRST_VALUE(oday IGNORE NULLS) OVER wf AS nd FROM j "
+    "WINDOW wp AS (PARTITION BY user_id ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "wf AS (PARTITION BY user_id ORDER BY day "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT user_id, CAST(day AS BIGINT) AS day, "
+    "CASE WHEN v IS NOT NULL THEN ROUND(CAST(v AS DOUBLE), 6) "
+    "ELSE ROUND(CAST(pv * (nd - day) + nv * (day - pd) AS DOUBLE) "
+    "/ (nd - pd), 6) END AS cents_filled, "
+    "CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+    "AS observed FROM w")
+
+
+def q_ttest_groups(sf_dir: str):
+    """Welch two-sample t-test of each event type's value (cents)
+    against the complement of the stream — "does this event type's
+    monetary distribution differ from everything else?" — reporting
+    the t statistic and Welch–Satterthwaite degrees of freedom.
+
+    Exactness: per-type sufficient statistics (n, Σv, Σv²) are exact
+    integers (Python-int products in the fold — n·Σv² and (Σv)²
+    overflow int64 long before they overflow arbitrary-precision);
+    every float is an expression of IDENTICAL shape on both sides
+    (explicit x·x instead of pow), rounded to 6 decimals.
+
+    Shape for scale: stateless per-batch moment partials → one
+    types-bounded groupby; the complement fold runs on the types-row
+    table."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ss": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(ut), np.int64)
+        np.add.at(s, inv, v)
+        ss = np.zeros(len(ut), np.int64)
+        np.add.at(ss, inv, v * v)
+        return pa.table({"event_type": pa.array(ut, pa.string()),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "ss": pa.array(ss)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))
+           .to_pandas())                          # types-row
+    tn = int(agg["n"].sum())
+    ts_ = int(agg["s"].sum())
+    tss = int(agg["ss"].sum())
+    out_ty, out_n, out_t, out_df = [], [], [], []
+    for ty, n1, s1, ss1 in zip(agg["event_type"], agg["n"],
+                               agg["s"], agg["ss"]):
+        n1, s1, ss1 = int(n1), int(s1), int(ss1)
+        n2, s2, ss2 = tn - n1, ts_ - s1, tss - ss1
+        m1 = float(s1) / n1
+        m2 = float(s2) / n2
+        v1 = float(n1 * ss1 - s1 * s1) / (float(n1) * (n1 - 1))
+        v2 = float(n2 * ss2 - s2 * s2) / (float(n2) * (n2 - 1))
+        q1 = v1 / n1
+        q2 = v2 / n2
+        q = q1 + q2
+        t = np.round((m1 - m2) / np.sqrt(q), 6)
+        df = np.round(q * q / (q1 * q1 / (n1 - 1) +
+                               q2 * q2 / (n2 - 1)), 6)
+        out_ty.append(ty)
+        out_n.append(n1)
+        out_t.append(float(t))
+        out_df.append(float(df))
+    return pa.table({"event_type": pa.array(out_ty, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "t_stat": pa.array(out_t, pa.float64()),
+                     "welch_df": pa.array(out_df, pa.float64())})
+
+
+_SQL_TTEST_GROUPS = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS v FROM events), "
+    "g AS (SELECT event_type, COUNT(*) AS n, "
+    "SUM(CAST(v AS HUGEINT)) AS s, "
+    "SUM(CAST(v AS HUGEINT) * v) AS ss FROM c GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS tn, SUM(s) AS tsum, SUM(ss) AS tss FROM g), "
+    "x AS (SELECT g.event_type, g.n AS n1, g.s AS s1, g.ss AS ss1, "
+    "t.tn - g.n AS n2, t.tsum - g.s AS s2, t.tss - g.ss AS ss2 "
+    "FROM g, t), "
+    "y AS (SELECT event_type, n1, n2, "
+    "CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2, "
+    "CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / "
+    "(CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1, "
+    "CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / "
+    "(CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2 FROM x), "
+    "z AS (SELECT event_type, n1, n2, m1, m2, "
+    "v1 / n1 AS q1, v2 / n2 AS q2 FROM y) "
+    "SELECT event_type, CAST(n1 AS BIGINT) AS n, "
+    "ROUND((m1 - m2) / sqrt(q1 + q2), 6) AS t_stat, "
+    "ROUND((q1 + q2) * (q1 + q2) / "
+    "(q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1)), 6) AS welch_df FROM z")
+
+
+_BAYES_M = 100                  # shrinkage pseudo-count
+
+
+def q_bayes_rating(sf_dir: str):
+    """Bayesian-average return rate per part brand: the naive
+    returns/lines ratio shrunk toward the global rate with
+    pseudo-count m=100 — (k + m·(K/N)) / (n + m) — the standard
+    small-sample-robust ranking estimator (a 1-line brand with one
+    return no longer ranks 100%).
+
+    Shape for scale: the part table is the broadcast dimension side
+    (sorted partkey → brand arrays via searchsorted, loaded once per
+    actor); lineitem streams once, collapsing to brand-bounded count
+    partials — zero shuffle of fact rows."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    br = np.asarray(part.column("p_brand").to_pylist())
+    order = np.argsort(pk, kind="stable")
+    pk, br = pk[order], br[order]
+    ub, bcode = np.unique(br, return_inverse=True)
+
+    class BrandCounts:
+        def __init__(self, pk_s, bcode_s, nb):
+            import ray as _ray
+            self.pk = _ray.get(pk_s) if hasattr(pk_s, "hex") else pk_s
+            self.bc = (_ray.get(bcode_s)
+                       if hasattr(bcode_s, "hex") else bcode_s)
+            self.nb = nb
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            rf = np.asarray(b.column("l_returnflag").to_pylist())
+            pos = np.searchsorted(self.pk, lk)
+            code = self.bc[pos]
+            r = (rf == "R").astype(np.int64)
+            n = np.bincount(code, minlength=self.nb).astype(np.int64)
+            k = np.zeros(self.nb, np.int64)
+            np.add.at(k, code, r)
+            keep = n > 0
+            return pa.table({
+                "bcode": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n": pa.array(n[keep]), "k": pa.array(k[keep])})
+
+    import ray as _ray
+    pk_ref = _ray.put(pk)
+    bc_ref = _ray.put(bcode)
+    agg = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_returnflag"])
+           .map_batches(BrandCounts, batch_format="pyarrow",
+                        concurrency=2, max_restarts=0,
+                        fn_constructor_args=(pk_ref, bc_ref, len(ub)))
+           .groupby("bcode")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("k", alias_name="k"))
+           .to_pandas())                          # brands-row
+    tn = int(agg["n"].sum())
+    tk = int(agg["k"].sum())
+    n = agg["n"].to_numpy(np.int64)
+    k = agg["k"].to_numpy(np.int64)
+    m = _BAYES_M
+    raw = np.round(k.astype(np.float64) / n, 6)
+    bay = np.round((k + float(m) * (float(tk) / tn)) / (n + m), 6)
+    return pa.table({
+        "p_brand": pa.array(ub[agg["bcode"].to_numpy(np.int64)],
+                            pa.string()),
+        "n_lines": pa.array(n), "n_returns": pa.array(k),
+        "raw_rate": pa.array(raw, pa.float64()),
+        "bayes_rate": pa.array(bay, pa.float64())})
+
+
+_SQL_BAYES_RATING = (
+    "WITH j AS (SELECT p.p_brand, "
+    "CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), "
+    "g AS (SELECT p_brand, COUNT(*) AS n, SUM(r) AS k FROM j "
+    "GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS tn, SUM(k) AS tk FROM g) "
+    "SELECT p_brand, CAST(n AS BIGINT) AS n_lines, "
+    "CAST(k AS BIGINT) AS n_returns, "
+    "ROUND(CAST(k AS DOUBLE) / n, 6) AS raw_rate, "
+    f"ROUND((k + CAST({_BAYES_M} AS DOUBLE) * "
+    "(CAST(tk AS DOUBLE) / tn)) / "
+    f"(n + {_BAYES_M}), 6) AS bayes_rate FROM g, t")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -11332,6 +11640,9 @@ QUERIES = {
     "lift_gains": q_lift_gains,
     "hexbin_count": q_hexbin_count,
     "table_checksum": q_table_checksum,
+    "interp_fill": q_interp_fill,
+    "ttest_groups": q_ttest_groups,
+    "bayes_rating": q_bayes_rating,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -11576,6 +11887,9 @@ ORACLE_SQL.update({
     "lift_gains": _SQL_LIFT_GAINS,
     "hexbin_count": _SQL_HEXBIN_COUNT,
     "table_checksum": _SQL_TABLE_CHECKSUM,
+    "interp_fill": _SQL_INTERP_FILL,
+    "ttest_groups": _SQL_TTEST_GROUPS,
+    "bayes_rating": _SQL_BAYES_RATING,
 })
 
 # Remaining no-oracle entries, each with a reason:

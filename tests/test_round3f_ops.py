@@ -333,3 +333,88 @@ def test_table_checksum_detects_any_mutation(ray_session, tmp_path):
     want = _oracle(sf, Q._SQL_TABLE_CHECKSUM).set_index("event_type")
     assert {k: int(v) for k, v in base["checksum"].items()} == \
         {k: int(v) for k, v in want["checksum"].items()}
+
+
+# ---------------------------------------------------------- interp_fill
+def test_interp_fill_linear_and_user_isolation(ray_session, tmp_path):
+    """Gaps interpolate linearly between nearest observed neighbors
+    (day 0 = 100¢, day 3 = 400¢ -> days 1/2 read 200/300); the
+    accumulate never leaks across users sharing a bucket."""
+    day = 86_400_000_000
+    rows = [(0, 0 * day + 5, 1, "v", 1.00),
+            (1, 3 * day + 5, 1, "v", 4.00),
+            # user 2: single day far away -> one observed row only
+            (2, 10 * day + 5, 2, "v", 9.99)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_interp_fill(sf).to_pandas()
+           .sort_values(["user_id", "day"], ignore_index=True))
+    u1 = out[out["user_id"] == 1]
+    assert u1["cents_filled"].tolist() == [100.0, 200.0, 300.0, 400.0]
+    assert u1["observed"].tolist() == [1, 0, 0, 1]
+    u2 = out[out["user_id"] == 2]
+    assert u2["cents_filled"].tolist() == [999.0]
+    want = (_oracle(sf, Q._SQL_INTERP_FILL)
+            .sort_values(["user_id", "day"], ignore_index=True))
+    assert want["cents_filled"].tolist() == out["cents_filled"].tolist()
+
+
+# --------------------------------------------------------- ttest_groups
+def test_ttest_groups_known_statistic(ray_session, tmp_path):
+    """X = {1,2,3}¢ vs complement Y = {4,5,6}¢: pooled Welch t =
+    (2−5)/√(1/3+1/3) = −3.674235 and df = 4 exactly (equal variances,
+    equal n)."""
+    rows = [(0, 10, 1, "X", 0.01), (1, 11, 1, "X", 0.02),
+            (2, 12, 1, "X", 0.03),
+            (3, 13, 1, "Y", 0.04), (4, 14, 1, "Y", 0.05),
+            (5, 15, 1, "Y", 0.06)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_ttest_groups(sf).to_pandas().set_index("event_type")
+    assert out.loc["X", "t_stat"] == -3.674235
+    assert out.loc["X", "welch_df"] == 4.0
+    assert out.loc["Y", "t_stat"] == 3.674235
+    want = _oracle(sf, Q._SQL_TTEST_GROUPS).set_index("event_type")
+    assert want.loc["X", "t_stat"] == -3.674235
+    assert want.loc["X", "welch_df"] == 4.0
+
+
+# --------------------------------------------------------- bayes_rating
+def test_bayes_rating_shrinks_small_samples(ray_session, tmp_path):
+    """A 1-line brand with a 100% raw return rate shrinks to
+    (1 + 100·0.1)/101 ≈ 0.108911 — below a 99-line brand's unshrunk
+    evidence-backed ordering no longer holds on raw rates alone."""
+    li_rows = ([(1, 100, "R")] +
+               [(2, 200 + i, "R" if i < 9 else "N")
+                for i in range(99)])
+    li = pa.table({
+        "l_orderkey": pa.array([r[1] for r in li_rows], pa.int64()),
+        "l_partkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_suppkey": pa.array([1] * len(li_rows), pa.int64()),
+        "l_linenumber": pa.array([1] * len(li_rows), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(li_rows), pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(li_rows), pa.float64()),
+        "l_discount": pa.array([0.0] * len(li_rows), pa.float64()),
+        "l_tax": pa.array([0.0] * len(li_rows), pa.float64()),
+        "l_returnflag": pa.array([r[2] for r in li_rows], pa.string()),
+        "l_linestatus": pa.array(["O"] * len(li_rows), pa.string()),
+        "l_shipdate": pa.array(
+            np.array([10 ** 15] * len(li_rows), dtype="datetime64[us]"))})
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["a", "b"], pa.string()),
+        "p_brand": pa.array(["BRAND_A", "BRAND_B"], pa.string()),
+        "p_type": pa.array(["t", "t"], pa.string()),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0, 1.0], pa.float64())})
+    sf = _write(tmp_path, "lineitem", li)
+    pq.write_table(part, f"{sf}/part.parquet")
+    out = Q.q_bayes_rating(sf).to_pandas().set_index("p_brand")
+    assert out.loc["BRAND_A", "raw_rate"] == 1.0
+    assert out.loc["BRAND_A", "bayes_rate"] == round((1 + 100 * 0.1) / 101, 6)
+    assert out.loc["BRAND_B", "bayes_rate"] == round((9 + 100 * 0.1) / 199, 6)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"'{sf}/part.parquet'")
+    want = con.execute(Q._SQL_BAYES_RATING).fetchdf().set_index("p_brand")
+    assert want["bayes_rate"].to_dict() == out["bayes_rate"].to_dict()
