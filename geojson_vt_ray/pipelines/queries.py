@@ -11445,6 +11445,224 @@ _SQL_BAYES_RATING = (
     f"(n + {_BAYES_M}), 6) AS bayes_rate FROM g, t")
 
 
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of event_type against the cent
+    value: each event's encoding is the mean target of all OTHER
+    events of its type, (S_g − y_i)/(n_g − 1) — the standard
+    leakage-free categorical feature for downstream models (the row's
+    own target never contributes to its encoding). Singleton groups
+    encode NULL.
+
+    Exactness: S_g, n_g, y are exact integers; the encoding is ONE
+    shared-shape ROUND-6 division.
+
+    Shape for scale: pass 1 collapses to types-bounded (S, n)
+    partials; the tiny map broadcasts into pass 2's stateless batch
+    transform — the fact stream is never shuffled and the output
+    streams row-for-row."""
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(ut), np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({"event_type": pa.array(ut, pa.string()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+           .map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"))
+           .to_pandas())                          # types-row
+    smap = {t: (int(s), int(n))
+            for t, s, n in zip(agg["event_type"], agg["s"], agg["n"])}
+
+    def encode(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        s = np.array([smap[t][0] for t in ty], np.int64)
+        n = np.array([smap[t][1] for t in ty], np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            enc = np.round((s - v).astype(np.float64) / (n - 1), 6)
+        enc = np.where(n > 1, enc, np.nan)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "event_type": pa.array(ty, pa.string()),
+            "loo_enc": pa.array(enc, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "event_type", "value"])
+            .map_batches(encode, batch_format="pyarrow"))
+
+
+_SQL_TARGET_ENCODE = (
+    "WITH c AS (SELECT event_id, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS y FROM events), "
+    "w AS (SELECT event_id, event_type, y, "
+    "SUM(y) OVER (PARTITION BY event_type) AS s, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n FROM c) "
+    "SELECT event_id, event_type, "
+    "CASE WHEN n > 1 THEN "
+    "ROUND(CAST(s - y AS DOUBLE) / (n - 1), 6) ELSE NULL END "
+    "AS loo_enc FROM w")
+
+
+def q_max_drawdown(sf_dir: str):
+    """Maximum drawdown of each user's net cash-flow path: purchases
+    count +cents, every other event −cents; along the (ts, event_id)
+    ordered cumulative sum, drawdown at t = running_peak − cum, and
+    the report is each user's worst trough below its best peak — the
+    classic risk metric, applied to behavioral net flow.
+
+    Exactness: pure int64 cumulative sums and running maxima —
+    order-independent given the (ts, event_id) total order.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
+    single lexsort + segment-reset cumsum/running-max (base-offset
+    trick, no per-user loop); output is user-sized."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        flow = np.where(ty == "purchase", v, -v)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "flow": pa.array(flow, pa.int64())})
+
+    def drawdown(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        flow = g["flow"].to_numpy(np.int64)[order]
+        fi = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        n = np.diff(np.r_[fi, len(uid)])
+        # per-segment cumulative: subtract the cum before each user
+        cum_all = np.cumsum(flow)
+        base = np.repeat(np.r_[0, cum_all[fi[1:] - 1]], n)
+        cum = cum_all - base
+        # running peak per segment via the rank-lift trick: accumulate
+        # on cum + rank·2⁴⁰ never crosses segments while |net flow per
+        # user| < 2⁴⁰ cents and < 2²² users share a bucket (both are
+        # document-level contracts, far above the workload)
+        rank = np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1
+        BIG = np.int64(1) << 40
+        peak = np.maximum.accumulate(cum + rank * BIG) - rank * BIG
+        dd = peak - cum
+        max_dd = np.maximum.reduceat(dd, fi)
+        total = np.add.reduceat(flow, fi)
+        return pa.table({
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "n_events": pa.array(n.astype(np.int64)),
+            "net_cents": pa.array(total.astype(np.int64)),
+            "max_drawdown": pa.array(max_dd.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(drawdown,
+                                        batch_format="pandas"))
+
+
+_SQL_MAX_DRAWDOWN = (
+    "WITH c AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN event_type = 'purchase' "
+    "THEN CAST(ROUND(value * 100) AS BIGINT) "
+    "ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS flow FROM events), "
+    "w AS (SELECT user_id, ts, event_id, flow, "
+    "SUM(flow) OVER wo AS cum FROM c "
+    "WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "p AS (SELECT user_id, flow, cum, "
+    "MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak "
+    "FROM w) "
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(flow) AS BIGINT) AS net_cents, "
+    "CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown "
+    "FROM p GROUP BY user_id")
+
+
+def q_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality factors per event type: for each
+    (type, epoch-day mod 7) cell, the event count and its deviation
+    factor n_dow·7 / n_type (1.0 = perfectly flat week) — the
+    weekly-seasonality profile behind volume-anomaly baselines.
+
+    Exactness: counts are exact integers; the factor is ONE
+    shared-shape ROUND-6 division with an exact integer numerator.
+
+    Shape for scale: stateless (type, dow) count partials → one
+    7·types-bounded groupby → fixed-size driver finish for the
+    per-type totals."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        dow = (day % 7).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "dow": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        key = inv.astype(np.int64) * 7 + dow
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk // 7], pa.string()),
+            "dow": pa.array((uk % 7).astype(np.int64)),
+            "n": pa.array(c.astype(np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "dow"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                          # 7·types-row
+    tot = agg.groupby("event_type")["n"].transform("sum").to_numpy(
+        np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    factor = np.round((n * 7).astype(np.float64) / tot, 6)
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "dow": pa.array(agg["dow"].to_numpy(np.int64)),
+        "n_events": pa.array(n),
+        "factor": pa.array(factor, pa.float64())})
+
+
+_SQL_DOW_SEASONALITY = (
+    "WITH c AS (SELECT event_type, "
+    "(epoch_us(ts) // 86400000000) % 7 AS dow FROM events), "
+    "h AS (SELECT event_type, dow, COUNT(*) AS n FROM c GROUP BY 1, 2), "
+    "t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1) "
+    "SELECT h.event_type, CAST(h.dow AS BIGINT) AS dow, "
+    "CAST(h.n AS BIGINT) AS n_events, "
+    "ROUND(CAST(h.n * 7 AS DOUBLE) / t.tot, 6) AS factor "
+    "FROM h JOIN t ON h.event_type = t.event_type")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -11643,6 +11861,9 @@ QUERIES = {
     "interp_fill": q_interp_fill,
     "ttest_groups": q_ttest_groups,
     "bayes_rating": q_bayes_rating,
+    "target_encode": q_target_encode,
+    "max_drawdown": q_max_drawdown,
+    "dow_seasonality": q_dow_seasonality,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -11890,6 +12111,9 @@ ORACLE_SQL.update({
     "interp_fill": _SQL_INTERP_FILL,
     "ttest_groups": _SQL_TTEST_GROUPS,
     "bayes_rating": _SQL_BAYES_RATING,
+    "target_encode": _SQL_TARGET_ENCODE,
+    "max_drawdown": _SQL_MAX_DRAWDOWN,
+    "dow_seasonality": _SQL_DOW_SEASONALITY,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -418,3 +418,60 @@ def test_bayes_rating_shrinks_small_samples(ray_session, tmp_path):
                 f"'{sf}/part.parquet'")
     want = con.execute(Q._SQL_BAYES_RATING).fetchdf().set_index("p_brand")
     assert want["bayes_rate"].to_dict() == out["bayes_rate"].to_dict()
+
+
+# -------------------------------------------------------- target_encode
+def test_target_encode_loo_excludes_self(ray_session, tmp_path):
+    """With type A = {100, 200, 300}¢ the row holding 100 encodes
+    (200+300)/2 = 250 — its own value never contributes; a singleton
+    type encodes NULL."""
+    rows = [(0, 10, 1, "A", 1.00), (1, 11, 1, "A", 2.00),
+            (2, 12, 1, "A", 3.00), (3, 13, 1, "B", 7.77)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_target_encode(sf).to_pandas().set_index("event_id")
+    assert out.loc[0, "loo_enc"] == 250.0
+    assert out.loc[1, "loo_enc"] == 200.0
+    assert out.loc[2, "loo_enc"] == 150.0
+    assert np.isnan(out.loc[3, "loo_enc"])
+    want = _oracle(sf, Q._SQL_TARGET_ENCODE).set_index("event_id")
+    assert want.loc[0, "loo_enc"] == 250.0
+    assert np.isnan(want.loc[3, "loo_enc"])
+
+
+# --------------------------------------------------------- max_drawdown
+def test_max_drawdown_peak_to_trough(ray_session, tmp_path):
+    """Flows +500, −300, +100, −400 (purchase/other/purchase/other)
+    peak at 500 and trough at −100: max drawdown 600. A
+    purchases-only user draws down 0."""
+    rows = [(0, 10, 1, "purchase", 5.00), (1, 20, 1, "view", 3.00),
+            (2, 30, 1, "purchase", 1.00), (3, 40, 1, "error", 4.00),
+            (4, 10, 2, "purchase", 9.00), (5, 20, 2, "purchase", 1.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_max_drawdown(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert out["max_drawdown"].tolist() == [600, 0]
+    assert out["net_cents"].tolist() == [-100, 1000]
+    want = (_oracle(sf, Q._SQL_MAX_DRAWDOWN)
+            .sort_values("user_id", ignore_index=True))
+    assert want["max_drawdown"].tolist() == [600, 0]
+
+
+# ------------------------------------------------------ dow_seasonality
+def test_dow_seasonality_flat_and_spiked(ray_session, tmp_path):
+    """One event on each of 7 consecutive days reads factor 1.0 in
+    every cell; a type with all events on one dow reads 7.0 there."""
+    day = 86_400_000_000
+    rows = ([(i, i * day + 5, 1, "flat", 1.0) for i in range(7)] +
+            [(100 + i, (7 * (i + 1)) * day + 5, 1, "spike", 1.0)
+             for i in range(3)])
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_dow_seasonality(sf).to_pandas()
+    flat = out[out["event_type"] == "flat"]
+    assert sorted(flat["dow"].tolist()) == list(range(7))
+    assert (flat["factor"] == 1.0).all()
+    spike = out[out["event_type"] == "spike"]
+    assert len(spike) == 1 and spike["factor"].iloc[0] == 7.0
+    assert spike["dow"].iloc[0] == 0
+    want = _oracle(sf, Q._SQL_DOW_SEASONALITY)
+    ws = want[want["event_type"] == "spike"]
+    assert ws["factor"].iloc[0] == 7.0
