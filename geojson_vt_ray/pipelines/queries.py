@@ -11663,6 +11663,199 @@ _SQL_DOW_SEASONALITY = (
     "FROM h JOIN t ON h.event_type = t.event_type")
 
 
+def q_latency_buckets(sf_dir: str):
+    """HDR-histogram-style latency profile per event type: values
+    (cents ≥ 1) drop into log₂ buckets and the report is each type's
+    p50/p95/p99 BUCKET (smallest bucket whose cumulative count reaches
+    ⌈q·n⌉) plus the max bucket — the constant-memory way latency SLOs
+    are monitored (exact bucket ranks, never a sampled percentile).
+
+    Exactness: bucket = floor(log2(cents)) is exact for int inputs
+    (log2 of an int64 is correctly rounded in both engines, and floor
+    is only boundary-sensitive at exact powers of two where log2 IS
+    exact); ranks use pure integer ⌈q·n⌉ = (n·q + 99) // 100.
+
+    Shape for scale: (type, bucket) count partials → one ~64·types
+    bounded groupby → per-type map_groups cumsum fold."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        keep = v >= 1
+        v, ty = v[keep], ty[keep]
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        bkt = np.floor(np.log2(v)).astype(np.int64)
+        ut, inv = np.unique(ty, return_inverse=True)
+        key = inv.astype(np.int64) * 128 + bkt
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk // 128], pa.string()),
+            "b": pa.array((uk % 128).astype(np.int64)),
+            "c": pa.array(c.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(g["b"].to_numpy(np.int64), kind="stable")
+        b = g["b"].to_numpy(np.int64)[order]
+        c = g["c"].to_numpy(np.int64)[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def rank_bucket(q):
+            r = (n * q + 99) // 100
+            return int(b[np.searchsorted(cum, r)])
+
+        return pa.table({
+            "event_type": pa.array([g["event_type"].iat[0]],
+                                   pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "p50_bucket": pa.array([rank_bucket(50)], pa.int64()),
+            "p95_bucket": pa.array([rank_bucket(95)], pa.int64()),
+            "p99_bucket": pa.array([rank_bucket(99)], pa.int64()),
+            "max_bucket": pa.array([int(b[-1])], pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "b"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("event_type")
+            .map_groups(fold, batch_format="pandas"))
+
+
+_SQL_LATENCY_BUCKETS = (
+    "WITH c0 AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+    "c AS (SELECT * FROM c0 WHERE cents >= 1), "
+    "h AS (SELECT event_type, "
+    "CAST(floor(log2(cents)) AS BIGINT) AS b, COUNT(*) AS c "
+    "FROM c GROUP BY 1, 2), "
+    "t AS (SELECT event_type, SUM(c) AS n FROM h GROUP BY 1), "
+    "w AS (SELECT h.event_type, h.b, "
+    "SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.b) AS cum, "
+    "t.n FROM h JOIN t ON h.event_type = t.event_type) "
+    "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
+    "CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN b END) "
+    "AS BIGINT) AS p50_bucket, "
+    "CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN b END) "
+    "AS BIGINT) AS p95_bucket, "
+    "CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN b END) "
+    "AS BIGINT) AS p99_bucket, "
+    "CAST(MAX(b) AS BIGINT) AS max_bucket FROM w GROUP BY event_type")
+
+
+_KANON_K = 5
+_KANON_LEN_BUCKET = 100
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit of the corpus metadata: treating (lang,
+    source, n_chars//100) as the quasi-identifier tuple, report every
+    equivalence class with fewer than k=5 members — the cells where a
+    released dataset would re-identify individuals — with its exact
+    size. The privacy-compliance gate that runs before any metadata
+    release.
+
+    Shape for scale: stateless quasi-id count partials → one bounded
+    groupby (langs × sources × length buckets) → size filter. Nothing
+    row-sized survives the first stage."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = np.asarray(b.column("lang").to_pylist())
+        src = np.asarray(b.column("source").to_pylist())
+        lb = (b.column("n_chars").to_numpy(zero_copy_only=False)
+              // _KANON_LEN_BUCKET).astype(np.int64)
+        if len(lang) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "len_bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ul, li = np.unique(lang, return_inverse=True)
+        us, si = np.unique(src, return_inverse=True)
+        key = (li.astype(np.int64) * len(us) + si) * 100_000 + lb
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(ul[uk // 100_000 // len(us)], pa.string()),
+            "source": pa.array(us[(uk // 100_000) % len(us)],
+                               pa.string()),
+            "len_bucket": pa.array((uk % 100_000).astype(np.int64)),
+            "n": pa.array(c.astype(np.int64))})
+
+    ds = (_read_pq(f"{sf_dir}/documents.parquet",
+                   columns=["lang", "source", "n_chars"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["lang", "source", "len_bucket"])
+          .aggregate(Sum("n", alias_name="n")))
+    return ds.filter(expr=f"n < {_KANON_K}")
+
+
+_SQL_K_ANONYMITY = (
+    "WITH q AS (SELECT lang, source, "
+    f"n_chars // {_KANON_LEN_BUCKET} AS len_bucket FROM documents), "
+    "g AS (SELECT lang, source, CAST(len_bucket AS BIGINT) "
+    "AS len_bucket, COUNT(*) AS n FROM q GROUP BY 1, 2, 3) "
+    "SELECT lang, source, len_bucket, CAST(n AS BIGINT) AS n "
+    f"FROM g WHERE n < {_KANON_K}")
+
+
+def q_survivorship_merge(sf_dir: str):
+    """Entity-resolution survivorship over blocking keys: documents
+    block on their first three normalized tokens (the classic
+    title-prefix blocking key) and every block with ≥ 2 members merges
+    into ONE survivor record using standard survivorship rules —
+    keeper = min doc_id, max/min char lengths across the block,
+    first_source = lexicographically smallest source. The
+    block-then-merge core of record linkage.
+
+    Shape for scale: the shuffle carries (block_key, id, n_chars,
+    source) tuples, never text; all survivorship rules are mergeable
+    aggregates (Min/Max/Sum) so the groupby pre-combines inside each
+    block."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(b.column("text")), r"\s+", " "))
+        key = pc.struct_field(
+            pc.extract_regex(t, r"(?P<k>^\S+(?: \S+){0,2})"), "k")
+        return pa.table({
+            "block_key": key,
+            "doc_id": b.column("doc_id"),
+            "n_chars": b.column("n_chars"),
+            "source": b.column("source"),
+            "one": pa.array(np.ones(len(b), np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "n_chars", "source"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("block_key")
+           .aggregate(Min("doc_id", alias_name="keeper_id"),
+                      Sum("one", alias_name="n_dups"),
+                      Max("n_chars", alias_name="max_chars"),
+                      Min("n_chars", alias_name="min_chars"),
+                      Min("source", alias_name="first_source")))
+    return agg.filter(expr="n_dups >= 2")
+
+
+_SQL_SURVIVORSHIP_MERGE = (
+    "WITH n AS (SELECT doc_id, source, n_chars, "
+    "regexp_extract(trim(regexp_replace(lower(text), '\\s+', ' ', "
+    "'g')), '^\\S+(?: \\S+){0,2}', 0) AS block_key FROM documents), "
+    "g AS (SELECT block_key, MIN(doc_id) AS keeper_id, "
+    "COUNT(*) AS n_dups, MAX(n_chars) AS max_chars, "
+    "MIN(n_chars) AS min_chars, MIN(source) AS first_source "
+    "FROM n GROUP BY 1) "
+    "SELECT block_key, keeper_id, CAST(n_dups AS BIGINT) AS n_dups, "
+    "CAST(max_chars AS BIGINT) AS max_chars, "
+    "CAST(min_chars AS BIGINT) AS min_chars, first_source "
+    "FROM g WHERE n_dups >= 2")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -11864,6 +12057,9 @@ QUERIES = {
     "target_encode": q_target_encode,
     "max_drawdown": q_max_drawdown,
     "dow_seasonality": q_dow_seasonality,
+    "latency_buckets": q_latency_buckets,
+    "k_anonymity": q_k_anonymity,
+    "survivorship_merge": q_survivorship_merge,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -12114,6 +12310,9 @@ ORACLE_SQL.update({
     "target_encode": _SQL_TARGET_ENCODE,
     "max_drawdown": _SQL_MAX_DRAWDOWN,
     "dow_seasonality": _SQL_DOW_SEASONALITY,
+    "latency_buckets": _SQL_LATENCY_BUCKETS,
+    "k_anonymity": _SQL_K_ANONYMITY,
+    "survivorship_merge": _SQL_SURVIVORSHIP_MERGE,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -475,3 +475,72 @@ def test_dow_seasonality_flat_and_spiked(ray_session, tmp_path):
     want = _oracle(sf, Q._SQL_DOW_SEASONALITY)
     ws = want[want["event_type"] == "spike"]
     assert ws["factor"].iloc[0] == 7.0
+
+
+# ------------------------------------------------------ latency_buckets
+def test_latency_buckets_powers_of_two(ray_session, tmp_path):
+    """Cents 1,2,4,8 land in buckets 0,1,2,3 (power-of-two boundaries
+    are exact); with 4 rows p50 rank=2 -> bucket 1, p99 rank=4 ->
+    bucket 3; cents 0 rows are excluded."""
+    rows = [(0, 10, 1, "v", 0.01), (1, 11, 1, "v", 0.02),
+            (2, 12, 1, "v", 0.04), (3, 13, 1, "v", 0.08),
+            (4, 14, 1, "v", 0.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_latency_buckets(sf).to_pandas().set_index("event_type")
+    assert out.loc["v", "n"] == 4
+    assert out.loc["v", "p50_bucket"] == 1
+    assert out.loc["v", "p99_bucket"] == 3
+    assert out.loc["v", "max_bucket"] == 3
+    want = _oracle(sf, Q._SQL_LATENCY_BUCKETS).set_index("event_type")
+    assert want.loc["v", "p50_bucket"] == 1
+    assert want.loc["v", "max_bucket"] == 3
+
+
+# ---------------------------------------------------------- k_anonymity
+def test_k_anonymity_flags_small_cells_only(ray_session, tmp_path):
+    """A quasi-id cell with 5 members passes (k=5); cells with 1 and
+    4 members are flagged with their exact sizes."""
+    rows = ([(i, "x" * 150, "en") for i in range(5)] +       # safe cell
+            [(10 + i, "y" * 150, "fr") for i in range(4)] +  # flagged 4
+            [(20, "z" * 950, "en")])                         # flagged 1
+    sf = _write(tmp_path, "documents", _docs(rows))
+    out = Q.q_k_anonymity(sf).to_pandas()
+    flagged = {(r.lang, r.len_bucket): r.n for r in out.itertuples()}
+    assert (("fr", 1) in flagged and flagged[("fr", 1)] == 4)
+    assert (("en", 9) in flagged and flagged[("en", 9)] == 1)
+    assert ("en", 1) not in flagged
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_K_ANONYMITY).fetchdf()
+    assert len(want) == len(out)
+
+
+# --------------------------------------------------- survivorship_merge
+def test_survivorship_merge_block_rules(ray_session, tmp_path):
+    """Docs sharing their first three normalized tokens merge: keeper
+    is min doc_id, char bounds span the block, first_source is the
+    lexicographic min; blocks of one never emit."""
+    rows = [(5, "Alpha  Beta Gamma delta", "en"),
+            (2, "alpha beta  gamma EPSILON zeta", "fr"),
+            (9, "omega psi chi", "de")]
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["srcB", "srcA", "srcC"], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    out = Q.q_survivorship_merge(sf).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["block_key"] == "alpha beta gamma"
+    assert r["keeper_id"] == 2 and r["n_dups"] == 2
+    assert r["min_chars"] == 23 and r["max_chars"] == 30
+    assert r["first_source"] == "srcA"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_SURVIVORSHIP_MERGE).fetchdf()
+    assert want.iloc[0]["keeper_id"] == 2
+    assert want.iloc[0]["first_source"] == "srcA"
