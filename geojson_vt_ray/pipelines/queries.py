@@ -10221,12 +10221,14 @@ def q_concurrent_sessions(sf_dir: str):
     and "first instant at peak" is a well-defined distinct timestamp.
 
     Shape for scale: blocks collapse to (type, user) min/max partials;
-    one bounded groupby produces the interval table (users × types
-    rows); the sweep itself runs distributed in map_groups, one group
-    per event type, each a single np.unique + cumsum over that type's
-    interval endpoints (fits a worker up to ~1e8 users/type — the
-    driver never sees per-user data)."""
-    from ray.data.aggregate import Max, Min
+    ONE crc-coarse user-bucket shuffle merges each user's partials
+    (never a groupby on the 1e5+-cardinality (type, user) key — Ray's
+    per-tiny-group overhead is ruinous there) and collapses the
+    bucket's intervals to per-(type, timestamp) delta partials; the
+    final sweep is one map_groups per event type over delta rows —
+    distinct-endpoint-sized, not user-sized."""
+
+    mask = _coarse_mask()
 
     def partial(b: pa.Table) -> pa.Table:
         ts = b.column("ts").cast(pa.int64()).to_numpy(
@@ -10236,6 +10238,7 @@ def q_concurrent_sessions(sf_dir: str):
         if len(ty) == 0:
             return pa.table({"event_type": pa.array([], pa.string()),
                              "user_id": pa.array([], pa.int64()),
+                             "pkey": pa.array([], pa.int32()),
                              "s": pa.array([], pa.int64()),
                              "e": pa.array([], pa.int64())})
         ut, inv = np.unique(ty, return_inverse=True)
@@ -10249,15 +10252,47 @@ def q_concurrent_sessions(sf_dir: str):
         return pa.table({
             "event_type": pa.array(ut[inv[fi]], pa.string()),
             "user_id": pa.array(uid[fi], pa.int64()),
+            "pkey": pa.array((uid[fi] & mask).astype(np.int32)),
             "s": pa.array(lo, pa.int64()),
             "e": pa.array(hi, pa.int64())})
 
-    def sweep(g: pd.DataFrame) -> pa.Table:
+    def bucket_deltas(g: pd.DataFrame) -> pa.Table:
+        # merge each (type, user)'s cross-batch partials, then
+        # collapse the bucket's intervals to (type, t, dsum, istart)
+        # delta partials — every user lives in exactly one bucket
+        ty = g["event_type"].to_numpy()
+        ut, inv = np.unique(ty, return_inverse=True)
+        uid = g["user_id"].to_numpy(np.int64)
         s = g["s"].to_numpy(np.int64)
-        e = g["e"].to_numpy(np.int64) + 1
+        e = g["e"].to_numpy(np.int64)
+        order = np.lexsort((uid, inv))
+        inv, uid, s, e = inv[order], uid[order], s[order], e[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (uid[1:] != uid[:-1])])
+        s = np.minimum.reduceat(s, fi)
+        e = np.maximum.reduceat(e, fi) + 1
+        tyi = inv[fi]
         t = np.concatenate([s, e])
         d = np.concatenate([np.ones(len(s), np.int64),
                             np.full(len(e), -1, np.int64)])
+        ist = np.concatenate([np.ones(len(s), np.int64),
+                              np.zeros(len(e), np.int64)])
+        tyi2 = np.concatenate([tyi, tyi])
+        order2 = np.lexsort((t, tyi2))
+        tyi2, t, d, ist = (tyi2[order2], t[order2], d[order2],
+                           ist[order2])
+        fj = np.flatnonzero(np.r_[True, (tyi2[1:] != tyi2[:-1]) |
+                                  (t[1:] != t[:-1])])
+        return pa.table({
+            "event_type": pa.array(ut[tyi2[fj]], pa.string()),
+            "t": pa.array(t[fj], pa.int64()),
+            "dsum": pa.array(np.add.reduceat(d, fj)),
+            "istart": pa.array(np.add.reduceat(ist, fj))})
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        t = g["t"].to_numpy(np.int64)
+        d = g["dsum"].to_numpy(np.int64)
+        ic = g["istart"].to_numpy(np.int64)
         ut, inv = np.unique(t, return_inverse=True)
         dsum = np.zeros(len(ut), np.int64)
         np.add.at(dsum, inv, d)
@@ -10266,15 +10301,15 @@ def q_concurrent_sessions(sf_dir: str):
         first = int(ut[int(np.argmax(conc))])     # first index at max
         return pa.table({
             "event_type": pa.array([g["event_type"].iat[0]], pa.string()),
-            "n_intervals": pa.array([len(s)], pa.int64()),
+            "n_intervals": pa.array([int(ic.sum())], pa.int64()),
             "max_concurrent": pa.array([peak], pa.int64()),
             "first_ts": pa.array([first], pa.int64())})
 
     return (_read_pq(f"{sf_dir}/events.parquet",
                      columns=["event_type", "user_id", "ts"])
             .map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "user_id"])
-            .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+            .groupby("pkey")
+            .map_groups(bucket_deltas, batch_format="pandas")
             .groupby("event_type")
             .map_groups(sweep, batch_format="pandas"))
 
