@@ -11891,6 +11891,328 @@ _SQL_SURVIVORSHIP_MERGE = (
     "FROM g WHERE n_dups >= 2")
 
 
+def q_traj_turns(sf_dir: str):
+    """Turn-direction profile of each user's trajectory: every interior
+    point of the (ts, event_id)-ordered path classifies by the sign of
+    the cross product (p₁−p₀)×(p₂−p₁) — left (+), right (−), straight
+    (0) — the heading-change primitive of movement analytics, computed
+    without a single float (no atan2, no degrees).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle (the
+    trajectory_len contract); per bucket a single lexsort + two
+    shifted-array cross products; users with < 3 events emit nothing,
+    matching the oracle's LAG NULL semantics."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(ev, pa.int64()),
+            "x": pa.array(ev % 3600, pa.int64()),
+            "y": pa.array(ev % 1600, pa.int64())})
+
+    def turns(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        x = g["x"].to_numpy(np.int64)[order]
+        y = g["y"].to_numpy(np.int64)[order]
+        if len(uid) < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_left": pa.array([], pa.int64()),
+                             "n_right": pa.array([], pa.int64()),
+                             "n_straight": pa.array([], pa.int64())})
+        # interior points: i with i-2, i-1 in the same user run
+        same2 = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        v1x, v1y = x[1:-1] - x[:-2], y[1:-1] - y[:-2]
+        v2x, v2y = x[2:] - x[1:-1], y[2:] - y[1:-1]
+        cr = (v1x * v2y - v1y * v2x)
+        mid_uid = uid[1:-1][same2]
+        cr = cr[same2]
+        if len(cr) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_left": pa.array([], pa.int64()),
+                             "n_right": pa.array([], pa.int64()),
+                             "n_straight": pa.array([], pa.int64())})
+        fi = np.flatnonzero(np.r_[True, mid_uid[1:] != mid_uid[:-1]])
+        left = np.add.reduceat((cr > 0).astype(np.int64), fi)
+        right = np.add.reduceat((cr < 0).astype(np.int64), fi)
+        straight = np.add.reduceat((cr == 0).astype(np.int64), fi)
+        return pa.table({"user_id": pa.array(mid_uid[fi], pa.int64()),
+                         "n_left": pa.array(left),
+                         "n_right": pa.array(right),
+                         "n_straight": pa.array(straight)})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(turns, batch_format="pandas"))
+
+
+_SQL_TRAJ_TURNS = (
+    "WITH e AS (SELECT user_id, ts, event_id, "
+    "event_id % 3600 AS x, event_id % 1600 AS y FROM events), "
+    "o AS (SELECT user_id, x, y, "
+    "LAG(x, 1) OVER w AS x1, LAG(y, 1) OVER w AS y1, "
+    "LAG(x, 2) OVER w AS x2, LAG(y, 2) OVER w AS y2 FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "c AS (SELECT user_id, "
+    "(x1 - x2) * (y - y1) - (y1 - y2) * (x - x1) AS cr FROM o "
+    "WHERE x2 IS NOT NULL) "
+    "SELECT user_id, "
+    "CAST(SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left, "
+    "CAST(SUM(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_right, "
+    "CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_straight FROM c GROUP BY user_id")
+
+
+_AB_CONV_CENTS = 10_000        # conversion: a >= $100 event
+
+
+def q_ab_test_conversion(sf_dir: str):
+    """Two-proportion A/B significance test per event type: users
+    split into arms by parity (the auc_roc label), conversion = an
+    event of ≥ $100; reports each arm's exact counts, the conversion
+    rates, and the pooled two-proportion z statistic — the standard
+    "did arm B convert better?" experiment readout. Degenerate pooled
+    rates (0 or 1) read NULL.
+
+    Exactness: all counts are exact integers; rates and z are
+    shared-shape ROUND-6 float expressions.
+
+    Shape for scale: stateless (type, arm, n, k) partials → one
+    2·types-bounded groupby → fixed-size driver finish."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        conv = (v >= _AB_CONV_CENTS).astype(np.int64)
+        arm = (b.column("user_id").to_numpy(zero_copy_only=False)
+               % 2).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "arm": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        key = inv.astype(np.int64) * 2 + arm
+        uk, idx = np.unique(key, return_inverse=True)
+        n = np.bincount(idx).astype(np.int64)
+        k = np.zeros(len(uk), np.int64)
+        np.add.at(k, idx, conv)
+        return pa.table({"event_type": pa.array(ut[uk // 2], pa.string()),
+                         "arm": pa.array((uk % 2).astype(np.int64)),
+                         "n": pa.array(n), "k": pa.array(k)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "arm"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("k", alias_name="k"))
+           .to_pandas())                          # 2·types-row
+    out = {"event_type": [], "n_a": [], "k_a": [], "n_b": [],
+           "k_b": [], "rate_a": [], "rate_b": [], "z_stat": []}
+    for ty, sub in agg.groupby("event_type", sort=True):
+        d = {int(a): (int(n), int(k))
+             for a, n, k in zip(sub["arm"], sub["n"], sub["k"])}
+        na, ka = d.get(0, (0, 0))
+        nb, kb = d.get(1, (0, 0))
+        ra = np.round(float(ka) / na, 6) if na else float("nan")
+        rb = np.round(float(kb) / nb, 6) if nb else float("nan")
+        z = float("nan")
+        if na and nb:
+            p = float(ka + kb) / (na + nb)
+            if 0.0 < p < 1.0:
+                z = float(np.round(
+                    (float(kb) / nb - float(ka) / na) /
+                    np.sqrt(p * (1.0 - p) *
+                            (1.0 / na + 1.0 / nb)), 6))
+        out["event_type"].append(ty)
+        out["n_a"].append(na)
+        out["k_a"].append(ka)
+        out["n_b"].append(nb)
+        out["k_b"].append(kb)
+        out["rate_a"].append(float(ra))
+        out["rate_b"].append(float(rb))
+        out["z_stat"].append(z)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "k_a": pa.array(out["k_a"], pa.int64()),
+        "n_b": pa.array(out["n_b"], pa.int64()),
+        "k_b": pa.array(out["k_b"], pa.int64()),
+        "rate_a": pa.array(out["rate_a"], pa.float64()),
+        "rate_b": pa.array(out["rate_b"], pa.float64()),
+        "z_stat": pa.array(out["z_stat"], pa.float64())})
+
+
+_SQL_AB_TEST = (
+    "WITH c AS (SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm, "
+    f"CASE WHEN CAST(ROUND(value * 100) AS BIGINT) >= {_AB_CONV_CENTS} "
+    "THEN 1 ELSE 0 END AS conv FROM events), "
+    "g AS (SELECT event_type, arm, COUNT(*) AS n, SUM(conv) AS k "
+    "FROM c GROUP BY 1, 2), "
+    "p AS (SELECT event_type, "
+    "MAX(CASE WHEN arm = 0 THEN n END) AS n_a, "
+    "MAX(CASE WHEN arm = 0 THEN k END) AS k_a, "
+    "MAX(CASE WHEN arm = 1 THEN n END) AS n_b, "
+    "MAX(CASE WHEN arm = 1 THEN k END) AS k_b FROM g GROUP BY 1), "
+    "z AS (SELECT *, CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pool "
+    "FROM p) "
+    "SELECT event_type, CAST(n_a AS BIGINT) AS n_a, "
+    "CAST(k_a AS BIGINT) AS k_a, CAST(n_b AS BIGINT) AS n_b, "
+    "CAST(k_b AS BIGINT) AS k_b, "
+    "ROUND(CAST(k_a AS DOUBLE) / n_a, 6) AS rate_a, "
+    "ROUND(CAST(k_b AS DOUBLE) / n_b, 6) AS rate_b, "
+    "CASE WHEN pool > 0 AND pool < 1 THEN "
+    "ROUND((CAST(k_b AS DOUBLE) / n_b - CAST(k_a AS DOUBLE) / n_a) / "
+    "sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)), 6) "
+    "ELSE NULL END AS z_stat FROM z")
+
+
+def q_emd_drift(sf_dir: str):
+    """Earth-mover (1-D Wasserstein) distance between the even-day and
+    odd-day value distributions over the calibration score bins — the
+    integral counterpart of ks_drift's max statistic: EMD =
+    Σ_boundaries |CDF_a − CDF_b| · gap. Cross-multiplied to the exact
+    integer Σ |cum_a·t_b − cum_b·t_a| · gap before the single ROUND-6
+    normalization by t_a·t_b.
+
+    Shape for scale: the same (bin, n_a, n_b) bounded partials as
+    psi_drift; the cumulative fold runs on the aggregate-sized bin
+    table on the driver — fixed-size."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        sbin = cents // _CAL_BIN_CENTS
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        isb = (day % 2).astype(np.int64)
+        ub, inv = np.unique(sbin, return_inverse=True)
+        nb_ = np.zeros(len(ub), np.int64)
+        np.add.at(nb_, inv, isb)
+        na_ = np.bincount(inv).astype(np.int64) - nb_
+        return pa.table({"score_bin": pa.array(ub, pa.int64()),
+                         "n_a": pa.array(na_), "n_b": pa.array(nb_)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["ts", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("score_bin")
+           .aggregate(Sum("n_a", alias_name="n_a"),
+                      Sum("n_b", alias_name="n_b"))
+           .to_pandas()
+           .sort_values("score_bin", ignore_index=True))  # bin-bounded
+    sb = agg["score_bin"].to_numpy(np.int64)
+    ca = np.cumsum(agg["n_a"].to_numpy(np.int64))
+    cb = np.cumsum(agg["n_b"].to_numpy(np.int64))
+    ta, tb = int(ca[-1]), int(cb[-1])
+    gap = np.diff(sb)                  # distance to the next bin
+    # Python-int fold over the bin-bounded table: cum·total products
+    # overflow int64 long before they trouble arbitrary precision
+    emd_scaled = sum(abs(int(a) * tb - int(b) * ta) * int(g)
+                     for a, b, g in zip(ca[:-1], cb[:-1], gap))
+    emd = (np.round(float(emd_scaled) / (float(ta) * tb), 6)
+           if ta and tb else float("nan"))
+    return pa.table({
+        "n_a": pa.array([ta], pa.int64()),
+        "n_b": pa.array([tb], pa.int64()),
+        "emd_scaled": pa.array([emd_scaled], pa.int64()),
+        "emd": pa.array([emd], pa.float64())})
+
+
+_SQL_EMD_DRIFT = (
+    "WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) "
+    f"// {_CAL_BIN_CENTS} AS score_bin, "
+    "(epoch_us(ts) // 86400000000) % 2 AS isb FROM events), "
+    "h AS (SELECT score_bin, "
+    "SUM(CASE WHEN isb = 0 THEN 1 ELSE 0 END) AS n_a, "
+    "SUM(CASE WHEN isb = 1 THEN 1 ELSE 0 END) AS n_b "
+    "FROM c GROUP BY 1), "
+    "w AS (SELECT score_bin, "
+    "SUM(n_a) OVER (ORDER BY score_bin) AS ca, "
+    "SUM(n_b) OVER (ORDER BY score_bin) AS cb, "
+    "LEAD(score_bin) OVER (ORDER BY score_bin) AS nxt FROM h), "
+    "t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM h), "
+    "s AS (SELECT COALESCE(SUM(ABS(ca * t.tb - cb * t.ta) * "
+    "(nxt - score_bin)), 0) AS emd_scaled FROM w, t "
+    "WHERE nxt IS NOT NULL) "
+    "SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b, "
+    "CAST(s.emd_scaled AS BIGINT) AS emd_scaled, "
+    "ROUND(CAST(s.emd_scaled AS DOUBLE) / "
+    "(CAST(t.ta AS DOUBLE) * t.tb), 6) AS emd FROM s, t")
+
+
+_DIVERSE_K = 10
+
+
+def q_diverse_topk(sf_dir: str):
+    """Diversity-constrained selection: the corpus's top 10 documents
+    by length, subject to AT MOST ONE document per source — the
+    dedup-aware "best exemplars" pick of curation UIs (a plain top-k
+    would fill with one dominant source). Per-source champion =
+    longest text, ties to the smaller doc_id; final ranking the same
+    rule.
+
+    Shape for scale: per-batch per-source champion partials (sources
+    are enumerable — the source_caps contract) → one sources-bounded
+    groupby → driver top-k over the sources-row table."""
+    from ray.data.aggregate import Max
+
+    def champ(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source").to_pylist())
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "rank_key": pa.array([], pa.int64())})
+        us, inv = np.unique(src, return_inverse=True)
+        # champion rule packed into ONE orderable int64:
+        # maximize n_chars, then minimize doc_id -> key =
+        # n_chars * 2^40 + (2^40 - 1 - doc_id)  (doc_id < 2^40)
+        key = nc.astype(np.int64) * (1 << 40) + ((1 << 40) - 1 - did)
+        best = np.full(len(us), -1, np.int64)
+        np.maximum.at(best, inv, key)
+        return pa.table({"source": pa.array(us, pa.string()),
+                         "rank_key": pa.array(best)})
+
+    agg = (_read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "n_chars"])
+           .map_batches(champ, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Max("rank_key", alias_name="rank_key"))
+           .to_pandas())                          # sources-row
+    key = agg["rank_key"].to_numpy(np.int64)
+    nc = key >> 40
+    did = (1 << 40) - 1 - (key & ((1 << 40) - 1))
+    order = np.lexsort((did, -nc))[:_DIVERSE_K]
+    return pa.table({
+        "doc_id": pa.array(did[order], pa.int64()),
+        "source": pa.array(agg["source"].to_numpy()[order], pa.string()),
+        "n_chars": pa.array(nc[order], pa.int64())})
+
+
+_SQL_DIVERSE_TOPK = (
+    "WITH r AS (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER "
+    "(PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn "
+    "FROM documents) "
+    "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars "
+    "FROM r WHERE rn = 1 "
+    f"ORDER BY n_chars DESC, doc_id ASC LIMIT {_DIVERSE_K}")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -12095,6 +12417,10 @@ QUERIES = {
     "latency_buckets": q_latency_buckets,
     "k_anonymity": q_k_anonymity,
     "survivorship_merge": q_survivorship_merge,
+    "traj_turns": q_traj_turns,
+    "ab_test_conversion": q_ab_test_conversion,
+    "emd_drift": q_emd_drift,
+    "diverse_topk": q_diverse_topk,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -12348,6 +12674,10 @@ ORACLE_SQL.update({
     "latency_buckets": _SQL_LATENCY_BUCKETS,
     "k_anonymity": _SQL_K_ANONYMITY,
     "survivorship_merge": _SQL_SURVIVORSHIP_MERGE,
+    "traj_turns": _SQL_TRAJ_TURNS,
+    "ab_test_conversion": _SQL_AB_TEST,
+    "emd_drift": _SQL_EMD_DRIFT,
+    "diverse_topk": _SQL_DIVERSE_TOPK,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -544,3 +544,92 @@ def test_survivorship_merge_block_rules(ray_session, tmp_path):
     want = con.execute(Q._SQL_SURVIVORSHIP_MERGE).fetchdf()
     assert want.iloc[0]["keeper_id"] == 2
     assert want.iloc[0]["first_source"] == "srcA"
+
+
+# ----------------------------------------------------------- traj_turns
+def test_traj_turns_left_right_straight(ray_session, tmp_path):
+    """Path (0,0)->(100,100)->(200,200)->(300,200): first interior
+    point is straight (collinear), second turns right (cross < 0); a
+    2-event user emits nothing."""
+    rows = [(0, 10, 1), (100, 20, 1), (200, 30, 1), (1800, 40, 1),
+            (5, 10, 2), (7, 20, 2)]
+    # id 1800 -> (1800, 200): from (200,200) the heading drops to
+    # horizontal => cross = (100)*(0) - (100)*(1600) < 0 (right)
+    ev = _events([(r[0], r[1], r[2], "view", 1.0) for r in rows])
+    sf = _write(tmp_path, "events", ev)
+    out = Q.q_traj_turns(sf).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    assert out["n_straight"].tolist() == [1]
+    assert out["n_right"].tolist() == [1]
+    assert out["n_left"].tolist() == [0]
+    want = _oracle(sf, Q._SQL_TRAJ_TURNS)
+    assert want.values.tolist() == out.values.tolist()
+
+
+# --------------------------------------------------- ab_test_conversion
+def test_ab_test_known_z(ray_session, tmp_path):
+    """Arm A (even users) converts 1/4, arm B (odd) 3/4: pooled p=0.5,
+    z = (0.75-0.25)/sqrt(0.25*(1/4+1/4)) = +1.414214. All-convert
+    pooled rate 1 reads NULL."""
+    rows = ([(i, 10 + i, 2, "t", 150.00 if i == 0 else 1.00)
+             for i in range(4)] +          # arm A: 1 of 4 converts
+            [(10 + i, 20 + i, 3, "t", 1.00 if i == 0 else 150.00)
+             for i in range(4)] +          # arm B: 3 of 4 convert
+            [(20, 30, 2, "all", 200.00), (21, 31, 3, "all", 200.00)])
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_ab_test_conversion(sf).to_pandas().set_index("event_type")
+    assert out.loc["t", "rate_a"] == 0.25 and out.loc["t", "rate_b"] == 0.75
+    assert out.loc["t", "z_stat"] == 1.414214
+    assert np.isnan(out.loc["all", "z_stat"])
+    want = _oracle(sf, Q._SQL_AB_TEST).set_index("event_type")
+    assert want.loc["t", "z_stat"] == 1.414214
+    assert want.loc["all", "z_stat"] is None or \
+        (isinstance(want.loc["all", "z_stat"], float) and
+         np.isnan(want.loc["all", "z_stat"]))
+
+
+# ------------------------------------------------------------ emd_drift
+def test_emd_drift_identical_and_shifted(ray_session, tmp_path):
+    """Identical even/odd-day distributions read EMD 0; shifting every
+    odd-day event one bin up reads EMD = 1 bin exactly."""
+    day = 86_400_000_000
+    rows = (
+        [(i, 0 * day + i, 1, "v", 1.00) for i in range(4)] +
+        [(10 + i, 1 * day + i, 1, "v", 34.00) for i in range(4)])
+    # bins: cents 100 -> bin 0 (period A); 3400 -> bin 1 (period B)
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_emd_drift(sf).to_pandas()
+    assert out["emd"].iloc[0] == 1.0    # full mass moved one bin
+    want = _oracle(sf, Q._SQL_EMD_DRIFT)
+    assert want["emd"].iloc[0] == 1.0
+    # identical distributions
+    rows2 = ([(i, 0 * day + i, 1, "v", 1.00) for i in range(4)] +
+             [(10 + i, 1 * day + i, 1, "v", 1.00) for i in range(4)])
+    sf2 = _write(tmp_path / "b", "events", _events(rows2))
+    out2 = Q.q_emd_drift(sf2).to_pandas()
+    assert out2["emd"].iloc[0] == 0.0
+
+
+# --------------------------------------------------------- diverse_topk
+def test_diverse_topk_one_per_source(ray_session, tmp_path):
+    """A source with the 3 longest docs still contributes exactly one
+    champion; ranking and champion ties resolve to smaller doc_id."""
+    rows = ([(i, "x" * (900 - i), "en") for i in range(3)] +  # src big
+            [(10, "y" * 500, "fr")] +
+            [(20, "z" * 400, "de"), (21, "z" * 400, "de")])
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["big", "big", "big", "mid", "tie", "tie"],
+                           pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    out = Q.q_diverse_topk(sf).to_pandas()
+    assert out["source"].tolist() == ["big", "mid", "tie"]
+    assert out["doc_id"].tolist() == [0, 10, 20]   # ties -> smaller id
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_DIVERSE_TOPK).fetchdf()
+    assert want["doc_id"].tolist() == [0, 10, 20]
