@@ -12213,6 +12213,214 @@ _SQL_DIVERSE_TOPK = (
     f"ORDER BY n_chars DESC, doc_id ASC LIMIT {_DIVERSE_K}")
 
 
+def q_funnel_exclusion(sf_dir: str):
+    """Funnel with an exclusion constraint: a user converts when some
+    purchase has a view BEFORE it with NO error in between — the
+    "A then B without C" sequence predicate that plain funnels can't
+    express (an error resets the journey). Reports, per user, the
+    converted flag and the number of clean conversions.
+
+    Semantics: at each purchase, compare the positions of the last
+    view and last error strictly before it; clean iff a view exists
+    and outranks the error.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
+    lexsort + two running-maximum position arrays (the purchase row is
+    neither a view nor an error, so the inclusive accumulate equals
+    the strictly-before value at purchase positions); output is
+    user-sized."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string())})
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        ty = g["event_type"].to_numpy()[order]
+        n = len(uid)
+        gidx = np.arange(n, dtype=np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        fi = np.flatnonzero(new_user)
+        seg_start = np.repeat(fi, np.diff(np.r_[fi, n]))
+        lv = np.maximum.accumulate(np.where(ty == "view", gidx, -1))
+        le = np.maximum.accumulate(np.where(ty == "error", gidx, -1))
+        # mask positions inherited from a previous user's segment
+        lv = np.where(lv >= seg_start, lv, -1)
+        le = np.where(le >= seg_start, le, -1)
+        clean = ((ty == "purchase") & (lv >= 0) & (lv > le)).astype(
+            np.int64)
+        n_clean = np.add.reduceat(clean, fi)
+        return pa.table({
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "converted": pa.array((n_clean > 0).astype(np.int64)),
+            "n_clean_conversions": pa.array(n_clean.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(scan, batch_format="pandas"))
+
+
+_SQL_FUNNEL_EXCLUSION = (
+    "WITH e AS (SELECT user_id, event_type, ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+    "w AS (SELECT user_id, event_type, "
+    "MAX(CASE WHEN event_type = 'view' THEN rn END) OVER wv AS lv, "
+    "MAX(CASE WHEN event_type = 'error' THEN rn END) OVER wv AS le "
+    "FROM e WINDOW wv AS (PARTITION BY user_id ORDER BY rn "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+    "SELECT user_id, "
+    "CAST(MAX(CASE WHEN event_type = 'purchase' AND lv IS NOT NULL "
+    "AND (le IS NULL OR lv > le) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS converted, "
+    "CAST(SUM(CASE WHEN event_type = 'purchase' AND lv IS NOT NULL "
+    "AND (le IS NULL OR lv > le) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_clean_conversions FROM w GROUP BY user_id")
+
+
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa of the language identifier against the true
+    labels — chance-corrected agreement, the single-number upgrade of
+    raw accuracy when classes are imbalanced. Computed as an EXACT
+    integer ratio: kappa = (trace·N − Σ row_i·col_i) /
+    (N² − Σ row_i·col_i), so the only float is one ROUND-6 division
+    (accuracy likewise trace/N).
+
+    Shape for scale: rides langid_confusion's fused scan (prediction
+    and truth in the same batch, langs²-bounded groupby); the kappa
+    fold runs on the langs²-row table."""
+    conf = q_langid_confusion(sf_dir).to_pandas()
+    tl = conf["true_lang"].to_numpy()
+    pl = conf["pred_lang"].to_numpy()
+    c = conf["n_docs"].to_numpy(np.int64)
+    n = int(c.sum())
+    langs = np.unique(np.concatenate([tl, pl]))
+    li = {l: i for i, l in enumerate(langs)}
+    m = np.zeros((len(langs), len(langs)), np.int64)
+    m[[li[a] for a in tl], [li[b] for b in pl]] = c
+    trace = int(np.trace(m))
+    pe_num = int(np.sum(m.sum(axis=1) * m.sum(axis=0)))
+    acc = np.round(float(trace) / n, 6)
+    den = n * n - pe_num
+    kappa = (np.round(float(trace * n - pe_num) / den, 6)
+             if den else float("nan"))
+    return pa.table({"n_docs": pa.array([n], pa.int64()),
+                     "accuracy": pa.array([float(acc)], pa.float64()),
+                     "kappa": pa.array([float(kappa)], pa.float64())})
+
+
+def _sql_langid_kappa() -> str:
+    import os
+    path = os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "..", "tests", "fixtures", "oracle", "langid.parquet"))
+    return (
+        "WITH m AS (SELECT d.lang AS t, f.pred_lang AS p, "
+        "COUNT(*) AS c FROM documents d "
+        f"JOIN (SELECT doc_id, pred_lang FROM read_parquet('{path}') "
+        "WHERE n_events = (SELECT COUNT(*) FROM events)) f "
+        "ON d.doc_id = f.doc_id GROUP BY 1, 2), "
+        "n AS (SELECT SUM(c) AS n FROM m), "
+        "tr AS (SELECT COALESCE(SUM(c), 0) AS tr FROM m WHERE t = p), "
+        "rt AS (SELECT t AS l, SUM(c) AS r FROM m GROUP BY 1), "
+        "ct AS (SELECT p AS l, SUM(c) AS col FROM m GROUP BY 1), "
+        "pe AS (SELECT COALESCE(SUM(rt.r * ct.col), 0) AS pe_num "
+        "FROM rt JOIN ct ON rt.l = ct.l) "
+        "SELECT CAST(n.n AS BIGINT) AS n_docs, "
+        "ROUND(CAST(tr.tr AS DOUBLE) / n.n, 6) AS accuracy, "
+        "ROUND(CAST(tr.tr * n.n - pe.pe_num AS DOUBLE) / "
+        "(n.n * n.n - pe.pe_num), 6) AS kappa FROM n, tr, pe")
+
+
+def q_token_budget(sf_dir: str):
+    """Water-filling budget allocation across sources: given a doc
+    budget B = N // 2, find the unique cap level t (largest t with
+    Σ min(c_s, t) ≤ B) and allocate min(c_s, t) docs to each source —
+    the standard fair-share sampling plan of multi-source training
+    mixes (small sources keep everything, large sources cap at a
+    common level). All-integer; allocation never exceeds B and
+    undershoots by < #sources.
+
+    Shape for scale: one sources-bounded count groupby; the cap-level
+    search is a Python-int scan over the sorted sources-row table —
+    both the level and every allocation are exact."""
+    from ray.data.aggregate import Sum
+
+    def cnt(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source").to_pylist())
+        us, c = np.unique(src, return_counts=True)
+        return pa.table({"source": pa.array(us, pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/documents.parquet", columns=["source"])
+           .map_batches(cnt, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("c", alias_name="c"))
+           .to_pandas()
+           .sort_values(["c", "source"], ignore_index=True))
+    c = agg["c"].to_numpy(np.int64)
+    k = len(c)
+    n = int(c.sum())
+    bud = n // 2
+    # find the unique valid saturation point j (0..k): sources 1..j
+    # saturate, the rest cap at t_j = (B - cum_j) // (k - j)
+    cum = 0
+    t = None
+    for j in range(k + 1):
+        if j == k:
+            if cum <= bud:
+                t = int(c[-1]) if k else 0
+            break
+        tj = (bud - cum) // (k - j)
+        cj = int(c[j - 1]) if j else 0
+        if tj >= cj and tj < int(c[j]):
+            t = tj
+            break
+        cum += int(c[j])
+    alloc = np.minimum(c, t)
+    return pa.table({
+        "source": pa.array(agg["source"], pa.string()),
+        "n_docs": pa.array(c),
+        "allocated": pa.array(alloc.astype(np.int64)),
+        "cap_level": pa.array(np.full(k, t, np.int64))})
+
+
+_SQL_TOKEN_BUDGET = (
+    "WITH g AS (SELECT source, COUNT(*) AS c FROM documents "
+    "GROUP BY 1), "
+    "s AS (SELECT source, c, ROW_NUMBER() OVER (ORDER BY c, source) "
+    "AS rn, SUM(c) OVER (ORDER BY c, source) AS cum, "
+    "COUNT(*) OVER () AS k, SUM(c) OVER () AS n FROM g), "
+    "b AS (SELECT MAX(n) // 2 AS bud, MAX(k) AS k, MAX(n) AS n, "
+    "MAX(c) AS cmax FROM s), "
+    # candidate rows: j = 0..k with cum_j, c_j (0 for j=0), c_{j+1}
+    "j0 AS (SELECT 0 AS j, CAST(0 AS HUGEINT) AS cum, "
+    "CAST(0 AS BIGINT) AS cj FROM b "
+    "UNION ALL SELECT rn, cum, c FROM s), "
+    "cand AS (SELECT j0.j, j0.cum, j0.cj, "
+    "(SELECT MIN(c) FROM s WHERE rn = j0.j + 1) AS cnext, "
+    "b.bud, b.k, b.cmax FROM j0, b), "
+    "lvl AS (SELECT CASE WHEN j = k THEN cmax "
+    "ELSE (bud - cum) // (k - j) END AS t FROM cand "
+    "WHERE (j = k AND cum <= bud) OR "
+    "(j < k AND (bud - cum) // (k - j) >= cj "
+    "AND (bud - cum) // (k - j) < cnext)) "
+    "SELECT s.source, CAST(s.c AS BIGINT) AS n_docs, "
+    "CAST(LEAST(s.c, lvl.t) AS BIGINT) AS allocated, "
+    "CAST(lvl.t AS BIGINT) AS cap_level FROM s, lvl")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -12421,6 +12629,9 @@ QUERIES = {
     "ab_test_conversion": q_ab_test_conversion,
     "emd_drift": q_emd_drift,
     "diverse_topk": q_diverse_topk,
+    "funnel_exclusion": q_funnel_exclusion,
+    "langid_kappa": q_langid_kappa,
+    "token_budget": q_token_budget,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -12678,6 +12889,9 @@ ORACLE_SQL.update({
     "ab_test_conversion": _SQL_AB_TEST,
     "emd_drift": _SQL_EMD_DRIFT,
     "diverse_topk": _SQL_DIVERSE_TOPK,
+    "funnel_exclusion": _SQL_FUNNEL_EXCLUSION,
+    "langid_kappa": _sql_langid_kappa(),
+    "token_budget": _SQL_TOKEN_BUDGET,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -633,3 +633,80 @@ def test_diverse_topk_one_per_source(ray_session, tmp_path):
                 f"'{sf}/documents.parquet'")
     want = con.execute(Q._SQL_DIVERSE_TOPK).fetchdf()
     assert want["doc_id"].tolist() == [0, 10, 20]
+
+
+# ----------------------------------------------------- funnel_exclusion
+def test_funnel_exclusion_error_resets(ray_session, tmp_path):
+    """view->purchase converts; view->error->purchase does NOT (the
+    error voids the journey) until a later view re-qualifies it; a
+    purchase with no prior view never counts."""
+    rows = [
+        # user 1: view, purchase -> clean
+        (0, 10, 1, "view", 1), (1, 20, 1, "purchase", 1),
+        # user 2: view, error, purchase -> dirty; then view, purchase
+        (2, 10, 2, "view", 1), (3, 20, 2, "error", 1),
+        (4, 30, 2, "purchase", 1), (5, 40, 2, "view", 1),
+        (6, 50, 2, "purchase", 1),
+        # user 3: purchase only -> no conversion
+        (7, 10, 3, "purchase", 1)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_funnel_exclusion(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert out["converted"].tolist() == [1, 1, 0]
+    assert out["n_clean_conversions"].tolist() == [1, 1, 0]
+    want = (_oracle(sf, Q._SQL_FUNNEL_EXCLUSION)
+            .sort_values("user_id", ignore_index=True))
+    assert want["converted"].tolist() == [1, 1, 0]
+    assert want["n_clean_conversions"].tolist() == [1, 1, 0]
+
+
+# --------------------------------------------------------- langid_kappa
+def test_langid_kappa_perfect_agreement(ray_session, tmp_path):
+    """All-CJK corpus labeled zh predicts zh everywhere: accuracy 1.0
+    and kappa 1.0 (pe < 1 because the formula is the exact integer
+    ratio)."""
+    zh = "一二三四五 这是一个测试"
+    rows = [(i, zh, "zh") for i in range(4)]
+    sf = _write(tmp_path, "documents", _docs(rows))
+    out = Q.q_langid_kappa(sf).to_pandas()
+    assert out["accuracy"].iloc[0] == 1.0
+    # single-class confusion: pe_num = N^2 -> denominator 0 -> NaN
+    assert np.isnan(out["kappa"].iloc[0])
+    # mixed: 2 zh docs predicted zh, 1 en doc predicted zh
+    rows2 = [(0, zh, "zh"), (1, zh, "zh"), (2, zh, "en")]
+    sf2 = _write(tmp_path / "b", "documents", _docs(rows2))
+    out2 = Q.q_langid_kappa(sf2).to_pandas()
+    # trace=2, n=3, pe_num = rowsums(2,1)·colsums(3,0) = 6
+    # kappa = (2*3-6)/(9-6) = 0
+    assert out2["accuracy"].iloc[0] == round(2 / 3, 6)
+    assert out2["kappa"].iloc[0] == 0.0
+
+
+# --------------------------------------------------------- token_budget
+def test_token_budget_waterfill_level(ray_session, tmp_path):
+    """Counts (1, 3, 8), N=12, B=6: level t=2 gives 1+2+2=5 <= 6 and
+    t=3 would need 1+3+3=7 > 6 — small source keeps all, big ones cap
+    at 2."""
+    rows = ([(0, "a", "en")] +
+            [(10 + i, "b", "en") for i in range(3)] +
+            [(20 + i, "c", "en") for i in range(8)])
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s1"] + ["s3"] * 3 + ["s8"] * 8,
+                           pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    out = (Q.q_token_budget(sf).to_pandas()
+           .set_index("source"))
+    assert out["cap_level"].iloc[0] == 2
+    assert out.loc["s1", "allocated"] == 1
+    assert out.loc["s3", "allocated"] == 2
+    assert out.loc["s8", "allocated"] == 2
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_TOKEN_BUDGET).fetchdf().set_index("source")
+    assert want.loc["s8", "allocated"] == 2
+    assert want["cap_level"].iloc[0] == 2
