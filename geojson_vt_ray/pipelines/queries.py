@@ -12421,6 +12421,86 @@ _SQL_TOKEN_BUDGET = (
     "CAST(lvl.t AS BIGINT) AS cap_level FROM s, lvl")
 
 
+def q_trend_tests(sf_dir: str):
+    """Non-parametric trend detection per event type over its daily
+    count series: the Mann-Kendall statistic S = Σ_{i<j} sign(cⱼ−cᵢ)
+    (exact integer — the distribution-free "is volume trending?"
+    test) and the Theil–Sen slope (median of all pairwise
+    Δcount/Δday slopes — the robust trend magnitude, immune to
+    outlier days).
+
+    Exactness: S and the pair set are exact; each slope is the same
+    int/int double division on both sides and the median of an
+    identical double multiset (numpy and the oracle both average the
+    two middles on even counts), rounded to 6 decimals.
+
+    Shape for scale: blocks collapse to (type, day) count partials →
+    one day-bounded groupby; the O(days²) pair fold runs in
+    map_groups per type over the ~span-sized series — days², not
+    events², and never on the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "day": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        key = inv.astype(np.int64) * 1_000_000 + day
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk // 1_000_000], pa.string()),
+            "day": pa.array((uk % 1_000_000).astype(np.int64)),
+            "c": pa.array(c.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(g["day"].to_numpy(np.int64), kind="stable")
+        day = g["day"].to_numpy(np.int64)[order]
+        c = g["c"].to_numpy(np.int64)[order]
+        n = len(day)
+        iu, ju = np.triu_indices(n, k=1)
+        dy = c[ju] - c[iu]
+        dx = day[ju] - day[iu]
+        s = int(np.sign(dy).sum())
+        slope = (np.round(float(np.median(
+            dy.astype(np.float64) / dx)), 6)
+            if len(dy) else float("nan"))
+        return pa.table({
+            "event_type": pa.array([g["event_type"].iat[0]],
+                                   pa.string()),
+            "n_days": pa.array([n], pa.int64()),
+            "mk_s": pa.array([s], pa.int64()),
+            "theil_sen": pa.array([slope], pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("event_type")
+            .map_groups(fold, batch_format="pandas"))
+
+
+_SQL_TREND_TESTS = (
+    "WITH h AS (SELECT event_type, "
+    "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c FROM events "
+    "GROUP BY 1, 2), "
+    "p AS (SELECT a.event_type, "
+    "CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END "
+    "AS sg, CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS slope "
+    "FROM h a JOIN h b ON a.event_type = b.event_type "
+    "AND b.day > a.day), "
+    "t AS (SELECT event_type, COUNT(*) AS n_days FROM h GROUP BY 1) "
+    "SELECT t.event_type, CAST(t.n_days AS BIGINT) AS n_days, "
+    "CAST(COALESCE(SUM(p.sg), 0) AS BIGINT) AS mk_s, "
+    "ROUND(MEDIAN(p.slope), 6) AS theil_sen "
+    "FROM t LEFT JOIN p ON t.event_type = p.event_type "
+    "GROUP BY t.event_type, t.n_days")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -12632,6 +12712,7 @@ QUERIES = {
     "funnel_exclusion": q_funnel_exclusion,
     "langid_kappa": q_langid_kappa,
     "token_budget": q_token_budget,
+    "trend_tests": q_trend_tests,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -12892,6 +12973,7 @@ ORACLE_SQL.update({
     "funnel_exclusion": _SQL_FUNNEL_EXCLUSION,
     "langid_kappa": _sql_langid_kappa(),
     "token_budget": _SQL_TOKEN_BUDGET,
+    "trend_tests": _SQL_TREND_TESTS,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -710,3 +710,33 @@ def test_token_budget_waterfill_level(ray_session, tmp_path):
     want = con.execute(Q._SQL_TOKEN_BUDGET).fetchdf().set_index("source")
     assert want.loc["s8", "allocated"] == 2
     assert want["cap_level"].iloc[0] == 2
+
+
+# ---------------------------------------------------------- trend_tests
+def test_trend_tests_monotone_and_flat(ray_session, tmp_path):
+    """A strictly increasing daily series (1,2,3,4 events) reads
+    S = n(n-1)/2 = 6 and Theil-Sen slope 1.0; a constant series reads
+    S = 0, slope 0; a single-day type reads S=0, slope NaN."""
+    day = 86_400_000_000
+    rows, eid = [], 0
+    for d in range(4):                      # "up": d+1 events on day d
+        for _ in range(d + 1):
+            rows.append((eid, d * day + 3, 1, "up", 1.0))
+            eid += 1
+    for d in range(3):                      # "flat": 2/day
+        for _ in range(2):
+            rows.append((eid, d * day + 3, 1, "flat", 1.0))
+            eid += 1
+    rows.append((eid, 5 * day, 1, "one", 1.0))
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_trend_tests(sf).to_pandas().set_index("event_type")
+    assert out.loc["up", "mk_s"] == 6
+    assert out.loc["up", "theil_sen"] == 1.0
+    assert out.loc["flat", "mk_s"] == 0
+    assert out.loc["flat", "theil_sen"] == 0.0
+    assert out.loc["one", "mk_s"] == 0
+    assert np.isnan(out.loc["one", "theil_sen"])
+    want = _oracle(sf, Q._SQL_TREND_TESTS).set_index("event_type")
+    assert want.loc["up", "mk_s"] == 6
+    assert want.loc["up", "theil_sen"] == 1.0
+    assert want.loc["one", "mk_s"] == 0
