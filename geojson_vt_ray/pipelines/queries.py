@@ -10382,7 +10382,10 @@ def q_auc_roc(sf_dir: str):
         nneg = g["nn_"].to_numpy(np.int64)[order]
         cumneg_below = np.concatenate(
             [[0], np.cumsum(nneg)[:-1]])
-        u2 = int(np.sum(npos * (2 * cumneg_below + nneg)))
+        # object-dtype fold: exact beyond int64 (counts x counts
+        # products wrap int64 near ~3e9 rows/side)
+        u2 = int((npos.astype(object) *
+                  (2 * cumneg_below.astype(object) + nneg)).sum())
         p, n = int(npos.sum()), int(nneg.sum())
         auc = (np.round(float(u2) / (2.0 * p * n), 6)
                if p and n else float("nan"))
@@ -10550,8 +10553,12 @@ def q_gini_concentration(sf_dir: str):
         v = g["cents"].to_numpy(np.int64)[order]
         c = g["c"].to_numpy(np.int64)[order]
         p = np.concatenate([[0], np.cumsum(c)[:-1]])
-        n, s = int(c.sum()), int(np.sum(v * c))
-        num = int(np.sum(v * c * (2 * p + c - n)))
+        n = int(c.sum())
+        # object-dtype folds: v·c·rank products wrap int64 near ~3e6
+        # rows/segment; the oracle's HUGEINT never does
+        s = int((v.astype(object) * c.astype(object)).sum())
+        num = int((v.astype(object) * c.astype(object) *
+                   (2 * p.astype(object) + c - n)).sum())
         gini = (np.round(float(num) / (float(n) * float(s)), 6)
                 if s else float("nan"))
         return pa.table({
@@ -10618,7 +10625,8 @@ def q_balanced_resample(sf_dir: str):
     def replicate(b: pa.Table) -> pa.Table:
         did = b.column("doc_id").to_numpy(zero_copy_only=False)
         lang = np.asarray(b.column("lang").to_pylist())
-        k = np.array([kmap[l] for l in lang], np.int64)
+        ul, linv = np.unique(lang, return_inverse=True)
+        k = np.array([kmap[l] for l in ul], np.int64)[linv]
         idx = np.repeat(np.arange(len(did)), k)
         # replica_idx: 0..k_i-1 per source row
         off = np.repeat(np.cumsum(k) - k, k)
@@ -10763,6 +10771,44 @@ def _sql_langid_confusion() -> str:
 _CAL_BIN_CENTS = 3300          # fixed-width score bins (33.00 units)
 
 
+def _bin_label_partial(b: pa.Table) -> pa.Table:
+    """Shared (score_bin, n, n_pos, sum_cents) count partial of the
+    calibration family (calibration_bins, lift_gains): one binning
+    definition, so bin width or label changes can never de-sync the
+    family."""
+    v = b.column("value").to_numpy(zero_copy_only=False)
+    cents = np.round(v * 100).astype(np.int64)
+    sbin = cents // _CAL_BIN_CENTS
+    lab = (b.column("user_id").to_numpy(zero_copy_only=False)
+           % 2).astype(np.int64)
+    ub, inv = np.unique(sbin, return_inverse=True)
+    n = np.bincount(inv).astype(np.int64)
+    npos = np.zeros(len(ub), np.int64)
+    np.add.at(npos, inv, lab)
+    sc = np.zeros(len(ub), np.int64)
+    np.add.at(sc, inv, cents)
+    return pa.table({"score_bin": pa.array(ub, pa.int64()),
+                     "n": pa.array(n), "n_pos": pa.array(npos),
+                     "sum_cents": pa.array(sc)})
+
+
+def _bin_parity_partial(b: pa.Table) -> pa.Table:
+    """Shared (score_bin, n_a, n_b) day-parity partial of the drift
+    family (psi_drift, emd_drift)."""
+    v = b.column("value").to_numpy(zero_copy_only=False)
+    cents = np.round(v * 100).astype(np.int64)
+    sbin = cents // _CAL_BIN_CENTS
+    day = (b.column("ts").cast(pa.int64())
+           .to_numpy(zero_copy_only=False) // 86_400_000_000)
+    isb = (day % 2).astype(np.int64)
+    ub, inv = np.unique(sbin, return_inverse=True)
+    nb_ = np.zeros(len(ub), np.int64)
+    np.add.at(nb_, inv, isb)
+    na_ = np.bincount(inv).astype(np.int64) - nb_
+    return pa.table({"score_bin": pa.array(ub, pa.int64()),
+                     "n_a": pa.array(na_), "n_b": pa.array(nb_)})
+
+
 def q_calibration_bins(sf_dir: str):
     """Model-calibration reliability table: events binned by fixed-width
     score buckets (value cents // 3300 — data-independent binning, no
@@ -10780,22 +10826,6 @@ def q_calibration_bins(sf_dir: str):
     driver work at all."""
     from ray.data.aggregate import Sum
 
-    def partial(b: pa.Table) -> pa.Table:
-        v = b.column("value").to_numpy(zero_copy_only=False)
-        cents = np.round(v * 100).astype(np.int64)
-        sbin = cents // _CAL_BIN_CENTS
-        lab = (b.column("user_id").to_numpy(zero_copy_only=False)
-               % 2).astype(np.int64)
-        ub, inv = np.unique(sbin, return_inverse=True)
-        n = np.bincount(inv).astype(np.int64)
-        npos = np.zeros(len(ub), np.int64)
-        np.add.at(npos, inv, lab)
-        sc = np.zeros(len(ub), np.int64)
-        np.add.at(sc, inv, cents)
-        return pa.table({"score_bin": pa.array(ub, pa.int64()),
-                         "n": pa.array(n), "n_pos": pa.array(npos),
-                         "sum_cents": pa.array(sc)})
-
     def finish(b: pa.Table) -> pa.Table:
         n = b.column("n").to_numpy(zero_copy_only=False)
         npos = b.column("n_pos").to_numpy(zero_copy_only=False)
@@ -10810,7 +10840,7 @@ def q_calibration_bins(sf_dir: str):
 
     return (_read_pq(f"{sf_dir}/events.parquet",
                      columns=["user_id", "value"])
-            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(_bin_label_partial, batch_format="pyarrow")
             .groupby("score_bin")
             .aggregate(Sum("n", alias_name="n"),
                        Sum("n_pos", alias_name="n_pos"),
@@ -10849,23 +10879,9 @@ def q_psi_drift(sf_dir: str):
     like the heavy-hitters merge."""
     from ray.data.aggregate import Sum
 
-    def partial(b: pa.Table) -> pa.Table:
-        v = b.column("value").to_numpy(zero_copy_only=False)
-        cents = np.round(v * 100).astype(np.int64)
-        sbin = cents // _CAL_BIN_CENTS
-        day = (b.column("ts").cast(pa.int64())
-               .to_numpy(zero_copy_only=False) // 86_400_000_000)
-        isb = (day % 2).astype(np.int64)
-        ub, inv = np.unique(sbin, return_inverse=True)
-        nb_ = np.zeros(len(ub), np.int64)
-        np.add.at(nb_, inv, isb)
-        na_ = np.bincount(inv).astype(np.int64) - nb_
-        return pa.table({"score_bin": pa.array(ub, pa.int64()),
-                         "n_a": pa.array(na_), "n_b": pa.array(nb_)})
-
     agg = (_read_pq(f"{sf_dir}/events.parquet",
                     columns=["ts", "value"])
-           .map_batches(partial, batch_format="pyarrow")
+           .map_batches(_bin_parity_partial, batch_format="pyarrow")
            .groupby("score_bin")
            .aggregate(Sum("n_a", alias_name="n_a"),
                       Sum("n_b", alias_name="n_b"))
@@ -10917,22 +10933,9 @@ def q_lift_gains(sf_dir: str):
     aggregate-sized bin table on the driver — fixed-size."""
     from ray.data.aggregate import Sum
 
-    def partial(b: pa.Table) -> pa.Table:
-        v = b.column("value").to_numpy(zero_copy_only=False)
-        cents = np.round(v * 100).astype(np.int64)
-        sbin = cents // _CAL_BIN_CENTS
-        lab = (b.column("user_id").to_numpy(zero_copy_only=False)
-               % 2).astype(np.int64)
-        ub, inv = np.unique(sbin, return_inverse=True)
-        n = np.bincount(inv).astype(np.int64)
-        npos = np.zeros(len(ub), np.int64)
-        np.add.at(npos, inv, lab)
-        return pa.table({"score_bin": pa.array(ub, pa.int64()),
-                         "n": pa.array(n), "n_pos": pa.array(npos)})
-
     agg = (_read_pq(f"{sf_dir}/events.parquet",
                     columns=["user_id", "value"])
-           .map_batches(partial, batch_format="pyarrow")
+           .map_batches(_bin_label_partial, batch_format="pyarrow")
            .groupby("score_bin")
            .aggregate(Sum("n", alias_name="n"),
                       Sum("n_pos", alias_name="n_pos"))
@@ -10944,16 +10947,20 @@ def q_lift_gains(sf_dir: str):
     cn = np.cumsum(n)
     cp = np.cumsum(npos)
     tn, tp = int(n.sum()), int(npos.sum())
-    lift = np.round((cp.astype(np.float64) / cn) /
-                    (float(tp) / tn), 6)
+    if tp:
+        lift = np.round((cp.astype(np.float64) / cn) /
+                        (float(tp) / tn), 6)
+        recall = np.round(cp.astype(np.float64) / tp, 6)
+    else:                           # zero positives -> NULL (oracle)
+        lift = np.full(len(cn), np.nan)
+        recall = np.full(len(cn), np.nan)
     return pa.table({
         "score_bin": pa.array(agg["score_bin"].to_numpy(np.int64)),
         "cum_n": pa.array(cn.astype(np.int64)),
         "cum_pos": pa.array(cp.astype(np.int64)),
         "frac_targeted": pa.array(
             np.round(cn.astype(np.float64) / tn, 6), pa.float64()),
-        "recall": pa.array(
-            np.round(cp.astype(np.float64) / tp, 6), pa.float64()),
+        "recall": pa.array(recall, pa.float64()),
         "lift": pa.array(lift, pa.float64())})
 
 
@@ -10970,9 +10977,10 @@ _SQL_LIFT_GAINS = (
     "SELECT CAST(score_bin AS BIGINT) AS score_bin, "
     "CAST(cn AS BIGINT) AS cum_n, CAST(cp AS BIGINT) AS cum_pos, "
     "ROUND(CAST(cn AS DOUBLE) / tn, 6) AS frac_targeted, "
-    "ROUND(CAST(cp AS DOUBLE) / tp, 6) AS recall, "
-    "ROUND((CAST(cp AS DOUBLE) / cn) / "
-    "(CAST(tp AS DOUBLE) / tn), 6) AS lift FROM w, t")
+    "CASE WHEN tp > 0 THEN "
+    "ROUND(CAST(cp AS DOUBLE) / tp, 6) ELSE NULL END AS recall, "
+    "CASE WHEN tp > 0 THEN ROUND((CAST(cp AS DOUBLE) / cn) / "
+    "(CAST(tp AS DOUBLE) / tn), 6) ELSE NULL END AS lift FROM w, t")
 
 
 _HEX_W, _HEX_H = 200, 174      # staggered lattice pitch (174 ≈ 200·√3/2)
@@ -11347,6 +11355,12 @@ def q_ttest_groups(sf_dir: str):
                                agg["s"], agg["ss"]):
         n1, s1, ss1 = int(n1), int(s1), int(ss1)
         n2, s2, ss2 = tn - n1, ts_ - s1, tss - ss1
+        if n1 < 2 or n2 < 2:     # variance undefined -> NULL (oracle)
+            out_ty.append(ty)
+            out_n.append(n1)
+            out_t.append(float("nan"))
+            out_df.append(float("nan"))
+            continue
         m1 = float(s1) / n1
         m2 = float(s2) / n2
         v1 = float(n1 * ss1 - s1 * s1) / (float(n1) * (n1 - 1))
@@ -11386,9 +11400,12 @@ _SQL_TTEST_GROUPS = (
     "z AS (SELECT event_type, n1, n2, m1, m2, "
     "v1 / n1 AS q1, v2 / n2 AS q2 FROM y) "
     "SELECT event_type, CAST(n1 AS BIGINT) AS n, "
-    "ROUND((m1 - m2) / sqrt(q1 + q2), 6) AS t_stat, "
+    "CASE WHEN n1 > 1 AND n2 > 1 THEN "
+    "ROUND((m1 - m2) / sqrt(q1 + q2), 6) ELSE NULL END AS t_stat, "
+    "CASE WHEN n1 > 1 AND n2 > 1 THEN "
     "ROUND((q1 + q2) * (q1 + q2) / "
-    "(q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1)), 6) AS welch_df FROM z")
+    "(q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1)), 6) "
+    "ELSE NULL END AS welch_df FROM z")
 
 
 _BAYES_M = 100                  # shrinkage pseudo-count
@@ -11527,8 +11544,10 @@ def q_target_encode(sf_dir: str):
             zero_copy_only=False) * 100).astype(np.int64)
         ty = np.asarray(b.column("event_type").to_pylist())
         eid = b.column("event_id").to_numpy(zero_copy_only=False)
-        s = np.array([smap[t][0] for t in ty], np.int64)
-        n = np.array([smap[t][1] for t in ty], np.int64)
+        # dict lookups only per DISTINCT type, broadcast via inverse
+        ut, tinv = np.unique(ty, return_inverse=True)
+        s = np.array([smap[t][0] for t in ut], np.int64)[tinv]
+        n = np.array([smap[t][1] for t in ut], np.int64)[tinv]
         with np.errstate(divide="ignore", invalid="ignore"):
             enc = np.round((s - v).astype(np.float64) / (n - 1), 6)
         enc = np.where(n > 1, enc, np.nan)
@@ -11856,8 +11875,10 @@ def q_survivorship_merge(sf_dir: str):
     def prep(b: pa.Table) -> pa.Table:
         t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
             pc.utf8_lower(b.column("text")), r"\s+", " "))
-        key = pc.struct_field(
-            pc.extract_regex(t, r"(?P<k>^\S+(?: \S+){0,2})"), "k")
+        # no-match (empty/whitespace-only text) -> "" like the
+        # oracle's regexp_extract, not Arrow's null
+        key = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t, r"(?P<k>^\S+(?: \S+){0,2})"), "k"), "")
         return pa.table({
             "block_key": key,
             "doc_id": b.column("doc_id"),
@@ -12063,18 +12084,21 @@ _SQL_AB_TEST = (
     "g AS (SELECT event_type, arm, COUNT(*) AS n, SUM(conv) AS k "
     "FROM c GROUP BY 1, 2), "
     "p AS (SELECT event_type, "
-    "MAX(CASE WHEN arm = 0 THEN n END) AS n_a, "
-    "MAX(CASE WHEN arm = 0 THEN k END) AS k_a, "
-    "MAX(CASE WHEN arm = 1 THEN n END) AS n_b, "
-    "MAX(CASE WHEN arm = 1 THEN k END) AS k_b FROM g GROUP BY 1), "
+    "COALESCE(MAX(CASE WHEN arm = 0 THEN n END), 0) AS n_a, "
+    "COALESCE(MAX(CASE WHEN arm = 0 THEN k END), 0) AS k_a, "
+    "COALESCE(MAX(CASE WHEN arm = 1 THEN n END), 0) AS n_b, "
+    "COALESCE(MAX(CASE WHEN arm = 1 THEN k END), 0) AS k_b "
+    "FROM g GROUP BY 1), "
     "z AS (SELECT *, CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pool "
     "FROM p) "
     "SELECT event_type, CAST(n_a AS BIGINT) AS n_a, "
     "CAST(k_a AS BIGINT) AS k_a, CAST(n_b AS BIGINT) AS n_b, "
     "CAST(k_b AS BIGINT) AS k_b, "
-    "ROUND(CAST(k_a AS DOUBLE) / n_a, 6) AS rate_a, "
-    "ROUND(CAST(k_b AS DOUBLE) / n_b, 6) AS rate_b, "
-    "CASE WHEN pool > 0 AND pool < 1 THEN "
+    "CASE WHEN n_a > 0 THEN "
+    "ROUND(CAST(k_a AS DOUBLE) / n_a, 6) ELSE NULL END AS rate_a, "
+    "CASE WHEN n_b > 0 THEN "
+    "ROUND(CAST(k_b AS DOUBLE) / n_b, 6) ELSE NULL END AS rate_b, "
+    "CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1 THEN "
     "ROUND((CAST(k_b AS DOUBLE) / n_b - CAST(k_a AS DOUBLE) / n_a) / "
     "sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)), 6) "
     "ELSE NULL END AS z_stat FROM z")
@@ -12093,23 +12117,9 @@ def q_emd_drift(sf_dir: str):
     table on the driver — fixed-size."""
     from ray.data.aggregate import Sum
 
-    def partial(b: pa.Table) -> pa.Table:
-        v = b.column("value").to_numpy(zero_copy_only=False)
-        cents = np.round(v * 100).astype(np.int64)
-        sbin = cents // _CAL_BIN_CENTS
-        day = (b.column("ts").cast(pa.int64())
-               .to_numpy(zero_copy_only=False) // 86_400_000_000)
-        isb = (day % 2).astype(np.int64)
-        ub, inv = np.unique(sbin, return_inverse=True)
-        nb_ = np.zeros(len(ub), np.int64)
-        np.add.at(nb_, inv, isb)
-        na_ = np.bincount(inv).astype(np.int64) - nb_
-        return pa.table({"score_bin": pa.array(ub, pa.int64()),
-                         "n_a": pa.array(na_), "n_b": pa.array(nb_)})
-
     agg = (_read_pq(f"{sf_dir}/events.parquet",
                     columns=["ts", "value"])
-           .map_batches(partial, batch_format="pyarrow")
+           .map_batches(_bin_parity_partial, batch_format="pyarrow")
            .groupby("score_bin")
            .aggregate(Sum("n_a", alias_name="n_a"),
                       Sum("n_b", alias_name="n_b"))

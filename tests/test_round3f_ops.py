@@ -740,3 +740,63 @@ def test_trend_tests_monotone_and_flat(ray_session, tmp_path):
     assert want.loc["up", "mk_s"] == 6
     assert want.loc["up", "theil_sen"] == 1.0
     assert want.loc["one", "mk_s"] == 0
+
+
+# ---------------------------------------- review regressions (degenerate)
+def test_ttest_singleton_type_is_null_not_crash(ray_session, tmp_path):
+    """A type with one event (variance undefined) emits NaN t/df on
+    both sides instead of crashing."""
+    rows = [(0, 10, 1, "X", 1.00), (1, 11, 1, "X", 2.00),
+            (2, 12, 1, "X", 3.00), (3, 13, 1, "Y", 9.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_ttest_groups(sf).to_pandas().set_index("event_type")
+    assert np.isnan(out.loc["Y", "t_stat"])
+    assert np.isnan(out.loc["X", "t_stat"])   # complement Y has n=1
+    want = _oracle(sf, Q._SQL_TTEST_GROUPS).set_index("event_type")
+    assert want["t_stat"].isna().all()
+
+
+def test_ab_test_missing_arm_parity(ray_session, tmp_path):
+    """A type whose users are all one parity reads zero counts for the
+    other arm and NULL/NaN rate + z on BOTH sides."""
+    rows = [(0, 10, 2, "solo", 150.00), (1, 11, 4, "solo", 1.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_ab_test_conversion(sf).to_pandas().set_index("event_type")
+    assert out.loc["solo", "n_b"] == 0
+    assert np.isnan(out.loc["solo", "rate_b"])
+    assert np.isnan(out.loc["solo", "z_stat"])
+    want = _oracle(sf, Q._SQL_AB_TEST).set_index("event_type")
+    assert want.loc["solo", "n_b"] == 0
+    assert np.isnan(float(want.loc["solo", "rate_b"]))
+
+
+def test_survivorship_empty_text_blocks_as_empty_string(
+        ray_session, tmp_path):
+    """Empty/whitespace-only documents block under '' (the oracle's
+    regexp_extract no-match value), not under a dropped null."""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "   ", "real text here"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s1", "s2", "s3"], pa.string()),
+        "n_chars": pa.array([0, 3, 14], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    out = Q.q_survivorship_merge(sf).to_pandas()
+    assert len(out) == 1 and out["block_key"].iloc[0] == ""
+    assert out["n_dups"].iloc[0] == 2 and out["keeper_id"].iloc[0] == 1
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_SURVIVORSHIP_MERGE).fetchdf()
+    assert len(want) == 1 and want["n_dups"].iloc[0] == 2
+
+
+def test_lift_gains_zero_positives_is_null(ray_session, tmp_path):
+    """No odd users (zero positives): recall and lift read NULL/NaN on
+    both sides instead of inf."""
+    rows = [(0, 10, 2, "v", 1.00), (1, 11, 4, "v", 99.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_lift_gains(sf).to_pandas()
+    assert out["lift"].isna().all() and out["recall"].isna().all()
+    want = _oracle(sf, Q._SQL_LIFT_GAINS)
+    assert want["lift"].isna().all()
