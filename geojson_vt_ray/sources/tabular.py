@@ -46,7 +46,8 @@ CANONICAL: dict[str, dict[str, pa.DataType]] = {
 }
 
 _EXT_FORMAT = {".parquet": "parquet", ".csv": "csv",
-               ".jsonl": "json", ".ndjson": "json", ".json": "json"}
+               ".jsonl": "json", ".ndjson": "json", ".json": "json",
+               ".arrow": "arrow", ".feather": "arrow", ".ipc": "arrow"}
 
 
 def _detect_format(path: str) -> str:
@@ -91,6 +92,69 @@ class _Normalize:
         return pa.table(cols)
 
 
+def _decode_ipc(b: pa.Table) -> pa.Table:
+    """One binary row per IPC file -> that file's record batches.
+    Accepts both the IPC *file* format (feather v2, seekable footer)
+    and the IPC *stream* format."""
+    tables = []
+    for v in b.column("bytes"):
+        buf = pa.py_buffer(v.as_py())
+        try:
+            t = pa.ipc.open_file(pa.BufferReader(buf)).read_all()
+        except pa.ArrowInvalid:
+            t = pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
+        tables.append(t)
+    return strip_schema_metadata(pa.concat_tables(tables))
+
+
+def write_table_arrow(ds, out_dir: str, key_col: str,
+                      rows_per_file: int = 100_000):
+    """Sharded Arrow IPC (feather v2) sink: shard = key // rows_per_file,
+    ONE coarse groupby co-locates each shard, a task per shard writes
+    part-NNNNNN.arrow via tmp-file + atomic rename (a killed run never
+    publishes a partial shard — the geojsonseq sink contract). Returns
+    the (shard, path, rows) manifest as a pa.Table. Round-trips through
+    ``read_table(out_dir, table)`` exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(ds, pa.Table):
+        ds = rd.from_arrow(ds)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = b.column(key_col).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_shard", pa.array((key // rows_per_file).astype(np.int64)))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        shard = int(g.column("_shard")[0].as_py())
+        g = g.drop_columns(["_shard"])
+        path = os.path.join(out_dir, f"part-{shard:06d}.arrow")
+        tmp = path + ".tmp"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, g.schema) as w:
+                w.write_table(g)
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "path": pa.array([path], pa.string()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    manifest = (ds.map_batches(add_shard, batch_format="pyarrow")
+                .groupby("_shard")
+                .map_groups(write_shard, batch_format="pyarrow")
+                .to_pandas())
+    if "shard" not in manifest.columns:      # empty input dataset
+        return pa.table({"shard": pa.array([], pa.int64()),
+                         "path": pa.array([], pa.string()),
+                         "rows": pa.array([], pa.int64())})
+    manifest = manifest.sort_values("shard", ignore_index=True)
+    return pa.table({
+        "shard": pa.array(manifest["shard"].to_numpy(), pa.int64()),
+        "path": pa.array(manifest["path"].to_numpy(), pa.string()),
+        "rows": pa.array(manifest["rows"].to_numpy(), pa.int64())})
+
+
 def read_table(path: str, table: str, fmt: str | None = None,
                columns: list[str] | None = None):
     """Read registry table ``table`` from ``path`` (file or directory
@@ -111,6 +175,14 @@ def read_table(path: str, table: str, fmt: str | None = None,
     elif fmt == "json":
         # file_extensions=None: Ray's default filter rejects .ndjson
         ds = rd.read_json(path, file_extensions=None)
+    elif fmt == "arrow":
+        # Arrow IPC (feather v2 / .arrow): no native Ray reader, so
+        # parallelize per FILE — read_binary_files streams one row per
+        # file and the decode map_batches expands it to the file's
+        # record batches (shard-sized files are the unit of
+        # parallelism, same as any IPC-based interchange)
+        ds = rd.read_binary_files(path, file_extensions=None)
+        ds = ds.map_batches(_decode_ipc, batch_format="pyarrow")
     else:
         raise ValueError(f"unsupported format: {fmt!r}")
     ds = ds.map_batches(_Normalize(CANONICAL[table]),

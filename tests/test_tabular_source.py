@@ -102,3 +102,35 @@ def test_geojsonseq_sink_roundtrip(ray_session, tmp_path):
     assert back["seq"].tolist() == orig["seq"].tolist()
     assert back["spans"].apply(list).tolist() == \
         orig["spans"].apply(list).tolist()
+
+
+def test_arrow_ipc_roundtrip_and_read(ray_session, tmp_path):
+    """write_table_arrow shards by key with atomic publishes; reading
+    the shard directory back through read_table reproduces the
+    parquet original exactly (schema + values), including both IPC
+    file and stream encodings."""
+    import os
+
+    from geojson_vt_ray.sources.tabular import write_table_arrow
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "arrow_out")
+    man = write_table_arrow(t, out, key_col="event_id",
+                            rows_per_file=400).to_pandas()
+    assert man["rows"].sum() == t.num_rows
+    assert len(man) == (t.num_rows + 399) // 400
+    assert all(os.path.exists(p) for p in man["path"])
+    assert not any(p.endswith(".tmp") for p in os.listdir(out))
+    got = (read_table(out, "events").to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    want = (t.to_pandas().sort_values("event_id", ignore_index=True))
+    assert got.equals(want)
+    # stream-format file is also accepted
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    with pa.OSFile(str(stream_dir / "events.arrow"), "wb") as f:
+        with pa.ipc.new_stream(f, t.schema) as w:
+            w.write_table(t)
+    got2 = (read_table(str(stream_dir), "events").to_pandas()
+            .sort_values("event_id", ignore_index=True))
+    assert got2.equals(want)
