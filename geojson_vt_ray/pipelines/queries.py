@@ -12511,6 +12511,185 @@ _SQL_TREND_TESTS = (
     "GROUP BY t.event_type, t.n_days")
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Quantile normalization of document lengths across sources: each
+    distinct (source, n_chars) cell maps to the GLOBAL length at the
+    equivalent rank — target rank ⌈r·N/n_s⌉ (r = the cell's inclusive
+    within-source cumulative count), mapped value = smallest global
+    length whose cumulative count reaches it — the standard "align
+    every source's distribution to the pooled reference" preprocessing
+    step (a single-source corpus maps to itself, which pins the
+    arithmetic). All-integer; no interpolation.
+
+    Shape for scale: one (source, n_chars) bounded histogram groupby;
+    the global histogram (value-domain-sized) broadcasts via ray.put;
+    the rank mapping runs per source in map_groups — sources are
+    enumerable (the source_caps contract), each fold a searchsorted
+    over its own histogram."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source").to_pylist())
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        us, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((v, inv))
+        inv, v = inv[order], v[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (v[1:] != v[:-1])])
+        n = np.diff(np.r_[fi, len(inv)])
+        return pa.table({"source": pa.array(us[inv[fi]], pa.string()),
+                         "v": pa.array(v[fi], pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    cells = (_read_pq(f"{sf_dir}/documents.parquet",
+                      columns=["source", "n_chars"])
+             .map_batches(hist, batch_format="pyarrow")
+             .groupby(["source", "v"])
+             .aggregate(Sum("n", alias_name="n")))
+    # global histogram: value-domain-bounded, broadcast once
+    gh = (cells.groupby("v").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().sort_values("v", ignore_index=True))
+    gv = gh["v"].to_numpy(np.int64)
+    gcum = np.cumsum(gh["n"].to_numpy(np.int64))
+    total = int(gcum[-1]) if len(gcum) else 0
+    gv_ref = _ray.put(gv)
+    gcum_ref = _ray.put(gcum)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        gvv = _ray.get(gv_ref)
+        gcc = _ray.get(gcum_ref)
+        order = np.argsort(g["v"].to_numpy(np.int64), kind="stable")
+        v = g["v"].to_numpy(np.int64)[order]
+        n = g["n"].to_numpy(np.int64)[order]
+        r = np.cumsum(n)
+        ns = int(r[-1])
+        # ceil(r*N/ns) in exact object ints (r*N wraps int64 ~3e9²)
+        tr = ((r.astype(object) * total + ns - 1) // ns).astype(object)
+        idx = np.searchsorted(gcc, np.array(tr, dtype=np.int64),
+                              side="left")
+        return pa.table({
+            "source": pa.array([g["source"].iat[0]] * len(v),
+                               pa.string()),
+            "n_chars": pa.array(v, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "mapped": pa.array(gvv[idx], pa.int64())})
+
+    return cells.groupby("source").map_groups(
+        fold, batch_format="pandas")
+
+
+_SQL_QUANTILE_NORMALIZE = (
+    "WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS n "
+    "FROM documents GROUP BY 1, 2), "
+    "st AS (SELECT source, SUM(n) AS ns FROM h GROUP BY 1), "
+    "sc AS (SELECT h.source, h.v, h.n, "
+    "SUM(h.n) OVER (PARTITION BY h.source ORDER BY h.v) AS r, "
+    "st.ns FROM h JOIN st ON h.source = st.source), "
+    "g AS (SELECT v, SUM(n) AS ng FROM h GROUP BY 1), "
+    "gg AS (SELECT v, SUM(ng) OVER (ORDER BY v) AS cumg FROM g), "
+    "t AS (SELECT SUM(n) AS total FROM h), "
+    "m AS (SELECT sc.source, sc.v, sc.n, "
+    "(sc.r * t.total + sc.ns - 1) // sc.ns AS tr FROM sc, t) "
+    "SELECT m.source, CAST(m.v AS BIGINT) AS n_chars, "
+    "CAST(m.n AS BIGINT) AS n, "
+    "CAST(MIN(gg.v) AS BIGINT) AS mapped "
+    "FROM m JOIN gg ON gg.cumg >= m.tr GROUP BY 1, 2, 3")
+
+
+def q_hier_share(sf_dir: str):
+    """Hierarchical revenue shares: per nation, the exact order
+    revenue (cents) plus its share of the region and of the world —
+    the region→nation drill-down every revenue dashboard leads with.
+
+    Exactness: revenues are exact integer cents; each share is ONE
+    shared-shape ROUND-6 division.
+
+    Shape for scale: the customer→nation map is the broadcast
+    dimension side (sorted searchsorted arrays in an actor pool — the
+    join_broadcast contract); orders stream once into nations-bounded
+    cent partials; names join on the driver's nations-row table."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    cn = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck, cn = ck[order], cn[order]
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nnat = int(nat["n_nationkey"].max()) + 1
+
+    class NationRevenue:
+        def __init__(self, ck_r, cn_r, nb):
+            self.ck = _ray.get(ck_r) if hasattr(ck_r, "hex") else ck_r
+            self.cn = _ray.get(cn_r) if hasattr(cn_r, "hex") else cn_r
+            self.nb = nb
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ok = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            cents = np.round(b.column("o_totalprice").to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            pos = np.searchsorted(self.ck, ok)
+            nk = self.cn[pos]
+            rev = np.zeros(self.nb, np.int64)
+            np.add.at(rev, nk, cents)
+            keep = rev != 0
+            return pa.table({
+                "nationkey": pa.array(
+                    np.flatnonzero(keep).astype(np.int64)),
+                "rev": pa.array(rev[keep])})
+
+    agg = (_read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_totalprice"])
+           .map_batches(NationRevenue, batch_format="pyarrow",
+                        concurrency=2, max_restarts=0,
+                        fn_constructor_args=(_ray.put(ck),
+                                             _ray.put(cn), nnat))
+           .groupby("nationkey")
+           .aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())                          # nations-row
+    m = agg.merge(nat, left_on="nationkey", right_on="n_nationkey")
+    m = m.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    rev = m["rev"].to_numpy(np.int64)
+    reg_tot = m.groupby("r_name")["rev"].transform("sum").to_numpy(
+        np.int64)
+    world = int(rev.sum())
+    return pa.table({
+        "n_name": pa.array(m["n_name"], pa.string()),
+        "r_name": pa.array(m["r_name"], pa.string()),
+        "revenue_cents": pa.array(rev),
+        "share_in_region": pa.array(
+            np.round(rev.astype(np.float64) / reg_tot, 6),
+            pa.float64()),
+        "share_of_total": pa.array(
+            np.round(rev.astype(np.float64) / world, 6),
+            pa.float64())})
+
+
+_SQL_HIER_SHARE = (
+    "WITH o AS (SELECT c.c_nationkey AS nk, "
+    "SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY 1), "
+    "j AS (SELECT n.n_name, r.r_name, o.rev FROM o "
+    "JOIN nation n ON o.nk = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey), "
+    "w AS (SELECT *, SUM(rev) OVER (PARTITION BY r_name) AS reg_tot, "
+    "SUM(rev) OVER () AS world FROM j) "
+    "SELECT n_name, r_name, CAST(rev AS BIGINT) AS revenue_cents, "
+    "ROUND(CAST(rev AS DOUBLE) / reg_tot, 6) AS share_in_region, "
+    "ROUND(CAST(rev AS DOUBLE) / world, 6) AS share_of_total FROM w")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -12723,6 +12902,8 @@ QUERIES = {
     "langid_kappa": q_langid_kappa,
     "token_budget": q_token_budget,
     "trend_tests": q_trend_tests,
+    "quantile_normalize": q_quantile_normalize,
+    "hier_share": q_hier_share,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -12984,6 +13165,8 @@ ORACLE_SQL.update({
     "langid_kappa": _sql_langid_kappa(),
     "token_budget": _SQL_TOKEN_BUDGET,
     "trend_tests": _SQL_TREND_TESTS,
+    "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
+    "hier_share": _SQL_HIER_SHARE,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -800,3 +800,81 @@ def test_lift_gains_zero_positives_is_null(ray_session, tmp_path):
     assert out["lift"].isna().all() and out["recall"].isna().all()
     want = _oracle(sf, Q._SQL_LIFT_GAINS)
     assert want["lift"].isna().all()
+
+
+# --------------------------------------------------- quantile_normalize
+def test_quantile_normalize_identity_and_mapping(ray_session, tmp_path):
+    """A single-source corpus maps every value to itself; with two
+    sources the smaller source's values map to the pooled
+    distribution's values at equivalent ranks."""
+    # source A: lengths 10,20,30,40 ; source B: lengths 11,39
+    rows = [(0, "a" * 10, "en"), (1, "a" * 20, "en"),
+            (2, "a" * 30, "en"), (3, "a" * 40, "en"),
+            (4, "b" * 11, "en"), (5, "b" * 39, "en")]
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["A"] * 4 + ["B"] * 2, pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    out = Q.q_quantile_normalize(sf).to_pandas()
+    b = out[out["source"] == "B"].set_index("n_chars")
+    # B's rank-1-of-2 -> global rank ceil(1*6/2)=3 -> 3rd smallest = 20
+    assert b.loc[11, "mapped"] == 20
+    # B's rank-2-of-2 -> global rank 6 -> largest = 40
+    assert b.loc[39, "mapped"] == 40
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_QUANTILE_NORMALIZE).fetchdf()
+    wb = want[want["source"] == "B"].set_index("n_chars")
+    assert wb.loc[11, "mapped"] == 20 and wb.loc[39, "mapped"] == 40
+    # single-source identity
+    docs1 = docs.set_column(3, "source",
+                            pa.array(["A"] * 6, pa.string()))
+    sf1 = _write(tmp_path / "one", "documents", docs1)
+    out1 = Q.q_quantile_normalize(sf1).to_pandas()
+    assert (out1["mapped"] == out1["n_chars"]).all()
+
+
+# ----------------------------------------------------------- hier_share
+def test_hier_share_exact_ratios(ray_session, tmp_path):
+    """Two nations in one region split 75/25; shares sum to 1 within
+    the region and match the oracle exactly."""
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"], pa.string()),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["M", "M"], pa.string())})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+        "o_totalprice": pa.array([100.0, 200.0, 100.0], pa.float64()),
+        "o_orderdate": pa.array(
+            np.array([10 ** 15] * 3, dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1"] * 3, pa.string())})
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["N0", "N1"], pa.string()),
+        "n_regionkey": pa.array([0, 0], pa.int32())})
+    region = pa.table({
+        "r_regionkey": pa.array([0], pa.int32()),
+        "r_name": pa.array(["R0"], pa.string())})
+    sf = _write(tmp_path, "customer", cust)
+    pq.write_table(orders, f"{sf}/orders.parquet")
+    pq.write_table(nation, f"{sf}/nation.parquet")
+    pq.write_table(region, f"{sf}/region.parquet")
+    out = Q.q_hier_share(sf).to_pandas().set_index("n_name")
+    assert out.loc["N0", "revenue_cents"] == 30000
+    assert out.loc["N0", "share_in_region"] == 0.75
+    assert out.loc["N1", "share_in_region"] == 0.25
+    assert out.loc["N0", "share_of_total"] == 0.75
+    con = duckdb.connect()
+    for t in ("customer", "orders", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf}/{t}.parquet'")
+    want = con.execute(Q._SQL_HIER_SHARE).fetchdf().set_index("n_name")
+    assert want.loc["N0", "share_in_region"] == 0.75
