@@ -12690,6 +12690,181 @@ _SQL_HIER_SHARE = (
     "ROUND(CAST(rev AS DOUBLE) / world, 6) AS share_of_total FROM w")
 
 
+def q_monthly_rollup(sf_dir: str):
+    """Calendar-month rollup of the event stream: per (month, type)
+    the event count and exact cent volume — the real month-boundary
+    aggregation (28/29/30/31-day months, not fixed-width day buckets)
+    behind every monthly report.
+
+    Exactness: the month key is numpy's datetime64[M] truncation —
+    bit-identical to the oracle's date_trunc('month') — carried as
+    epoch-µs int64; counts and cents are exact integers.
+
+    Shape for scale: stateless (month, type) partials → one bounded
+    groupby (months × types)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = (us.astype("datetime64[us]").astype("datetime64[M]")
+                 .astype("datetime64[us]").astype(np.int64))
+        cents = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "month_us": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        order = np.lexsort((month, inv))
+        inv, month, cents = inv[order], month[order], cents[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (month[1:] != month[:-1])])
+        n = np.diff(np.r_[fi, len(inv)])
+        cs = np.add.reduceat(cents, fi)
+        return pa.table({
+            "event_type": pa.array(ut[inv[fi]], pa.string()),
+            "month_us": pa.array(month[fi], pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "cents": pa.array(cs.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "month_us"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents")))
+
+
+_SQL_MONTHLY_ROLLUP = (
+    "SELECT event_type, "
+    "epoch_us(date_trunc('month', ts)) AS month_us, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "FROM events GROUP BY 1, 2")
+
+
+def q_token_fertility(sf_dir: str):
+    """Tokenizer fertility by language: per lang, the corpus's doc
+    count, exact whitespace-token and char totals, and chars-per-token
+    — the "how expensive is this language to tokenize?" planning
+    metric of multilingual training mixes.
+
+    Shape for scale: one RE2 count kernel per batch (token_counts'
+    kernel), collapsed to langs-bounded partials — the text never
+    shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            b.column("text"), r"\S+").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        chars = b.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = np.asarray(b.column("lang").to_pylist())
+        if len(lang) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "tokens": pa.array([], pa.int64()),
+                             "chars": pa.array([], pa.int64())})
+        ul, inv = np.unique(lang, return_inverse=True)
+        nd = np.bincount(inv).astype(np.int64)
+        tk = np.zeros(len(ul), np.int64)
+        np.add.at(tk, inv, toks)
+        ch = np.zeros(len(ul), np.int64)
+        np.add.at(ch, inv, chars)
+        return pa.table({"lang": pa.array(ul, pa.string()),
+                         "n_docs": pa.array(nd),
+                         "tokens": pa.array(tk),
+                         "chars": pa.array(ch)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        tk = b.column("tokens").to_numpy(zero_copy_only=False)
+        ch = b.column("chars").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = np.round(ch.astype(np.float64) / tk, 6)
+        f = np.where(tk > 0, f, np.nan)
+        return b.append_column("chars_per_token",
+                               pa.array(f, pa.float64()))
+
+    return (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["lang", "text", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("tokens", alias_name="tokens"),
+                       Sum("chars", alias_name="chars"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_TOKEN_FERTILITY = (
+    "WITH d AS (SELECT lang, n_chars, "
+    "length(regexp_extract_all(text, '\\S+')) AS toks "
+    "FROM documents), "
+    "g AS (SELECT lang, COUNT(*) AS n_docs, SUM(toks) AS tokens, "
+    "SUM(n_chars) AS chars FROM d GROUP BY 1) "
+    "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(tokens AS BIGINT) AS tokens, CAST(chars AS BIGINT) AS chars, "
+    "CASE WHEN tokens > 0 THEN "
+    "ROUND(CAST(chars AS DOUBLE) / tokens, 6) ELSE NULL END "
+    "AS chars_per_token FROM g")
+
+
+_FDB_BAND = 10                 # distance-band width (deci-degrees)
+
+
+def q_fence_distance_bands(sf_dir: str):
+    """Distance-to-geofence histogram: every event point classifies by
+    its Chebyshev (L∞) distance to the traj_bbox fence boundary —
+    outside points band at d//10 (0, 10, 20, … away), inside points at
+    −1−(d_in//10) (how DEEP inside) — the proximity profile behind
+    geofence alerting thresholds. Pure integer: L∞ to an axis-aligned
+    box needs no sqrt.
+
+    Shape for scale: stateless vectorized band assignment → one
+    bounded groupby (≤ a few hundred bands)."""
+    from ray.data.aggregate import Sum
+
+    x0, x1, y0, y1 = _TB_X0, _TB_X1, _TB_Y0, _TB_Y1
+
+    def partial(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        x = (ev % 3600).astype(np.int64)
+        y = (ev % 1600).astype(np.int64)
+        dx_out = np.maximum(np.maximum(x0 - x, x - x1), 0)
+        dy_out = np.maximum(np.maximum(y0 - y, y - y1), 0)
+        d_out = np.maximum(dx_out, dy_out)
+        inside = d_out == 0
+        d_in = np.minimum(np.minimum(x - x0, x1 - x),
+                          np.minimum(y - y0, y1 - y))
+        band = np.where(inside, -1 - d_in // _FDB_BAND,
+                        d_out // _FDB_BAND)
+        ub, c = np.unique(band, return_counts=True)
+        return pa.table({"band": pa.array(ub.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("band").aggregate(Sum("n", alias_name="n")))
+
+
+_SQL_FENCE_DISTANCE_BANDS = (
+    "WITH e AS (SELECT event_id % 3600 AS x, event_id % 1600 AS y "
+    "FROM events), "
+    "d AS (SELECT x, y, "
+    f"GREATEST(GREATEST({_TB_X0} - x, x - {_TB_X1}), 0) AS dxo, "
+    f"GREATEST(GREATEST({_TB_Y0} - y, y - {_TB_Y1}), 0) AS dyo, "
+    f"LEAST(LEAST(x - {_TB_X0}, {_TB_X1} - x), "
+    f"LEAST(y - {_TB_Y0}, {_TB_Y1} - y)) AS din FROM e), "
+    "b AS (SELECT CASE WHEN GREATEST(dxo, dyo) = 0 "
+    f"THEN -1 - din // {_FDB_BAND} "
+    f"ELSE GREATEST(dxo, dyo) // {_FDB_BAND} END AS band FROM d) "
+    "SELECT CAST(band AS BIGINT) AS band, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -12904,6 +13079,9 @@ QUERIES = {
     "trend_tests": q_trend_tests,
     "quantile_normalize": q_quantile_normalize,
     "hier_share": q_hier_share,
+    "monthly_rollup": q_monthly_rollup,
+    "token_fertility": q_token_fertility,
+    "fence_distance_bands": q_fence_distance_bands,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -13167,6 +13345,9 @@ ORACLE_SQL.update({
     "trend_tests": _SQL_TREND_TESTS,
     "quantile_normalize": _SQL_QUANTILE_NORMALIZE,
     "hier_share": _SQL_HIER_SHARE,
+    "monthly_rollup": _SQL_MONTHLY_ROLLUP,
+    "token_fertility": _SQL_TOKEN_FERTILITY,
+    "fence_distance_bands": _SQL_FENCE_DISTANCE_BANDS,
 })
 
 # Remaining no-oracle entries, each with a reason:

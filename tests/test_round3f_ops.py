@@ -878,3 +878,64 @@ def test_hier_share_exact_ratios(ray_session, tmp_path):
                     f"'{sf}/{t}.parquet'")
     want = con.execute(Q._SQL_HIER_SHARE).fetchdf().set_index("n_name")
     assert want.loc["N0", "share_in_region"] == 0.75
+
+
+# ------------------------------------------------------- monthly_rollup
+def test_monthly_rollup_real_month_boundaries(ray_session, tmp_path):
+    """Jan 31 23:59 and Feb 1 00:00 land in different months (real
+    calendar boundaries, not fixed-width buckets); cents sum exactly."""
+    jan31 = np.datetime64("2024-01-31T23:59:59", "us").astype(np.int64)
+    feb01 = np.datetime64("2024-02-01T00:00:00", "us").astype(np.int64)
+    rows = [(0, int(jan31), 1, "v", 1.50), (1, int(feb01), 1, "v", 2.50)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_monthly_rollup(sf).to_pandas().sort_values(
+        "month_us", ignore_index=True)
+    assert len(out) == 2
+    assert out["cents"].tolist() == [150, 250]
+    jan = np.datetime64("2024-01-01", "us").astype(np.int64)
+    feb = np.datetime64("2024-02-01", "us").astype(np.int64)
+    assert out["month_us"].tolist() == [int(jan), int(feb)]
+    want = _oracle(sf, Q._SQL_MONTHLY_ROLLUP).sort_values(
+        "month_us", ignore_index=True)
+    assert want["month_us"].tolist() == [int(jan), int(feb)]
+
+
+# ------------------------------------------------------ token_fertility
+def test_token_fertility_exact_ratio(ray_session, tmp_path):
+    """'ab cd ef' = 3 tokens / 8 chars -> 2.666667; an empty-text lang
+    reads NULL fertility."""
+    rows = [(0, "ab cd ef", "en"), (1, "", "fr")]
+    sf = _write(tmp_path, "documents", _docs(rows))
+    out = Q.q_token_fertility(sf).to_pandas().set_index("lang")
+    assert out.loc["en", "tokens"] == 3
+    assert out.loc["en", "chars_per_token"] == round(8 / 3, 6)
+    assert np.isnan(out.loc["fr", "chars_per_token"])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(Q._SQL_TOKEN_FERTILITY).fetchdf().set_index("lang")
+    assert want.loc["en", "chars_per_token"] == round(8 / 3, 6)
+
+
+# ------------------------------------------------- fence_distance_bands
+def test_fence_distance_bands_inside_outside(ray_session, tmp_path):
+    """A point on the fence edge bands at -1 (inside, depth 0); one
+    9 units outside bands at 0; one 10 outside bands at 1; deep inside
+    bands negative by depth."""
+    # fence x:[1200,2399] y:[500,1099]
+    rows = [(1200, 10, 1),     # x on edge, y=1200%1600=1200? no:
+            ]
+    # choose ids so coords are explicit: id -> (id%3600, id%1600)
+    # (2000, 800): deep inside by min(800, 399, 300, 299)=299 -> band -30
+    # id 2000 -> x=2000, y=400 (outside y by 100 -> band 10)
+    rows = [(2000, 10, 1),      # y=400: dyo=100 -> band 10
+            (1190, 20, 1),      # x=1190,y=1190: dxo=10, dyo=91 -> 91//10=9
+            (2399, 30, 1)]      # x=2399,y=799: inside, din=min(1199,0,299,300)=0 -> band -1
+    ev = _events([(r[0], r[1], r[2], "view", 1.0) for r in rows])
+    sf = _write(tmp_path, "events", ev)
+    out = Q.q_fence_distance_bands(sf).to_pandas().set_index("band")
+    assert out.loc[10, "n"] == 1
+    assert out.loc[9, "n"] == 1
+    assert out.loc[-1, "n"] == 1
+    want = _oracle(sf, Q._SQL_FENCE_DISTANCE_BANDS).set_index("band")
+    assert want["n"].to_dict() == out["n"].to_dict()
