@@ -12865,6 +12865,136 @@ _SQL_FENCE_DISTANCE_BANDS = (
     "CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1")
 
 
+def q_fanout_hist(sf_dir: str):
+    """Join-fanout audit of orders⋈lineitem: the histogram of
+    lines-per-order (fanout → number of orders with that fanout),
+    including fanout 0 for orders with no lines — the cardinality
+    diagnostic a join planner needs before it picks broadcast vs
+    shuffle. Two-level: per-order counts, then counts-of-counts.
+
+    Shape for scale: per-batch (orderkey, n) partials → one keyed
+    groupby (order-sized, the unavoidable exchange) → fanout-bounded
+    second groupby; the zero-fanout orders come from ONE distinct
+    anti-count, not a join."""
+    from ray.data.aggregate import Sum
+
+    def cnt(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        uk, c = np.unique(ok, return_counts=True)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    per_order = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey"])
+                 .map_batches(cnt, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("n", alias_name="n")))
+
+    def hist(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        uf, c = np.unique(n, return_counts=True)
+        return pa.table({"fanout": pa.array(uf.astype(np.int64)),
+                         "n_orders": pa.array(c.astype(np.int64))})
+
+    fan = (per_order.map_batches(hist, batch_format="pyarrow")
+           .groupby("fanout")
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())                          # fanout-bounded
+    n_orders_total = _read_pq(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey"]).count()
+    with_lines = int(fan["n_orders"].sum())
+    zero = int(n_orders_total) - with_lines
+    f = fan["fanout"].to_numpy(np.int64)
+    c = fan["n_orders"].to_numpy(np.int64)
+    if zero > 0:
+        f = np.r_[0, f]
+        c = np.r_[zero, c]
+    return pa.table({"fanout": pa.array(f, pa.int64()),
+                     "n_orders": pa.array(c, pa.int64())})
+
+
+_SQL_FANOUT_HIST = (
+    "WITH c AS (SELECT o.o_orderkey, COUNT(l.l_orderkey) AS fanout "
+    "FROM orders o LEFT JOIN lineitem l "
+    "ON o.o_orderkey = l.l_orderkey GROUP BY 1) "
+    "SELECT CAST(fanout AS BIGINT) AS fanout, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders FROM c GROUP BY 1")
+
+
+def q_half_life(sf_dir: str):
+    """Activity half-life per user: the smallest day offset (from the
+    user's first active day) by which at least half of the user's
+    events have happened — the "is this account front-loaded or
+    sustained?" engagement primitive. All-integer: threshold
+    ⌈n/2⌉ = (n+1)//2 over the per-day cumulative counts.
+
+    Shape for scale: blocks collapse to (user, day) count partials;
+    ONE crc-coarse user-bucket shuffle; per bucket a lexsort + cumsum
+    + per-user first-threshold pick — user-sized output."""
+    mask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        key = (uid.astype(np.uint64) << np.uint64(20)) | day.astype(
+            np.uint64)
+        uk, c = np.unique(key, return_counts=True)
+        uid2 = (uk >> np.uint64(20)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid2, pa.int64()),
+            "pkey": pa.array((uid2 & mask).astype(np.int32)),
+            "day": pa.array((uk & np.uint64((1 << 20) - 1))
+                            .astype(np.int64)),
+            "c": pa.array(c.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day, c = uid[order], day[order], c[order]
+        # merge cross-batch partials for the same (user, day)
+        same = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        ki = np.flatnonzero(same)
+        c = np.add.reduceat(c, ki)
+        uid, day = uid[ki], day[ki]
+        fi = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        n_seg = np.diff(np.r_[fi, len(uid)])
+        base = np.repeat(np.r_[0, np.cumsum(c)[fi[1:] - 1]], n_seg)
+        cum = np.cumsum(c) - base
+        total = np.repeat(np.add.reduceat(c, fi), n_seg)
+        need = (total + 1) // 2
+        hit = cum >= need
+        # first hit per user: index of first True in each segment
+        first_day = np.zeros(len(fi), np.int64)
+        gidx = np.arange(len(uid))
+        cand = np.where(hit, gidx, len(uid) + 1)
+        seg_first = np.minimum.reduceat(cand, fi)
+        first_day = day[seg_first] - day[fi]
+        return pa.table({
+            "user_id": pa.array(uid[fi], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(c, fi)),
+            "half_life_days": pa.array(first_day.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(fold, batch_format="pandas"))
+
+
+_SQL_HALF_LIFE = (
+    "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, "
+    "COUNT(*) AS c FROM events GROUP BY 1, 2), "
+    "w AS (SELECT user_id, day, "
+    "SUM(c) OVER (PARTITION BY user_id ORDER BY day) AS cum, "
+    "SUM(c) OVER (PARTITION BY user_id) AS total, "
+    "MIN(day) OVER (PARTITION BY user_id) AS d0 FROM d) "
+    "SELECT user_id, CAST(MAX(total) AS BIGINT) AS n_events, "
+    "CAST(MIN(CASE WHEN cum >= (total + 1) // 2 THEN day - d0 END) "
+    "AS BIGINT) AS half_life_days FROM w GROUP BY user_id")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13082,6 +13212,8 @@ QUERIES = {
     "monthly_rollup": q_monthly_rollup,
     "token_fertility": q_token_fertility,
     "fence_distance_bands": q_fence_distance_bands,
+    "fanout_hist": q_fanout_hist,
+    "half_life": q_half_life,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -13348,6 +13480,8 @@ ORACLE_SQL.update({
     "monthly_rollup": _SQL_MONTHLY_ROLLUP,
     "token_fertility": _SQL_TOKEN_FERTILITY,
     "fence_distance_bands": _SQL_FENCE_DISTANCE_BANDS,
+    "fanout_hist": _SQL_FANOUT_HIST,
+    "half_life": _SQL_HALF_LIFE,
 })
 
 # Remaining no-oracle entries, each with a reason:

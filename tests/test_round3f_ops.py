@@ -939,3 +939,63 @@ def test_fence_distance_bands_inside_outside(ray_session, tmp_path):
     assert out.loc[-1, "n"] == 1
     want = _oracle(sf, Q._SQL_FENCE_DISTANCE_BANDS).set_index("band")
     assert want["n"].to_dict() == out["n"].to_dict()
+
+
+# ---------------------------------------------------------- fanout_hist
+def test_fanout_hist_includes_zero_fanout(ray_session, tmp_path):
+    """Orders with no lines appear in the fanout-0 bucket; counted
+    buckets partition the order table exactly."""
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+        "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+        "o_orderdate": pa.array(
+            np.array([10 ** 15] * 3, dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1"] * 3, pa.string())})
+    li_rows = [(1, 1), (1, 2), (2, 1)]     # order 1: 2 lines; 2: 1; 3: 0
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in li_rows], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 3, pa.float64()),
+        "l_discount": pa.array([0.0] * 3, pa.float64()),
+        "l_tax": pa.array([0.0] * 3, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 3, pa.string()),
+        "l_linestatus": pa.array(["O"] * 3, pa.string()),
+        "l_shipdate": pa.array(
+            np.array([10 ** 15] * 3, dtype="datetime64[us]"))})
+    sf = _write(tmp_path, "orders", orders)
+    pq.write_table(li, f"{sf}/lineitem.parquet")
+    out = Q.q_fanout_hist(sf).to_pandas().set_index("fanout")
+    assert out.loc[0, "n_orders"] == 1
+    assert out.loc[1, "n_orders"] == 1
+    assert out.loc[2, "n_orders"] == 1
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf}/{t}.parquet'")
+    want = con.execute(Q._SQL_FANOUT_HIST).fetchdf().set_index("fanout")
+    assert want["n_orders"].to_dict() == out["n_orders"].to_dict()
+
+
+# ------------------------------------------------------------ half_life
+def test_half_life_front_loaded_vs_sustained(ray_session, tmp_path):
+    """3 events on day 0 and 1 on day 9: half (ceil(4/2)=2) is reached
+    on day 0 -> half-life 0; one event per day over 4 days reaches 2
+    on the second day -> half-life 1; a single-event user reads 0."""
+    day = 86_400_000_000
+    rows = ([(i, 0 * day + i, 1, "v", 1.0) for i in range(3)] +
+            [(3, 9 * day, 1, "v", 1.0)] +
+            [(10 + d, d * day + 5, 2, "v", 1.0) for d in range(4)] +
+            [(20, 7 * day, 3, "v", 1.0)])
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_half_life(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert out["half_life_days"].tolist() == [0, 1, 0]
+    assert out["n_events"].tolist() == [4, 4, 1]
+    want = (_oracle(sf, Q._SQL_HALF_LIFE)
+            .sort_values("user_id", ignore_index=True))
+    assert want["half_life_days"].tolist() == [0, 1, 0]
