@@ -12995,6 +12995,175 @@ _SQL_HALF_LIFE = (
     "AS BIGINT) AS half_life_days FROM w GROUP BY user_id")
 
 
+def q_linear_attribution(sf_dir: str):
+    """Linear (equal-credit) attribution: each purchase credits the
+    views since the user's PREVIOUS purchase — reporting, per
+    purchase, how many views earned credit and the per-view share
+    cents/k (NULL when no view preceded) — the multi-touch upgrade of
+    last-touch attribution.
+
+    Semantics: events segment by the running count of prior purchases;
+    a purchase owns exactly the views in its own segment.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
+    lexsort + purchase-counter cumsum + np.add.at view counts per
+    (user-run, segment) — purchase-sized output."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string()),
+            "cents": pa.array(v, pa.int64())})
+
+    def attribute(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        ty = g["event_type"].to_numpy()[order]
+        eid = g["event_id"].to_numpy(np.int64)[order]
+        cents = g["cents"].to_numpy(np.int64)[order]
+        is_p = ty == "purchase"
+        is_v = ty == "view"
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        fi = np.flatnonzero(new_user)
+        n_seg = np.diff(np.r_[fi, len(uid)])
+        # prior-purchase count within user (exclusive of self)
+        cp = np.cumsum(is_p.astype(np.int64))
+        base = np.repeat(np.r_[0, cp[fi[1:] - 1]], n_seg)
+        pseg = (cp - base) - is_p.astype(np.int64)   # segment id
+        # views per (user-run, segment): user runs are contiguous, so
+        # key = run-rank * 2^32 + segment (segments < 2^32 per user)
+        rank = np.cumsum(new_user) - 1
+        key = rank * (1 << 32) + pseg
+        uk, inv = np.unique(key, return_inverse=True)
+        vc = np.zeros(len(uk), np.int64)
+        np.add.at(vc, inv, is_v.astype(np.int64))
+        k = vc[inv][is_p]                 # views in each purchase's seg
+        pc_ = cents[is_p]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = np.round(pc_.astype(np.float64) / k, 6)
+        share = np.where(k > 0, share, np.nan)
+        return pa.table({
+            "event_id": pa.array(eid[is_p], pa.int64()),
+            "user_id": pa.array(uid[is_p], pa.int64()),
+            "cents": pa.array(pc_, pa.int64()),
+            "n_views": pa.array(k, pa.int64()),
+            "per_view_cents": pa.array(share, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(attribute,
+                                        batch_format="pandas"))
+
+
+_SQL_LINEAR_ATTRIBUTION = (
+    "WITH e AS (SELECT user_id, ts, event_id, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+    "s AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "1 PRECEDING), 0) AS pseg FROM e), "
+    "v AS (SELECT user_id, pseg, COUNT(*) AS k FROM s "
+    "WHERE event_type = 'view' GROUP BY 1, 2) "
+    "SELECT s.event_id, s.user_id, s.cents, "
+    "CAST(COALESCE(v.k, 0) AS BIGINT) AS n_views, "
+    "CASE WHEN COALESCE(v.k, 0) > 0 THEN "
+    "ROUND(CAST(s.cents AS DOUBLE) / v.k, 6) ELSE NULL END "
+    "AS per_view_cents "
+    "FROM s LEFT JOIN v ON s.user_id = v.user_id AND s.pseg = v.pseg "
+    "WHERE s.event_type = 'purchase'")
+
+
+def q_repurchase_interval(sf_dir: str):
+    """Repeat-purchase cadence: per user with ≥ 2 purchases, the
+    number of purchases and the median gap in days between consecutive
+    purchases — the replenishment-cycle metric behind churn windows.
+
+    Exactness: gaps are exact integer day differences; the median of
+    an identical integer multiset averages the two middles to the same
+    double on both engines (the trend_tests MEDIAN contract).
+
+    Shape for scale: purchases filter at the read (predicate pushed
+    into the scan batch), ONE crc-coarse user-bucket shuffle of the
+    purchase subset only, per bucket a lexsort + diff + per-user
+    median — purchase-user-sized output."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("event_type"), "purchase")
+        b = b.filter(keep)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        day = g["ts"].to_numpy(np.int64)[order] // 86_400_000_000
+        same = uid[1:] == uid[:-1]
+        gaps = (day[1:] - day[:-1])[same]
+        gap_uid = uid[1:][same]
+        if len(gap_uid) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "median_gap_days": pa.array([], pa.float64())})
+        # vectorized per-user median: sort gaps within user, index the
+        # two middles ((x+x)/2 == x pins the odd case exactly)
+        order2 = np.lexsort((gaps, gap_uid))
+        gap_uid, gaps = gap_uid[order2], gaps[order2]
+        fi = np.flatnonzero(np.r_[True, gap_uid[1:] != gap_uid[:-1]])
+        cnt = np.diff(np.r_[fi, len(gap_uid)])
+        lo = fi + (cnt - 1) // 2
+        hi = fi + cnt // 2
+        med = np.round((gaps[lo].astype(np.float64) + gaps[hi]) / 2.0,
+                       6)
+        return pa.table({
+            "user_id": pa.array(gap_uid[fi], pa.int64()),
+            "n_purchases": pa.array((cnt + 1).astype(np.int64)),
+            "median_gap_days": pa.array(med, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(fold, batch_format="pandas"))
+
+
+_SQL_REPURCHASE_INTERVAL = (
+    "WITH p AS (SELECT user_id, "
+    "epoch_us(ts) // 86400000000 AS day, ts, event_id FROM events "
+    "WHERE event_type = 'purchase'), "
+    "d AS (SELECT user_id, day - LAG(day) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM p), "
+    "g AS (SELECT user_id, COUNT(*) AS n_gaps, "
+    "ROUND(MEDIAN(CAST(gap AS DOUBLE)), 6) AS median_gap_days "
+    "FROM d WHERE gap IS NOT NULL GROUP BY 1) "
+    "SELECT user_id, CAST(n_gaps + 1 AS BIGINT) AS n_purchases, "
+    "median_gap_days FROM g")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13214,6 +13383,8 @@ QUERIES = {
     "fence_distance_bands": q_fence_distance_bands,
     "fanout_hist": q_fanout_hist,
     "half_life": q_half_life,
+    "linear_attribution": q_linear_attribution,
+    "repurchase_interval": q_repurchase_interval,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -13482,6 +13653,8 @@ ORACLE_SQL.update({
     "fence_distance_bands": _SQL_FENCE_DISTANCE_BANDS,
     "fanout_hist": _SQL_FANOUT_HIST,
     "half_life": _SQL_HALF_LIFE,
+    "linear_attribution": _SQL_LINEAR_ATTRIBUTION,
+    "repurchase_interval": _SQL_REPURCHASE_INTERVAL,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -999,3 +999,48 @@ def test_half_life_front_loaded_vs_sustained(ray_session, tmp_path):
     want = (_oracle(sf, Q._SQL_HALF_LIFE)
             .sort_values("user_id", ignore_index=True))
     assert want["half_life_days"].tolist() == [0, 1, 0]
+
+
+# --------------------------------------------------- linear_attribution
+def test_linear_attribution_segments_reset(ray_session, tmp_path):
+    """Views split the purchase that ends THEIR segment: v,v,P1,v,P2 ->
+    P1 credits 2 views at cents/2, P2 credits 1; a purchase with no
+    prior views reads NULL share."""
+    rows = [(0, 10, 1, "view", 1), (1, 20, 1, "view", 1),
+            (2, 30, 1, "purchase", 10.00),
+            (3, 40, 1, "view", 1), (4, 50, 1, "purchase", 5.00),
+            (5, 10, 2, "purchase", 7.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_linear_attribution(sf).to_pandas()
+           .set_index("event_id"))
+    assert out.loc[2, "n_views"] == 2
+    assert out.loc[2, "per_view_cents"] == 500.0
+    assert out.loc[4, "n_views"] == 1
+    assert out.loc[4, "per_view_cents"] == 500.0
+    assert out.loc[5, "n_views"] == 0
+    assert np.isnan(out.loc[5, "per_view_cents"])
+    want = (_oracle(sf, Q._SQL_LINEAR_ATTRIBUTION)
+            .set_index("event_id"))
+    assert want.loc[2, "n_views"] == 2
+    assert np.isnan(float(want.loc[5, "per_view_cents"]))
+
+
+# ------------------------------------------------- repurchase_interval
+def test_repurchase_interval_median_gaps(ray_session, tmp_path):
+    """Purchases on days 0,10,40 -> gaps (10,30), median 20.0; a
+    single-purchase user emits nothing; odd gap counts read the exact
+    middle."""
+    day = 86_400_000_000
+    rows = [(0, 0 * day, 1, "purchase", 1), (1, 10 * day, 1, "purchase", 1),
+            (2, 40 * day, 1, "purchase", 1),
+            (3, 5 * day, 2, "purchase", 1),
+            (4, 0 * day, 3, "purchase", 1), (5, 7 * day, 3, "purchase", 1)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_repurchase_interval(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert out["user_id"].tolist() == [1, 3]
+    assert out["median_gap_days"].tolist() == [20.0, 7.0]
+    assert out["n_purchases"].tolist() == [3, 2]
+    want = (_oracle(sf, Q._SQL_REPURCHASE_INTERVAL)
+            .sort_values("user_id", ignore_index=True))
+    assert want["median_gap_days"].tolist() == [20.0, 7.0]
