@@ -13164,6 +13164,108 @@ _SQL_REPURCHASE_INTERVAL = (
     "median_gap_days FROM g")
 
 
+def q_cohort_ltv(sf_dir: str):
+    """Cohort LTV triangle: users cohort by the calendar month of
+    their FIRST event; per (cohort month, months-since-signup) cell
+    the event count, exact purchase revenue cents, and the running
+    cumulative revenue along the cohort row — the lifetime-value
+    table every growth dashboard is built on.
+
+    Exactness: cohort and age are integer epoch-month arithmetic
+    (datetime64[M] ≡ date_trunc/datediff 'month'); revenues are exact
+    integer cents.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle co-locates
+    each user (first-event discovery and age assignment need no
+    join); buckets emit (cohort, age) partials; the final groupby is
+    cohort-months × ages bounded, and the cumulative finish runs on
+    that bounded table."""
+    from ray.data.aggregate import Sum
+
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = (us.astype("datetime64[us]")
+                 .astype("datetime64[M]").astype(np.int64))
+        ty = np.asarray(b.column("event_type").to_pylist())
+        cents = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        cents = np.where(ty == "purchase", cents, 0)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "month": pa.array(month, pa.int64()),
+            "cents": pa.array(cents, pa.int64())})
+
+    def cohort(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        month = g["month"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((month, uid))
+        uid, month, cents = uid[order], month[order], cents[order]
+        fi = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        n_seg = np.diff(np.r_[fi, len(uid)])
+        cm = np.repeat(month[fi], n_seg)       # cohort month per row
+        age = month - cm
+        key = cm * 10_000 + age                # ages < 10000 months
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        rv = np.zeros(len(uk), np.int64)
+        np.add.at(rv, inv, cents)
+        return pa.table({
+            "cm": pa.array((uk // 10_000).astype(np.int64)),
+            "month_age": pa.array((uk % 10_000).astype(np.int64)),
+            "n_events": pa.array(n),
+            "revenue_cents": pa.array(rv)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type", "value"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("pkey").map_groups(cohort, batch_format="pandas")
+           .groupby(["cm", "month_age"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("revenue_cents", alias_name="revenue_cents"))
+           .to_pandas()
+           .sort_values(["cm", "month_age"], ignore_index=True))
+    cm = agg["cm"].to_numpy(np.int64)
+    rv = agg["revenue_cents"].to_numpy(np.int64)
+    fi = np.flatnonzero(np.r_[True, cm[1:] != cm[:-1]])
+    n_seg = np.diff(np.r_[fi, len(cm)])
+    base = np.repeat(np.r_[0, np.cumsum(rv)[fi[1:] - 1]], n_seg)
+    cum = np.cumsum(rv) - base
+    # cohort month as epoch-µs (month index -> timestamp)
+    cm_us = (cm.astype("datetime64[M]").astype("datetime64[us]")
+             .astype(np.int64))
+    return pa.table({
+        "cohort_month_us": pa.array(cm_us, pa.int64()),
+        "month_age": pa.array(agg["month_age"].to_numpy(np.int64)),
+        "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+        "revenue_cents": pa.array(rv),
+        "cum_revenue_cents": pa.array(cum.astype(np.int64))})
+
+
+_SQL_COHORT_LTV = (
+    "WITH f AS (SELECT user_id, date_trunc('month', MIN(ts)) AS fm "
+    "FROM events GROUP BY 1), "
+    "e AS (SELECT ev.user_id, "
+    "datediff('month', f.fm, date_trunc('month', ev.ts)) AS age, "
+    "epoch_us(f.fm) AS cm, "
+    "CASE WHEN ev.event_type = 'purchase' THEN "
+    "CAST(ROUND(ev.value * 100) AS BIGINT) ELSE 0 END AS cents "
+    "FROM events ev JOIN f ON ev.user_id = f.user_id), "
+    "g AS (SELECT cm, age, COUNT(*) AS n_events, "
+    "SUM(cents) AS revenue_cents FROM e GROUP BY 1, 2) "
+    "SELECT CAST(cm AS BIGINT) AS cohort_month_us, "
+    "CAST(age AS BIGINT) AS month_age, "
+    "CAST(n_events AS BIGINT) AS n_events, "
+    "CAST(revenue_cents AS BIGINT) AS revenue_cents, "
+    "CAST(SUM(revenue_cents) OVER (PARTITION BY cm ORDER BY age) "
+    "AS BIGINT) AS cum_revenue_cents FROM g")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13385,6 +13487,7 @@ QUERIES = {
     "half_life": q_half_life,
     "linear_attribution": q_linear_attribution,
     "repurchase_interval": q_repurchase_interval,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -13655,6 +13758,7 @@ ORACLE_SQL.update({
     "half_life": _SQL_HALF_LIFE,
     "linear_attribution": _SQL_LINEAR_ATTRIBUTION,
     "repurchase_interval": _SQL_REPURCHASE_INTERVAL,
+    "cohort_ltv": _SQL_COHORT_LTV,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -1044,3 +1044,32 @@ def test_repurchase_interval_median_gaps(ray_session, tmp_path):
     want = (_oracle(sf, Q._SQL_REPURCHASE_INTERVAL)
             .sort_values("user_id", ignore_index=True))
     assert want["median_gap_days"].tolist() == [20.0, 7.0]
+
+
+# ------------------------------------------------------------ cohort_ltv
+def test_cohort_ltv_triangle(ray_session, tmp_path):
+    """User A signs up in Jan (purchases $1 in Jan, $2 in Mar), user B
+    in Feb ($5 in Feb): cohort Jan has ages 0 and 2 with cumulative
+    100 -> 300 cents; cohort Feb has age 0 at 500. Non-purchase events
+    count in n_events but add no revenue."""
+    jan = np.datetime64("2024-01-15", "us").astype(np.int64)
+    feb = np.datetime64("2024-02-10", "us").astype(np.int64)
+    mar = np.datetime64("2024-03-20", "us").astype(np.int64)
+    rows = [(0, int(jan), 1, "purchase", 1.00),
+            (1, int(mar), 1, "purchase", 2.00),
+            (2, int(mar), 1, "view", 99.0),        # no revenue
+            (3, int(feb), 2, "purchase", 5.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_cohort_ltv(sf).to_pandas()
+    jan_m = int(np.datetime64("2024-01-01", "us").astype(np.int64))
+    feb_m = int(np.datetime64("2024-02-01", "us").astype(np.int64))
+    ja = out[out["cohort_month_us"] == jan_m].set_index("month_age")
+    assert ja.loc[0, "revenue_cents"] == 100
+    assert ja.loc[2, "revenue_cents"] == 200
+    assert ja.loc[2, "cum_revenue_cents"] == 300
+    assert ja.loc[2, "n_events"] == 2             # purchase + view
+    fb = out[out["cohort_month_us"] == feb_m].set_index("month_age")
+    assert fb.loc[0, "cum_revenue_cents"] == 500
+    want = _oracle(sf, Q._SQL_COHORT_LTV)
+    wj = want[want["cohort_month_us"] == jan_m].set_index("month_age")
+    assert wj.loc[2, "cum_revenue_cents"] == 300
