@@ -13266,6 +13266,82 @@ _SQL_COHORT_LTV = (
     "AS BIGINT) AS cum_revenue_cents FROM g")
 
 
+def q_benford_audit(sf_dir: str):
+    """Benford first-digit audit per event type: the distribution of
+    leading digits of the cent amounts vs Benford's law expectation
+    log₁₀(1 + 1/d) — the classic fabricated-numbers screen of forensic
+    accounting. Zero-cent events are excluded (no leading digit).
+
+    Exactness: the leading digit is extracted by a ≤19-step vectorized
+    integer divide loop (never float log10, whose powers-of-ten
+    boundaries are unreliable); shares and expectations are
+    shared-shape ROUND-6 expressions (log10 computed identically by
+    both engines' libm on the 9 constant inputs).
+
+    Shape for scale: stateless (type, digit) count partials → one
+    9·types-bounded groupby → fixed-size finish."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        keep = v >= 1
+        v, ty = v[keep], ty[keep]
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = v.copy()
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        ut, inv = np.unique(ty, return_inverse=True)
+        key = inv.astype(np.int64) * 10 + d
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk // 10], pa.string()),
+            "digit": pa.array((uk % 10).astype(np.int64)),
+            "n": pa.array(c.astype(np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "digit"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                          # 9·types-row
+    tot = agg.groupby("event_type")["n"].transform("sum").to_numpy(
+        np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    digit = agg["digit"].to_numpy(np.int64)
+    share = np.round(n.astype(np.float64) / tot, 6)
+    expected = np.round(np.log10(1.0 + 1.0 / digit), 6)
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "digit": pa.array(digit),
+        "n": pa.array(n),
+        "share": pa.array(share, pa.float64()),
+        "benford_expected": pa.array(expected, pa.float64())})
+
+
+_SQL_BENFORD_AUDIT = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+    "f AS (SELECT event_type, "
+    "CAST(LEFT(CAST(cents AS VARCHAR), 1) AS BIGINT) AS digit "
+    "FROM c WHERE cents >= 1), "
+    "h AS (SELECT event_type, digit, COUNT(*) AS n FROM f "
+    "GROUP BY 1, 2), "
+    "t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1) "
+    "SELECT h.event_type, CAST(h.digit AS BIGINT) AS digit, "
+    "CAST(h.n AS BIGINT) AS n, "
+    "ROUND(CAST(h.n AS DOUBLE) / t.tot, 6) AS share, "
+    "ROUND(log10(1.0 + 1.0 / h.digit), 6) AS benford_expected "
+    "FROM h JOIN t ON h.event_type = t.event_type")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13488,6 +13564,7 @@ QUERIES = {
     "linear_attribution": q_linear_attribution,
     "repurchase_interval": q_repurchase_interval,
     "cohort_ltv": q_cohort_ltv,
+    "benford_audit": q_benford_audit,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -13759,6 +13836,7 @@ ORACLE_SQL.update({
     "linear_attribution": _SQL_LINEAR_ATTRIBUTION,
     "repurchase_interval": _SQL_REPURCHASE_INTERVAL,
     "cohort_ltv": _SQL_COHORT_LTV,
+    "benford_audit": _SQL_BENFORD_AUDIT,
 })
 
 # Remaining no-oracle entries, each with a reason:

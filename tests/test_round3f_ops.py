@@ -1073,3 +1073,21 @@ def test_cohort_ltv_triangle(ray_session, tmp_path):
     want = _oracle(sf, Q._SQL_COHORT_LTV)
     wj = want[want["cohort_month_us"] == jan_m].set_index("month_age")
     assert wj.loc[2, "cum_revenue_cents"] == 300
+
+
+# --------------------------------------------------------- benford_audit
+def test_benford_leading_digits(ray_session, tmp_path):
+    """Cents 950 -> digit 9, 100 -> 1, 9 -> 9, 0 excluded; shares are
+    exact per-type ratios and the Benford expectation for digit 1 is
+    log10(2) = 0.30103."""
+    rows = [(0, 10, 1, "v", 9.50), (1, 11, 1, "v", 1.00),
+            (2, 12, 1, "v", 0.09), (3, 13, 1, "v", 0.00)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_benford_audit(sf).to_pandas().set_index("digit")
+    assert out.loc[9, "n"] == 2 and out.loc[1, "n"] == 1
+    assert len(out) == 2                          # zero-cent excluded
+    assert out.loc[9, "share"] == round(2 / 3, 6)
+    assert out.loc[1, "benford_expected"] == 0.30103
+    want = _oracle(sf, Q._SQL_BENFORD_AUDIT).set_index("digit")
+    assert want.loc[9, "n"] == 2
+    assert want.loc[1, "benford_expected"] == 0.30103
