@@ -13342,6 +13342,147 @@ _SQL_BENFORD_AUDIT = (
     "FROM h JOIN t ON h.event_type = t.event_type")
 
 
+_FORGET_MOD = 97               # deterministic stand-in deletion set
+
+
+def q_forget_users(sf_dir: str):
+    """Right-to-be-forgotten audit: simulate deleting every event of
+    the users in the deletion set (stand-in: user_id % 97 == 0) and
+    certify the result — rows before/after, rows erased, and the
+    order-independent polynomial digest (table_checksum's hash) of
+    the SURVIVING rows, which a re-run after a real purge must
+    reproduce bit-for-bit. The privacy-compliance counterpart of
+    k_anonymity and redact.
+
+    Shape for scale: one streaming pass; the deletion predicate is a
+    stateless vectorized filter and both counts and digests are
+    commutative mod-2⁶⁴ partials — no shuffle at all."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        cents = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64).astype(
+                np.uint64)
+        t = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        keep = (uid % _FORGET_MOD) != 0
+        with np.errstate(over="ignore"):
+            h = (eid * np.uint64(_CK_P1) +
+                 uid.astype(np.uint64) * np.uint64(_CK_P2) +
+                 cents * np.uint64(_CK_P3) + t * np.uint64(_CK_P4))
+            ck = np.sum(h[keep], dtype=np.uint64)
+        return pa.table({
+            "n_before": pa.array([len(uid)], pa.int64()),
+            "n_after": pa.array([int(keep.sum())], pa.int64()),
+            "ck": pa.array([ck], pa.uint64())})
+
+    p = (_read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "ts", "user_id", "value"])
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas())                            # O(blocks) rows
+    with np.errstate(over="ignore"):
+        ck = np.sum(p["ck"].to_numpy(np.uint64), dtype=np.uint64)
+    nb = int(p["n_before"].sum())
+    na = int(p["n_after"].sum())
+    return pa.table({
+        "table_name": pa.array(["events"], pa.string()),
+        "n_before": pa.array([nb], pa.int64()),
+        "n_after": pa.array([na], pa.int64()),
+        "n_erased": pa.array([nb - na], pa.int64()),
+        "surviving_checksum": pa.array([ck], pa.uint64())})
+
+
+_SQL_FORGET_USERS = (
+    "WITH r AS (SELECT user_id, "
+    f"(CAST(event_id AS HUGEINT) * {_CK_P1} + "
+    f"CAST(user_id AS HUGEINT) * {_CK_P2} + "
+    f"CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) * {_CK_P3} + "
+    f"CAST(epoch_us(ts) AS HUGEINT) * {_CK_P4}) % {_CK_M} AS h "
+    "FROM events), "
+    "t AS (SELECT COUNT(*) AS nb FROM r), "
+    f"s AS (SELECT COUNT(*) AS na, SUM(h) % {_CK_M} AS ck FROM r "
+    f"WHERE user_id % {_FORGET_MOD} != 0) "
+    "SELECT 'events' AS table_name, CAST(t.nb AS BIGINT) AS n_before, "
+    "CAST(s.na AS BIGINT) AS n_after, "
+    "CAST(t.nb - s.na AS BIGINT) AS n_erased, "
+    "CAST(s.ck AS UBIGINT) AS surviving_checksum FROM t, s")
+
+
+_DC_WINDOW_US = 86_400_000_000  # duplicate-charge window: 24 hours
+
+
+def q_double_charge(sf_dir: str):
+    """Duplicate-payment detector: pairs of purchases by the SAME user
+    for the SAME dollar amount (cents // 100) within 24 hours —
+    reported as the later event of each adjacent pair in (user,
+    dollar, ts) order, with the gap — the classic double-charge /
+    replay-fraud screen (dollar granularity catches near-identical
+    retries that exact-cent equality misses).
+
+    Exactness: adjacency in the (user, dollars, ts, event_id) sort is
+    a total order, and the oracle's LAG over the same partition sees
+    the identical neighbor; gaps are integer µs.
+
+    Shape for scale: purchases filter inside the scan batch, ONE
+    crc-coarse user-bucket shuffle of the purchase subset, per bucket
+    a single lexsort + shifted compare — pair-sized output."""
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("event_type"), "purchase")
+        b = b.filter(keep)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        dollars = (np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64) // 100)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "dollars": pa.array(dollars, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        dollars = g["dollars"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, dollars, uid))
+        uid, dollars, ts, eid = (uid[order], dollars[order], ts[order],
+                                 eid[order])
+        same = (uid[1:] == uid[:-1]) & (dollars[1:] == dollars[:-1])
+        gap = ts[1:] - ts[:-1]
+        hit = same & (gap <= _DC_WINDOW_US)
+        return pa.table({
+            "event_id": pa.array(eid[1:][hit], pa.int64()),
+            "user_id": pa.array(uid[1:][hit], pa.int64()),
+            "dollars": pa.array(dollars[1:][hit], pa.int64()),
+            "gap_us": pa.array(gap[hit], pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(pairs, batch_format="pandas"))
+
+
+_SQL_DOUBLE_CHARGE = (
+    "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+    "CAST(ROUND(value * 100) AS BIGINT) // 100 AS dollars FROM events "
+    "WHERE event_type = 'purchase'), "
+    "w AS (SELECT user_id, event_id, dollars, t, "
+    "t - LAG(t) OVER (PARTITION BY user_id, dollars "
+    "ORDER BY t, event_id) AS gap_us FROM p) "
+    "SELECT event_id, user_id, dollars, "
+    "CAST(gap_us AS BIGINT) AS gap_us "
+    f"FROM w WHERE gap_us IS NOT NULL AND gap_us <= {_DC_WINDOW_US}")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13565,6 +13706,8 @@ QUERIES = {
     "repurchase_interval": q_repurchase_interval,
     "cohort_ltv": q_cohort_ltv,
     "benford_audit": q_benford_audit,
+    "forget_users": q_forget_users,
+    "double_charge": q_double_charge,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -13837,6 +13980,8 @@ ORACLE_SQL.update({
     "repurchase_interval": _SQL_REPURCHASE_INTERVAL,
     "cohort_ltv": _SQL_COHORT_LTV,
     "benford_audit": _SQL_BENFORD_AUDIT,
+    "forget_users": _SQL_FORGET_USERS,
+    "double_charge": _SQL_DOUBLE_CHARGE,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -1091,3 +1091,46 @@ def test_benford_leading_digits(ray_session, tmp_path):
     want = _oracle(sf, Q._SQL_BENFORD_AUDIT).set_index("digit")
     assert want.loc[9, "n"] == 2
     assert want.loc[1, "benford_expected"] == 0.30103
+
+
+# ---------------------------------------------------------- forget_users
+def test_forget_users_erases_and_certifies(ray_session, tmp_path):
+    """Users divisible by 97 are erased; the surviving digest equals
+    the digest of a table that never contained them (the re-run
+    certification property)."""
+    rows = ([(i, 10 + i, 97, "v", 1.0) for i in range(3)] +     # erased
+            [(10 + i, 20 + i, 5, "v", 2.0) for i in range(4)])  # kept
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_forget_users(sf).to_pandas()
+    assert out["n_before"].iloc[0] == 7
+    assert out["n_after"].iloc[0] == 4
+    assert out["n_erased"].iloc[0] == 3
+    # a table born without the forgotten users digests identically
+    sf2 = _write(tmp_path / "b", "events",
+                 _events([(10 + i, 20 + i, 5, "v", 2.0)
+                          for i in range(4)]))
+    out2 = Q.q_forget_users(sf2).to_pandas()
+    assert int(out["surviving_checksum"].iloc[0]) == \
+        int(out2["surviving_checksum"].iloc[0])
+    want = _oracle(sf, Q._SQL_FORGET_USERS)
+    assert int(want["surviving_checksum"].iloc[0]) == \
+        int(out["surviving_checksum"].iloc[0])
+
+
+# --------------------------------------------------------- double_charge
+def test_double_charge_window_and_dollar_granularity(
+        ray_session, tmp_path):
+    """$5.01 then $5.99 within an hour flag (same dollar bucket 5);
+    the same pair 25h apart does not; different users never pair."""
+    h = 3_600_000_000
+    rows = [(0, 0, 1, "purchase", 5.01), (1, h, 1, "purchase", 5.99),
+            (2, 0, 2, "purchase", 5.01),
+            (3, 26 * h, 2, "purchase", 5.50),
+            (4, 2 * h, 3, "view", 5.01)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_double_charge(sf).to_pandas()
+    assert out["event_id"].tolist() == [1]
+    assert out["gap_us"].tolist() == [h]
+    assert out["dollars"].tolist() == [5]
+    want = _oracle(sf, Q._SQL_DOUBLE_CHARGE)
+    assert want["event_id"].tolist() == [1]
