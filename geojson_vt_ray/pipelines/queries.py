@@ -13483,6 +13483,103 @@ _SQL_DOUBLE_CHARGE = (
     f"FROM w WHERE gap_us IS NOT NULL AND gap_us <= {_DC_WINDOW_US}")
 
 
+def q_ship_sla(sf_dir: str):
+    """Shipping-SLA attainment by order priority: joining each line
+    item to its order's date, the share of lines shipped within 30,
+    60 and 90 days — the fulfillment scorecard. Exact integer day
+    differences and counts; each share ONE ROUND-6 division.
+
+    Shape for scale: a keyed large-large hash join on orderkey (both
+    sides fact-sized — the one unavoidable exchange, cluster-scaled
+    partitions via the shuffle helper), then priority-bounded count
+    partials."""
+    from ray.data.aggregate import Sum
+
+    nparts = F_dedup._num_join_partitions()
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+    lines = _read_pq(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_orderkey", "l_shipdate"])
+
+    def okey(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "odate": pa.array(
+                b.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000,
+                pa.int64()),
+            "o_orderpriority": b.column("o_orderpriority")})
+
+    def lkey(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "sdate": pa.array(
+                b.column("l_shipdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000,
+                pa.int64())})
+
+    joined = (lines.map_batches(lkey, batch_format="pyarrow")
+              .join(orders.map_batches(okey, batch_format="pyarrow"),
+                    "inner", nparts,
+                    on=("l_orderkey",), right_on=("o_orderkey",),
+                    aggregator_ray_remote_args=_agg_args(nparts)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        lag = (b.column("sdate").to_numpy(zero_copy_only=False)
+               - b.column("odate").to_numpy(zero_copy_only=False))
+        pr = np.asarray(b.column("o_orderpriority").to_pylist())
+        if len(pr) == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "in30": pa.array([], pa.int64()),
+                "in60": pa.array([], pa.int64()),
+                "in90": pa.array([], pa.int64())})
+        up, inv = np.unique(pr, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        out = {"o_orderpriority": pa.array(up, pa.string()),
+               "n": pa.array(n)}
+        for d in (30, 60, 90):
+            hit = np.zeros(len(up), np.int64)
+            np.add.at(hit, inv, (lag <= d).astype(np.int64))
+            out[f"in{d}"] = pa.array(hit)
+        return pa.table(out)
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("in30", alias_name="in30"),
+                      Sum("in60", alias_name="in60"),
+                      Sum("in90", alias_name="in90"))
+           .to_pandas())                          # priorities-row
+    n = agg["n"].to_numpy(np.int64)
+    cols = {"o_orderpriority": pa.array(agg["o_orderpriority"],
+                                        pa.string()),
+            "n_lines": pa.array(n)}
+    for d in (30, 60, 90):
+        hit = agg[f"in{d}"].to_numpy(np.int64)
+        cols[f"pct_{d}d"] = pa.array(
+            np.round(hit.astype(np.float64) / n, 6), pa.float64())
+    return pa.table(cols)
+
+
+_SQL_SHIP_SLA = (
+    "WITH j AS (SELECT o.o_orderpriority, "
+    "epoch_us(l.l_shipdate) // 86400000000 - "
+    "epoch_us(o.o_orderdate) // 86400000000 AS lag FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+    "g AS (SELECT o_orderpriority, COUNT(*) AS n, "
+    "SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS in30, "
+    "SUM(CASE WHEN lag <= 60 THEN 1 ELSE 0 END) AS in60, "
+    "SUM(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS in90 "
+    "FROM j GROUP BY 1) "
+    "SELECT o_orderpriority, CAST(n AS BIGINT) AS n_lines, "
+    "ROUND(CAST(in30 AS DOUBLE) / n, 6) AS pct_30d, "
+    "ROUND(CAST(in60 AS DOUBLE) / n, 6) AS pct_60d, "
+    "ROUND(CAST(in90 AS DOUBLE) / n, 6) AS pct_90d FROM g")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13708,6 +13805,7 @@ QUERIES = {
     "benford_audit": q_benford_audit,
     "forget_users": q_forget_users,
     "double_charge": q_double_charge,
+    "ship_sla": q_ship_sla,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -13982,6 +14080,7 @@ ORACLE_SQL.update({
     "benford_audit": _SQL_BENFORD_AUDIT,
     "forget_users": _SQL_FORGET_USERS,
     "double_charge": _SQL_DOUBLE_CHARGE,
+    "ship_sla": _SQL_SHIP_SLA,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -1134,3 +1134,44 @@ def test_double_charge_window_and_dollar_granularity(
     assert out["dollars"].tolist() == [5]
     want = _oracle(sf, Q._SQL_DOUBLE_CHARGE)
     assert want["event_id"].tolist() == [1]
+
+
+# -------------------------------------------------------------- ship_sla
+def test_ship_sla_day_boundaries(ray_session, tmp_path):
+    """A line shipped exactly 30 days after its order counts inside
+    pct_30d (inclusive); 31 days counts only at 60/90."""
+    day = 86_400_000_000
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F"], pa.string()),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array(
+            np.array([0, 0], dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"],
+                                    pa.string())})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0, 1.0], pa.float64()),
+        "l_extendedprice": pa.array([1.0, 1.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        "l_tax": pa.array([0.0, 0.0], pa.float64()),
+        "l_returnflag": pa.array(["N", "N"], pa.string()),
+        "l_linestatus": pa.array(["O", "O"], pa.string()),
+        "l_shipdate": pa.array(
+            np.array([30 * day, 31 * day], dtype="datetime64[us]"))})
+    sf = _write(tmp_path, "orders", orders)
+    pq.write_table(li, f"{sf}/lineitem.parquet")
+    out = Q.q_ship_sla(sf).to_pandas()
+    assert out["n_lines"].iloc[0] == 2
+    assert out["pct_30d"].iloc[0] == 0.5
+    assert out["pct_60d"].iloc[0] == 1.0
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf}/{t}.parquet'")
+    want = con.execute(Q._SQL_SHIP_SLA).fetchdf()
+    assert want["pct_30d"].iloc[0] == 0.5
