@@ -13580,6 +13580,170 @@ _SQL_SHIP_SLA = (
     "ROUND(CAST(in90 AS DOUBLE) / n, 6) AS pct_90d FROM g")
 
 
+def q_seasonal_backtest(sf_dir: str):
+    """Backtest of the seasonal-naive forecaster: predict each day's
+    per-type event count by the count 7 days earlier (over the dense
+    zero-filled day grid) and report the exact total absolute error
+    and MAE — the baseline every fancier forecaster must beat, and the
+    standard way to quantify weekly seasonality strength.
+
+    Exactness: counts and absolute errors are exact integers on the
+    dense grid; MAE is ONE ROUND-6 division.
+
+    Shape for scale: (type, day) count partials → day-bounded groupby
+    → per-type dense-grid fold in map_groups (span-sized, off
+    driver)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "day": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        key = inv.astype(np.int64) * 1_000_000 + day
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk // 1_000_000], pa.string()),
+            "day": pa.array((uk % 1_000_000).astype(np.int64)),
+            "c": pa.array(c.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        day = g["day"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        lo, hi = int(day.min()), int(day.max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[day - lo] = c
+        if len(x) <= 7:
+            n_scored, tot = 0, 0
+            mae = float("nan")
+        else:
+            err = np.abs(x[7:] - x[:-7])
+            n_scored = len(err)
+            tot = int(err.sum())
+            mae = float(np.round(float(tot) / n_scored, 6))
+        return pa.table({
+            "event_type": pa.array([g["event_type"].iat[0]],
+                                   pa.string()),
+            "n_scored": pa.array([n_scored], pa.int64()),
+            "total_abs_err": pa.array([tot], pa.int64()),
+            "mae": pa.array([mae], pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("event_type")
+            .map_groups(fold, batch_format="pandas"))
+
+
+_SQL_SEASONAL_BACKTEST = (
+    "WITH h AS (SELECT event_type, "
+    "epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c FROM events "
+    "GROUP BY 1, 2), "
+    "b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi "
+    "FROM h GROUP BY 1), "
+    "cal AS (SELECT event_type, UNNEST(range(lo, hi + 1)) AS day "
+    "FROM b), "
+    "s AS (SELECT cal.event_type, cal.day, COALESCE(h.c, 0) AS x "
+    "FROM cal LEFT JOIN h ON h.event_type = cal.event_type "
+    "AND h.day = cal.day), "
+    "e AS (SELECT event_type, ABS(x - LAG(x, 7) OVER "
+    "(PARTITION BY event_type ORDER BY day)) AS err FROM s) "
+    "SELECT event_type, "
+    "CAST(COUNT(err) AS BIGINT) AS n_scored, "
+    "CAST(COALESCE(SUM(err), 0) AS BIGINT) AS total_abs_err, "
+    "CASE WHEN COUNT(err) > 0 THEN "
+    "ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(err), 6) ELSE NULL END "
+    "AS mae FROM e GROUP BY 1")
+
+
+def q_elasticity_proxy(sf_dir: str):
+    """Discount-quantity correlation per return flag — the first-order
+    price-elasticity proxy ("do bigger discounts move bigger
+    quantities?"). Discounts carry as exact basis points, quantities
+    as exact integers; the six sufficient statistics fold in Python
+    ints (products overflow int64 long before arbitrary precision) and
+    the correlation is corr_matrix's shared-shape ROUND-6 double.
+
+    Shape for scale: stateless per-batch moment partials → one
+    flags-bounded groupby → driver fold on the flags-row table."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 10_000).astype(np.int64)
+        y = np.round(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        fl = np.asarray(b.column("l_returnflag").to_pylist())
+        if len(fl) == 0:
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "syy": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64())})
+        uf, inv = np.unique(fl, return_inverse=True)
+        cols = {"l_returnflag": pa.array(uf, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64))}
+        for name, arr in (("sx", x), ("sy", y), ("sxx", x * x),
+                          ("syy", y * y), ("sxy", x * y)):
+            acc = np.zeros(len(uf), np.int64)
+            np.add.at(acc, inv, arr)
+            cols[name] = pa.array(acc)
+        return pa.table(cols)
+
+    agg = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_discount",
+                             "l_quantity"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("sxy", alias_name="sxy"))
+           .to_pandas())                          # flags-row
+    out_f, out_n, out_c = [], [], []
+    for r in agg.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxx, syy, sxy = int(r.sxx), int(r.syy), int(r.sxy)
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        c = (np.round(float(n * sxy - sx * sy) /
+                      np.sqrt(float(den2)), 6)
+             if den2 > 0 else float("nan"))
+        out_f.append(r.l_returnflag)
+        out_n.append(n)
+        out_c.append(float(c))
+    return pa.table({
+        "l_returnflag": pa.array(out_f, pa.string()),
+        "n_lines": pa.array(out_n, pa.int64()),
+        "corr_discount_qty": pa.array(out_c, pa.float64())})
+
+
+_SQL_ELASTICITY_PROXY = (
+    "WITH c AS (SELECT l_returnflag, "
+    "CAST(ROUND(l_discount * 10000) AS BIGINT) AS x, "
+    "CAST(ROUND(l_quantity) AS BIGINT) AS y FROM lineitem), "
+    "g AS (SELECT l_returnflag, COUNT(*) AS n, "
+    "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, "
+    "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+    "SUM(CAST(y AS HUGEINT) * y) AS syy, "
+    "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM c GROUP BY 1) "
+    "SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines, "
+    "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN "
+    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), "
+    "6) ELSE NULL END AS corr_discount_qty FROM g")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13806,6 +13970,8 @@ QUERIES = {
     "forget_users": q_forget_users,
     "double_charge": q_double_charge,
     "ship_sla": q_ship_sla,
+    "seasonal_backtest": q_seasonal_backtest,
+    "elasticity_proxy": q_elasticity_proxy,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -14081,6 +14247,8 @@ ORACLE_SQL.update({
     "forget_users": _SQL_FORGET_USERS,
     "double_charge": _SQL_DOUBLE_CHARGE,
     "ship_sla": _SQL_SHIP_SLA,
+    "seasonal_backtest": _SQL_SEASONAL_BACKTEST,
+    "elasticity_proxy": _SQL_ELASTICITY_PROXY,
 })
 
 # Remaining no-oracle entries, each with a reason:

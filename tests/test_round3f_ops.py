@@ -1175,3 +1175,57 @@ def test_ship_sla_day_boundaries(ray_session, tmp_path):
                     f"'{sf}/{t}.parquet'")
     want = con.execute(Q._SQL_SHIP_SLA).fetchdf()
     assert want["pct_30d"].iloc[0] == 0.5
+
+
+# ----------------------------------------------------- seasonal_backtest
+def test_seasonal_backtest_perfect_weekly_pattern(ray_session, tmp_path):
+    """A perfectly 7-periodic series backtests to MAE 0; a short
+    (<8-day) series scores nothing (NaN)."""
+    day = 86_400_000_000
+    rows, eid = [], 0
+    for d in range(14):                 # weekly pattern: d%7+1 events
+        for _ in range(d % 7 + 1):
+            rows.append((eid, d * day + 9, 1, "weekly", 1.0))
+            eid += 1
+    rows.append((eid, 0, 1, "short", 1.0))
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_seasonal_backtest(sf).to_pandas().set_index("event_type")
+    assert out.loc["weekly", "n_scored"] == 7
+    assert out.loc["weekly", "total_abs_err"] == 0
+    assert out.loc["weekly", "mae"] == 0.0
+    assert out.loc["short", "n_scored"] == 0
+    assert np.isnan(out.loc["short", "mae"])
+    want = _oracle(sf, Q._SQL_SEASONAL_BACKTEST).set_index("event_type")
+    assert want.loc["weekly", "mae"] == 0.0
+    assert want.loc["short", "n_scored"] == 0
+
+
+# ------------------------------------------------------ elasticity_proxy
+def test_elasticity_proxy_perfect_correlation(ray_session, tmp_path):
+    """Quantity exactly proportional to discount reads corr 1.0; a
+    constant-discount flag has zero x-variance and reads NaN/NULL."""
+    li_rows = [("A", 0.01, 1.0), ("A", 0.02, 2.0), ("A", 0.03, 3.0),
+               ("C", 0.05, 7.0), ("C", 0.05, 9.0)]
+    li = pa.table({
+        "l_orderkey": pa.array(list(range(len(li_rows))), pa.int64()),
+        "l_partkey": pa.array([1] * len(li_rows), pa.int64()),
+        "l_suppkey": pa.array([1] * len(li_rows), pa.int64()),
+        "l_linenumber": pa.array([1] * len(li_rows), pa.int32()),
+        "l_quantity": pa.array([r[2] for r in li_rows], pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(li_rows), pa.float64()),
+        "l_discount": pa.array([r[1] for r in li_rows], pa.float64()),
+        "l_tax": pa.array([0.0] * len(li_rows), pa.float64()),
+        "l_returnflag": pa.array([r[0] for r in li_rows], pa.string()),
+        "l_linestatus": pa.array(["O"] * len(li_rows), pa.string()),
+        "l_shipdate": pa.array(
+            np.array([10 ** 15] * len(li_rows), dtype="datetime64[us]"))})
+    sf = _write(tmp_path, "lineitem", li)
+    out = Q.q_elasticity_proxy(sf).to_pandas().set_index("l_returnflag")
+    assert out.loc["A", "corr_discount_qty"] == 1.0
+    assert np.isnan(out.loc["C", "corr_discount_qty"])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf}/lineitem.parquet'")
+    want = con.execute(Q._SQL_ELASTICITY_PROXY).fetchdf().set_index(
+        "l_returnflag")
+    assert want.loc["A", "corr_discount_qty"] == 1.0
