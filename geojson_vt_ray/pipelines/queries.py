@@ -13744,6 +13744,188 @@ _SQL_ELASTICITY_PROXY = (
     "6) ELSE NULL END AS corr_discount_qty FROM g")
 
 
+def q_skewness(sf_dir: str):
+    """Distribution skewness of value cents per event type via the
+    exact-integer identity g₁ = m3c / varc^1.5, where
+    m3c = n²·Σv³ − 3n·Σv·Σv² + 2(Σv)³ = n²·Σ(v−m)³ and
+    varc = n·Σv² − (Σv)² = n·Σ(v−m)² — the n-powers cancel, so the
+    only floats are one division and one x·√x, shared-shape on both
+    sides. The "is spend long-tailed?" diagnostic.
+
+    Shape for scale: per-batch (n, Σv, Σv², Σv³) partials with Σv³
+    carried as an exact hi/lo int64 split (cube sums pass 2⁵³ within
+    one batch, so a float64 column would silently round; per-element
+    cubes are exact int64 while cents < 2²¹ — $20 971, far above the
+    schema) → types-bounded groupby → Python-int recombine."""
+    from ray.data.aggregate import Sum
+
+    _LO = (1 << 31) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ss": pa.array([], pa.int64()),
+                             "sss_hi": pa.array([], pa.int64()),
+                             "sss_lo": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(ut), np.int64)
+        np.add.at(s, inv, v)
+        ss = np.zeros(len(ut), np.int64)
+        np.add.at(ss, inv, v * v)
+        cube = v * v * v
+        hi = np.zeros(len(ut), np.int64)
+        np.add.at(hi, inv, cube >> 31)
+        lo = np.zeros(len(ut), np.int64)
+        np.add.at(lo, inv, cube & _LO)
+        return pa.table({"event_type": pa.array(ut, pa.string()),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "ss": pa.array(ss),
+                         "sss_hi": pa.array(hi),
+                         "sss_lo": pa.array(lo)})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"),
+                      Sum("sss_hi", alias_name="sss_hi"),
+                      Sum("sss_lo", alias_name="sss_lo"))
+           .to_pandas())                          # types-row
+    out_t, out_n, out_g = [], [], []
+    for r in agg.itertuples():
+        n, s, ss = int(r.n), int(r.s), int(r.ss)
+        sss = (int(r.sss_hi) << 31) + int(r.sss_lo)
+        m3c = n * n * sss - 3 * n * s * ss + 2 * s ** 3
+        varc = n * ss - s * s
+        g1 = (np.round(float(m3c) /
+                       (float(varc) * np.sqrt(float(varc))), 6)
+              if varc > 0 else float("nan"))
+        out_t.append(r.event_type)
+        out_n.append(n)
+        out_g.append(float(g1))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "skewness": pa.array(out_g, pa.float64())})
+
+
+_SQL_SKEWNESS = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS v FROM events), "
+    "g AS (SELECT event_type, COUNT(*) AS n, "
+    "SUM(CAST(v AS HUGEINT)) AS s, SUM(CAST(v AS HUGEINT) * v) AS ss, "
+    "SUM(CAST(v AS HUGEINT) * v * v) AS sss FROM c GROUP BY 1), "
+    "m AS (SELECT event_type, n, "
+    "n * n * sss - 3 * n * s * ss + 2 * s * s * s AS m3c, "
+    "n * ss - s * s AS varc FROM g) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n, "
+    "CASE WHEN varc > 0 THEN ROUND(CAST(m3c AS DOUBLE) / "
+    "(CAST(varc AS DOUBLE) * sqrt(CAST(varc AS DOUBLE))), 6) "
+    "ELSE NULL END AS skewness FROM m")
+
+
+def q_heading_octants(sf_dir: str):
+    """Direction-of-travel distribution: every consecutive trajectory
+    segment classifies into one of 8 compass octants (E=0, NE=1, …,
+    SE=7) by PURE integer sign/magnitude comparisons — |dx| vs |dy|
+    and their signs pick the octant with no atan2 — plus a
+    zero-length bucket (−1). Reported per event type of the segment's
+    later point.
+
+    Octant rule: axis-dominant directions (|dx|>|dy| → E/W band,
+    |dy|>|dx| → N/S band) and diagonal ties (|dx|=|dy|) land on the
+    odd octants — deterministic, mirrored verbatim in the oracle.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle (the
+    trajectory contract); per bucket a lexsort + vectorized octant
+    table lookup; output is 9·types-bounded."""
+    from ray.data.aggregate import Sum
+
+    mask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "pkey": pa.array((uid & mask).astype(np.int32)),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), pa.int64()),
+            "event_id": pa.array(ev, pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string()),
+            "x": pa.array(ev % 3600, pa.int64()),
+            "y": pa.array(ev % 1600, pa.int64())})
+
+    def octants(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), uid))
+        uid = uid[order]
+        x = g["x"].to_numpy(np.int64)[order]
+        y = g["y"].to_numpy(np.int64)[order]
+        ty = g["event_type"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        dx = (x[1:] - x[:-1])[same]
+        dy = (y[1:] - y[:-1])[same]
+        sty = ty[1:][same]
+        ax, ay = np.abs(dx), np.abs(dy)
+        oct_ = np.full(len(dx), -1, np.int64)
+        nz = (dx != 0) | (dy != 0)
+        e = (dx > 0) & (ax > ay)
+        w = (dx < 0) & (ax > ay)
+        n_ = (dy > 0) & (ay > ax)
+        s_ = (dy < 0) & (ay > ax)
+        ne = (dx > 0) & (dy > 0) & (ax == ay)
+        nw = (dx < 0) & (dy > 0) & (ax == ay)
+        sw = (dx < 0) & (dy < 0) & (ax == ay)
+        se = (dx > 0) & (dy < 0) & (ax == ay)
+        for v, m in ((0, e), (1, ne), (2, n_), (3, nw), (4, w),
+                     (5, sw), (6, s_), (7, se)):
+            oct_[m & nz] = v
+        ut, tinv = np.unique(sty, return_inverse=True)
+        key = tinv.astype(np.int64) * 16 + (oct_ + 1)
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk // 16], pa.string()),
+            "octant": pa.array((uk % 16 - 1).astype(np.int64)),
+            "n": pa.array(c.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(octants, batch_format="pandas")
+            .groupby(["event_type", "octant"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+_SQL_HEADING_OCTANTS = (
+    "WITH e AS (SELECT user_id, ts, event_id, event_type, "
+    "event_id % 3600 AS x, event_id % 1600 AS y FROM events), "
+    "o AS (SELECT user_id, event_type, "
+    "x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "c AS (SELECT event_type, CASE "
+    "WHEN dx = 0 AND dy = 0 THEN -1 "
+    "WHEN dx > 0 AND ABS(dx) > ABS(dy) THEN 0 "
+    "WHEN dx > 0 AND dy > 0 AND ABS(dx) = ABS(dy) THEN 1 "
+    "WHEN dy > 0 AND ABS(dy) > ABS(dx) THEN 2 "
+    "WHEN dx < 0 AND dy > 0 AND ABS(dx) = ABS(dy) THEN 3 "
+    "WHEN dx < 0 AND ABS(dx) > ABS(dy) THEN 4 "
+    "WHEN dx < 0 AND dy < 0 AND ABS(dx) = ABS(dy) THEN 5 "
+    "WHEN dy < 0 AND ABS(dy) > ABS(dx) THEN 6 "
+    "ELSE 7 END AS octant FROM o WHERE dx IS NOT NULL) "
+    "SELECT event_type, CAST(octant AS BIGINT) AS octant, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -13972,6 +14154,8 @@ QUERIES = {
     "ship_sla": q_ship_sla,
     "seasonal_backtest": q_seasonal_backtest,
     "elasticity_proxy": q_elasticity_proxy,
+    "skewness": q_skewness,
+    "heading_octants": q_heading_octants,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -14249,6 +14433,8 @@ ORACLE_SQL.update({
     "ship_sla": _SQL_SHIP_SLA,
     "seasonal_backtest": _SQL_SEASONAL_BACKTEST,
     "elasticity_proxy": _SQL_ELASTICITY_PROXY,
+    "skewness": _SQL_SKEWNESS,
+    "heading_octants": _SQL_HEADING_OCTANTS,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -1229,3 +1229,48 @@ def test_elasticity_proxy_perfect_correlation(ray_session, tmp_path):
     want = con.execute(Q._SQL_ELASTICITY_PROXY).fetchdf().set_index(
         "l_returnflag")
     assert want.loc["A", "corr_discount_qty"] == 1.0
+
+
+# -------------------------------------------------------------- skewness
+def test_skewness_symmetric_and_right_tail(ray_session, tmp_path):
+    """A symmetric distribution reads 0; adding a far right outlier
+    turns it positive; a constant column reads NaN/NULL."""
+    rows = ([(i, 10 + i, 1, "sym", v)
+             for i, v in enumerate([1.00, 2.00, 3.00])] +
+            [(10 + i, 20 + i, 1, "tail", v)
+             for i, v in enumerate([1.00, 1.00, 1.00, 50.00])] +
+            [(20 + i, 30 + i, 1, "const", 5.00) for i in range(3)])
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_skewness(sf).to_pandas().set_index("event_type")
+    assert out.loc["sym", "skewness"] == 0.0
+    assert out.loc["tail", "skewness"] > 1.0
+    assert np.isnan(out.loc["const", "skewness"])
+    want = _oracle(sf, Q._SQL_SKEWNESS).set_index("event_type")
+    assert want.loc["sym", "skewness"] == 0.0
+    assert want.loc["tail", "skewness"] == out.loc["tail", "skewness"]
+
+
+# ------------------------------------------------------- heading_octants
+def test_heading_octants_cardinals_and_diagonals(ray_session, tmp_path):
+    """id steps pin the octants: +1 x (E=0), +3600·k? — use explicit
+    ids: (0,0)->(1,1) is the NE diagonal (1), ->(1,0) is... verify a
+    hand-built path covering E, NE and a zero-length segment."""
+    # points: id 0 -> (0,0); id 1 -> (1,1) [NE diag]; id 3201 ->
+    # (3201%3600=3201, 3201%1600=1) -> from (1,1): dx=3200,dy=0 => E
+    rows = [(0, 10, 1), (1, 20, 1), (3201, 30, 1), (3201, 40, 2),
+            (3201, 50, 2)]
+    # user 2: same id twice -> zero-length segment (-1)
+    ev = _events([(r[0], r[1], r[2], "view", 1.0) for r in rows])
+    # distinct event_id values required for total order; user 2 needs
+    # two ids mapping to the SAME point: 3201 and 3201+14400 (lcm)
+    ev = _events([(0, 10, 1, "view", 1.0), (1, 20, 1, "view", 1.0),
+                  (3201, 30, 1, "view", 1.0),
+                  (3201, 40, 2, "view", 1.0),
+                  (17601, 50, 2, "view", 1.0)])
+    sf = _write(tmp_path, "events", ev)
+    out = Q.q_heading_octants(sf).to_pandas().set_index("octant")
+    assert out.loc[1, "n"] == 1       # NE diagonal
+    assert out.loc[0, "n"] == 1       # East
+    assert out.loc[-1, "n"] == 1      # zero-length
+    want = _oracle(sf, Q._SQL_HEADING_OCTANTS).set_index("octant")
+    assert want["n"].to_dict() == out["n"].to_dict()
