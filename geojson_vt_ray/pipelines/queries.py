@@ -13926,6 +13926,167 @@ _SQL_HEADING_OCTANTS = (
     "CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2")
 
 
+def q_radius_gyration(sf_dir: str):
+    """Radius of gyration of each user's visited points — the
+    canonical human-mobility dispersion metric (González et al.'s
+    r_g): r_g² = mean squared distance from the centroid, computed
+    exactly as (n·(Σx²+Σy²) − (Σx)² − (Σy)²) / n² with integer
+    deci-degree coordinates — a single shared-shape ROUND-6 double
+    from four exact integer moments, no centroid float ever
+    materialized.
+
+    Shape for scale: stateless per-batch (user, n, Σx, Σy, Σx², Σy²)
+    partials → ONE user-keyed groupby of six ints per user — the
+    moments are associative, so no per-user co-location is needed at
+    all (cheaper than the trajectory contract)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        x = (ev % 3600).astype(np.int64)
+        y = (ev % 1600).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "sy": pa.array([], pa.int64()),
+                             "sxx": pa.array([], pa.int64()),
+                             "syy": pa.array([], pa.int64())})
+        uu, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(uu, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64))}
+        for name, arr in (("sx", x), ("sy", y),
+                          ("sxx", x * x), ("syy", y * y)):
+            acc = np.zeros(len(uu), np.int64)
+            np.add.at(acc, inv, arr)
+            cols[name] = pa.array(acc)
+        return pa.table(cols)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        syy = b.column("syy").to_numpy(zero_copy_only=False)
+        num = (n * (sxx + syy) - sx * sx - sy * sy).astype(np.float64)
+        rg2 = np.round(num / (n.astype(np.float64) * n), 6)
+        return pa.table({"user_id": b.column("user_id"),
+                         "n_points": b.column("n"),
+                         "rg2": pa.array(rg2, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "user_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxx", alias_name="sxx"),
+                       Sum("syy", alias_name="syy"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_RADIUS_GYRATION = (
+    "WITH e AS (SELECT user_id, event_id % 3600 AS x, "
+    "event_id % 1600 AS y FROM events), "
+    "g AS (SELECT user_id, COUNT(*) AS n, "
+    "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, "
+    "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+    "SUM(CAST(y AS HUGEINT) * y) AS syy FROM e GROUP BY 1) "
+    "SELECT user_id, CAST(n AS BIGINT) AS n_points, "
+    "ROUND(CAST(n * (sxx + syy) - sx * sx - sy * sy AS DOUBLE) / "
+    "(CAST(n AS DOUBLE) * n), 6) AS rg2 FROM g")
+
+
+def q_pareto_share(sf_dir: str):
+    """Pareto concentration: per order priority, the exact share of
+    total revenue carried by the top 20% of orders by value
+    (k = ⌈n/5⌉, boundary-value ties resolved by taking exactly the
+    needed count at the boundary cent level — deterministic, no
+    order-dependence) — the "is this an 80/20 business?" readout.
+
+    Shape for scale: (priority, cents) histogram partials → bounded
+    groupby → per-priority descending cumulative fold in map_groups;
+    Python-int revenue sums."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pr = np.asarray(b.column("o_orderpriority").to_pylist())
+        if len(pr) == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "cents": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64())})
+        up, inv = np.unique(pr, return_inverse=True)
+        order = np.lexsort((cents, inv))
+        inv, cents = inv[order], cents[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (cents[1:] != cents[:-1])])
+        c = np.diff(np.r_[fi, len(inv)])
+        return pa.table({
+            "o_orderpriority": pa.array(up[inv[fi]], pa.string()),
+            "cents": pa.array(cents[fi], pa.int64()),
+            "c": pa.array(c.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(-g["cents"].to_numpy(np.int64),
+                           kind="stable")
+        v = g["cents"].to_numpy(np.int64)[order]
+        c = g["c"].to_numpy(np.int64)[order]
+        n = int(c.sum())
+        k = (n + 4) // 5
+        cum = np.cumsum(c)
+        # boundary level: first index where cum >= k
+        bi = int(np.searchsorted(cum, k))
+        before = int(cum[bi - 1]) if bi else 0
+        # object-dtype folds: exact beyond int64 (the gini contract)
+        lev = (v.astype(object) * c.astype(object))
+        rev_top = int(lev[:bi].sum()) + (k - before) * int(v[bi])
+        total = int(lev.sum())
+        share = (np.round(float(rev_top) / total, 6)
+                 if total else float("nan"))
+        return pa.table({
+            "o_orderpriority": pa.array([g["o_orderpriority"].iat[0]],
+                                        pa.string()),
+            "n_orders": pa.array([n], pa.int64()),
+            "top_k": pa.array([k], pa.int64()),
+            "top_share": pa.array([float(share)], pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderpriority", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "cents"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("o_orderpriority")
+            .map_groups(fold, batch_format="pandas"))
+
+
+_SQL_PARETO_SHARE = (
+    "WITH c AS (SELECT o_orderpriority, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders), "
+    "h AS (SELECT o_orderpriority, v, COUNT(*) AS c FROM c "
+    "GROUP BY 1, 2), "
+    "t AS (SELECT o_orderpriority, SUM(c) AS n, "
+    "SUM(CAST(v AS HUGEINT) * c) AS total FROM h GROUP BY 1), "
+    "w AS (SELECT h.o_orderpriority, h.v, h.c, "
+    "SUM(h.c) OVER (PARTITION BY h.o_orderpriority "
+    "ORDER BY h.v DESC) AS cum, "
+    "SUM(CAST(h.v AS HUGEINT) * h.c) OVER "
+    "(PARTITION BY h.o_orderpriority ORDER BY h.v DESC) AS cumrev, "
+    "t.n, t.total, (t.n + 4) // 5 AS k "
+    "FROM h JOIN t ON h.o_orderpriority = t.o_orderpriority), "
+    "b AS (SELECT o_orderpriority, n, k, total, "
+    "MIN(CASE WHEN cum >= k THEN "
+    "cumrev - (cum - k) * v END) AS rev_top "
+    "FROM w GROUP BY 1, 2, 3, 4) "
+    "SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders, "
+    "CAST(k AS BIGINT) AS top_k, "
+    "ROUND(CAST(rev_top AS DOUBLE) / total, 6) AS top_share FROM b")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -14156,6 +14317,8 @@ QUERIES = {
     "elasticity_proxy": q_elasticity_proxy,
     "skewness": q_skewness,
     "heading_octants": q_heading_octants,
+    "radius_gyration": q_radius_gyration,
+    "pareto_share": q_pareto_share,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -14435,6 +14598,8 @@ ORACLE_SQL.update({
     "elasticity_proxy": _SQL_ELASTICITY_PROXY,
     "skewness": _SQL_SKEWNESS,
     "heading_octants": _SQL_HEADING_OCTANTS,
+    "radius_gyration": _SQL_RADIUS_GYRATION,
+    "pareto_share": _SQL_PARETO_SHARE,
 })
 
 # Remaining no-oracle entries, each with a reason:

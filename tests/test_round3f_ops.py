@@ -1274,3 +1274,46 @@ def test_heading_octants_cardinals_and_diagonals(ray_session, tmp_path):
     assert out.loc[-1, "n"] == 1      # zero-length
     want = _oracle(sf, Q._SQL_HEADING_OCTANTS).set_index("octant")
     assert want["n"].to_dict() == out["n"].to_dict()
+
+
+# ------------------------------------------------------ radius_gyration
+def test_radius_gyration_known_geometry(ray_session, tmp_path):
+    """Two points 2 apart on one axis: centroid midway, each 1 away ->
+    rg2 = 1.0; a single point reads 0; order of events is
+    irrelevant (associative moments)."""
+    # ids 0 -> (0,0); 2 -> (2,2)? need same y: ids 0 and 1600*?:
+    # id 1600 -> (1600, 0); id 1602 -> (1602, 2)... use ids 0 & 2:
+    # (0,0) and (2,2): centroid (1,1); each d² = 2 -> rg2 = 2.0
+    rows = [(0, 10, 1), (2, 20, 1), (5, 10, 2)]
+    ev = _events([(r[0], r[1], r[2], "view", 1.0) for r in rows])
+    sf = _write(tmp_path, "events", ev)
+    out = Q.q_radius_gyration(sf).to_pandas().set_index("user_id")
+    assert out.loc[1, "rg2"] == 2.0
+    assert out.loc[2, "rg2"] == 0.0
+    want = _oracle(sf, Q._SQL_RADIUS_GYRATION).set_index("user_id")
+    assert want.loc[1, "rg2"] == 2.0
+
+
+# --------------------------------------------------------- pareto_share
+def test_pareto_share_boundary_ties(ray_session, tmp_path):
+    """5 orders (k=1): values 100,100,10,10,10 — two orders tie at the
+    boundary cent level but only ONE counts: top_share =
+    100/230 exactly."""
+    vals = [1.00, 1.00, 0.10, 0.10, 0.10]
+    orders = pa.table({
+        "o_orderkey": pa.array(list(range(5)), pa.int64()),
+        "o_custkey": pa.array([1] * 5, pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 5, pa.string()),
+        "o_totalprice": pa.array(vals, pa.float64()),
+        "o_orderdate": pa.array(
+            np.array([10 ** 15] * 5, dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1"] * 5, pa.string())})
+    sf = _write(tmp_path, "orders", orders)
+    out = Q.q_pareto_share(sf).to_pandas()
+    assert out["top_k"].iloc[0] == 1
+    assert out["top_share"].iloc[0] == round(100 / 230, 6)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{sf}/orders.parquet'")
+    want = con.execute(Q._SQL_PARETO_SHARE).fetchdf()
+    assert want["top_share"].iloc[0] == round(100 / 230, 6)
