@@ -14087,6 +14087,50 @@ _SQL_PARETO_SHARE = (
     "ROUND(CAST(rev_top AS DOUBLE) / total, 6) AS top_share FROM b")
 
 
+def q_transition_entropy(sf_dir: str):
+    """Behavioral predictability: the conditional entropy H(next|cur)
+    of each event type's outgoing transitions — ln(r) − Σc·ln(c)/r
+    over the Markov transition counts (hourly_entropy's identity, so
+    the float shape is the proven one) — low entropy = predictable
+    next action, the personalization-value metric.
+
+    Shape for scale: markov_transitions' machinery (ONE user-bucket
+    shuffle → (from,to) count partials → types²-bounded groupby); the
+    entropy fold runs on the types²-row table."""
+    conf = q_markov_transitions(sf_dir).to_pandas()
+    frm = conf["from_type"].to_numpy()
+    c = conf["n"].to_numpy(np.int64)
+    order = np.lexsort((conf["to_type"].to_numpy(), frm))
+    frm, c = frm[order], c[order]
+    fi = np.flatnonzero(np.r_[True, frm[1:] != frm[:-1]])
+    out_f, out_r, out_h = [], [], []
+    bounds = np.r_[fi, len(frm)]
+    for i in range(len(fi)):
+        seg = c[bounds[i]:bounds[i + 1]].astype(np.float64)
+        r = float(seg.sum())
+        h = np.round(np.log(r) - float(np.sum(seg * np.log(seg))) / r,
+                     6)
+        out_f.append(frm[fi[i]])
+        out_r.append(int(r))
+        out_h.append(float(h))
+    return pa.table({
+        "from_type": pa.array(out_f, pa.string()),
+        "n_transitions": pa.array(out_r, pa.int64()),
+        "cond_entropy": pa.array(out_h, pa.float64())})
+
+
+_SQL_TRANSITION_ENTROPY = (
+    "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+    "m AS (SELECT prev AS from_type, event_type AS to_type, "
+    "COUNT(*) AS c FROM o WHERE prev IS NOT NULL GROUP BY 1, 2) "
+    "SELECT from_type, CAST(SUM(c) AS BIGINT) AS n_transitions, "
+    "ROUND(LN(CAST(SUM(c) AS DOUBLE)) - "
+    "SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / "
+    "CAST(SUM(c) AS DOUBLE), 6) AS cond_entropy "
+    "FROM m GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -14319,6 +14363,7 @@ QUERIES = {
     "heading_octants": q_heading_octants,
     "radius_gyration": q_radius_gyration,
     "pareto_share": q_pareto_share,
+    "transition_entropy": q_transition_entropy,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -14600,6 +14645,7 @@ ORACLE_SQL.update({
     "heading_octants": _SQL_HEADING_OCTANTS,
     "radius_gyration": _SQL_RADIUS_GYRATION,
     "pareto_share": _SQL_PARETO_SHARE,
+    "transition_entropy": _SQL_TRANSITION_ENTROPY,
 })
 
 # Remaining no-oracle entries, each with a reason:

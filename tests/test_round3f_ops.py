@@ -1317,3 +1317,26 @@ def test_pareto_share_boundary_ties(ray_session, tmp_path):
                 f"'{sf}/orders.parquet'")
     want = con.execute(Q._SQL_PARETO_SHARE).fetchdf()
     assert want["top_share"].iloc[0] == round(100 / 230, 6)
+
+
+# ---------------------------------------------------- transition_entropy
+def test_transition_entropy_deterministic_vs_uniform(
+        ray_session, tmp_path):
+    """A type that always transitions to the same successor reads
+    entropy 0; one splitting 50/50 reads ln(2)."""
+    rows = [
+        # user 1: A->B, A->B (A deterministic)
+        (0, 10, 1, "A", 1), (1, 20, 1, "B", 1),
+        (2, 30, 1, "A", 1), (3, 40, 1, "B", 1),
+        # users 2/3: C->A and C->B (C uniform over two; the A arrivals
+        # are stream-final so they add no outgoing transition)
+        (4, 10, 2, "C", 1), (5, 20, 2, "A", 1),
+        (6, 10, 3, "C", 1), (7, 20, 3, "B", 1)]
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_transition_entropy(sf).to_pandas()
+           .set_index("from_type"))
+    assert out.loc["A", "cond_entropy"] == 0.0
+    assert out.loc["C", "cond_entropy"] == round(np.log(2), 6)
+    want = _oracle(sf, Q._SQL_TRANSITION_ENTROPY).set_index("from_type")
+    assert want.loc["A", "cond_entropy"] == 0.0
+    assert want.loc["C", "cond_entropy"] == round(np.log(2), 6)
