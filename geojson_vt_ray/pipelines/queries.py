@@ -14131,6 +14131,84 @@ _SQL_TRANSITION_ENTROPY = (
     "FROM m GROUP BY 1")
 
 
+def q_cell_dominant_type(sf_dir: str):
+    """Predominance map: each z=6 cell's dominant event type (most
+    events; ties to the lexicographically smallest type) with the
+    cell total and the winner's count — the categorical choropleth
+    ("what happens WHERE") that pairs with cell_count's density map.
+
+    Shape for scale: the tile_assign cell contract; stateless
+    (cell, type) count partials → one bounded groupby (cells × types)
+    → argmax fold on the aggregate-sized table."""
+    from ray.data.aggregate import Sum
+
+    def add_coords(b: pa.Table) -> pa.Table:
+        ev = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon = (ev % 3600).astype(np.float64) / 10.0 - 180.0
+        lat = (ev % 1600).astype(np.float64) / 10.0 - 80.0
+        b = b.append_column("lon", pa.array(lon))
+        return b.append_column("lat", pa.array(lat))
+
+    ds = (_read_pq(f"{sf_dir}/events.parquet",
+                   columns=["event_id", "event_type"])
+          .map_batches(add_coords, batch_format="pyarrow")
+          .map_batches(AssignCells(6), batch_format="pyarrow"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cid = b.column("cell_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"cell_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        order = np.lexsort((cid, inv))
+        inv, cid = inv[order], cid[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (cid[1:] != cid[:-1])])
+        c = np.diff(np.r_[fi, len(inv)])
+        return pa.table({"cell_id": pa.array(cid[fi], pa.int64()),
+                         "event_type": pa.array(ut[inv[fi]],
+                                                pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["cell_id", "event_type"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                          # cells × types
+    # argmax per cell: sort by (cell, -n, type) and take first
+    agg = agg.sort_values(["cell_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+    cid = agg["cell_id"].to_numpy(np.int64)
+    fi = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+    n_seg = np.diff(np.r_[fi, len(cid)])
+    total = np.add.reduceat(agg["n"].to_numpy(np.int64), fi)
+    return pa.table({
+        "cell_id": pa.array(cid[fi], pa.int64()),
+        "dominant_type": pa.array(
+            agg["event_type"].to_numpy()[fi], pa.string()),
+        "n_dominant": pa.array(agg["n"].to_numpy(np.int64)[fi]),
+        "n_events": pa.array(total.astype(np.int64))})
+
+
+def _sql_cell_dominant_type() -> str:
+    ix, iy = _sql_cell(6)
+    return (
+        f"WITH p AS (SELECT (((1::BIGINT << 6) * {iy} + {ix}) * 32) + 6 "
+        f"AS cell_id, event_type FROM ({_SQL_POINTS})), "
+        "h AS (SELECT cell_id, event_type, COUNT(*) AS n FROM p "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT cell_id, SUM(n) AS n_events FROM h GROUP BY 1), "
+        "r AS (SELECT cell_id, event_type, n, ROW_NUMBER() OVER "
+        "(PARTITION BY cell_id ORDER BY n DESC, event_type ASC) AS rn "
+        "FROM h) "
+        "SELECT r.cell_id, r.event_type AS dominant_type, "
+        "CAST(r.n AS BIGINT) AS n_dominant, "
+        "CAST(t.n_events AS BIGINT) AS n_events "
+        "FROM r JOIN t ON r.cell_id = t.cell_id WHERE r.rn = 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -14364,6 +14442,7 @@ QUERIES = {
     "radius_gyration": q_radius_gyration,
     "pareto_share": q_pareto_share,
     "transition_entropy": q_transition_entropy,
+    "cell_dominant_type": q_cell_dominant_type,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -14646,6 +14725,7 @@ ORACLE_SQL.update({
     "radius_gyration": _SQL_RADIUS_GYRATION,
     "pareto_share": _SQL_PARETO_SHARE,
     "transition_entropy": _SQL_TRANSITION_ENTROPY,
+    "cell_dominant_type": _sql_cell_dominant_type(),
 })
 
 # Remaining no-oracle entries, each with a reason:

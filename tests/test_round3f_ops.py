@@ -1340,3 +1340,24 @@ def test_transition_entropy_deterministic_vs_uniform(
     want = _oracle(sf, Q._SQL_TRANSITION_ENTROPY).set_index("from_type")
     assert want.loc["A", "cond_entropy"] == 0.0
     assert want.loc["C", "cond_entropy"] == round(np.log(2), 6)
+
+
+# --------------------------------------------------- cell_dominant_type
+def test_cell_dominant_type_tie_break(ray_session, tmp_path):
+    """A cell with counts {B:2, A:2, C:1} picks A (lexicographic on
+    the tied max); totals partition the cell."""
+    # five events at the same point (same event_id modulo both grids)
+    base = 100
+    rows = [(base, 10, 1, "B", 1.0), (base + 14400, 20, 1, "B", 1.0),
+            (base + 28800, 30, 1, "A", 1.0),
+            (base + 43200, 40, 1, "A", 1.0),
+            (base + 57600, 50, 1, "C", 1.0)]
+    # ids differ by lcm(3600,1600)=14400 -> identical lon/lat
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_cell_dominant_type(sf).to_pandas()
+    assert len(out) == 1
+    assert out["dominant_type"].iloc[0] == "A"
+    assert out["n_dominant"].iloc[0] == 2
+    assert out["n_events"].iloc[0] == 5
+    want = _oracle(sf, Q.ORACLE_SQL["cell_dominant_type"])
+    assert want["dominant_type"].iloc[0] == "A"
