@@ -14209,6 +14209,113 @@ def _sql_cell_dominant_type() -> str:
         "FROM r JOIN t ON r.cell_id = t.cell_id WHERE r.rn = 1")
 
 
+def q_lang_source_lift(sf_dir: str):
+    """Association lift between language and source: per (lang,
+    source) cell, observed count and lift = n·N / (n_lang·n_source)
+    — >1 means the source specializes in that language, the
+    crawl-planning diagnostic of multilingual corpus curation.
+
+    Exactness: the numerator n·N and denominator n_lang·n_source are
+    exact integers; lift is ONE shared-shape ROUND-6 division.
+
+    Shape for scale: stateless (lang, source) count partials → one
+    bounded groupby → fixed-size finish with marginals from the same
+    table."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = np.asarray(b.column("lang").to_pylist())
+        src = np.asarray(b.column("source").to_pylist())
+        if len(lang) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ul, li = np.unique(lang, return_inverse=True)
+        us, si = np.unique(src, return_inverse=True)
+        key = li.astype(np.int64) * len(us) + si
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(ul[uk // len(us)], pa.string()),
+            "source": pa.array(us[uk % len(us)], pa.string()),
+            "n": pa.array(c.astype(np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "source"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                          # langs × sources
+    n = agg["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    nl = agg.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    ns = agg.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    lift = np.round((n * total).astype(np.float64) / (nl * ns), 6)
+    return pa.table({
+        "lang": pa.array(agg["lang"], pa.string()),
+        "source": pa.array(agg["source"], pa.string()),
+        "n": pa.array(n),
+        "lift": pa.array(lift, pa.float64())})
+
+
+_SQL_LANG_SOURCE_LIFT = (
+    "WITH h AS (SELECT lang, source, COUNT(*) AS n FROM documents "
+    "GROUP BY 1, 2), "
+    "l AS (SELECT lang, SUM(n) AS nl FROM h GROUP BY 1), "
+    "s AS (SELECT source, SUM(n) AS ns FROM h GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS total FROM h) "
+    "SELECT h.lang, h.source, CAST(h.n AS BIGINT) AS n, "
+    "ROUND(CAST(h.n * t.total AS DOUBLE) / (l.nl * s.ns), 6) AS lift "
+    "FROM h JOIN l ON h.lang = l.lang "
+    "JOIN s ON h.source = s.source, t")
+
+
+def q_week_heatmap(sf_dir: str):
+    """Weekly activity heatmap: the (day-of-week × hour-of-day) event
+    count matrix with each cell's share of the week — the canonical
+    "when are users active?" dashboard panel (dow 0 = the epoch-day
+    anchor, matching dow_seasonality's convention).
+
+    Shape for scale: stateless (dow, hour) count partials → one
+    168-cell bounded groupby → fixed-size finish."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = (day % 7).astype(np.int64)
+        hour = ((us // 3_600_000_000) % 24).astype(np.int64)
+        key = dow * 24 + hour
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"dow": pa.array((uk // 24).astype(np.int64)),
+                         "hour": pa.array((uk % 24).astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet", columns=["ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["dow", "hour"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                          # <=168 rows
+    n = agg["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    share = np.round(n.astype(np.float64) / total, 6)
+    return pa.table({
+        "dow": pa.array(agg["dow"].to_numpy(np.int64)),
+        "hour": pa.array(agg["hour"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "share": pa.array(share, pa.float64())})
+
+
+_SQL_WEEK_HEATMAP = (
+    "WITH c AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow, "
+    "(epoch_us(ts) // 3600000000) % 24 AS hour FROM events), "
+    "h AS (SELECT dow, hour, COUNT(*) AS n FROM c GROUP BY 1, 2), "
+    "t AS (SELECT SUM(n) AS total FROM h) "
+    "SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, "
+    "CAST(n AS BIGINT) AS n, "
+    "ROUND(CAST(n AS DOUBLE) / t.total, 6) AS share FROM h, t")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -14443,6 +14550,8 @@ QUERIES = {
     "pareto_share": q_pareto_share,
     "transition_entropy": q_transition_entropy,
     "cell_dominant_type": q_cell_dominant_type,
+    "lang_source_lift": q_lang_source_lift,
+    "week_heatmap": q_week_heatmap,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -14726,6 +14835,8 @@ ORACLE_SQL.update({
     "pareto_share": _SQL_PARETO_SHARE,
     "transition_entropy": _SQL_TRANSITION_ENTROPY,
     "cell_dominant_type": _sql_cell_dominant_type(),
+    "lang_source_lift": _SQL_LANG_SOURCE_LIFT,
+    "week_heatmap": _SQL_WEEK_HEATMAP,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -1361,3 +1361,58 @@ def test_cell_dominant_type_tie_break(ray_session, tmp_path):
     assert out["n_events"].iloc[0] == 5
     want = _oracle(sf, Q.ORACLE_SQL["cell_dominant_type"])
     assert want["dominant_type"].iloc[0] == "A"
+
+
+# ----------------------------------------------------- lang_source_lift
+def test_lang_source_lift_specialization(ray_session, tmp_path):
+    """A source carrying only one language reads lift > 1 for it
+    (N/(n_lang) factor); independent mixes read exactly 1.0."""
+    rows = ([(i, "t", "en") for i in range(2)] +
+            [(10 + i, "t", "fr") for i in range(2)])
+    docs = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        # s1 carries en+fr evenly; s2 carries only en... build:
+        "source": pa.array(["s1", "s2", "s1", "s2"], pa.string()),
+        "n_chars": pa.array([1] * 4, pa.int64())})
+    # s1: en,fr ; s2: en,fr -> perfectly independent -> lift 1.0
+    sf = _write(tmp_path, "documents", docs)
+    out = Q.q_lang_source_lift(sf).to_pandas()
+    assert (out["lift"] == 1.0).all()
+    # now specialize: s2 only fr
+    docs2 = docs.set_column(3, "source",
+                            pa.array(["s1", "s1", "s2", "s2"],
+                                     pa.string()))
+    # s1: en,en? rows langs are en,en? rows: en,fr? recheck langs:
+    # langs = en,en,fr,fr -> s1 carries en x2; s2 carries fr x2
+    sf2 = _write(tmp_path / "b", "documents", docs2)
+    out2 = Q.q_lang_source_lift(sf2).to_pandas().set_index(
+        ["lang", "source"])
+    assert out2.loc[("en", "s1"), "lift"] == 2.0
+    assert out2.loc[("fr", "s2"), "lift"] == 2.0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf2}/documents.parquet'")
+    want = con.execute(Q._SQL_LANG_SOURCE_LIFT).fetchdf().set_index(
+        ["lang", "source"])
+    assert want.loc[("en", "s1"), "lift"] == 2.0
+
+
+# --------------------------------------------------------- week_heatmap
+def test_week_heatmap_cells_and_shares(ray_session, tmp_path):
+    """Events pin to their (dow, hour) cells and shares partition to
+    1 exactly over the observed cells."""
+    day = 86_400_000_000
+    hour = 3_600_000_000
+    rows = [(0, 0 * day + 5 * hour, 1, "v", 1.0),     # dow 0, hour 5
+            (1, 0 * day + 5 * hour + 7, 1, "v", 1.0),  # same cell
+            (2, 3 * day + 23 * hour, 1, "v", 1.0),     # dow 3, hour 23
+            (3, 7 * day + 5 * hour, 1, "v", 1.0)]      # dow 0 again
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_week_heatmap(sf).to_pandas().set_index(["dow", "hour"])
+    assert out.loc[(0, 5), "n"] == 3
+    assert out.loc[(3, 23), "n"] == 1
+    assert out.loc[(0, 5), "share"] == 0.75
+    want = _oracle(sf, Q._SQL_WEEK_HEATMAP).set_index(["dow", "hour"])
+    assert want.loc[(0, 5), "n"] == 3
