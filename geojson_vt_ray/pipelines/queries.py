@@ -14316,6 +14316,162 @@ _SQL_WEEK_HEATMAP = (
     "ROUND(CAST(n AS DOUBLE) / t.total, 6) AS share FROM h, t")
 
 
+def q_mom_growth(sf_dir: str):
+    """Month-over-month growth per event type: each calendar month's
+    event count next to the previous month's and the growth ratio
+    (n − prev)/prev — NULL for a type's first month — the reporting
+    staple on top of monthly_rollup's real month boundaries.
+
+    Shape for scale: monthly_rollup's (type, month) partials →
+    bounded groupby → per-type LAG fold on the months×types table."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = (us.astype("datetime64[us]").astype("datetime64[M]")
+                 .astype("datetime64[us]").astype(np.int64))
+        ty = np.asarray(b.column("event_type").to_pylist())
+        if len(ty) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "month_us": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ut, inv = np.unique(ty, return_inverse=True)
+        order = np.lexsort((month, inv))
+        inv, month = inv[order], month[order]
+        fi = np.flatnonzero(np.r_[True, (inv[1:] != inv[:-1]) |
+                                  (month[1:] != month[:-1])])
+        n = np.diff(np.r_[fi, len(inv)])
+        return pa.table({
+            "event_type": pa.array(ut[inv[fi]], pa.string()),
+            "month_us": pa.array(month[fi], pa.int64()),
+            "n": pa.array(n.astype(np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "month_us"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas()
+           .sort_values(["event_type", "month_us"],
+                        ignore_index=True))       # months × types
+    ty = agg["event_type"].to_numpy()
+    n = agg["n"].to_numpy(np.int64)
+    prev = np.r_[0, n[:-1]]
+    first = np.r_[True, ty[1:] != ty[:-1]]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        growth = np.round((n - prev).astype(np.float64) / prev, 6)
+    growth = np.where(first, np.nan, growth)
+    prev_out = np.where(first, -1, prev)
+    return pa.table({
+        "event_type": pa.array(ty, pa.string()),
+        "month_us": pa.array(agg["month_us"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "prev_n": pa.array(prev_out.astype(np.int64)),
+        "growth": pa.array(growth, pa.float64())})
+
+
+_SQL_MOM_GROWTH = (
+    "WITH h AS (SELECT event_type, "
+    "epoch_us(date_trunc('month', ts)) AS month_us, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "w AS (SELECT event_type, month_us, n, "
+    "LAG(n) OVER (PARTITION BY event_type ORDER BY month_us) AS prev "
+    "FROM h) "
+    "SELECT event_type, CAST(month_us AS BIGINT) AS month_us, "
+    "CAST(n AS BIGINT) AS n, "
+    "CAST(COALESCE(prev, -1) AS BIGINT) AS prev_n, "
+    "CASE WHEN prev IS NOT NULL THEN "
+    "ROUND(CAST(n - prev AS DOUBLE) / prev, 6) ELSE NULL END "
+    "AS growth FROM w")
+
+
+def q_tenure_activity_corr(sf_dir: str):
+    """Does tenure predict engagement? The correlation, across users,
+    between active-span days (last − first event day) and total event
+    count — a single-row cohort-health diagnostic. Per-user aggregates
+    reduce to six exact integer moments and the correlation is
+    corr_matrix's shared-shape ROUND-6 double.
+
+    Shape for scale: (user, min day, max day, n) partials → one
+    user-keyed groupby of three ints → per-batch moment partials over
+    the user table → fixed-size driver fold."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        uu, inv = np.unique(uid, return_inverse=True)
+        lo = np.full(len(uu), np.iinfo(np.int64).max)
+        hi = np.full(len(uu), np.iinfo(np.int64).min)
+        np.minimum.at(lo, inv, day)
+        np.maximum.at(hi, inv, day)
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    users = (_read_pq(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Min("lo", alias_name="lo"),
+                        Max("hi", alias_name="hi"),
+                        Sum("n", alias_name="n")))
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = (b.column("hi").to_numpy(zero_copy_only=False)
+             - b.column("lo").to_numpy(zero_copy_only=False))
+        y = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0]), "cnt": pa.array([len(x)]),
+            "sx": pa.array([int(x.sum())]),
+            "sy": pa.array([int(y.sum())]),
+            "sxx": pa.array([int((x * x).sum())]),
+            "syy": pa.array([int((y * y).sum())]),
+            "sxy": pa.array([int((x * y).sum())])})
+
+    m = (users.map_batches(moments, batch_format="pyarrow")
+         .groupby("k")
+         .aggregate(Sum("cnt", alias_name="cnt"),
+                    Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("syy", alias_name="syy"),
+                    Sum("sxy", alias_name="sxy"))
+         .to_pandas())                            # one row
+    n = int(m["cnt"].iloc[0])
+    sx, sy = int(m["sx"].iloc[0]), int(m["sy"].iloc[0])
+    sxx, syy = int(m["sxx"].iloc[0]), int(m["syy"].iloc[0])
+    sxy = int(m["sxy"].iloc[0])
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = (np.round(float(n * sxy - sx * sy) /
+                     np.sqrt(float(den2)), 6)
+            if den2 > 0 else float("nan"))
+    return pa.table({"n_users": pa.array([n], pa.int64()),
+                     "corr_tenure_events": pa.array([float(corr)],
+                                                    pa.float64())})
+
+
+_SQL_TENURE_ACTIVITY_CORR = (
+    "WITH u AS (SELECT user_id, "
+    "MAX(epoch_us(ts) // 86400000000) - "
+    "MIN(epoch_us(ts) // 86400000000) AS x, COUNT(*) AS y "
+    "FROM events GROUP BY 1), "
+    "g AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, "
+    "SUM(CAST(y AS HUGEINT)) AS sy, "
+    "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+    "SUM(CAST(y AS HUGEINT) * y) AS syy, "
+    "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM u) "
+    "SELECT CAST(n AS BIGINT) AS n_users, "
+    "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN "
+    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), "
+    "6) ELSE NULL END AS corr_tenure_events FROM g")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -14552,6 +14708,8 @@ QUERIES = {
     "cell_dominant_type": q_cell_dominant_type,
     "lang_source_lift": q_lang_source_lift,
     "week_heatmap": q_week_heatmap,
+    "mom_growth": q_mom_growth,
+    "tenure_activity_corr": q_tenure_activity_corr,
 }
 
 # Adjudication-priority reorder: round 2's driver correctness file
@@ -14837,6 +14995,8 @@ ORACLE_SQL.update({
     "cell_dominant_type": _sql_cell_dominant_type(),
     "lang_source_lift": _SQL_LANG_SOURCE_LIFT,
     "week_heatmap": _SQL_WEEK_HEATMAP,
+    "mom_growth": _SQL_MOM_GROWTH,
+    "tenure_activity_corr": _SQL_TENURE_ACTIVITY_CORR,
 })
 
 # Remaining no-oracle entries, each with a reason:

@@ -1416,3 +1416,44 @@ def test_week_heatmap_cells_and_shares(ray_session, tmp_path):
     assert out.loc[(0, 5), "share"] == 0.75
     want = _oracle(sf, Q._SQL_WEEK_HEATMAP).set_index(["dow", "hour"])
     assert want.loc[(0, 5), "n"] == 3
+
+
+# ------------------------------------------------------------ mom_growth
+def test_mom_growth_across_months(ray_session, tmp_path):
+    """Jan 2 events -> Feb 3 events reads growth 0.5; the first month
+    reads NULL growth and prev -1."""
+    jan = int(np.datetime64("2024-01-10", "us").astype(np.int64))
+    feb = int(np.datetime64("2024-02-10", "us").astype(np.int64))
+    rows = ([(i, jan + i, 1, "v", 1.0) for i in range(2)] +
+            [(10 + i, feb + i, 1, "v", 1.0) for i in range(3)])
+    sf = _write(tmp_path, "events", _events(rows))
+    out = (Q.q_mom_growth(sf).to_pandas()
+           .sort_values("month_us", ignore_index=True))
+    assert out["n"].tolist() == [2, 3]
+    assert out["prev_n"].tolist() == [-1, 2]
+    assert np.isnan(out["growth"].iloc[0])
+    assert out["growth"].iloc[1] == 0.5
+    want = (_oracle(sf, Q._SQL_MOM_GROWTH)
+            .sort_values("month_us", ignore_index=True))
+    assert want["growth"].iloc[1] == 0.5
+
+
+# ------------------------------------------------- tenure_activity_corr
+def test_tenure_activity_corr_proportional(ray_session, tmp_path):
+    """Users whose event counts scale exactly with their active spans
+    read corr 1.0."""
+    day = 86_400_000_000
+    rows = []
+    eid = 0
+    for uid, span, n in ((1, 1, 2), (2, 2, 3), (3, 3, 4)):
+        # n events spread so first/last are span days apart
+        for i in range(n):
+            t = (span * day * i) // (n - 1)
+            rows.append((eid, t + 5, uid, "v", 1.0))
+            eid += 1
+    sf = _write(tmp_path, "events", _events(rows))
+    out = Q.q_tenure_activity_corr(sf).to_pandas()
+    assert out["n_users"].iloc[0] == 3
+    assert out["corr_tenure_events"].iloc[0] == 1.0
+    want = _oracle(sf, Q._SQL_TENURE_ACTIVITY_CORR)
+    assert want["corr_tenure_events"].iloc[0] == 1.0
