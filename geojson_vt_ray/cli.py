@@ -215,8 +215,16 @@ def cmd_query(args) -> int:
         return 0
     if isinstance(res, ray.data.Dataset):
         df = res.to_pandas()
+        if getattr(args, "stats", False):
+            # executed runtime profile (per-operator wall/CPU/rows):
+            # the feedback loop for sizing batch_size/concurrency
+            print(res.stats())
     elif isinstance(res, pa.Table):
         df = res.to_pandas()
+        if getattr(args, "stats", False):
+            print(f"{args.name}: driver-collected result — per-stage "
+                  "stats live in Ray's dataset logs for the inner "
+                  "pipelines")
     else:
         df = res
     print(json.dumps({"query": args.name, "rows": len(df),
@@ -300,6 +308,10 @@ def main(argv=None) -> int:
                     "driver-collected queries (pa.Table results) "
                     "execute eagerly inside their function and "
                     "report that instead")
+    qp.add_argument("--stats", action="store_true",
+                    help="after executing, print ds.stats() — the "
+                    "per-operator wall/CPU/rows runtime profile used "
+                    "to size batch_size and concurrency")
     qp.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

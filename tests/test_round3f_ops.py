@@ -1457,3 +1457,19 @@ def test_tenure_activity_corr_proportional(ray_session, tmp_path):
     assert out["corr_tenure_events"].iloc[0] == 1.0
     want = _oracle(sf, Q._SQL_TENURE_ACTIVITY_CORR)
     assert want["corr_tenure_events"].iloc[0] == 1.0
+
+
+# ------------------------------------------------------- CLI query stats
+def test_cli_query_stats_flag(ray_session, capsys):
+    """--stats prints the executed per-operator runtime profile after
+    the JSON summary line for Dataset-returning queries."""
+    import json as _json
+
+    from geojson_vt_ray.cli import main as cli_main
+    rc = cli_main(["query", "tile_assign",
+                   "--sf-dir", "/root/testdata/sf0.001", "--stats"])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "Operator" in outp and "wall time" in outp
+    last = outp.strip().splitlines()[-1]
+    assert _json.loads(last)["query"] == "tile_assign"
