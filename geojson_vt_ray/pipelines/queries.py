@@ -14712,11 +14712,10 @@ QUERIES = {
     "tenure_activity_corr": q_tenure_activity_corr,
 }
 
-# Adjudication-priority reorder: round 2's driver correctness file
-# covered exactly the FIRST 50 registry entries, so every operator
-# that has never received a driver row (everything added in round 3,
-# plus the 15 that missed the round-2 snapshot) leads, and the 47+3
-# already-adjudicated round-2 entries trail. Chronology stays in the
+# Adjudication-priority reorder: each round the driver's correctness
+# file covers exactly the FIRST 50 registry entries, so every operator
+# that has never received a driver row leads, and already-adjudicated
+# entries trail (most recent round last). Chronology stays in the
 # literal above; iteration order is what the driver truncates on.
 _R02_ADJUDICATED = frozenset((
     "tile_assign cell_count pip_rect pip_join_shuffle knn "
@@ -14730,6 +14729,20 @@ _R02_ADJUDICATED = frozenset((
     "embed_neardup media_features frame_sample audio_features "
     "pyramid_tiles pyramid_stats approx_distinct_users ann_ivf "
     "ann_lsh minhash_pairs dedup_clusters ngram_jaccard_adj").split())
+# The 50 entries CORRECTNESS_r03.json adjudicated (all green).
+_R03_ADJUDICATED = frozenset((
+    "multiway_join pivot_events rollup_lineitem global_sort "
+    "bloom_semijoin repetition quantile_buckets funnel heavy_hitters "
+    "decontam pack_sequences redact chunk_docs curate kmeans "
+    "dedup_keep_best interval_union streaks conversion_time "
+    "dense_rank_topk gopher_filter prefix_dup corr_matrix "
+    "group_regression hourly_entropy props_extract normalize_dedup "
+    "bbox_join knn_join tile_diff od_matrix radius_count source_caps "
+    "lm_score trajectory_len grid_cluster triangle_count graph_bfs "
+    "focal_density user_mode basket_pairs iqr_outliers "
+    "attribution_pairs zorder_layout value_histogram user_paths "
+    "window_dedup left_join_fill profile_table gap_fill").split())
+_ADJUDICATED = _R02_ADJUDICATED | _R03_ADJUDICATED
 # Within the never-adjudicated tier, the no-oracle entries (the driver
 # can only rows-check them — their real gates are local recall/error
 # tests) yield their window slots to oracled entries, which get the
@@ -14739,10 +14752,12 @@ _NO_ORACLE = frozenset(
     "approx_distinct_users ann_ivf ann_lsh".split())
 QUERIES = {
     **{k: v for k, v in QUERIES.items()
-       if k not in _R02_ADJUDICATED and k not in _NO_ORACLE},
+       if k not in _ADJUDICATED and k not in _NO_ORACLE},
     **{k: v for k, v in QUERIES.items()
-       if k not in _R02_ADJUDICATED and k in _NO_ORACLE},
+       if k not in _ADJUDICATED and k in _NO_ORACLE},
     **{k: v for k, v in QUERIES.items() if k in _R02_ADJUDICATED},
+    **{k: v for k, v in QUERIES.items()
+       if k in _R03_ADJUDICATED and k not in _R02_ADJUDICATED},
 }
 
 ORACLE_SQL = {
