@@ -123,35 +123,38 @@ def approx_distinct(ds, key_col: str, group_col: str | None = None):
 # Bottom-k hash sample: keep the k rows whose mixed 64-bit row hash is
 # smallest. The hash order is a uniform random permutation of rows, so
 # the survivors are a uniform k-sample without replacement; two partials
-# merge by union + re-truncate (fully mergeable, fixed 16 B * k size).
-# Quantile estimates from a k-sample have rank error ~1.2/sqrt(k)
-# (normal approx) — k=4096 gives ~2%. Deterministic given the row
-# multiset EXCEPT for ties between equal (value, intra-batch-ordinal)
-# rows across different batchings; the estimator is insensitive to that.
+# merge by union + dedup + re-truncate (fully mergeable, fixed
+# 16 B * k size). Quantile estimates from a k-sample have rank error
+# ~1.2/sqrt(k) (normal approx) — k=4096 gives ~2%.
 #
-# CAVEAT (duplicate-heavy distributions): row identity is (value,
-# per-PARTIAL ordinal), so the same value appearing once in each of N
-# different blocks yields N entries with an IDENTICAL hash; after merge
-# their inclusion is all-or-nothing correlated, which shrinks the
-# effective sample toward the number of distinct (value, ordinal)
-# identities and can inflate rank error beyond the ~1.2/sqrt(k) bound
-# when duplicates dominate. (A per-block salt would decorrelate them but
-# destroys merge associativity — merged partials would no longer equal a
-# whole-array build, the property test_bottomk_merge_matches_single_build
-# pins; exact associativity WITH global duplicate identity needs a
-# global row ordinal no map_batches stage has.) The bound as stated
-# assumes mostly-distinct values; the associativity test covers
-# all-distinct input only. For heavily duplicated int64 domains prefer
-# the exact histogram-selection operator (functions/percentile.py),
-# whose two-pass counts are duplicate-exact.
+# Duplicate decorrelation: row identity inside a partial is (value,
+# ordinal among equal values), and every row hash is additionally mixed
+# with a per-partial CONTENT SALT (a fold of the partial's raw row
+# hashes). Without the salt, the same value appearing once in each of N
+# blocks yields N entries with an identical hash, making their
+# inclusion all-or-nothing correlated and inflating rank error far past
+# the ~1.2/sqrt(k) bound on duplicate-heavy distributions; with it, any
+# two blocks that differ anywhere hash the shared duplicates
+# independently (tests pin <=6% rank error at 90% duplicates).
+# Consequences, both deliberate: (a) estimates depend on how rows were
+# batched into blocks (identical input multiset, different splits ->
+# different-but-equally-valid samples; pass an explicit ``salt`` to all
+# builds to restore batching-invariance, at the cost of re-correlating
+# cross-block duplicates); (b) merge dedups identical (hash, value)
+# entries so re-merging the same partial is a no-op. Merge itself stays
+# associative and commutative over any fixed set of partials. For
+# duplicate-exact answers prefer the histogram-selection operator
+# (functions/percentile.py), whose two-pass counts are exact.
 
 _BK_K = 4096
 
 
-def bottomk_partial(values: np.ndarray, k: int = _BK_K) -> np.ndarray:
+def bottomk_partial(values: np.ndarray, k: int = _BK_K,
+                    salt=None) -> np.ndarray:
     """int64 values -> (2, m) uint64 array [hash; value] of the m<=k
     bottom-hash rows. Row identity = (value, ordinal among equal values
-    in this partial) so duplicated values keep distinct hashes."""
+    in this partial) so duplicated values keep distinct hashes, mixed
+    with ``salt`` (default: content-derived, see module comment)."""
     v = values.astype(np.int64, copy=False)
     order = np.argsort(v, kind="stable")
     sv = v[order]
@@ -164,8 +167,12 @@ def bottomk_partial(values: np.ndarray, k: int = _BK_K) -> np.ndarray:
     run_id = np.cumsum(is_new) - 1
     ordinal = np.arange(len(sv), dtype=np.uint64) - \
         starts[run_id].astype(np.uint64)
-    h = _hash64(sv.view(np.uint64) * np.uint64(0x9DDFEA08EB382D69) ^
-                ordinal)
+    hv = _hash64(sv.view(np.uint64) * np.uint64(0x9DDFEA08EB382D69) ^
+                 ordinal)
+    if salt is None:
+        salt = (np.bitwise_xor.reduce(hv) +
+                np.uint64(len(hv))) if len(hv) else np.uint64(0)
+    h = _hash64(hv ^ np.uint64(salt))
     if len(h) > k:
         sel = np.argpartition(h, k)[:k]
         h, sv = h[sel], sv[sel]
@@ -173,8 +180,17 @@ def bottomk_partial(values: np.ndarray, k: int = _BK_K) -> np.ndarray:
 
 
 def bottomk_merge(parts, k: int = _BK_K) -> np.ndarray:
-    """Union + re-truncate; associative and commutative."""
+    """Union + dedup + re-truncate; associative, commutative, and
+    idempotent over a fixed set of partials."""
     cat = np.concatenate([p for p in parts], axis=1)
+    if cat.shape[1]:
+        order = np.lexsort((cat[1], cat[0]))
+        cat = cat[:, order]
+        keep = np.empty(cat.shape[1], bool)
+        keep[0] = True
+        keep[1:] = ((cat[0, 1:] != cat[0, :-1]) |
+                    (cat[1, 1:] != cat[1, :-1]))
+        cat = cat[:, keep]
     if cat.shape[1] > k:
         sel = np.argpartition(cat[0], k)[:k]
         cat = cat[:, sel]

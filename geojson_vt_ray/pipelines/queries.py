@@ -3303,7 +3303,7 @@ def q_approx_percentiles(sf_dir: str):
         "o_orderpriority", "cents", ps=(0.5, 0.9, 0.99))
 
 
-def q_decontam(sf_dir: str, n: int = 5, mod: int = 7,
+def q_decontam(sf_dir: str, n: int = 5, k_eval: int = 256,
                eval_ids=None):
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with the benchmark/eval set, reporting the number of
@@ -3321,15 +3321,16 @@ def q_decontam(sf_dir: str, n: int = 5, mod: int = 7,
     to broadcast, q_bloom_semijoin's pushdown is the same op with a
     bloom prefilter.
 
-    BENCHMARK STAND-IN CAVEAT: with ``eval_ids=None`` the eval suite is
-    simulated as doc_id %% mod == 0 — a corpus-PROPORTIONAL slice (1/mod
-    of all docs), which deliberately stresses the operator in this
-    sandbox but CONTRADICTS the small-side contract the broadcast relies
-    on; at real scale the driver gram set would grow with the corpus.
-    Production callers must pass ``eval_ids`` (a genuinely small,
-    explicit doc-id collection — the real eval suite); the mod fallback
-    exists only so the oracle-checked benchmark query is self-contained
-    on the synthetic tables."""
+    Eval-set selection: production callers pass ``eval_ids`` (the real
+    eval suite's doc ids). With ``eval_ids=None`` the stand-in is the
+    ``k_eval`` docs with the lexicographically smallest
+    md5(str(doc_id)) — a FIXED-SIZE deterministic hash-rank sample, so
+    the broadcast gram set stays bounded by k_eval no matter how large
+    the corpus is (unlike a mod-slice, which grows with the corpus and
+    would violate the small-side contract). Selection is a pruned
+    doc_id-only scan with per-batch k-lowest partials merged on the
+    driver under a running k-cap: driver memory is O(k_eval), never
+    O(corpus)."""
     import ray
     from ..functions.text import _RE2_TOKEN_RE
     ds = _read_pq(f"{sf_dir}/documents.parquet",
@@ -3337,15 +3338,41 @@ def q_decontam(sf_dir: str, n: int = 5, mod: int = 7,
 
     if eval_ids is not None:
         ev = np.sort(np.asarray(list(eval_ids), dtype=np.int64))
-
-        def is_eval(did: np.ndarray) -> np.ndarray:
-            if not len(ev):
-                return np.zeros(len(did), dtype=bool)
-            pos = np.clip(np.searchsorted(ev, did), 0, len(ev) - 1)
-            return ev[pos] == did
     else:
-        def is_eval(did: np.ndarray) -> np.ndarray:
-            return did % mod == 0
+        import hashlib
+
+        def k_lowest(b: pa.Table) -> pa.Table:
+            did = b.column("doc_id").to_numpy(zero_copy_only=False)
+            h = np.asarray([hashlib.md5(str(int(d)).encode()).hexdigest()
+                            for d in did], dtype=object)
+            sel = np.lexsort((did, h))[:k_eval]
+            return pa.table({"doc_id": pa.array(did[sel], pa.int64()),
+                             "h": pa.array(list(h[sel]), pa.string())})
+
+        best_h = np.empty(0, dtype=object)
+        best_id = np.empty(0, dtype=np.int64)
+        for t in ray.get(
+                _read_pq(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+                .map_batches(k_lowest, batch_format="pyarrow")
+                .to_arrow_refs()):
+            if t.num_rows == 0 or "h" not in t.column_names:
+                continue
+            best_h = np.concatenate(
+                [best_h,
+                 np.asarray(t.column("h").to_pylist(), dtype=object)])
+            best_id = np.concatenate(
+                [best_id,
+                 t.column("doc_id").to_numpy(zero_copy_only=False)])
+            keep = np.lexsort((best_id, best_h))[:k_eval]
+            best_h, best_id = best_h[keep], best_id[keep]
+        ev = np.sort(best_id)
+
+    def is_eval(did: np.ndarray) -> np.ndarray:
+        if not len(ev):
+            return np.zeros(len(did), dtype=bool)
+        pos = np.clip(np.searchsorted(ev, did), 0, len(ev) - 1)
+        return ev[pos] == did
 
     def bench_grams(b: pa.Table) -> pa.Table:
         did = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -3406,8 +3433,12 @@ _SQL_DECONTAM = (
     "g AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram FROM ("
     "SELECT doc_id, ts, unnest(range(1, greatest(1, len(ts)-3))) AS i "
     "FROM toks)), "
-    "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0), "
-    "tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0) "
+    "ev AS (SELECT doc_id FROM documents "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 256), "
+    "bg AS (SELECT DISTINCT gram FROM g "
+    "WHERE doc_id IN (SELECT doc_id FROM ev)), "
+    "tg AS (SELECT DISTINCT doc_id, gram FROM g "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM ev)) "
     "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam "
     "FROM tg JOIN bg USING (gram) GROUP BY 1")
 

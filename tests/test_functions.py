@@ -453,22 +453,27 @@ def test_minhash_verify_join_equals_collect(ray_session):
 
 
 def test_decontam_explicit_eval_ids(ray_session):
-    """q_decontam(eval_ids=...) must match the mod-selection result when
-    the explicit set equals the mod slice (the production small-side
-    path is the same operator, differently selected)."""
+    """q_decontam(eval_ids=...) must match the default hash-rank
+    selection when the explicit set equals that sample (the production
+    small-side path is the same operator, differently selected)."""
+    import hashlib
+
+    import numpy as np
     import pyarrow.parquet as pq
     from geojson_vt_ray.pipelines.queries import q_decontam
 
     sf = "/root/testdata/sf0.001"
     dids = pq.read_table(f"{sf}/documents.parquet",
                          columns=["doc_id"]).column("doc_id").to_numpy()
-    ev = dids[dids % 7 == 0]
-    got_mod = q_decontam(sf).to_pandas().sort_values(
+    h = np.asarray([hashlib.md5(str(int(d)).encode()).hexdigest()
+                    for d in dids], dtype=object)
+    ev = dids[np.lexsort((dids, h))[:256]]
+    got_def = q_decontam(sf).to_pandas().sort_values(
         "doc_id", ignore_index=True)
     got_ids = q_decontam(sf, eval_ids=ev).to_pandas().sort_values(
         "doc_id", ignore_index=True)
-    assert got_mod.equals(got_ids)
-    assert len(got_mod) > 0
+    assert got_def.equals(got_ids)
+    assert len(got_def) > 0
 
 
 def test_pipjoin_empty_batch_schema_stable():

@@ -143,20 +143,56 @@ def test_approx_percentiles_rank_error(ray_session):
 
 
 def test_bottomk_merge_matches_single_build():
-    """Merging per-chunk sketches must equal one sketch over the whole
-    array (associativity of union + re-truncate)."""
+    """With an explicit shared salt, merging per-chunk sketches must
+    equal one sketch over the whole array (associativity of union +
+    dedup + re-truncate; input values are all distinct so dedup is a
+    no-op)."""
     from geojson_vt_ray.functions.sketch import (bottomk_merge,
                                                  bottomk_partial,
                                                  bottomk_quantiles)
     rng = np.arange(100_000, dtype=np.int64) * 7 % 100_000
-    whole = bottomk_partial(rng, k=512)
-    parts = [bottomk_partial(c, k=512) for c in np.array_split(rng, 7)]
+    whole = bottomk_partial(rng, k=512, salt=17)
+    parts = [bottomk_partial(c, k=512, salt=17)
+             for c in np.array_split(rng, 7)]
     merged = bottomk_merge(parts, k=512)
     qw = bottomk_quantiles(whole, (0.5, 0.9))
     qm = bottomk_quantiles(merged, (0.5, 0.9))
     # identical row-identity hashing -> same bottom-k survivors
     assert sorted(whole[0].tolist()) == sorted(merged[0].tolist())
     assert qw == qm
+    # merge is idempotent: re-merging the same partials adds nothing
+    again = bottomk_merge([merged, parts[0]], k=512)
+    assert sorted(again[0].tolist()) == sorted(merged[0].tolist())
+
+
+def test_bottomk_duplicate_heavy_rank_error():
+    """90%-duplicates corpus: the per-partial content salt decorrelates
+    cross-block copies of the same value, holding rank error <=6% at
+    every tested percentile (the regime where unsalted (value, ordinal)
+    hashing collapses the effective sample)."""
+    from geojson_vt_ray.functions.sketch import (bottomk_merge,
+                                                 bottomk_partial,
+                                                 bottomk_quantiles)
+    # 180k rows over 10 hot values + 20k distinct tail values
+    hot = np.repeat(np.arange(10, dtype=np.int64) * 1000, 18_000)
+    tail = np.arange(20_000, dtype=np.int64) + 50_000
+    vals = np.concatenate([hot, tail])
+    # deterministic interleave (keyed on position, not value) so every
+    # block mixes copies of many hot values with tail values
+    pos = np.arange(len(vals), dtype=np.int64)
+    vals = vals[np.argsort(pos * 2654435761 % 200_003, kind="stable")]
+    parts = [bottomk_partial(c, k=4096)
+             for c in np.array_split(vals, 100)]
+    merged = bottomk_merge(parts, k=4096)
+    exact = np.sort(vals)
+    n = len(exact)
+    for p, est in zip((0.5, 0.9, 0.99),
+                      bottomk_quantiles(merged, (0.5, 0.9, 0.99))):
+        lo = np.searchsorted(exact, est, side="left") / n
+        hi = np.searchsorted(exact, est, side="right") / n
+        # est's rank interval must come within 6% of p
+        err = 0.0 if lo <= p <= hi else min(abs(lo - p), abs(hi - p))
+        assert err <= 0.06, (p, est, lo, hi)
 
 
 def test_quantile_buckets_cover_all_rows(ray_session):
@@ -200,17 +236,18 @@ def test_pack_sequences_gappy_ids_and_boundaries(ray_session, tmp_path):
 def test_decontam_duplicate_of_benchmark_doc_flagged(ray_session, tmp_path):
     """A training doc repeating a benchmark doc's text shares all its
     5-grams; unrelated docs and the benchmark docs themselves are not
-    reported."""
+    reported. With k_eval=1 the hash-rank eval sample is doc 1 (md5("1")
+    is lexicographically smallest among ids 0-3)."""
     bench_text = "alpha beta gamma delta epsilon zeta"
-    rows = [(0, bench_text),                       # benchmark (0 % 7 == 0)
-            (1, bench_text),                       # contaminated copy
+    rows = [(0, bench_text),                       # contaminated copy
+            (1, bench_text),                       # benchmark (lowest md5)
             (2, "one two three four five six"),    # clean
             (3, "x " * 3)]                         # too short for 5-grams
     sf = _write_docs(tmp_path, rows)
-    got = (Q.q_decontam(sf).to_pandas()
+    got = (Q.q_decontam(sf, k_eval=1).to_pandas()
            .sort_values("doc_id", ignore_index=True))
-    # doc 1 shares both 5-grams of the benchmark doc
-    assert got["doc_id"].tolist() == [1]
+    # doc 0 shares both 5-grams of the benchmark doc
+    assert got["doc_id"].tolist() == [0]
     assert got["n_contam"].tolist() == [2]
 
 
