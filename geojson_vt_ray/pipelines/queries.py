@@ -12429,6 +12429,9 @@ def q_token_budget(sf_dir: str):
             t = tj
             break
         cum += int(c[j])
+    # every B in [0, n] falls in exactly one bracket, so the scan must
+    # set t; fail loudly (not via np.minimum(c, None)) on a regression
+    assert t is not None, (bud, c.tolist())
     alloc = np.minimum(c, t)
     return pa.table({
         "source": pa.array(agg["source"], pa.string()),
@@ -14000,7 +14003,12 @@ def q_radius_gyration(sf_dir: str):
         sy = b.column("sy").to_numpy(zero_copy_only=False)
         sxx = b.column("sxx").to_numpy(zero_copy_only=False)
         syy = b.column("syy").to_numpy(zero_copy_only=False)
-        num = (n * (sxx + syy) - sx * sx - sy * sy).astype(np.float64)
+        # object dtype = Python ints: sx*sx wraps int64 once a user has
+        # ~8e5+ events (sx ~ n*3600), same HUGEINT-matching fold as
+        # q_gini_concentration
+        num = (n.astype(object) * (sxx.astype(object) + syy) -
+               sx.astype(object) * sx -
+               sy.astype(object) * sy).astype(np.float64)
         rg2 = np.round(num / (n.astype(np.float64) * n), 6)
         return pa.table({"user_id": b.column("user_id"),
                          "n_points": b.column("n"),

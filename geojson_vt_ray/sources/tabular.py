@@ -122,8 +122,23 @@ def write_table_arrow(ds, out_dir: str, key_col: str,
     if isinstance(ds, pa.Table):
         ds = rd.from_arrow(ds)
 
+    sch = ds.schema()
+    ktype = dict(zip(sch.names, sch.types)).get(key_col)
+    if ktype is not None and not pa.types.is_integer(ktype):
+        raise TypeError(
+            f"write_table_arrow key column {key_col!r} is {ktype} — "
+            "must be integer (float keys would be silently floored "
+            "into shards)")
+
     def add_shard(b: pa.Table) -> pa.Table:
         key = b.column(key_col).to_numpy(zero_copy_only=False)
+        if len(key) and key.min() < 0:
+            # negative keys floor-divide to negative shard ids, producing
+            # malformed part--00001.arrow names whose lexical order
+            # diverges from the manifest's numeric order
+            raise ValueError(
+                f"write_table_arrow key column {key_col!r} has negative "
+                f"values (min {key.min()}); shard ids must be >= 0")
         return b.append_column(
             "_shard", pa.array((key // rows_per_file).astype(np.int64)))
 

@@ -134,3 +134,22 @@ def test_arrow_ipc_roundtrip_and_read(ray_session, tmp_path):
     got2 = (read_table(str(stream_dir), "events").to_pandas()
             .sort_values("event_id", ignore_index=True))
     assert got2.equals(want)
+
+
+def test_arrow_ipc_sink_rejects_bad_keys(ray_session, tmp_path):
+    """Float key columns (silently floored) and negative keys (malformed
+    part--00001.arrow names) must raise instead of corrupting the shard
+    layout."""
+    import pytest
+
+    from geojson_vt_ray.sources.tabular import write_table_arrow
+
+    bad_type = pa.table({"k": pa.array([1.5, 2.5], pa.float64()),
+                         "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(TypeError, match="must be integer"):
+        write_table_arrow(bad_type, str(tmp_path / "a"), key_col="k")
+
+    neg = pa.table({"k": pa.array([-3, 5], pa.int64()),
+                    "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="negative"):
+        write_table_arrow(neg, str(tmp_path / "b"), key_col="k")
