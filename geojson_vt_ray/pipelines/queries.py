@@ -4541,22 +4541,23 @@ def _copurchase_pair_stream(sf_dir: str, cmask: int):
                      (part[1:] != part[:-1])]
         ordv, part = ordv[keep], part[keep]
         starts = np.flatnonzero(np.r_[True, ordv[1:] != ordv[:-1]])
-        ends = np.r_[starts[1:], len(ordv)]
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            idx = _triu(m)
-            ps = part[s:e]  # sorted, so ps[ii] < ps[jj]
-            out_a.append(ps[idx[0]])
-            out_b.append(ps[idx[1]])
-        if not out_a:
+        sizes = np.diff(np.r_[starts, len(ordv)])
+        # vectorized per-order all-pairs expansion (repeat/cumsum):
+        # the element at in-order position p is the HIGH end of p
+        # pairs whose low ends are positions 0..p-1 (part sorted
+        # in-run, so id_a < id_b)
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        pos = np.arange(len(ordv)) - starts[run_id]
+        tot = int(pos.sum())
+        if tot == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
+        b_idx = np.repeat(np.arange(len(ordv)), pos)
+        offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.repeat(starts[run_id], pos) + offs
         return pa.table({
-            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-            "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+            "id_a": pa.array(part[a_idx].astype(np.int64), pa.int64()),
+            "id_b": pa.array(part[b_idx].astype(np.int64), pa.int64())})
 
     return (ds.map_batches(op_pairs, batch_format="pyarrow")
             .groupby("bkey").map_groups(order_edges,
@@ -4695,7 +4696,6 @@ def q_triangle_count(sf_dir: str):
     documented fallback for graphs whose edge set outgrows a
     broadcast). Packed keys assume part ids < 2^31."""
     import ray
-    from ray.data.aggregate import Sum
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
     edges = _copurchase_edges(sf_dir, cmask, nparts)
@@ -4731,23 +4731,22 @@ def q_triangle_count(sf_dir: str):
         o = np.lexsort((dst, src))
         src, dst = src[o], dst[o]
         starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        ends = np.r_[starts[1:], len(src)]
-        w_s, w_a, w_b = [], [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            idx = _triu(m)
-            nb = dst[s:e]  # sorted, so pairs are (lo, hi)
-            w_s.append(np.full(len(idx[0]), src[s], np.int64))
-            w_a.append(nb[idx[0]])
-            w_b.append(nb[idx[1]])
-        if not w_s:
+        sizes = np.diff(np.r_[starts, len(src)])
+        # vectorized all-pairs wedge expansion (repeat/cumsum, the
+        # band_join pattern): element at in-run position p is the HIGH
+        # end of p wedges whose low ends are run positions 0..p-1
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        pos = np.arange(len(src)) - starts[run_id]
+        tot = int(pos.sum())
+        if tot == 0:
             return pa.table({"part": pa.array([], pa.int64()),
                              "n_tri": pa.array([], pa.int64())})
-        ws = np.concatenate(w_s)
-        wa = np.concatenate(w_a)
-        wb = np.concatenate(w_b)
+        b_idx = np.repeat(np.arange(len(src)), pos)
+        offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.repeat(starts[run_id], pos) + offs
+        ws = src[b_idx].astype(np.int64)
+        wa = dst[a_idx].astype(np.int64)  # dst sorted in-run: wa < wb
+        wb = dst[b_idx].astype(np.int64)
         ek = ray.get(ek_ref)
         key = (wa << 31) | wb
         pos = np.searchsorted(ek, key)
@@ -4756,12 +4755,29 @@ def q_triangle_count(sf_dir: str):
         tri_nodes = np.concatenate([ws[hit], wa[hit], wb[hit]])
         uniq, cnt = np.unique(tri_nodes, return_counts=True)
         return pa.table({"part": pa.array(uniq),
-                         "n_tri": pa.array(cnt.astype(np.int64))})
+                         "n_tri": pa.array(cnt.astype(np.int64)),
+                         "pkey": pa.array((uniq & cmask).astype(
+                             np.int32))})
+
+    def merge_counts(g: pd.DataFrame) -> pa.Table:
+        # coarse part-bucket reduceat merge: a direct 20k-key
+        # groupby.aggregate over the ~1M partial rows costs 3x the
+        # whole rest of the query (house rule: never aggregate a
+        # 1e4+-cardinality key directly)
+        p = g["part"].to_numpy()
+        n = g["n_tri"].to_numpy()
+        o = np.argsort(p, kind="stable")
+        p, n = p[o], n[o]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        sums = np.add.reduceat(n, starts)
+        return pa.table({"part": pa.array(p[starts], pa.int64()),
+                         "n_tri": pa.array(sums.astype(np.int64))})
 
     return (edges.map_batches(orient, batch_format="pyarrow")
             .groupby("skey").map_groups(close_wedges,
                                         batch_format="pandas")
-            .groupby("part").aggregate(Sum("n_tri", alias_name="n_tri")))
+            .groupby("pkey").map_groups(merge_counts,
+                                        batch_format="pandas"))
 
 
 def q_user_mode(sf_dir: str):
