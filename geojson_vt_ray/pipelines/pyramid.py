@@ -145,6 +145,7 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     level_tiles: list[tuple[int, int, int]] = [(0, 0, 0)]
     levels_meta = []
     last_lvl_stats = None
+    data_bbox = None
     z = 0
 
     ckpt_path = os.path.join(out_dir, "checkpoint.json")
@@ -180,10 +181,12 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
         levels_meta = ck["levels_meta"]
         level_tiles = [tuple(t) for t in ck["next_level_tiles"]]
         split_ids_list = ck["split_ids"]
+        data_bbox = ck.get("data_bbox")
         if not split_ids_list:
             # run had finished all levels; only the manifest write was
             # lost — rewrite it from the checkpoint and serve
-            _write_manifest(out_dir, options, levels_meta, manifest_tiles)
+            _write_manifest(out_dir, options, levels_meta, manifest_tiles,
+                            data_bbox=data_bbox)
             return TileSet(out_dir, options)
         ds = ray.data.read_parquet(os.path.join(out_dir, "levels",
                                                 f"z={z0}"))
@@ -218,6 +221,11 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
             pdf = pd.DataFrame({"tile_id": [], "n_points": [], "n_rows": []})
         else:
             ds = ray.data.read_parquet(lvl_dir)
+            if z == 0 and data_bbox is None:
+                # data extent for tilejson bounds: pruned 4-column read
+                # of the root level, block-bounded driver fold
+                data_bbox = _collect_data_bbox(ray.data.read_parquet(
+                    lvl_dir, columns=["minx", "miny", "maxx", "maxy"]))
             # stopping aggregate: tiny per-batch partials, combined
             parts = ds.map_batches(level_counts, batch_format="pyarrow",
                                    batch_size=batch_size)
@@ -309,6 +317,7 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
                        "manifest_tiles": [[tz, tx, ty, st]
                                           for tz, tx, ty, st
                                           in manifest_tiles.values()],
+                       "data_bbox": data_bbox,
                        "levels_meta": levels_meta}, f)
 
         if not split_set:
@@ -326,22 +335,58 @@ def slice_pyramid(docs: "ray.data.Dataset", options: TileOptions,
     if options.debug >= 1 and last_lvl_stats is not None:
         metrics = {"ray_stats": last_lvl_stats}
     _write_manifest(out_dir, options, levels_meta, manifest_tiles,
-                    metrics=metrics)
+                    metrics=metrics, data_bbox=data_bbox)
     return TileSet(out_dir, options)
 
 
 def _write_manifest(out_dir: str, options: TileOptions, levels_meta,
-                    manifest_tiles: dict, metrics: dict | None = None) -> None:
+                    manifest_tiles: dict, metrics: dict | None = None,
+                    data_bbox: list | None = None) -> None:
     manifest = {
         "options": _options_dict(options),
         "levels": levels_meta,
         "tiles": [[tz, tx, ty, st]
                   for tz, tx, ty, st in manifest_tiles.values()],
     }
+    if data_bbox:
+        manifest["bbox"] = data_bbox
     if metrics:
         manifest["metrics"] = metrics
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
+
+
+def _collect_data_bbox(ds) -> list | None:
+    """Projected-space [minx, miny, maxx, maxy] over a feature-row
+    Dataset: per-batch 1-row partials folded on the driver (bounded by
+    block count, never rows). ``ds`` must already be column-pruned to
+    the four bbox columns."""
+    import ray
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.float64())
+                             for c in ("minx", "miny", "maxx", "maxy")})
+        out = {}
+        for c in ("minx", "miny", "maxx", "maxy"):
+            v = b.column(c).to_numpy(zero_copy_only=False)
+            out[c] = pa.array(
+                [float(v.min() if c.startswith("min") else v.max())])
+        return pa.table(out)
+
+    bb = None
+    for t in ray.get(ds.map_batches(part, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        if t.num_rows == 0 or "minx" not in t.column_names:
+            continue
+        row = [t.column(c)[0].as_py()
+               for c in ("minx", "miny", "maxx", "maxy")]
+        if bb is None:
+            bb = row
+        else:
+            bb = [min(bb[0], row[0]), min(bb[1], row[1]),
+                  max(bb[2], row[2]), max(bb[3], row[3])]
+    return bb
 
 
 def _slice_fullsplit(docs: "ray.data.Dataset", options: TileOptions,
@@ -486,6 +531,22 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
         created = nxt
         z += 1
 
+    # data extent for tilejson bounds: tile rows (okind=0) carry no
+    # bbox, but the leaf SOURCE rows (okind=1, kept for drill-down)
+    # cover every feature in world space — pruned 4-column read,
+    # block-bounded fold
+    data_bbox = None
+    src_dirs = ([os.path.join(comb, "okind=1")]
+                if os.path.isdir(os.path.join(comb, "okind=1"))
+                else sorted(_glob.glob(os.path.join(
+                    comb, "shard=*", "okind=1"))))
+    src_files = [os.path.join(root, fn)
+                 for d in src_dirs for root, _, fns in os.walk(d)
+                 for fn in fns if fn.endswith(".parquet")]
+    if src_files:
+        data_bbox = _collect_data_bbox(ray.data.read_parquet(
+            src_files, columns=["minx", "miny", "maxx", "maxy"]))
+
     manifest = {
         "layout": "combined",
         "options": _options_dict(options),
@@ -495,6 +556,8 @@ def _rebuild_fullsplit_manifest(out_dir: str, options: TileOptions,
         # (true whenever this engine version wrote all of the data)
         "stats_side_channel": bool(stats_dirs) and stats_complete,
     }
+    if data_bbox:
+        manifest["bbox"] = data_bbox
     m = dict(metrics or {})
     m["t_manifest_sec"] = round(time.perf_counter() - t_manifest0, 3)
     manifest["metrics"] = m
@@ -753,8 +816,11 @@ class TileSet:
                  name: str = "geojsonvt") -> dict:
         """TileJSON 3.0 descriptor for the stored pyramid (the
         metadata document MVT servers publish next to the tiles):
-        zoom range and tile counts come from the manifest, no tile
-        reads."""
+        zoom range, tile counts and bounds come from the manifest, no
+        tile reads. Bounds = union of the LEAF tiles' lon/lat boxes
+        (leaves are where the data lives: split tiles are covered by
+        their children, empty tiles hold nothing), so a regional
+        tileset advertises its actual extent, not the world."""
         zs = [lv["z"] for lv in self.manifest.get("levels", [])] or \
             [tz for tz, _x, _y, _s in self.tiles.values()]
         return {
@@ -764,13 +830,52 @@ class TileSet:
             "tiles": [tiles_url],
             "minzoom": int(min(zs)) if zs else 0,
             "maxzoom": int(max(zs)) if zs else 0,
-            "bounds": [-180.0, -85.0511287798066,
-                       180.0, 85.0511287798066],
+            "bounds": self._data_bounds(),
             "vector_layers": [{"id": name,
                                "minzoom": int(min(zs)) if zs else 0,
                                "maxzoom": int(max(zs)) if zs else 0,
                                "fields": {}}],
         }
+
+    def _data_bounds(self) -> list:
+        """[w, s, e, n] from the manifest's projected data bbox (exact
+        feature extent, recorded at slice time); fallback for pyramids
+        sliced before the bbox existed: union of the leaf tiles'
+        geographic boxes. World bounds when neither is available."""
+        import math
+        world = [-180.0, -85.0511287798066, 180.0, 85.0511287798066]
+        bb = self.manifest.get("bbox")
+        if bb:
+            minx, miny, maxx, maxy = bb
+
+            def inv_lat(yv: float) -> float:
+                return math.degrees(math.atan(
+                    math.sinh(math.pi * (1.0 - 2.0 * yv))))
+
+            # wrap can shift antimeridian copies outside [0,1]; clamp
+            return [max(minx * 360.0 - 180.0, world[0]),
+                    max(inv_lat(maxy), world[1]),
+                    min(maxx * 360.0 - 180.0, world[2]),
+                    min(inv_lat(miny), world[3])]
+        leaves = [(tz, tx, ty) for tz, tx, ty, st in self.tiles.values()
+                  if st == STATUS_LEAF]
+        if not leaves:
+            return world
+
+        def merc_lat(yy: float, n: int) -> float:
+            t = math.pi - 2.0 * math.pi * yy / n
+            return math.degrees(math.atan(math.sinh(t)))
+
+        w = s = float("inf")
+        e = n_ = float("-inf")
+        for tz, tx, ty in leaves:
+            n = 1 << tz
+            w = min(w, tx / n * 360.0 - 180.0)
+            e = max(e, (tx + 1) / n * 360.0 - 180.0)
+            s = min(s, merc_lat(ty + 1, n))
+            n_ = max(n_, merc_lat(ty, n))
+        return [max(w, world[0]), max(s, world[1]),
+                min(e, world[2]), min(n_, world[3])]
 
     def get_tile_mvt(self, z, x, y, layer_name: str = "geojsonvt"
                      ) -> bytes | None:

@@ -453,3 +453,36 @@ def test_debug_option_records_ray_stats(ray_session, tmp_path, fixtures):
     # debug changes no results: same tiles as a debug=0 run
     ts0 = slice_pyramid(docs, opts.with_(debug=0), str(tmp_path / "dbg0"))
     assert ts.gen_tiles() == ts0.gen_tiles()
+
+
+def test_tilejson_bounds_from_manifest(ray_session, tmp_path, fixtures):
+    """tilejson() bounds must derive from the pyramid's actual data
+    extent (manifest bbox recorded at slice time), not hardcode the
+    world: us-states spans lat 17.9296..71.3516 and lon up to
+    -65.6268 east; the west edge clamps to -180 (the Aleutians cross
+    the antimeridian). Both the adaptive (levels/) and the fullsplit
+    (combined/) layouts must record it."""
+    ts = _slice(ray_session, tmp_path, fixtures("us-states.json"),
+                {"indexMaxZoom": 5, "indexMaxPoints": 100000})
+    w, s, e, n = ts.tilejson()["bounds"]
+    # Aleutian antimeridian crossing: wrap shifts the far-west limb
+    # into the +1 world copy, so the main-world west edge is -178.12
+    # and east clamps at 180; latitude is exact
+    assert -178.2 < w < -178.0       # westmost main-world vertex
+    assert 17.5 < s < 17.95          # true south 17.9296
+    assert e == 180.0
+    assert 71.3 < n < 71.5           # true north 71.3516
+
+    # fullsplit records bounds too (leaf-source union: same latitudes,
+    # longitude reaches the wrapped Aleutian copy near +173)
+    full = _slice(ray_session, tmp_path / "f", fixtures("us-states.json"),
+                  {"indexMaxZoom": 5, "indexMaxPoints": 0})
+    wf, sf, ef, nf = full.tilejson()["bounds"]
+    assert abs(sf - s) < 0.2 and abs(nf - n) < 0.2
+    assert -178.2 < wf < -178.0 and 170.0 < ef <= 180.0
+
+    # an empty pyramid falls back to world bounds
+    empty = _slice(ray_session, tmp_path / "e", fixtures("empty.json"),
+                   {})
+    assert empty.tilejson()["bounds"] == [-180.0, -85.0511287798066,
+                                          180.0, 85.0511287798066]
