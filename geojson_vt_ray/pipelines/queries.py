@@ -4678,7 +4678,7 @@ def _sql_basket_pairs(min_support: int = 2) -> str:
         f"WHERE n_both >= {min_support}")
 
 
-def q_triangle_count(sf_dir: str):
+def q_triangle_count(sf_dir: str, edge_mode: str = "broadcast"):
     """Graph analytics: per-node triangle counts of the part
     CO-PURCHASE graph (_copurchase_edges) — the classic distributed
     triangle algorithm: orient each edge from its lower-degree endpoint
@@ -4692,9 +4692,13 @@ def q_triangle_count(sf_dir: str):
     by the PART DIMENSION (deg: one row per part; edges: pairs drawn
     from orders), so both broadcast via ray.put — 10 MB at sf0.1 — and
     the wedge close is a single vectorized searchsorted per src-bucket,
-    with NO 10^7-row wedge shuffle (the all-to-all wedge join is the
-    documented fallback for graphs whose edge set outgrows a
-    broadcast). Packed keys assume part ids < 2^31."""
+    with NO 10^7-row wedge shuffle. ``edge_mode="shuffle"`` is the
+    fallback for graphs whose edge set outgrows a broadcast: wedges
+    hash-join the packed edge-key Dataset instead (the all-to-all
+    wedge join; only the degree LUT stays broadcast — one int per
+    node, a strictly smaller contract). Tested equal in
+    tests/test_fallback_paths.py. Packed keys assume part ids <
+    2^31."""
     import ray
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
@@ -4772,6 +4776,62 @@ def q_triangle_count(sf_dir: str):
         sums = np.add.reduceat(n, starts)
         return pa.table({"part": pa.array(p[starts], pa.int64()),
                          "n_tri": pa.array(sums.astype(np.int64))})
+
+    if edge_mode == "shuffle":
+        def emit_wedges(g: pd.DataFrame) -> pa.Table:
+            src = g["src"].to_numpy()
+            dst = g["dst"].to_numpy()
+            o = np.lexsort((dst, src))
+            src, dst = src[o], dst[o]
+            starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+            sizes = np.diff(np.r_[starts, len(src)])
+            run_id = np.repeat(np.arange(len(starts)), sizes)
+            pos = np.arange(len(src)) - starts[run_id]
+            tot = int(pos.sum())
+            if tot == 0:
+                return pa.table({"wkey": pa.array([], pa.int64()),
+                                 "ws": pa.array([], pa.int64()),
+                                 "wa": pa.array([], pa.int64()),
+                                 "wb": pa.array([], pa.int64())})
+            b_idx = np.repeat(np.arange(len(src)), pos)
+            offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
+            a_idx = np.repeat(starts[run_id], pos) + offs
+            ws = src[b_idx].astype(np.int64)
+            wa = dst[a_idx].astype(np.int64)
+            wb = dst[b_idx].astype(np.int64)
+            return pa.table({"wkey": pa.array((wa << 31) | wb),
+                             "ws": pa.array(ws), "wa": pa.array(wa),
+                             "wb": pa.array(wb)})
+
+        def edge_keys(b: pa.Table) -> pa.Table:
+            a = b.column("id_a").to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+            v = b.column("id_b").to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+            return pa.table({"wkey": pa.array((a << 31) | v)})
+
+        def hit_counts(b: pa.Table) -> pa.Table:
+            tri = np.concatenate([
+                b.column(c).to_numpy(zero_copy_only=False)
+                for c in ("ws", "wa", "wb")]) if b.num_rows else \
+                np.array([], np.int64)
+            uniq, cnt = np.unique(tri, return_counts=True)
+            return pa.table({"part": pa.array(uniq.astype(np.int64)),
+                             "n_tri": pa.array(cnt.astype(np.int64)),
+                             "pkey": pa.array(
+                                 (uniq.astype(np.int64) & cmask)
+                                 .astype(np.int32))})
+
+        wedges = (edges.map_batches(orient, batch_format="pyarrow")
+                  .groupby("skey").map_groups(emit_wedges,
+                                              batch_format="pandas"))
+        hits = wedges.join(
+            edges.map_batches(edge_keys, batch_format="pyarrow"),
+            join_type="inner", num_partitions=nparts, on=("wkey",),
+            aggregator_ray_remote_args=_agg_args())
+        return (hits.map_batches(hit_counts, batch_format="pyarrow")
+                .groupby("pkey").map_groups(merge_counts,
+                                            batch_format="pandas"))
 
     return (edges.map_batches(orient, batch_format="pyarrow")
             .groupby("skey").map_groups(close_wedges,
@@ -4906,7 +4966,8 @@ _BFS_MOD = 97
 _BFS_MAX_ROUNDS = 64
 
 
-def q_graph_bfs(sf_dir: str, mod: int = _BFS_MOD):
+def q_graph_bfs(sf_dir: str, mod: int = _BFS_MOD,
+                mode: str = "broadcast"):
     """Multi-source BFS over the part co-purchase graph
     (_copurchase_edges): hop distance from the seed set {parts with
     p_partkey % mod == 0} to every reachable part, plus unreachable
@@ -4920,9 +4981,13 @@ def q_graph_bfs(sf_dir: str, mod: int = _BFS_MOD):
     partials (bounded by the new frontier x blocks). The frontier and
     visited sets are NODE-set-sized — the same small-side broadcast
     contract as decontam's gram set; for graphs whose node set
-    outgrows driver memory, the fallback is the bucketed tagged-union
-    shuffle of label_propagation_clusters. Rounds are bounded by the
-    graph diameter (co-purchase graphs are small-world, ~3-5 hops)."""
+    outgrows driver memory, ``mode="shuffle"`` is the fallback: the
+    bucketed tagged-union shuffle of label_propagation_clusters —
+    frontier/visited stay Datasets keyed by node & cmask, each round
+    is a frontier-edge semi-join then a visited anti-join, both
+    coarse-bucket map_groups (tested equal to the broadcast path in
+    tests/test_fallback_paths.py). Rounds are bounded by the graph
+    diameter (co-purchase graphs are small-world, ~3-5 hops)."""
     import ray
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
@@ -4946,6 +5011,80 @@ def q_graph_bfs(sf_dir: str, mod: int = _BFS_MOD):
                        ).column("p_partkey").to_numpy(
                            zero_copy_only=False)
     seeds = np.unique(pk[pk % mod == 0]).astype(np.int64)
+
+    if mode == "shuffle":
+        import ray.data as rd
+
+        def _tag(role_tag: int, with_nbr: bool):
+            def f(b: pa.Table) -> pa.Table:
+                node = b.column("node").to_numpy(zero_copy_only=False
+                                                 ).astype(np.int64)
+                nbr = (b.column("nbr").to_numpy(zero_copy_only=False)
+                       .astype(np.int64) if with_nbr
+                       else np.full(len(node), -1, np.int64))
+                return pa.table({
+                    "node": pa.array(node), "nbr": pa.array(nbr),
+                    "tag": pa.array(
+                        np.full(len(node), role_tag, np.int8)),
+                    "pkey": pa.array((node & cmask).astype(np.int32))})
+            return f
+
+        def semi(g: pd.DataFrame) -> pa.Table:
+            t = g["tag"].to_numpy()
+            f = np.unique(g["node"].to_numpy()[t == 1])
+            out = np.array([], np.int64)
+            if len(f):
+                node = g["node"].to_numpy()[t == 0]
+                nbr = g["nbr"].to_numpy()[t == 0]
+                p = np.searchsorted(f, node)
+                p[p >= len(f)] = len(f) - 1
+                out = np.unique(nbr[f[p] == node])
+            return pa.table({
+                "node": pa.array(out), "nbr": pa.array(
+                    np.full(len(out), -1, np.int64)),
+                "tag": pa.array(np.zeros(len(out), np.int8)),
+                "pkey": pa.array((out & cmask).astype(np.int32))})
+
+        dist_ds = rd.from_arrow(pa.table({
+            "node": pa.array(seeds),
+            "dist": pa.array(np.zeros(len(seeds), np.int64))}
+        )).materialize()
+        frontier_ds = dist_ds
+        for d in range(1, _BFS_MAX_ROUNDS + 1):
+            cand_ds = (sym_ds.map_batches(_tag(0, True),
+                                          batch_format="pyarrow")
+                       .union(frontier_ds.map_batches(
+                           _tag(1, False), batch_format="pyarrow"))
+                       .groupby("pkey").map_groups(
+                           semi, batch_format="pandas"))
+
+            def anti(g: pd.DataFrame, _d=d) -> pa.Table:
+                t = g["tag"].to_numpy()
+                seen = np.unique(g["node"].to_numpy()[t == 1])
+                cand = np.unique(g["node"].to_numpy()[t == 0])
+                if len(seen) and len(cand):
+                    p = np.searchsorted(seen, cand)
+                    p[p >= len(seen)] = len(seen) - 1
+                    cand = cand[seen[p] != cand]
+                return pa.table({
+                    "node": pa.array(cand.astype(np.int64)),
+                    "dist": pa.array(np.full(len(cand), _d, np.int64))})
+
+            new_ds = (cand_ds
+                      .union(dist_ds.map_batches(_tag(1, False),
+                                                 batch_format="pyarrow"))
+                      .groupby("pkey").map_groups(
+                          anti, batch_format="pandas")
+                      .materialize())
+            if new_ds.count() == 0:
+                break
+            frontier_ds = new_ds
+            dist_ds = dist_ds.union(new_ds).materialize()
+        else:
+            raise RuntimeError(
+                f"graph_bfs did not converge in {_BFS_MAX_ROUNDS} "
+                "rounds")
+        return dist_ds
 
     out_nodes = [seeds]
     out_dist = [np.zeros(len(seeds), np.int64)]
@@ -6699,7 +6838,7 @@ _SQL_KNN_CLASSIFY = (
     "ORDER BY votes DESC, label) AS r FROM votes) WHERE r = 1")
 
 
-def q_percent_rank(sf_dir: str):
+def q_percent_rank(sf_dir: str, mode: str = "broadcast"):
     """Exact percent-rank inputs per event within its type: n_lt =
     #rows with strictly smaller integer cents (RANK()−1), n_group =
     group size — the integer numerator/denominator of PERCENT_RANK,
@@ -6710,8 +6849,10 @@ def q_percent_rank(sf_dir: str):
     (integer cents), not the row count; the per-group sorted
     cumulative-below table broadcasts (value-domain contract, like
     the histogram operators); pass 2 is one zero-shuffle searchsorted
-    over the stream. For unbounded domains, the fallback is a hash
-    join back on (group, value) instead of the broadcast."""
+    over the stream. For unbounded domains ``mode="hash_join"`` is the
+    fallback: the cumulated table stays a Dataset and hash-joins back
+    on (group, value) instead of broadcasting (tested equal to the
+    broadcast path in tests/test_fallback_paths.py)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -6736,6 +6877,30 @@ def q_percent_rank(sf_dir: str):
             "event_type": pa.array(cnt["event_type"], pa.string()),
             "cents": pa.array(cnt["cents"].to_numpy(np.int64)),
             "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    if mode == "hash_join":
+        def cum(g: pd.DataFrame) -> pa.Table:
+            g = g.sort_values("cents")
+            n = g["n"].to_numpy(np.int64)
+            return pa.table({
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                "n_lt": pa.array(np.r_[np.int64(0), np.cumsum(n)[:-1]]),
+                "n_group": pa.array(np.full(len(n), n.sum(), np.int64))})
+
+        # group count is small (event types), so a direct map_groups
+        # cumulate is fine; the (group, value)-keyed table then joins
+        # back distributedly instead of broadcasting
+        lut_ds = (cds.map_batches(vc_partial, batch_format="pyarrow")
+                  .groupby(["event_type", "cents"])
+                  .aggregate(Sum("n", alias_name="n"))
+                  .groupby("event_type")
+                  .map_groups(cum, batch_format="pandas"))
+        joined = cds.join(lut_ds, join_type="inner",
+                          num_partitions=F_dedup._num_join_partitions(),
+                          on=("event_type", "cents"),
+                          aggregator_ray_remote_args=_agg_args())
+        return joined.select_columns(["event_id", "n_lt", "n_group"])
 
     vc = (cds.map_batches(vc_partial, batch_format="pyarrow")
           .groupby(["event_type", "cents"])
@@ -7176,17 +7341,37 @@ _SQL_CLASS_CENTROIDS = (
     "AS BIGINT) AS s, COUNT(*) AS n FROM u GROUP BY 1, 2")
 
 
-def q_pip_anti(sf_dir: str):
+def q_pip_anti(sf_dir: str, mode: str = "broadcast"):
     """Spatial ANTI-join: event points covered by NO nation rectangle —
     the coverage-gap / geofence-escape query (complement of pip_rect).
 
     Shape for scale: the polygon side is aggregate-sized by contract,
     so it broadcasts once (ray.put) and the corpus streams through a
     zero-shuffle vectorized rejection test (one numpy compare per
-    rectangle, OR-folded); for polygon sets beyond driver memory the
-    fallback is the pip_join_shuffle cell-join followed by a left-anti
-    on event_id."""
+    rectangle, OR-folded); for polygon sets beyond driver memory
+    ``mode="cell_join"`` is the fallback — the pip_join_shuffle
+    cell-partitioned join computes the covered pairs, then a
+    distributed left-outer join on event_id keeps the no-match rows
+    (tested equal to the broadcast path in
+    tests/test_fallback_paths.py)."""
     import ray
+    if mode == "cell_join":
+        covered = q_pip_join_shuffle(sf_dir)
+        pts = _events_points(sf_dir).select_columns(["event_id"])
+        joined = pts.join(covered, join_type="left_outer",
+                          num_partitions=F_dedup._num_join_partitions(),
+                          on=("event_id",),
+                          aggregator_ray_remote_args=_agg_args())
+
+        def no_match(b: pa.Table) -> pa.Table:
+            miss = pc.is_null(b.column("n_nationkey"))
+            return pa.table({"event_id": pc.cast(
+                b.filter(miss).column("event_id"), pa.int64())})
+
+        # a point inside k>1 overlapping rectangles joins k times but
+        # every copy carries a non-null key, so no dedup is needed;
+        # a no-match point surfaces exactly once with a null key
+        return joined.map_batches(no_match, batch_format="pyarrow")
     polys_ref = ray.put(_nation_rects(sf_dir=sf_dir))
 
     def outside(b: pa.Table) -> pa.Table:
