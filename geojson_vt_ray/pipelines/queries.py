@@ -14712,6 +14712,521 @@ _SQL_TENURE_ACTIVITY_CORR = (
     "6) ELSE NULL END AS corr_tenure_events FROM g")
 
 
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape, per ship-month: the percentage of discounted
+    revenue coming from PROMO-type parts — the classic
+    dimension-conditional revenue-share aggregate.
+
+    Shape for scale: the part→type flag is PART-DIMENSION-bounded, so
+    it broadcasts as a sorted-key LUT (ray.put) into the lineitem
+    scan; per-batch partials collapse to one row per (month, flag) —
+    months are time-range-bounded — then ONE tiny month groupby and a
+    vectorized ROUND-6 share finish (integer revenue units
+    cents*(100-disc), the agg_lineitem convention; NULL share on a
+    zero denominator)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_type"])
+    pk = pt.column("p_partkey").to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+    promo = (pc.equal(pt.column("p_type"), "PROMO")
+             .to_numpy(zero_copy_only=False))
+    o = np.argsort(pk)
+    lut_ref = ray.put((pk[o], promo[o]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, flags = ray.get(lut_ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sd = b.column("l_shipdate")
+        month = (pc.year(sd).to_numpy(zero_copy_only=False) * 100 +
+                 pc.month(sd).to_numpy(zero_copy_only=False)
+                 ).astype(np.int64)
+        ext = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        units = ext * (100 - disc)
+        isp = flags[np.searchsorted(keys, lpk)]
+        uniq, inv = np.unique(month, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        pr = np.zeros(len(uniq), np.int64)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, units)
+        np.add.at(pr, inv, np.where(isp, units, 0))
+        np.add.at(n, inv, 1)
+        return pa.table({"month": pa.array(uniq),
+                         "promo_units": pa.array(pr),
+                         "total_units": pa.array(tot),
+                         "n_items": pa.array(n)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("total_units").to_numpy(zero_copy_only=False)
+        pr = b.column("promo_units").to_numpy(zero_copy_only=False)
+        pct = np.where(tot == 0, np.nan,
+                       np.round(100.0 * pr / np.where(tot == 0, 1, tot),
+                                6))
+        return pa.table({"month": b.column("month"),
+                         "promo_pct": pa.array(pct, pa.float64()),
+                         "n_items": b.column("n_items")})
+
+    return (_read_pq(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_shipdate",
+                              "l_extendedprice", "l_discount"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("promo_units", alias_name="promo_units"),
+                       Sum("total_units", alias_name="total_units"),
+                       Sum("n_items", alias_name="n_items"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_PROMO_REVENUE = (
+    "WITH li AS (SELECT CAST(strftime(l_shipdate, '%Y') AS BIGINT) * 100 "
+    "+ CAST(strftime(l_shipdate, '%m') AS BIGINT) AS month, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS units, p_type "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey) "
+    "SELECT month, CASE WHEN SUM(units) = 0 THEN NULL ELSE "
+    "ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)"
+    " / SUM(units), 6) END AS promo_pct, "
+    "CAST(COUNT(*) AS BIGINT) AS n_items FROM li GROUP BY 1")
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: total extended-price cents of lineitems whose
+    quantity is under 20% of their part's average quantity — the
+    "small, infrequent orders" revenue probe. The threshold test is
+    pure integer arithmetic (5*q*count < sum_q), so there is no float
+    average to disagree on.
+
+    Shape for scale: pass 1 collapses blocks to per-part (sum_q, n)
+    partials, merged through ONE coarse part-bucket shuffle; the
+    part-dimension-bounded result broadcasts as a sorted LUT into pass
+    2's zero-shuffle filter scan, whose qualifying cents collapse to a
+    single global sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cmask = _coarse_mask()
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        qi = np.round(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        uniq, inv = np.unique(lpk, return_inverse=True)
+        sq = np.zeros(len(uniq), np.int64)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(sq, inv, qi)
+        np.add.at(n, inv, 1)
+        return pa.table({"part": pa.array(uniq), "sq": pa.array(sq),
+                         "n": pa.array(n),
+                         "pkey": pa.array((uniq & cmask).astype(
+                             np.int32))})
+
+    def qty_merge(g: pd.DataFrame) -> pa.Table:
+        p = g["part"].to_numpy(np.int64)
+        o = np.argsort(p, kind="stable")
+        p = p[o]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        return pa.table({
+            "part": pa.array(p[starts]),
+            "sq": pa.array(np.add.reduceat(
+                g["sq"].to_numpy(np.int64)[o], starts)),
+            "n": pa.array(np.add.reduceat(
+                g["n"].to_numpy(np.int64)[o], starts))})
+
+    stats = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_partkey", "l_quantity"])
+             .map_batches(qty_partial, batch_format="pyarrow")
+             .groupby("pkey").map_groups(qty_merge,
+                                         batch_format="pandas")
+             .to_pandas())                    # part-dimension-bounded
+    keys = stats["part"].to_numpy(np.int64)
+    o = np.argsort(keys)
+    lut_ref = ray.put((keys[o], stats["sq"].to_numpy(np.int64)[o],
+                       stats["n"].to_numpy(np.int64)[o]))
+
+    def qualify(b: pa.Table) -> pa.Table:
+        keys, sq, n = ray.get(lut_ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qi = np.round(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        cents = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        idx = np.searchsorted(keys, lpk)
+        hit = 5 * qi * n[idx] < sq[idx]
+        return pa.table({
+            "n_qualifying": pa.array([int(hit.sum())], pa.int64()),
+            "sum_cents": pa.array([int(cents[hit].sum())], pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_quantity",
+                              "l_extendedprice"])
+            .map_batches(qualify, batch_format="pyarrow")
+            .groupby(None)
+            .aggregate(Sum("n_qualifying", alias_name="n_qualifying"),
+                       Sum("sum_cents", alias_name="sum_cents")))
+
+
+_SQL_SMALL_QTY_REVENUE = (
+    "WITH q AS (SELECT l_partkey, "
+    "CAST(ROUND(l_quantity) AS BIGINT) AS qi, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents "
+    "FROM lineitem), "
+    "s AS (SELECT l_partkey, SUM(qi) AS sq, COUNT(*) AS cnt "
+    "FROM q GROUP BY 1) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_qualifying, "
+    "CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents "
+    "FROM q JOIN s USING (l_partkey) WHERE 5 * qi * cnt < sq")
+
+
+def q_market_share(sf_dir: str, region: int = 2):
+    """TPC-H Q8 shape, by ship-year: the share of discounted revenue
+    supplied from one region's suppliers — the market-share trend
+    query.
+
+    Shape for scale: supplier→nation→region folds to a
+    SUPPLIER-DIMENSION-bounded boolean LUT broadcast into the lineitem
+    scan; per-batch partials are one row per (year, flag) and the
+    finish is the shared ROUND-6 ratio (NULL on zero denominator) —
+    no corpus-side join or shuffle anywhere."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    rk = nat.column("n_regionkey").to_numpy(zero_copy_only=False)
+    n2r = np.zeros(int(nk.max()) + 1, np.int64)
+    n2r[nk] = rk
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+    inreg = n2r[sup.column("s_nationkey").to_numpy(
+        zero_copy_only=False)] == region
+    o = np.argsort(sk)
+    lut_ref = ray.put((sk[o], inreg[o]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, flags = ray.get(lut_ref)
+        lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        year = pc.year(b.column("l_shipdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ext = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        units = ext * (100 - disc)
+        hit = flags[np.searchsorted(keys, lsk)]
+        uniq, inv = np.unique(year, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        reg = np.zeros(len(uniq), np.int64)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, units)
+        np.add.at(reg, inv, np.where(hit, units, 0))
+        np.add.at(n, inv, 1)
+        return pa.table({"year": pa.array(uniq),
+                         "reg_units": pa.array(reg),
+                         "total_units": pa.array(tot),
+                         "n_items": pa.array(n)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("total_units").to_numpy(zero_copy_only=False)
+        reg_u = b.column("reg_units").to_numpy(zero_copy_only=False)
+        pct = np.where(tot == 0, np.nan,
+                       np.round(100.0 * reg_u /
+                                np.where(tot == 0, 1, tot), 6))
+        return pa.table({"year": b.column("year"),
+                         "share_pct": pa.array(pct, pa.float64()),
+                         "n_items": b.column("n_items")})
+
+    return (_read_pq(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_suppkey", "l_shipdate",
+                              "l_extendedprice", "l_discount"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("year")
+            .aggregate(Sum("reg_units", alias_name="reg_units"),
+                       Sum("total_units", alias_name="total_units"),
+                       Sum("n_items", alias_name="n_items"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_MARKET_SHARE = (
+    "WITH li AS (SELECT CAST(strftime(l_shipdate, '%Y') AS BIGINT) "
+    "AS year, CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS units, "
+    "n_regionkey FROM lineitem "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey) "
+    "SELECT year, CASE WHEN SUM(units) = 0 THEN NULL ELSE "
+    "ROUND(100.0 * SUM(CASE WHEN n_regionkey = 2 THEN units ELSE 0 END)"
+    " / SUM(units), 6) END AS share_pct, "
+    "CAST(COUNT(*) AS BIGINT) AS n_items FROM li GROUP BY 1")
+
+
+def q_edge_support(sf_dir: str):
+    """k-truss support: for every co-purchase edge that participates in
+    at least one triangle, the number of triangles containing it (its
+    common-neighbor count) — the integer input of truss decomposition
+    and tie-strength analysis. Integer-exact (no float weights, unlike
+    Adamic-Adar).
+
+    Shape for scale: reuses the oriented-wedge machinery of
+    triangle_count (degree LUT + packed edge-key set broadcast, both
+    part-dimension-bounded); each CLOSED wedge (ws, wa, wb) is one
+    triangle contributing +1 to each of its three canonical (lo, hi)
+    edges, emitted as pair partials and merged by ONE coarse
+    pair-bucket reduceat groupby."""
+    import ray
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
+
+    epdf = edges.to_pandas()
+    ea = epdf["id_a"].to_numpy().astype(np.int64)
+    eb = epdf["id_b"].to_numpy().astype(np.int64)
+    ek_sorted = np.sort((ea << 31) | eb)
+    maxp = int(max(ea.max(), eb.max())) if len(ea) else 0
+    deg = np.zeros(maxp + 1, np.int64)
+    np.add.at(deg, ea, 1)
+    np.add.at(deg, eb, 1)
+    ek_ref = ray.put(ek_sorted)
+    deg_ref = ray.put(deg)
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        v = b.column("id_b").to_numpy(zero_copy_only=False)
+        d = ray.get(deg_ref)
+        lo_first = (d[a] < d[v]) | ((d[a] == d[v]) & (a < v))
+        src = np.where(lo_first, a, v)
+        dst = np.where(lo_first, v, a)
+        return pa.table({
+            "src": pa.array(src.astype(np.int64)),
+            "dst": pa.array(dst.astype(np.int64)),
+            "skey": pa.array((src & cmask).astype(np.int32))})
+
+    def close_to_pairs(g: pd.DataFrame) -> pa.Table:
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[starts, len(src)])
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        pos = np.arange(len(src)) - starts[run_id]
+        tot = int(pos.sum())
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "pkey": pa.array([], pa.int32())})
+        if tot == 0:
+            return empty
+        b_idx = np.repeat(np.arange(len(src)), pos)
+        offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.repeat(starts[run_id], pos) + offs
+        ws = src[b_idx].astype(np.int64)
+        wa = dst[a_idx].astype(np.int64)
+        wb = dst[b_idx].astype(np.int64)
+        ek = ray.get(ek_ref)
+        key = (wa << 31) | wb
+        p_ = np.searchsorted(ek, key)
+        p_[p_ >= len(ek)] = len(ek) - 1
+        hit = ek[p_] == key
+        if not hit.any():
+            return empty
+        ws, wa, wb = ws[hit], wa[hit], wb[hit]
+        # the triangle's three canonical (lo, hi) edges
+        pa_ = np.concatenate([np.minimum(ws, wa), np.minimum(ws, wb),
+                              wa])
+        pb_ = np.concatenate([np.maximum(ws, wa), np.maximum(ws, wb),
+                              wb])
+        key2 = (pa_ << 31) | pb_
+        uniq, cnt = np.unique(key2, return_counts=True)
+        ua = (uniq >> 31).astype(np.int64)
+        ub = (uniq & ((1 << 31) - 1)).astype(np.int64)
+        return pa.table({
+            "id_a": pa.array(ua), "id_b": pa.array(ub),
+            "n": pa.array(cnt.astype(np.int64)),
+            "pkey": pa.array(((ua ^ (ub << 13)) & cmask).astype(
+                np.int32))})
+
+    def merge_pairs(g: pd.DataFrame) -> pa.Table:
+        a = g["id_a"].to_numpy(np.int64)
+        b_ = g["id_b"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        o = np.lexsort((b_, a))
+        a, b_, n = a[o], b_[o], n[o]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) |
+                                      (b_[1:] != b_[:-1])])
+        return pa.table({
+            "id_a": pa.array(a[starts]),
+            "id_b": pa.array(b_[starts]),
+            "support": pa.array(np.add.reduceat(n, starts))})
+
+    return (edges.map_batches(orient, batch_format="pyarrow")
+            .groupby("skey").map_groups(close_to_pairs,
+                                        batch_format="pandas")
+            .groupby("pkey").map_groups(merge_pairs,
+                                        batch_format="pandas"))
+
+
+_SQL_EDGE_SUPPORT = (
+    "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+    "FROM dp a JOIN dp b USING(l_orderkey) "
+    "WHERE a.l_partkey < b.l_partkey), "
+    "t AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c FROM e ab "
+    "JOIN e bc ON bc.u = ab.v "
+    "JOIN e ac ON ac.u = ab.u AND ac.v = bc.v) "
+    "SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS support FROM ("
+    "SELECT a AS id_a, b AS id_b FROM t "
+    "UNION ALL SELECT b, c FROM t "
+    "UNION ALL SELECT a, c FROM t) GROUP BY 1, 2")
+
+
+def q_peer_revenue(sf_dir: str):
+    """Self-excluding group aggregate: for every order, the total
+    order cents of the SAME customer's OTHER orders — the per-row
+    "peer sum" window (SUM OVER PARTITION minus own), the building
+    block of share-of-wallet and fraud-baseline features.
+
+    Shape for scale: ONE crc-coarse customer-bucket shuffle of skinny
+    (cust, order, cents) rows; inside each bucket the per-customer
+    sums come from a single argsort + reduceat, then every order row
+    emits custsum − own. No window sort, no second pass."""
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False
+                                            ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(
+                b.column("o_orderkey").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "cust": pa.array(ck),
+            "cents": pa.array(np.round(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)),
+            "pkey": pa.array((ck & cmask).astype(np.int32))})
+
+    def peers(g: pd.DataFrame) -> pa.Table:
+        c = g["cust"].to_numpy(np.int64)
+        ok = g["o_orderkey"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        o = np.argsort(c, kind="stable")
+        c, ok, cents = c[o], ok[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        run_id = np.cumsum(np.r_[True, c[1:] != c[:-1]]) - 1
+        sums = np.add.reduceat(cents, starts)
+        return pa.table({
+            "o_orderkey": pa.array(ok),
+            "peer_cents": pa.array(sums[run_id] - cents)})
+
+    return (_read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderkey", "o_custkey",
+                              "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(peers, batch_format="pandas"))
+
+
+_SQL_PEER_REVENUE = (
+    "SELECT o_orderkey, CAST(SUM(cents) OVER (PARTITION BY o_custkey) "
+    "- cents AS BIGINT) AS peer_cents FROM ("
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)")
+
+
+def q_autocorr_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of each event type's DAILY volume over the
+    dense day range (missing days count 0) — the "is traffic
+    self-similar day over day" seasonality probe.
+
+    Shape for scale: per-batch (type, day) bincount partials → one
+    day×type-bounded Sum groupby (day count is time-range-bounded,
+    never row-bounded); the driver densifies the tiny series and folds
+    the FIVE integer moments in Python ints, finishing with the ONE
+    shared ROUND-6 Pearson expression (NULL when either variance is
+    zero) — the tenure_activity_corr convention."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = np.asarray(b.column("event_type").to_pylist(), object)
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({"event_type": et, "day": day})
+        cnt = (df.groupby(["event_type", "day"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({
+            "event_type": pa.array(cnt["event_type"], pa.string()),
+            "day": pa.array(cnt["day"].to_numpy(np.int64)),
+            "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    counts = (_read_pq(f"{sf_dir}/events.parquet",
+                       columns=["ts", "event_type"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())                  # day x type bounded
+    d0 = int(counts["day"].min())
+    d1 = int(counts["day"].max())
+    span = d1 - d0 + 1
+    types = sorted(counts["event_type"].unique())
+    out_t, out_r = [], []
+    for t in types:
+        sub = counts[counts["event_type"] == t]
+        dense = np.zeros(span, np.int64)
+        dense[sub["day"].to_numpy(np.int64) - d0] = \
+            sub["n"].to_numpy(np.int64)
+        x, y = dense[:-1], dense[1:]
+        k = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        vx = k * sxx - sx * sx
+        vy = k * syy - sy * sy
+        r = (np.round(float(k * sxy - sx * sy) /
+                      np.sqrt(float(vx) * float(vy)), 6)
+             if vx > 0 and vy > 0 else float("nan"))
+        out_t.append(t)
+        out_r.append(r)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "acf1": pa.array(out_r, pa.float64())})
+
+
+_SQL_AUTOCORR_LAG1 = (
+    "WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day "
+    "FROM events), "
+    "c AS (SELECT event_type, day, COUNT(*) AS n FROM d GROUP BY 1, 2), "
+    "bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+    "days AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM bounds), "
+    "types AS (SELECT DISTINCT event_type FROM d), "
+    "dense AS (SELECT t.event_type, dy.day, COALESCE(c.n, 0) AS n "
+    "FROM types t CROSS JOIN days dy LEFT JOIN c "
+    "ON c.event_type = t.event_type AND c.day = dy.day), "
+    "pairs AS (SELECT event_type, n AS x, LEAD(n) OVER ("
+    "PARTITION BY event_type ORDER BY day) AS y FROM dense), "
+    "m AS (SELECT event_type, COUNT(*) AS k, "
+    "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, "
+    "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+    "SUM(CAST(y AS HUGEINT) * y) AS syy, "
+    "SUM(CAST(x AS HUGEINT) * y) AS sxy "
+    "FROM pairs WHERE y IS NOT NULL GROUP BY 1) "
+    "SELECT event_type, CASE WHEN k * sxx - sx * sx > 0 AND "
+    "k * syy - sy * sy > 0 THEN "
+    "ROUND(CAST(k * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(k * sxx - sx * sx AS DOUBLE) * "
+    "CAST(k * syy - sy * sy AS DOUBLE)), 6) ELSE NULL END AS acf1 "
+    "FROM m")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -14950,6 +15465,12 @@ QUERIES = {
     "week_heatmap": q_week_heatmap,
     "mom_growth": q_mom_growth,
     "tenure_activity_corr": q_tenure_activity_corr,
+    "promo_revenue": q_promo_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "market_share": q_market_share,
+    "edge_support": q_edge_support,
+    "peer_revenue": q_peer_revenue,
+    "autocorr_lag1": q_autocorr_lag1,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -15252,6 +15773,12 @@ ORACLE_SQL.update({
     "week_heatmap": _SQL_WEEK_HEATMAP,
     "mom_growth": _SQL_MOM_GROWTH,
     "tenure_activity_corr": _SQL_TENURE_ACTIVITY_CORR,
+    "promo_revenue": _SQL_PROMO_REVENUE,
+    "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+    "market_share": _SQL_MARKET_SHARE,
+    "edge_support": _SQL_EDGE_SUPPORT,
+    "peer_revenue": _SQL_PEER_REVENUE,
+    "autocorr_lag1": _SQL_AUTOCORR_LAG1,
 })
 
 # Remaining no-oracle entries, each with a reason:
