@@ -15227,6 +15227,358 @@ _SQL_AUTOCORR_LAG1 = (
     "FROM m")
 
 
+def q_doc_top_term(sf_dir: str):
+    """Per-document keyword extraction: each non-empty document's top
+    term by (tf DESC, corpus df ASC, term ASC) — "most frequent,
+    rarest-in-corpus, alphabetical" — a fully INTEGER tf-idf argmax
+    (no float idf logs to disagree on across ln implementations).
+
+    Shape for scale: pass 1 folds per-batch per-term document-presence
+    partials into ONE vocabulary-bounded df groupby, broadcast as a
+    sorted LUT; pass 2 is a zero-shuffle per-doc argmax inside the
+    scan batch (a document is one row, so its tf table never crosses
+    blocks)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from ..functions.text import _RE2_TOKEN_RE
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        seen: dict = {}
+        for t in b.column("text").to_pylist():
+            for term in set(_RE2_TOKEN_RE.findall(t)):
+                seen[term] = seen.get(term, 0) + 1
+        return pa.table({
+            "term": pa.array(sorted(seen), pa.string()),
+            "nd": pa.array([seen[k] for k in sorted(seen)], pa.int64())})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("nd", alias_name="nd"))
+              .to_pandas())                   # vocabulary-bounded
+    terms = np.asarray(df_tbl["term"].to_numpy(), object)
+    o = np.argsort(terms)
+    lut_ref = ray.put((terms[o], df_tbl["nd"].to_numpy(np.int64)[o]))
+
+    def top_term(b: pa.Table) -> pa.Table:
+        vocab, dfs = ray.get(lut_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_term, out_tf = [], [], []
+        for i, t in enumerate(b.column("text").to_pylist()):
+            toks = _RE2_TOKEN_RE.findall(t)
+            if not toks:
+                continue
+            uniq, cnt = np.unique(np.asarray(toks, object),
+                                  return_counts=True)
+            d = dfs[np.searchsorted(vocab, uniq)]
+            # lexsort keys are LAST-key-primary: term ASC, df ASC
+            # break ties of tf DESC
+            best = np.lexsort((uniq, d, -cnt))[0]
+            out_id.append(int(ids[i]))
+            out_term.append(str(uniq[best]))
+            out_tf.append(int(cnt[best]))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "term": pa.array(out_term, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64())})
+
+    return ds.map_batches(top_term, batch_format="pyarrow")
+
+
+_SQL_DOC_TOP_TERM = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2), "
+    "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks "
+    "GROUP BY 1), "
+    "r AS (SELECT doc_id, term, tf, ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn "
+    "FROM tf JOIN df USING (term)) "
+    "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf FROM r WHERE rn = 1")
+
+
+def q_sum_distinct(sf_dir: str):
+    """Per-priority SUM(DISTINCT order cents) + distinct count — the
+    dedup-then-aggregate shape (bill-of-materials rollups, distinct
+    price books) that naive Sum silently gets wrong on duplicates.
+
+    Shape for scale: per-batch distinct-(priority, cents) partials,
+    ONE coarse cents-bucket shuffle dedups globally (equal pairs land
+    in the same bucket) and collapses each bucket to per-priority
+    partial sums, finished by a priority-bounded Sum groupby."""
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pr = np.asarray(b.column("o_orderpriority").to_pylist(), object)
+        df = (pd.DataFrame({"p": pr, "c": cents})
+              .drop_duplicates())
+        c = df["c"].to_numpy(np.int64)
+        return pa.table({
+            "p": pa.array(df["p"], pa.string()),
+            "c": pa.array(c),
+            "vkey": pa.array((c & cmask).astype(np.int32))})
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        df = g.drop_duplicates(["p", "c"])
+        agg = df.groupby("p", sort=False)["c"].agg(["sum", "count"])
+        return pa.table({
+            "o_orderpriority": pa.array(agg.index.to_numpy(object),
+                                        pa.string()),
+            "s": pa.array(agg["sum"].to_numpy(np.int64)),
+            "n": pa.array(agg["count"].to_numpy(np.int64))})
+
+    out = (_read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderpriority", "o_totalprice"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("vkey").map_groups(bucket, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("s", alias_name="sum_distinct_cents"),
+                      Sum("n", alias_name="n_distinct")))
+    return out
+
+
+_SQL_SUM_DISTINCT = (
+    "SELECT o_orderpriority, "
+    "CAST(SUM(DISTINCT cents) AS BIGINT) AS sum_distinct_cents, "
+    "CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct FROM ("
+    "SELECT o_orderpriority, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+    "GROUP BY 1")
+
+
+def q_cume_dist(sf_dir: str):
+    """Exact cumulative-distribution inputs per event within its type:
+    n_le = #rows with cents <= own (the CUME_DIST numerator), n_group
+    — percent_rank's right-inclusive sibling, left undivided so the
+    result hash-compares exactly.
+
+    Shape for scale: identical to percent_rank — value-domain-bounded
+    (group, cents, count) partials, inclusive cumulative LUT
+    broadcast, zero-shuffle searchsorted(side="right") assign pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "cents": cents})
+
+    cds = (_read_pq(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "value"])
+           .map_batches(to_cents, batch_format="pyarrow").materialize())
+
+    def vc_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "cents": b.column("cents").to_numpy(zero_copy_only=False)})
+        cnt = (df.groupby(["event_type", "cents"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({
+            "event_type": pa.array(cnt["event_type"], pa.string()),
+            "cents": pa.array(cnt["cents"].to_numpy(np.int64)),
+            "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    vc = (cds.map_batches(vc_partial, batch_format="pyarrow")
+          .groupby(["event_type", "cents"])
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    lut = {}
+    for g, sub in vc.groupby("event_type", sort=False):
+        sub = sub.sort_values("cents")
+        c = sub["cents"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        lut[g] = (c, np.cumsum(n), int(n.sum()))
+    lref = ray.put(lut)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lu = ray.get(lref)
+        g = b.column("event_type").to_pylist()
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        n_le = np.empty(len(g), np.int64)
+        n_grp = np.empty(len(g), np.int64)
+        garr = np.asarray(g, object)
+        for key in set(g):                     # bounded #groups
+            mask = garr == key
+            c, upto, tot = lu[key]
+            idx = np.searchsorted(c, cents[mask], side="right") - 1
+            n_le[mask] = upto[idx]
+            n_grp[mask] = tot
+        return pa.table({"event_id": b.column("event_id"),
+                         "n_le": pa.array(n_le),
+                         "n_group": pa.array(n_grp)})
+
+    return cds.map_batches(assign, batch_format="pyarrow")
+
+
+_SQL_CUME_DIST = (
+    "WITH c AS (SELECT event_id, event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, CAST(COUNT(*) OVER (PARTITION BY event_type "
+    "ORDER BY cents) AS BIGINT) AS n_le, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n_group FROM c")
+
+
+def q_supplier_hhi(sf_dir: str):
+    """Supplier concentration per brand: the Herfindahl index of each
+    brand's lineitem volume across suppliers — ROUND-6 of
+    sum(c_s^2)/total^2 from integer counts — the "single point of
+    failure" sourcing-risk metric.
+
+    Shape for scale: brand flags from a PART-DIMENSION broadcast LUT;
+    per-batch (brand, supplier) count partials; ONE coarse
+    supplier-bucket shuffle makes per-pair counts global (same pair →
+    same bucket) and emits per-brand moment partials (tot, ss,
+    n_supp); a brand-bounded Sum groupby and the shared ROUND-6
+    finish."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt.column("p_partkey").to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+    br = np.asarray(pt.column("p_brand").to_pylist(), object)
+    o = np.argsort(pk)
+    lut_ref = ray.put((pk[o], br[o]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, brands = ray.get(lut_ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sup = b.column("l_suppkey").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        bvals = brands[np.searchsorted(keys, lpk)]
+        df = (pd.DataFrame({"b": bvals, "s": sup})
+              .groupby(["b", "s"], sort=False).size()
+              .reset_index(name="n"))
+        s = df["s"].to_numpy(np.int64)
+        return pa.table({
+            "b": pa.array(df["b"], pa.string()), "s": pa.array(s),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "vkey": pa.array((s & cmask).astype(np.int32))})
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        agg = (g.groupby(["b", "s"], sort=False)["n"].sum()
+               .reset_index())
+        n = agg["n"].to_numpy(np.int64)
+        m = (agg.assign(ss=n * n, one=1)
+             .groupby("b", sort=False)[["n", "ss", "one"]].sum())
+        return pa.table({
+            "p_brand": pa.array(m.index.to_numpy(object), pa.string()),
+            "tot": pa.array(m["n"].to_numpy(np.int64)),
+            "ss": pa.array(m["ss"].to_numpy(np.int64)),
+            "n_supp": pa.array(m["one"].to_numpy(np.int64))})
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("tot").to_numpy(zero_copy_only=False)
+        ss = b.column("ss").to_numpy(zero_copy_only=False)
+        hhi = np.round(ss.astype(np.float64) /
+                       (tot.astype(np.float64) * tot), 6)
+        return pa.table({"p_brand": b.column("p_brand"),
+                         "hhi": pa.array(hhi, pa.float64()),
+                         "n_suppliers": b.column("n_supp"),
+                         "n_lines": b.column("tot")})
+
+    return (_read_pq(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_suppkey"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("vkey").map_groups(bucket, batch_format="pandas")
+            .groupby("p_brand")
+            .aggregate(Sum("tot", alias_name="tot"),
+                       Sum("ss", alias_name="ss"),
+                       Sum("n_supp", alias_name="n_supp"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_SUPPLIER_HHI = (
+    "WITH c AS (SELECT p_brand, l_suppkey, COUNT(*) AS n "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2), "
+    "m AS (SELECT p_brand, SUM(n) AS tot, SUM(n * n) AS ss, "
+    "COUNT(*) AS n_supp FROM c GROUP BY 1) "
+    "SELECT p_brand, ROUND(CAST(ss AS DOUBLE) / "
+    "(CAST(tot AS DOUBLE) * tot), 6) AS hhi, "
+    "CAST(n_supp AS BIGINT) AS n_suppliers, "
+    "CAST(tot AS BIGINT) AS n_lines FROM m")
+
+
+def q_brand_discount_rate(sf_dir: str):
+    """Price-weighted average discount per brand: ROUND-6 of
+    100 * sum(ext_cents * disc_cents) / sum(ext_cents * 100) — which
+    brands buy their volume with margin — from pure integer moments.
+
+    Shape for scale: part→brand broadcast LUT, per-batch brand-bounded
+    integer-moment partials, one tiny brand groupby, shared ROUND-6
+    finish (NULL on a zero denominator)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt.column("p_partkey").to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+    br = np.asarray(pt.column("p_brand").to_pylist(), object)
+    o = np.argsort(pk)
+    lut_ref = ray.put((pk[o], br[o]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, brands = ray.get(lut_ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        ext = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        bvals = brands[np.searchsorted(keys, lpk)]
+        uniq, inv = np.unique(bvals, return_inverse=True)
+        num = np.zeros(len(uniq), np.int64)
+        den = np.zeros(len(uniq), np.int64)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(num, inv, ext * disc)
+        np.add.at(den, inv, ext * 100)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            "p_brand": pa.array(uniq.astype(object), pa.string()),
+            "num": pa.array(num), "den": pa.array(den),
+            "n_items": pa.array(n)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        num = b.column("num").to_numpy(zero_copy_only=False)
+        den = b.column("den").to_numpy(zero_copy_only=False)
+        pct = np.where(den == 0, np.nan,
+                       np.round(100.0 * num /
+                                np.where(den == 0, 1, den), 6))
+        return pa.table({"p_brand": b.column("p_brand"),
+                         "disc_pct": pa.array(pct, pa.float64()),
+                         "n_items": b.column("n_items")})
+
+    return (_read_pq(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_extendedprice",
+                              "l_discount"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("p_brand")
+            .aggregate(Sum("num", alias_name="num"),
+                       Sum("den", alias_name="den"),
+                       Sum("n_items", alias_name="n_items"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_BRAND_DISCOUNT_RATE = (
+    "WITH li AS (SELECT p_brand, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ext, "
+    "CAST(ROUND(l_discount * 100) AS BIGINT) AS disc "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+    "m AS (SELECT p_brand, SUM(CAST(ext AS HUGEINT) * disc) AS num, "
+    "SUM(CAST(ext AS HUGEINT) * 100) AS den, COUNT(*) AS n_items "
+    "FROM li GROUP BY 1) "
+    "SELECT p_brand, CASE WHEN den = 0 THEN NULL ELSE "
+    "ROUND(100.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END "
+    "AS disc_pct, CAST(n_items AS BIGINT) AS n_items FROM m")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -15471,6 +15823,11 @@ QUERIES = {
     "edge_support": q_edge_support,
     "peer_revenue": q_peer_revenue,
     "autocorr_lag1": q_autocorr_lag1,
+    "doc_top_term": q_doc_top_term,
+    "sum_distinct": q_sum_distinct,
+    "cume_dist": q_cume_dist,
+    "supplier_hhi": q_supplier_hhi,
+    "brand_discount_rate": q_brand_discount_rate,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -15779,6 +16136,11 @@ ORACLE_SQL.update({
     "edge_support": _SQL_EDGE_SUPPORT,
     "peer_revenue": _SQL_PEER_REVENUE,
     "autocorr_lag1": _SQL_AUTOCORR_LAG1,
+    "doc_top_term": _SQL_DOC_TOP_TERM,
+    "sum_distinct": _SQL_SUM_DISTINCT,
+    "cume_dist": _SQL_CUME_DIST,
+    "supplier_hhi": _SQL_SUPPLIER_HHI,
+    "brand_discount_rate": _SQL_BRAND_DISCOUNT_RATE,
 })
 
 # Remaining no-oracle entries, each with a reason:
