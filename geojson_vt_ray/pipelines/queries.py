@@ -15579,6 +15579,306 @@ _SQL_BRAND_DISCOUNT_RATE = (
     "AS disc_pct, CAST(n_items AS BIGINT) AS n_items FROM m")
 
 
+def q_pair_lift(sf_dir: str, min_support: int = 2):
+    """Association-rule LIFT for co-purchased part pairs: lift =
+    n_both * n_orders / (n_a * n_b) over DISTINCT-order counts — the
+    normalized version of basket_pairs that separates genuinely
+    associated pairs from merely popular ones. ROUND-6 of an exact
+    integer ratio (both products stay under 2^53, so the double
+    conversion is lossless).
+
+    Shape for scale: pair counts reuse the shared per-order pair
+    stream + ONE coarse mixed-key count shuffle (the basket_pairs
+    shape); the per-part distinct-order counts and the global order
+    count are PART-DIMENSION-bounded and broadcast as a sorted LUT
+    into the vectorized finish."""
+    import ray
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+    ds_pairs = _copurchase_pair_stream(sf_dir, cmask)
+
+    def add_vkey(b: pa.Table) -> pa.Table:
+        b = strip_schema_metadata(b)
+        ia = b.column("id_a").to_numpy(zero_copy_only=False
+                                       ).astype(np.uint64)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False
+                                       ).astype(np.uint64)
+        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
+        return b.append_column(
+            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
+
+    # per-part distinct-order counts + global distinct order count:
+    # distinct (ord, part) partials -> coarse part-bucket merge
+    dsl = _read_pq(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_orderkey", "l_partkey"])
+
+    def op_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        o = np.lexsort((pk, ok))
+        ok, pk = ok[o], pk[o]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep].astype(np.int64), pk[keep].astype(np.int64)
+        return pa.table({
+            "ord": pa.array(ok), "part": pa.array(pk),
+            "vkey": pa.array((ok & cmask).astype(np.int32))})
+
+    def part_counts(g: pd.DataFrame) -> pa.Table:
+        df = g.drop_duplicates(["ord", "part"])
+        cnt = df.groupby("part", sort=False).size()
+        return pa.table({
+            "part": pa.array(cnt.index.to_numpy(np.int64)),
+            "n": pa.array(cnt.to_numpy(np.int64))})
+
+    pc_tbl = (dsl.map_batches(op_part, batch_format="pyarrow")
+              .groupby("vkey").map_groups(part_counts,
+                                          batch_format="pandas")
+              .to_pandas())                   # part-dimension-bounded
+    agg = pc_tbl.groupby("part", sort=True)["n"].sum()
+    keys = agg.index.to_numpy(np.int64)
+    cnts = agg.to_numpy(np.int64)
+    lut_ref = ray.put((keys, cnts))
+
+    # exact global distinct-order count: tiny separate aggregate
+    def ord_partial(b: pa.Table) -> pa.Table:
+        ok = np.unique(b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "ord": pa.array(ok),
+            "vkey": pa.array((ok & cmask).astype(np.int32))})
+
+    def ord_count(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(g["ord"].nunique())], pa.int64())})
+
+    n_orders = int((dsl.map_batches(ord_partial,
+                                    batch_format="pyarrow")
+                    .groupby("vkey").map_groups(
+                        ord_count, batch_format="pandas")
+                    .to_pandas())["n"].sum())
+
+    def count_pairs(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby(["id_a", "id_b"], sort=False)
+               .size().reset_index(name="n_both"))
+        out = out[out["n_both"] >= min_support]
+        keys_, cnts_ = ray.get(lut_ref)
+        a = out["id_a"].to_numpy(np.int64)
+        b_ = out["id_b"].to_numpy(np.int64)
+        nb = out["n_both"].to_numpy(np.int64)
+        na = cnts_[np.searchsorted(keys_, a)]
+        nb_ = cnts_[np.searchsorted(keys_, b_)]
+        lift = np.round((nb * np.int64(n_orders)).astype(np.float64) /
+                        (na * nb_).astype(np.float64), 6)
+        return pa.table({
+            "part_a": pa.array(a), "part_b": pa.array(b_),
+            "n_both": pa.array(nb),
+            "lift": pa.array(lift, pa.float64())})
+
+    return (ds_pairs.map_batches(add_vkey, batch_format="pyarrow")
+            .groupby("vkey").map_groups(count_pairs,
+                                        batch_format="pandas"))
+
+
+_SQL_PAIR_LIFT = (
+    "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "pc AS (SELECT l_partkey, COUNT(*) AS n FROM dp GROUP BY 1), "
+    "tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_ord FROM lineitem), "
+    "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "COUNT(*) AS n_both FROM dp a JOIN dp b USING (l_orderkey) "
+    "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2 "
+    "HAVING COUNT(*) >= 2) "
+    "SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both, "
+    "ROUND(CAST(n_both * n_ord AS DOUBLE) / "
+    "CAST(pa.n * pb.n AS DOUBLE), 6) AS lift "
+    "FROM pairs CROSS JOIN tot "
+    "JOIN pc pa ON pa.l_partkey = part_a "
+    "JOIN pc pb ON pb.l_partkey = part_b")
+
+
+def q_weekday_f_stat(sf_dir: str):
+    """One-way ANOVA F-statistic of daily event volume across the 7
+    relative weekdays ((day − d0) mod 7 over the dense day range,
+    TRUNCATED to whole weeks so every weekday group has exactly W
+    days) — "does day-of-week explain traffic variance?", per event
+    type. Computed from pure integer moments; the final F is ROUND-6
+    of one exact big-integer ratio (Python ints / HUGEINT — both sides
+    convert the same integers to double), NULL when the within-group
+    variance is zero.
+
+    Shape for scale: per-batch (type, day) count partials → one
+    day×type-bounded groupby; the driver densifies W*7 days and folds
+    Python-int moments."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = np.asarray(b.column("event_type").to_pylist(), object)
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({"event_type": et, "day": day})
+        cnt = (df.groupby(["event_type", "day"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({
+            "event_type": pa.array(cnt["event_type"], pa.string()),
+            "day": pa.array(cnt["day"].to_numpy(np.int64)),
+            "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    counts = (_read_pq(f"{sf_dir}/events.parquet",
+                       columns=["ts", "event_type"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())                  # day x type bounded
+    d0 = int(counts["day"].min())
+    d1 = int(counts["day"].max())
+    w = (d1 - d0 + 1) // 7
+    span = 7 * w
+    out_t, out_f = [], []
+    for t in sorted(counts["event_type"].unique()):
+        sub = counts[counts["event_type"] == t]
+        dense = np.zeros(span, np.int64)
+        rel = sub["day"].to_numpy(np.int64) - d0
+        keep = rel < span
+        dense[rel[keep]] = sub["n"].to_numpy(np.int64)[keep]
+        g = np.arange(span) % 7
+        s_g = np.zeros(7, np.int64)
+        np.add.at(s_g, g, dense)
+        # exact integer F: all groups have n_g = w days
+        p0 = int((s_g.astype(object) * s_g).sum())   # sum s_g^2
+        tt = int((dense.astype(object) * dense).sum())  # sum x^2
+        s = int(dense.sum())
+        n_ = span
+        num = (n_ - 7) * (n_ * p0 - w * s * s)
+        den = 6 * (n_ * tt * w - n_ * p0)
+        f = (np.round(float(num) / float(den), 6) if den > 0
+             else float("nan"))
+        out_t.append(t)
+        out_f.append(f)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "f_stat": pa.array(out_f, pa.float64())})
+
+
+_SQL_WEEKDAY_F_STAT = (
+    "WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day "
+    "FROM events), "
+    "bounds AS (SELECT MIN(day) AS d0, "
+    "((MAX(day) - MIN(day) + 1) // 7) AS w FROM d), "
+    "c AS (SELECT event_type, day, COUNT(*) AS n FROM d GROUP BY 1, 2), "
+    "days AS (SELECT UNNEST(range(d0, d0 + 7 * w)) AS day FROM bounds), "
+    "types AS (SELECT DISTINCT event_type FROM d), "
+    "dense AS (SELECT t.event_type, dy.day, COALESCE(c.n, 0) AS n "
+    "FROM types t CROSS JOIN days dy LEFT JOIN c "
+    "ON c.event_type = t.event_type AND c.day = dy.day), "
+    "grp AS (SELECT event_type, (day - (SELECT d0 FROM bounds)) % 7 "
+    "AS g, SUM(CAST(n AS HUGEINT)) AS sg FROM dense GROUP BY 1, 2), "
+    "m AS (SELECT event_type, SUM(sg * sg) AS p0, SUM(sg) AS s "
+    "FROM grp GROUP BY 1), "
+    "tq AS (SELECT event_type, SUM(CAST(n AS HUGEINT) * n) AS tt "
+    "FROM dense GROUP BY 1) "
+    "SELECT m.event_type, CASE WHEN "
+    "6 * (7 * w * tt * w - 7 * w * p0) > 0 THEN "
+    "ROUND(CAST((7 * w - 7) * (7 * w * p0 - w * s * s) AS DOUBLE) / "
+    "CAST(6 * (7 * w * tt * w - 7 * w * p0) AS DOUBLE), 6) "
+    "ELSE NULL END AS f_stat "
+    "FROM m JOIN tq ON m.event_type = tq.event_type "
+    "CROSS JOIN bounds")
+
+
+def q_brand_rank_shift(sf_dir: str):
+    """Brand league table dynamics: each brand's dense revenue rank
+    within every order-month (integer revenue units, ties broken by
+    brand ASC) plus its previous-month rank — the rank-volatility /
+    "who is moving" market report. NULL prev_rnk in the first month.
+
+    Shape for scale: brand flags from the part-dimension LUT;
+    per-batch (month, brand) integer partials → one month×brand-
+    bounded groupby; the ranking itself is a driver pass over that
+    tiny table (83 months × 25 brands)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt.column("p_partkey").to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+    br = np.asarray(pt.column("p_brand").to_pylist(), object)
+    o = np.argsort(pk)
+    lut_ref = ray.put((pk[o], br[o]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, brands = ray.get(lut_ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sd = b.column("l_shipdate")
+        month = (pc.year(sd).to_numpy(zero_copy_only=False) * 100 +
+                 pc.month(sd).to_numpy(zero_copy_only=False)
+                 ).astype(np.int64)
+        ext = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        units = ext * (100 - disc)
+        bvals = brands[np.searchsorted(keys, lpk)]
+        df = pd.DataFrame({"m": month, "b": bvals, "u": units})
+        agg = df.groupby(["m", "b"], sort=False)["u"].sum()
+        mi = agg.index.get_level_values(0).to_numpy(np.int64)
+        return pa.table({
+            "month": pa.array(mi),
+            "p_brand": pa.array(
+                agg.index.get_level_values(1).to_numpy(object),
+                pa.string()),
+            "units": pa.array(agg.to_numpy(np.int64))})
+
+    tbl = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["month", "p_brand"])
+           .aggregate(Sum("units", alias_name="units"))
+           .to_pandas())                     # month x brand bounded
+    months = np.sort(tbl["month"].unique())
+    prev: dict = {}
+    out_m, out_b, out_r, out_p = [], [], [], []
+    for m in months:
+        sub = tbl[tbl["month"] == m]
+        b_ = np.asarray(sub["p_brand"].to_numpy(), object)
+        u = sub["units"].to_numpy(np.int64)
+        order = np.lexsort((b_, -u))
+        # dense rank: equal units share a rank
+        su = u[order]
+        rnk = np.cumsum(np.r_[True, su[1:] != su[:-1]])
+        cur = {}
+        for i, bi in enumerate(b_[order]):
+            cur[bi] = int(rnk[i])
+            out_m.append(int(m))
+            out_b.append(str(bi))
+            out_r.append(int(rnk[i]))
+            out_p.append(prev.get(bi))
+        # LAG semantics: a brand absent this month keeps its last-seen
+        # rank as the next present month's prev (update, not replace)
+        prev.update(cur)
+    return pa.table({
+        "month": pa.array(out_m, pa.int64()),
+        "p_brand": pa.array(out_b, pa.string()),
+        "rnk": pa.array(out_r, pa.int64()),
+        "prev_rnk": pa.array(out_p, pa.int64())})
+
+
+_SQL_BRAND_RANK_SHIFT = (
+    "WITH li AS (SELECT CAST(strftime(l_shipdate, '%Y') AS BIGINT) "
+    "* 100 + CAST(strftime(l_shipdate, '%m') AS BIGINT) AS month, "
+    "p_brand, CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS units "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+    "g AS (SELECT month, p_brand, SUM(units) AS u FROM li "
+    "GROUP BY 1, 2), "
+    "r AS (SELECT month, p_brand, "
+    "CAST(DENSE_RANK() OVER (PARTITION BY month ORDER BY u DESC) "
+    "AS BIGINT) AS rnk FROM g) "
+    "SELECT month, p_brand, rnk, LAG(rnk) OVER ("
+    "PARTITION BY p_brand ORDER BY month) AS prev_rnk FROM r")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -15828,6 +16128,9 @@ QUERIES = {
     "cume_dist": q_cume_dist,
     "supplier_hhi": q_supplier_hhi,
     "brand_discount_rate": q_brand_discount_rate,
+    "pair_lift": q_pair_lift,
+    "weekday_f_stat": q_weekday_f_stat,
+    "brand_rank_shift": q_brand_rank_shift,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -16141,6 +16444,9 @@ ORACLE_SQL.update({
     "cume_dist": _SQL_CUME_DIST,
     "supplier_hhi": _SQL_SUPPLIER_HHI,
     "brand_discount_rate": _SQL_BRAND_DISCOUNT_RATE,
+    "pair_lift": _SQL_PAIR_LIFT,
+    "weekday_f_stat": _SQL_WEEKDAY_F_STAT,
+    "brand_rank_shift": _SQL_BRAND_RANK_SHIFT,
 })
 
 # Remaining no-oracle entries, each with a reason:
