@@ -4499,14 +4499,6 @@ def _sql_grid_cluster(level: int = 6) -> str:
         "FROM core c JOIN lab l USING(node)")
 
 
-_triu_cache: dict = {}
-
-
-def _triu(m: int):
-    idx = _triu_cache.get(m)
-    if idx is None:
-        idx = _triu_cache[m] = np.triu_indices(m, k=1)
-    return idx
 
 
 def _copurchase_pair_stream(sf_dir: str, cmask: int):
@@ -15583,9 +15575,11 @@ def q_pair_lift(sf_dir: str, min_support: int = 2):
     """Association-rule LIFT for co-purchased part pairs: lift =
     n_both * n_orders / (n_a * n_b) over DISTINCT-order counts — the
     normalized version of basket_pairs that separates genuinely
-    associated pairs from merely popular ones. ROUND-6 of an exact
-    integer ratio (both products stay under 2^53, so the double
-    conversion is lossless).
+    associated pairs from merely popular ones. Reported as the EXACT
+    integer numerator/denominator pair (n_a*n_b is frequently
+    2-smooth, which lands ROUND-6 on exact decimal .5 ties where
+    numpy's half-even and SQL's half-away disagree — the only ratio
+    in the registry with that property, so it stays unrounded).
 
     Shape for scale: pair counts reuse the shared per-order pair
     stream + ONE coarse mixed-key count shuffle (the basket_pairs
@@ -15667,12 +15661,11 @@ def q_pair_lift(sf_dir: str, min_support: int = 2):
         nb = out["n_both"].to_numpy(np.int64)
         na = cnts_[np.searchsorted(keys_, a)]
         nb_ = cnts_[np.searchsorted(keys_, b_)]
-        lift = np.round((nb * np.int64(n_orders)).astype(np.float64) /
-                        (na * nb_).astype(np.float64), 6)
         return pa.table({
             "part_a": pa.array(a), "part_b": pa.array(b_),
             "n_both": pa.array(nb),
-            "lift": pa.array(lift, pa.float64())})
+            "lift_num": pa.array(nb * np.int64(n_orders)),
+            "lift_den": pa.array(na * nb_)})
 
     return (ds_pairs.map_batches(add_vkey, batch_format="pyarrow")
             .groupby("vkey").map_groups(count_pairs,
@@ -15688,8 +15681,8 @@ _SQL_PAIR_LIFT = (
     "WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2 "
     "HAVING COUNT(*) >= 2) "
     "SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both, "
-    "ROUND(CAST(n_both * n_ord AS DOUBLE) / "
-    "CAST(pa.n * pb.n AS DOUBLE), 6) AS lift "
+    "CAST(n_both * n_ord AS BIGINT) AS lift_num, "
+    "CAST(pa.n * pb.n AS BIGINT) AS lift_den "
     "FROM pairs CROSS JOIN tot "
     "JOIN pc pa ON pa.l_partkey = part_a "
     "JOIN pc pb ON pb.l_partkey = part_b")
@@ -15877,6 +15870,389 @@ _SQL_BRAND_RANK_SHIFT = (
     "AS BIGINT) AS rnk FROM g) "
     "SELECT month, p_brand, rnk, LAG(rnk) OVER ("
     "PARTITION BY p_brand ORDER BY month) AS prev_rnk FROM r")
+
+
+def q_ngram_coverage(sf_dir: str, k: int = 20):
+    """Corpus head concentration: the top-k word 3-grams by (count
+    DESC, gram ASC) with each rank's CUMULATIVE share of all 3-gram
+    occurrences — "how much of the corpus is boilerplate" (the
+    dedup-priority curve). Integer cumsums, one ROUND-6 per rank.
+
+    Shape for scale: per-batch gram-count partials → ONE coarse
+    gram-hash bucket reduceat merge (never a 1e5+-key groupby); the
+    merged table is VOCABULARY-bounded, so the driver takes top-k and
+    the exact total."""
+    from ..functions.text import _RE2_TOKEN_RE
+    cmask = _coarse_mask()
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for t in b.column("text").to_pylist():
+            toks = _RE2_TOKEN_RE.findall(t)
+            for j in range(len(toks) - 2):
+                g = " ".join(toks[j:j + 3])
+                cnt[g] = cnt.get(g, 0) + 1
+        import zlib
+        grams = sorted(cnt)
+        # crc32, NOT hash(): str hash is per-process randomized, which
+        # would scatter one gram across buckets and double-count it
+        h = np.asarray([zlib.crc32(g.encode()) for g in grams],
+                       np.int64)
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "n": pa.array([cnt[g] for g in grams], pa.int64()),
+            "vkey": pa.array((h & cmask).astype(np.int32))})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("gram", sort=False)["n"].sum()
+        return pa.table({
+            "gram": pa.array(agg.index.to_numpy(object), pa.string()),
+            "n": pa.array(agg.to_numpy(np.int64))})
+
+    tbl = (_read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+           .map_batches(gram_partial, batch_format="pyarrow")
+           .groupby("vkey").map_groups(merge, batch_format="pandas")
+           .to_pandas())                     # vocabulary-bounded
+    n = tbl["n"].to_numpy(np.int64)
+    grams = np.asarray(tbl["gram"].to_numpy(), object)
+    tot = int(n.sum())
+    order = np.lexsort((grams, -n))[:k]
+    top_n = n[order]
+    cum = np.cumsum(top_n)
+    return pa.table({
+        "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "gram": pa.array(list(grams[order]), pa.string()),
+        "n": pa.array(top_n),
+        "cum_pct": pa.array(
+            np.round(100.0 * cum / tot, 6) if tot else
+            np.full(len(order), np.nan), pa.float64())})
+
+
+_SQL_NGRAM_COVERAGE = (
+    "WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS ts "
+    "FROM documents), "
+    "g AS (SELECT array_to_string(ts[i:i+2], ' ') AS gram FROM ("
+    "SELECT ts, unnest(range(1, greatest(1, len(ts) - 1))) AS i "
+    "FROM toks)), "
+    "c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS tot FROM c), "
+    "r AS (SELECT gram, n, ROW_NUMBER() OVER ("
+    "ORDER BY n DESC, gram ASC) AS rnk FROM c) "
+    "SELECT rnk, gram, CAST(n AS BIGINT) AS n, "
+    "ROUND(100.0 * SUM(n) OVER (ORDER BY rnk "
+    "ROWS UNBOUNDED PRECEDING) / tot, 6) AS cum_pct "
+    "FROM r CROSS JOIN t WHERE rnk <= 20")
+
+
+def q_oov_rate(sf_dir: str, v: int = 1000):
+    """Out-of-vocabulary rate per source against the corpus's top-v
+    token vocabulary (count DESC, token ASC) — the tokenizer-coverage
+    audit run before committing a vocab size. Integer counts, one
+    ROUND-6 share per source (NULL if a source has no tokens).
+
+    Shape for scale: pass 1 is vocabulary-bounded token counting
+    (per-batch partials + token groupby); the top-v set broadcasts as
+    a sorted array; pass 2 streams zero-shuffle per-batch (source,
+    oov, tot) partials into a source-bounded groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+    from ..functions.text import _RE2_TOKEN_RE
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for t in b.column("text").to_pylist():
+            for tok in _RE2_TOKEN_RE.findall(t):
+                cnt[tok] = cnt.get(tok, 0) + 1
+        toks = sorted(cnt)
+        return pa.table({
+            "tok": pa.array(toks, pa.string()),
+            "n": pa.array([cnt[t] for t in toks], pa.int64())})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["source", "text"])
+    vc = (ds.map_batches(tok_partial, batch_format="pyarrow")
+          .groupby("tok").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())                      # vocabulary-bounded
+    toks = np.asarray(vc["tok"].to_numpy(), object)
+    cnts = vc["n"].to_numpy(np.int64)
+    keep = np.lexsort((toks, -cnts))[:v]
+    vocab_ref = ray.put(np.sort(toks[keep]))
+
+    def oov_partial(b: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        src = np.asarray(b.column("source").to_pylist(), object)
+        out: dict = {}
+        for i, t in enumerate(b.column("text").to_pylist()):
+            tk = _RE2_TOKEN_RE.findall(t)
+            if not tk:
+                continue
+            arr = np.asarray(tk, object)
+            pos = np.searchsorted(vocab, arr)
+            pos[pos >= len(vocab)] = len(vocab) - 1
+            n_in = int((vocab[pos] == arr).sum()) if len(vocab) else 0
+            tot, oov = out.get(src[i], (0, 0))
+            out[src[i]] = (tot + len(tk), oov + len(tk) - n_in)
+        srcs = sorted(out)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "tot": pa.array([out[s][0] for s in srcs], pa.int64()),
+            "oov": pa.array([out[s][1] for s in srcs], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("tot").to_numpy(zero_copy_only=False)
+        oov = b.column("oov").to_numpy(zero_copy_only=False)
+        pct = np.where(tot == 0, np.nan,
+                       np.round(100.0 * oov /
+                                np.where(tot == 0, 1, tot), 6))
+        return pa.table({"source": b.column("source"),
+                         "n_tokens": b.column("tot"),
+                         "n_oov": b.column("oov"),
+                         "oov_pct": pa.array(pct, pa.float64())})
+
+    return (ds.map_batches(oov_partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("tot", alias_name="tot"),
+                       Sum("oov", alias_name="oov"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_OOV_RATE = (
+    "WITH toks AS (SELECT source, "
+    "unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents), "
+    "c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1), "
+    "v AS (SELECT tok FROM c ORDER BY n DESC, tok ASC LIMIT 1000), "
+    "s AS (SELECT source, COUNT(*) AS tot, "
+    "SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) "
+    "AS oov FROM toks GROUP BY 1) "
+    "SELECT source, CAST(tot AS BIGINT) AS n_tokens, "
+    "CAST(oov AS BIGINT) AS n_oov, CASE WHEN tot = 0 THEN NULL ELSE "
+    "ROUND(100.0 * oov / tot, 6) END AS oov_pct FROM s")
+
+
+def q_record_highs(sf_dir: str):
+    """Personal-record counting: per user, how many events set a new
+    strict maximum integer-cent value in (ts, event_id) order — the
+    prefix-maximum window shape (peak detection, high-water-mark
+    audit). The first event always counts.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle of skinny
+    rows; inside each bucket a single lexsort (user, ts, event_id) +
+    per-segment np.maximum.accumulate counts records vectorized —
+    no per-user Python, no window sort."""
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "cents": pa.array(np.round(
+                b.column("value").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)),
+            "pkey": pa.array((uid & cmask).astype(np.int32))})
+
+    def records(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        uid, cents = uid[o], cents[o]
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        # vectorized segment-reset prefix max: lift each segment's
+        # values into its own 2^40 band (cent RANGE < 2^40 by the
+        # integer-cent convention), one maximum.accumulate over the
+        # lifted keys; a record is lifted > prefix-max of earlier rows
+        big = (cents.astype(np.int64) -
+               cents.min()).astype(np.uint64) + np.uint64(1)
+        lifted = (seg_id.astype(np.uint64) << np.uint64(40)) | big
+        cm = np.maximum.accumulate(lifted)
+        prev = np.r_[np.uint64(0), cm[:-1]]
+        is_rec = new_seg | (lifted > prev)
+        out = pd.DataFrame({"u": uid, "r": is_rec})
+        agg = out.groupby("u", sort=False)["r"].agg(["count", "sum"])
+        return pa.table({
+            "user_id": pa.array(agg.index.to_numpy(np.int64)),
+            "n_events": pa.array(agg["count"].to_numpy(np.int64)),
+            "n_records": pa.array(agg["sum"].to_numpy(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(records,
+                                        batch_format="pandas"))
+
+
+_SQL_RECORD_HIGHS = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+    "w AS (SELECT user_id, cents, MAX(cents) OVER ("
+    "PARTITION BY user_id ORDER BY t, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM e) "
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CASE WHEN pm IS NULL OR cents > pm THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_records FROM w GROUP BY 1")
+
+
+def q_seasonality_index(sf_dir: str):
+    """Classical seasonality index per order month-of-year: the ratio
+    of that calendar month's average daily order count to the overall
+    average — ROUND-6 of the exact integer cross-product
+    s_m·N / (n_m·S) (month-of-year sums vs global sums over the dense
+    day range), the multiplicative-decomposition seasonal factor.
+
+    Shape for scale: per-batch (day) count partials → one
+    day-bounded groupby; the driver densifies the bounded day table,
+    buckets days by calendar month and folds integer moments."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate")
+        day = (od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = (_read_pq(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderdate"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("day").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())                  # day-range bounded
+    d0 = int(counts["day"].min())
+    d1 = int(counts["day"].max())
+    days = np.arange(d0, d1 + 1)
+    dense = np.zeros(len(days), np.int64)
+    dense[counts["day"].to_numpy(np.int64) - d0] = \
+        counts["n"].to_numpy(np.int64)
+    moy = pd.to_datetime(days, unit="D").month.to_numpy()
+    s_tot = int(dense.sum())
+    n_tot = len(days)
+    out_m, out_idx, out_n = [], [], []
+    for m in range(1, 13):
+        mask = moy == m
+        n_m = int(mask.sum())
+        if n_m == 0:
+            continue
+        s_m = int(dense[mask].sum())
+        idx = (np.round(float(s_m * n_tot) / float(n_m * s_tot), 6)
+               if s_tot else float("nan"))
+        out_m.append(m)
+        out_idx.append(idx)
+        out_n.append(s_m)
+    return pa.table({"month": pa.array(out_m, pa.int64()),
+                     "season_idx": pa.array(out_idx, pa.float64()),
+                     "n_orders": pa.array(out_n, pa.int64())})
+
+
+_SQL_SEASONALITY_INDEX = (
+    "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day "
+    "FROM orders), "
+    "c AS (SELECT day, COUNT(*) AS n FROM d GROUP BY 1), "
+    "bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+    "days AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM bounds), "
+    "dense AS (SELECT dy.day, COALESCE(c.n, 0) AS n FROM days dy "
+    "LEFT JOIN c ON c.day = dy.day), "
+    "lab AS (SELECT CAST(strftime(CAST(DATE '1970-01-01' + "
+    "day * INTERVAL 1 DAY AS DATE), '%m') AS BIGINT) AS month, n "
+    "FROM dense), "
+    "tot AS (SELECT SUM(CAST(n AS HUGEINT)) AS s_tot, "
+    "COUNT(*) AS n_tot FROM lab), "
+    "m AS (SELECT month, SUM(CAST(n AS HUGEINT)) AS s_m, "
+    "COUNT(*) AS n_m FROM lab GROUP BY 1) "
+    "SELECT month, CASE WHEN s_tot = 0 THEN NULL ELSE "
+    "ROUND(CAST(s_m * n_tot AS DOUBLE) / "
+    "CAST(n_m * s_tot AS DOUBLE), 6) END AS season_idx, "
+    "CAST(s_m AS BIGINT) AS n_orders FROM m CROSS JOIN tot")
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edge incidences
+    (each undirected edge counted both ways, the standard Newman
+    formulation) — do high-degree parts co-purchase with high-degree
+    parts? ONE shared ROUND-6 expression over exact Python-int
+    moments; NULL when either variance is zero.
+
+    Shape for scale: the degree LUT is PART-DIMENSION-bounded
+    (broadcast); per-batch integer moment partials (Σx, Σy, Σxy, Σx²,
+    Σy², n) collapse each block to one row, so the driver folds
+    O(blocks) rows in Python ints — the corpus-sized edge list never
+    moves."""
+    import ray
+    cmask = _coarse_mask()
+    nparts = F_dedup._num_join_partitions()
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
+
+    epdf = edges.to_pandas()
+    ea = epdf["id_a"].to_numpy().astype(np.int64)
+    eb = epdf["id_b"].to_numpy().astype(np.int64)
+    maxp = int(max(ea.max(), eb.max())) if len(ea) else 0
+    deg = np.zeros(maxp + 1, np.int64)
+    np.add.at(deg, ea, 1)
+    np.add.at(deg, eb, 1)
+    deg_ref = ray.put(deg)
+
+    def moments(b: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        v = b.column("id_b").to_numpy(zero_copy_only=False)
+        # both directions: x = deg of one endpoint, y = the other
+        x = np.r_[d[a], d[v]]
+        y = np.r_[d[v], d[a]]
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts = edges.map_batches(moments, batch_format="pyarrow"
+                              ).to_pandas()  # one row per block
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    sy = int(parts["sy"].sum())
+    sxx = int(parts["sxx"].sum())
+    syy = int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = (np.round(float(n * sxy - sx * sy) /
+                  np.sqrt(float(vx) * float(vy)), 6)
+         if vx > 0 and vy > 0 else float("nan"))
+    return pa.table({"n_incidences": pa.array([n], pa.int64()),
+                     "assortativity": pa.array([r], pa.float64())})
+
+
+_SQL_DEGREE_ASSORTATIVITY = (
+    "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+    "FROM dp a JOIN dp b USING(l_orderkey) "
+    "WHERE a.l_partkey < b.l_partkey), "
+    "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM ("
+    "SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1), "
+    "inc AS (SELECT da.d AS x, db.d AS y FROM e "
+    "JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v "
+    "UNION ALL SELECT db.d, da.d FROM e "
+    "JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v), "
+    "m AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, "
+    "SUM(CAST(y AS HUGEINT)) AS sy, "
+    "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+    "SUM(CAST(y AS HUGEINT) * y) AS syy, "
+    "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM inc) "
+    "SELECT CAST(n AS BIGINT) AS n_incidences, "
+    "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN "
+    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+    "CAST(n * syy - sy * sy AS DOUBLE)), 6) ELSE NULL END "
+    "AS assortativity FROM m")
 
 
 # Registry ORDER is adjudication priority, not chronology: round 2's
@@ -16131,6 +16507,11 @@ QUERIES = {
     "pair_lift": q_pair_lift,
     "weekday_f_stat": q_weekday_f_stat,
     "brand_rank_shift": q_brand_rank_shift,
+    "ngram_coverage": q_ngram_coverage,
+    "oov_rate": q_oov_rate,
+    "record_highs": q_record_highs,
+    "seasonality_index": q_seasonality_index,
+    "degree_assortativity": q_degree_assortativity,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -16447,6 +16828,11 @@ ORACLE_SQL.update({
     "pair_lift": _SQL_PAIR_LIFT,
     "weekday_f_stat": _SQL_WEEKDAY_F_STAT,
     "brand_rank_shift": _SQL_BRAND_RANK_SHIFT,
+    "ngram_coverage": _SQL_NGRAM_COVERAGE,
+    "oov_rate": _SQL_OOV_RATE,
+    "record_highs": _SQL_RECORD_HIGHS,
+    "seasonality_index": _SQL_SEASONALITY_INDEX,
+    "degree_assortativity": _SQL_DEGREE_ASSORTATIVITY,
 })
 
 # Remaining no-oracle entries, each with a reason:
