@@ -877,26 +877,37 @@ class TileSet:
         return [max(w, world[0]), max(s, world[1]),
                 min(e, world[2]), min(n_, world[3])]
 
-    def get_tile_mvt(self, z, x, y, layer_name: str = "geojsonvt"
-                     ) -> bytes | None:
+    def get_tile_mvt(self, z, x, y, layer_name: str = "geojsonvt",
+                     gzipped: bool = False) -> bytes | None:
         """One tile as Mapbox Vector Tile protobuf bytes (the vt-pbf
-        serving path; mvt.py). None on a true miss, like get_tile."""
+        serving path; mvt.py). None on a true miss, like get_tile.
+        ``gzipped=True`` returns gzip-compressed bytes (mtime pinned
+        to 0 so identical tiles byte-compare equal) — the encoding
+        real serving stacks store and send with
+        Content-Encoding: gzip."""
         from ..mvt import encode_tile
         tile = self.get_tile(z, x, y)
         if tile is None:
             return None
-        return encode_tile(tile["features"], layer_name=layer_name,
+        data = encode_tile(tile["features"], layer_name=layer_name,
                            extent=self.options.extent)
+        if gzipped:
+            import gzip
+            data = gzip.compress(data, mtime=0)
+        return data
 
     def export_mvt(self, mvt_dir: str,
-                   layer_name: str = "geojsonvt") -> "ray.data.Dataset":
+                   layer_name: str = "geojsonvt",
+                   gzipped: bool = False) -> "ray.data.Dataset":
         """Distributed MVT export of every stored first-pass tile:
         stream the combined tile partition, co-locate each tile's rows
         with one coarse (z,x,y)-bucket shuffle, encode per tile inside
         the group UDF and write {z}/{x}/{y}.mvt files from the workers
         — the driver never sees tile bytes. Returns the (z, x, y,
         n_bytes) manifest Dataset. Requires the full-split ("combined")
-        layout, like append_to_pyramid."""
+        layout, like append_to_pyramid. ``gzipped=True`` writes
+        {y}.mvt.gz files (deterministic, mtime=0) — n_bytes then
+        reports the compressed size."""
         import ray.data as rd
         from ..functions.shuffle import coarse_mask
         from ..mvt import encode_tile
@@ -953,9 +964,13 @@ class TileSet:
                     int(y[idx[0]])
                 data = encode_tile(feats, layer_name=layer_name,
                                    extent=extent)
+                if gzipped:
+                    import gzip
+                    data = gzip.compress(data, mtime=0)
                 d = os.path.join(mvt_dir, str(tz), str(tx))
                 os.makedirs(d, exist_ok=True)
-                with open(os.path.join(d, f"{ty}.mvt"), "wb") as f:
+                name = f"{ty}.mvt.gz" if gzipped else f"{ty}.mvt"
+                with open(os.path.join(d, name), "wb") as f:
                     f.write(data)
                 o_z.append(tz)
                 o_x.append(tx)

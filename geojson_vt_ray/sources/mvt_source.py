@@ -27,13 +27,16 @@ def _tile_files(mvt_dir: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(mvt_dir):
         for f in files:
-            if f.endswith(".mvt") or f.endswith(".pbf"):
+            if f.endswith((".mvt", ".pbf", ".mvt.gz", ".pbf.gz")):
                 out.append(os.path.join(root, f))
     return sorted(out)
 
 
 def _zxy_from_path(path: str) -> tuple[int, int, int]:
-    y = int(os.path.splitext(os.path.basename(path))[0])
+    base = os.path.basename(path)
+    if base.endswith(".gz"):
+        base = base[:-3]
+    y = int(os.path.splitext(base)[0])
     x_dir = os.path.dirname(path)
     z_dir = os.path.dirname(x_dir)
     return int(os.path.basename(z_dir)), int(os.path.basename(x_dir)), y
@@ -51,6 +54,13 @@ def decode_batch(b: pa.Table, layer: str | None = None) -> pa.Table:
     blobs = b.column("bytes").to_pylist()
     for path, blob in zip(paths, blobs):
         z, x, y = _zxy_from_path(path)
+        blob = bytes(blob)
+        # magic-sniff, not extension: read_binary_files already
+        # auto-decompresses *.gz via the arrow codec, so bytes may
+        # arrive either way
+        if blob[:2] == b"\x1f\x8b":
+            import gzip
+            blob = gzip.decompress(blob)
         for lname, ldata in decode_tile(bytes(blob)).items():
             if layer is not None and lname != layer:
                 continue

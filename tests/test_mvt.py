@@ -167,3 +167,41 @@ def test_read_mvt_roundtrips_export(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         read_mvt(str(tmp_path / "missing"))
+
+
+def test_gzipped_export_and_serving(ray_session, tmp_path):
+    """gzipped=True writes {y}.mvt.gz whose decompressed bytes equal
+    the plain export, the manifest reports compressed sizes,
+    get_tile_mvt(gzipped=True) serves the same gzip bytes, and the
+    MVT source reads the .gz tree back transparently."""
+    import gzip
+    import os
+    import ray.data as rd
+    from geojson_vt_ray.config import TileOptions
+    from geojson_vt_ray.pipelines.pyramid import slice_pyramid
+    from geojson_vt_ray.sources.docs import synthesize_corpus
+    from geojson_vt_ray.sources.mvt_source import read_mvt
+
+    docs = rd.from_arrow(synthesize_corpus(30))
+    opts = TileOptions(index_max_zoom=2, index_max_points=0)
+    ts = slice_pyramid(docs, opts, str(tmp_path / "pyr"))
+    gz_dir = str(tmp_path / "gz")
+    man = ts.export_mvt(gz_dir, gzipped=True).to_pandas()
+    assert len(man) > 0
+    checked = 0
+    for _, row in man.iterrows():
+        z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+        path = os.path.join(gz_dir, str(z), str(x), f"{y}.mvt.gz")
+        blob = open(path, "rb").read()
+        assert len(blob) == int(row["n_bytes"])
+        plain = ts.get_tile_mvt(z, x, y)
+        assert gzip.decompress(blob) == plain
+        assert ts.get_tile_mvt(z, x, y, gzipped=True) == blob
+        checked += 1
+        if checked >= 4:
+            break
+    # source reads the .gz tree: same tile set as the manifest
+    df = read_mvt(gz_dir).to_pandas()
+    got_tiles = set(map(tuple, df[["z", "x", "y"]].drop_duplicates()
+                        .to_numpy()))
+    assert got_tiles == set(map(tuple, man[["z", "x", "y"]].to_numpy()))
