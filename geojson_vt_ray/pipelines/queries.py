@@ -13099,31 +13099,40 @@ def q_fanout_hist(sf_dir: str):
     diagnostic a join planner needs before it picks broadcast vs
     shuffle. Two-level: per-order counts, then counts-of-counts.
 
-    Shape for scale: per-batch (orderkey, n) partials → one keyed
-    groupby (order-sized, the unavoidable exchange) → fanout-bounded
+    Shape for scale: per-batch (orderkey, n) partials → ONE coarse
+    order-bucket shuffle whose in-group argsort+reduceat merges
+    per-order counts AND collapses straight to the bucket's
+    fanout histogram (a 150k-key groupby.aggregate here costs 3x the
+    rest of the query — the triangle_count lesson) → fanout-bounded
     second groupby; the zero-fanout orders come from ONE distinct
     anti-count, not a join."""
     from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
 
     def cnt(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
         uk, c = np.unique(ok, return_counts=True)
-        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
-                         "n": pa.array(c.astype(np.int64))})
+        return pa.table({"okey": pa.array(uk.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64)),
+                         "pkey": pa.array((uk.astype(np.int64) &
+                                           cmask).astype(np.int32))})
 
-    per_order = (_read_pq(f"{sf_dir}/lineitem.parquet",
-                          columns=["l_orderkey"])
-                 .map_batches(cnt, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("n", alias_name="n")))
-
-    def hist(b: pa.Table) -> pa.Table:
-        n = b.column("n").to_numpy(zero_copy_only=False)
-        uf, c = np.unique(n, return_counts=True)
+    def bucket_hist(g: pd.DataFrame) -> pa.Table:
+        ok = g["okey"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, n = ok[o], n[o]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        per_order = np.add.reduceat(n, starts)
+        uf, c = np.unique(per_order, return_counts=True)
         return pa.table({"fanout": pa.array(uf.astype(np.int64)),
                          "n_orders": pa.array(c.astype(np.int64))})
 
-    fan = (per_order.map_batches(hist, batch_format="pyarrow")
+    fan = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey"])
+           .map_batches(cnt, batch_format="pyarrow")
+           .groupby("pkey").map_groups(bucket_hist,
+                                       batch_format="pandas")
            .groupby("fanout")
            .aggregate(Sum("n_orders", alias_name="n_orders"))
            .to_pandas())                          # fanout-bounded
