@@ -16264,6 +16264,185 @@ _SQL_DEGREE_ASSORTATIVITY = (
     "AS assortativity FROM m")
 
 
+def q_burstiness(sf_dir: str):
+    """Point-process burstiness per event type: B = (σ−μ)/(σ+μ) over
+    per-(user, type) inter-event gaps in WHOLE SECONDS (each timestamp
+    floored to seconds before differencing — µs-scale gap squares
+    would overflow both int64 partials and HUGEINT) — Goh & Barabási's
+    burstiness parameter (−1 regular, 0 Poisson, →1 bursty). Moments
+    fold exactly (int64 per bucket, Python ints on the driver); the
+    final B is ONE shared-shape float expression mirrored verbatim in
+    the oracle, NULL for types with no gaps or σ+μ = 0. Ordering ties
+    broken by event_id, matching the oracle window.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
+    single lexsort + shifted diff with user/type-boundary masking
+    emits type-bounded moment partials (types × buckets rows — the
+    driver folds that tiny table, gaps never leave the bucket)."""
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        et = np.asarray(b.column("event_type").to_pylist(), object)
+        ts = (b.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 1_000_000)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": pa.array(et, pa.string()),
+            "tsec": pa.array(ts),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "pkey": pa.array((uid & cmask).astype(np.int32))})
+
+    def moments(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(), object)
+        ts = g["tsec"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts, et, uid))
+        uid, et, ts = uid[o], et[o], ts[o]
+        same = np.r_[False, (uid[1:] == uid[:-1]) &
+                     (et[1:] == et[:-1])]
+        d = np.diff(ts, prepend=ts[:1])[same] if len(ts) else \
+            np.array([], np.int64)
+        uniq, inv = np.unique(et[same], return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sd = np.zeros(len(uniq), np.int64)
+        sdd = np.zeros(len(uniq), np.int64)
+        np.add.at(sd, inv, d)
+        np.add.at(sdd, inv, d * d)   # sec² per bucket stays < 2^63
+        return pa.table({
+            "event_type": pa.array(list(uniq), pa.string()),
+            "n": pa.array(n), "sd": pa.array(sd),
+            "sdd": pa.array(sdd)})
+
+    parts = (_read_pq(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "ts", "user_id",
+                               "event_type"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby("pkey").map_groups(moments,
+                                         batch_format="pandas")
+             .to_pandas())                  # types x buckets rows
+    out_t, out_b = [], []
+    for t in sorted(parts["event_type"].unique()):
+        sub = parts[parts["event_type"] == t]
+        n = int(sub["n"].sum())
+        sd = sum(int(x) for x in sub["sd"])
+        sdd = sum(int(x) for x in sub["sdd"])
+        if n == 0:
+            b = float("nan")
+        else:
+            sig = np.sqrt(float(n * sdd - sd * sd))  # n · σ (exact int)
+            mu = float(sd)                           # n · μ
+            b = (np.round((sig - mu) / (sig + mu), 6)
+                 if sig + mu > 0 else float("nan"))
+        out_t.append(t)
+        out_b.append(b)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "burstiness": pa.array(out_b, pa.float64())})
+
+
+_SQL_BURSTINESS = (
+    "WITH e AS (SELECT user_id, event_type, "
+    "epoch_us(ts) // 1000000 AS t, event_id FROM events), "
+    "g AS (SELECT event_type, t - LAG(t) OVER ("
+    "PARTITION BY user_id, event_type ORDER BY t, event_id) AS d "
+    "FROM e), "
+    "m AS (SELECT event_type, COUNT(d) AS n, "
+    "SUM(CAST(d AS HUGEINT)) AS sd, "
+    "SUM(CAST(d AS HUGEINT) * d) AS sdd FROM g WHERE d IS NOT NULL "
+    "GROUP BY 1) "
+    "SELECT event_type, CASE WHEN n > 0 AND "
+    "sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) + CAST(sd AS DOUBLE) > 0 "
+    "THEN ROUND((sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) - "
+    "CAST(sd AS DOUBLE)) / "
+    "(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) + CAST(sd AS DOUBLE)), "
+    "6) ELSE NULL END AS burstiness FROM m")
+
+
+def q_run_lengths(sf_dir: str):
+    """Behavioral stickiness: per event type, the number of maximal
+    same-type RUNS in user timelines and the mean run length
+    (n_events/n_runs, ROUND-6) — run-length encoding of behavior
+    streams (do users click in streaks or alternate?).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
+    single (user, ts, event_id) lexsort + shifted compare marks run
+    starts, then two bincounts emit type-bounded (n_runs, n_events)
+    partials."""
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": pa.array(
+                np.asarray(b.column("event_type").to_pylist(), object),
+                pa.string()),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "pkey": pa.array((uid & cmask).astype(np.int32))})
+
+    def runs(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(), object)
+        ts = g["ts"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        uid, et = uid[o], et[o]
+        start = np.r_[True, (uid[1:] != uid[:-1]) |
+                      (et[1:] != et[:-1])]
+        uniq, inv = np.unique(et, return_inverse=True)
+        n_ev = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_run = np.bincount(inv[start], minlength=len(uniq)
+                            ).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(list(uniq), pa.string()),
+            "n_runs": pa.array(n_run),
+            "n_events": pa.array(n_ev)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        nr = b.column("n_runs").to_numpy(zero_copy_only=False)
+        ne = b.column("n_events").to_numpy(zero_copy_only=False)
+        mean = np.where(nr == 0, np.nan,
+                        np.round(ne / np.where(nr == 0, 1, nr)
+                                 .astype(np.float64), 6))
+        return pa.table({"event_type": b.column("event_type"),
+                         "n_runs": b.column("n_runs"),
+                         "n_events": b.column("n_events"),
+                         "mean_run_len": pa.array(mean, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(runs, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_runs", alias_name="n_runs"),
+                       Sum("n_events", alias_name="n_events"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_RUN_LENGTHS = (
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, "
+    "event_id FROM events), "
+    "r AS (SELECT event_type, CASE WHEN LAG(event_type) OVER w "
+    "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_start "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+    "SELECT event_type, CAST(SUM(is_start) AS BIGINT) AS n_runs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CASE WHEN SUM(is_start) = 0 THEN NULL ELSE "
+    "ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(is_start), 6) END "
+    "AS mean_run_len FROM r GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -16521,6 +16700,8 @@ QUERIES = {
     "record_highs": q_record_highs,
     "seasonality_index": q_seasonality_index,
     "degree_assortativity": q_degree_assortativity,
+    "burstiness": q_burstiness,
+    "run_lengths": q_run_lengths,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -16842,6 +17023,8 @@ ORACLE_SQL.update({
     "record_highs": _SQL_RECORD_HIGHS,
     "seasonality_index": _SQL_SEASONALITY_INDEX,
     "degree_assortativity": _SQL_DEGREE_ASSORTATIVITY,
+    "burstiness": _SQL_BURSTINESS,
+    "run_lengths": _SQL_RUN_LENGTHS,
 })
 
 # Remaining no-oracle entries, each with a reason:
