@@ -404,18 +404,41 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, text_col: str = "text",
         pairs, sh_map = _collect_verify_payload(
             uniq, ds, ShingleBytes(text_col, id_col), id_col, "sh",
             bands_bs)
-        o_a, o_b, o_j = [], [], []
-        for a, b_ in zip(pairs.get("id_a", ()), pairs.get("id_b", ())):
-            jac = _jaccard(sh_map[a], sh_map[b_])
-            if jac >= threshold:
-                o_a.append(a)
-                o_b.append(b_)
-                o_j.append(jac)
-        df = pd.DataFrame({"id_a": o_a, "id_b": o_b, "jaccard": o_j})
-        if not len(df):
+        if not len(pairs):
             return pa.table({c: pa.array([], t) for c, t in schema})
-        df = df.sort_values(["id_a", "id_b"], ignore_index=True)
-        return pa.table({c: pa.array(df[c], t) for c, t in schema})
+        # candidate sets are CANDIDATE-sized (LSH false positives):
+        # verify them in a parallel map_batches over the pair table
+        # with the doc→shingles map broadcast once — per-pair work is
+        # a handful of numpy calls, so 32 cores beat one driver loop
+        # ~8x wall at 280k candidates (same lost-broadcast-ref caveat
+        # as decontam's Probe; Ray Data retries tasks itself)
+        import ray
+        import ray.data as rd
+        sh_ref = ray.put(sh_map)
+        ptbl = pa.table({
+            "id_a": pa.array(pairs["id_a"].to_numpy().astype(np.int64)),
+            "id_b": pa.array(pairs["id_b"].to_numpy().astype(np.int64))})
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        pds = rd.from_arrow(ptbl).repartition(2 * ncpu)
+
+        def vbatch(b: pa.Table) -> pa.Table:
+            m = ray.get(sh_ref) if isinstance(sh_ref, ray.ObjectRef) \
+                else sh_ref
+            ia = b.column("id_a").to_numpy(zero_copy_only=False)
+            ib = b.column("id_b").to_numpy(zero_copy_only=False)
+            o_a, o_b, o_j = [], [], []
+            for a, b_ in zip(ia, ib):
+                jac = _jaccard(m[int(a)], m[int(b_)])
+                if jac >= threshold:
+                    o_a.append(int(a))
+                    o_b.append(int(b_))
+                    o_j.append(jac)
+            return pa.table({"id_a": pa.array(o_a, pa.int64()),
+                             "id_b": pa.array(o_b, pa.int64()),
+                             "jaccard": pa.array(o_j, pa.float64())})
+
+        return _pairs_result(
+            pds.map_batches(vbatch, batch_format="pyarrow"), schema)
 
     # verify == "join": distributed double-join verification.
     # materialize: the shingle table is the build side of BOTH joins —
