@@ -16443,6 +16443,139 @@ _SQL_RUN_LENGTHS = (
     "AS mean_run_len FROM r GROUP BY 1")
 
 
+def q_largest_remainder(sf_dir: str, budget: int = 10_000):
+    """Hamilton largest-remainder apportionment: allocate ``budget``
+    sampling slots across sources proportional to doc counts — floor
+    quotas first, then the leftover slots to the largest integer
+    remainders (budget*n_s mod N, ties by source ASC) — the exact
+    seat/budget split (sampling plans, quota allocation) where naive
+    rounding over- or under-shoots.
+
+    Shape for scale: one sources-bounded count groupby; the
+    apportionment itself is pure integer arithmetic on the tiny
+    source table. Σseats == budget exactly, by construction."""
+    from ray.data.aggregate import Sum
+
+    def cnt(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source").to_pylist(), object)
+        us, c = np.unique(src, return_counts=True)
+        return pa.table({"source": pa.array(list(us), pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    agg = (_read_pq(f"{sf_dir}/documents.parquet", columns=["source"])
+           .map_batches(cnt, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("c", alias_name="c"))
+           .to_pandas().sort_values("source", ignore_index=True))
+    c = agg["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    src = np.asarray(agg["source"].to_numpy(), object)
+    base = (budget * c) // n
+    rem = (budget * c) % n
+    short = budget - int(base.sum())
+    # order by remainder DESC, source ASC; the first `short` get +1
+    order = np.lexsort((src, -rem))
+    bonus = np.zeros(len(c), np.int64)
+    bonus[order[:short]] = 1
+    return pa.table({
+        "source": pa.array(list(src), pa.string()),
+        "n_docs": pa.array(c),
+        "seats": pa.array(base + bonus)})
+
+
+_SQL_LARGEST_REMAINDER = (
+    "WITH g AS (SELECT source, COUNT(*) AS c FROM documents "
+    "GROUP BY 1), "
+    "t AS (SELECT SUM(c) AS n FROM g), "
+    "q AS (SELECT source, c, (10000 * c) // n AS base, "
+    "(10000 * c) % n AS rem FROM g CROSS JOIN t), "
+    "s AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, "
+    "source ASC) AS rk, "
+    "10000 - SUM(base) OVER () AS short FROM q) "
+    "SELECT source, CAST(c AS BIGINT) AS n_docs, "
+    "CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) "
+    "AS seats FROM s")
+
+
+def q_state_dwell(sf_dir: str):
+    """Time-in-state per event type: each inter-event gap in a user's
+    timeline is attributed to the EARLIER event's type (the state the
+    user was in); reports total dwell µs, gap count, and the ROUND-6
+    mean — the state-machine residency profile (which activity do
+    users linger in?).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
+    single lexsort + shifted diff attributes each gap to the earlier
+    row's type, collapsing to type-bounded (Σdt, n) partials."""
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": pa.array(
+                np.asarray(b.column("event_type").to_pylist(), object),
+                pa.string()),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "pkey": pa.array((uid & cmask).astype(np.int32))})
+
+    def dwell(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(), object)
+        ts = g["ts"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        uid, et, ts = uid[o], et[o], ts[o]
+        nxt_same = np.r_[uid[1:] == uid[:-1], False]
+        dt = np.r_[ts[1:] - ts[:-1], np.int64(0)][nxt_same]
+        tt = et[nxt_same]          # gap belongs to the EARLIER event
+        uniq, inv = np.unique(tt, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, dt)
+        return pa.table({
+            "event_type": pa.array(list(uniq), pa.string()),
+            "dwell_us": pa.array(s), "n_gaps": pa.array(n)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("dwell_us").to_numpy(zero_copy_only=False)
+        n = b.column("n_gaps").to_numpy(zero_copy_only=False)
+        mean = np.where(n == 0, np.nan,
+                        np.round(s / np.where(n == 0, 1, n)
+                                 .astype(np.float64), 6))
+        return pa.table({"event_type": b.column("event_type"),
+                         "dwell_us": b.column("dwell_us"),
+                         "n_gaps": b.column("n_gaps"),
+                         "mean_dwell_us": pa.array(mean, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(dwell, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("dwell_us", alias_name="dwell_us"),
+                       Sum("n_gaps", alias_name="n_gaps"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_STATE_DWELL = (
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, "
+    "event_id FROM events), "
+    "g AS (SELECT event_type, LEAD(t) OVER ("
+    "PARTITION BY user_id ORDER BY t, event_id) - t AS dt FROM e) "
+    "SELECT event_type, CAST(SUM(dt) AS BIGINT) AS dwell_us, "
+    "CAST(COUNT(dt) AS BIGINT) AS n_gaps, "
+    "CASE WHEN COUNT(dt) = 0 THEN NULL ELSE "
+    "ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(dt), 6) END "
+    "AS mean_dwell_us FROM g WHERE dt IS NOT NULL GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -16702,6 +16835,8 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "burstiness": q_burstiness,
     "run_lengths": q_run_lengths,
+    "largest_remainder": q_largest_remainder,
+    "state_dwell": q_state_dwell,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17025,6 +17160,8 @@ ORACLE_SQL.update({
     "degree_assortativity": _SQL_DEGREE_ASSORTATIVITY,
     "burstiness": _SQL_BURSTINESS,
     "run_lengths": _SQL_RUN_LENGTHS,
+    "largest_remainder": _SQL_LARGEST_REMAINDER,
+    "state_dwell": _SQL_STATE_DWELL,
 })
 
 # Remaining no-oracle entries, each with a reason:

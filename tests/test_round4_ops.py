@@ -368,3 +368,30 @@ def test_run_lengths_streaks(ray_session, tmp_path):
     assert df.loc["A", "mean_run_len"] == 1.5
     assert df.loc["B", "n_runs"] == 1
     assert df.loc["B", "mean_run_len"] == 3.0
+
+
+def test_largest_remainder_exact_budget(ray_session, tmp_path):
+    """Counts (1, 1, 1) with budget 10000: floor quotas 3333 each
+    leave one slot, awarded to the lexicographically smallest source
+    (all remainders tie). Seats always sum to the budget."""
+    sf = _write(tmp_path, {
+        "documents": _docs([(1, "x", "c"), (2, "x", "a"),
+                            (3, "x", "b")])})
+    df = Q.q_largest_remainder(sf).to_pandas().set_index("source")
+    assert df["seats"].sum() == 10_000
+    assert df.loc["a", "seats"] == 3334
+    assert df.loc["b", "seats"] == 3333
+    assert df.loc["c", "seats"] == 3333
+
+
+def test_state_dwell_attribution(ray_session, tmp_path):
+    """Timeline A(t=0) B(t=10) A(t=30): the 10us gap belongs to state
+    A, the 20us gap to state B; the final event contributes nothing."""
+    rows = [(0, 0, 1, "A", 1.0), (1, 10, 1, "B", 1.0),
+            (2, 30, 1, "A", 1.0)]
+    sf = _write(tmp_path, {"events": _events(rows)})
+    df = Q.q_state_dwell(sf).to_pandas().set_index("event_type")
+    assert df.loc["A", "dwell_us"] == 10
+    assert df.loc["A", "n_gaps"] == 1
+    assert df.loc["B", "dwell_us"] == 20
+    assert df.loc["B", "mean_dwell_us"] == 20.0
