@@ -16576,6 +16576,95 @@ _SQL_STATE_DWELL = (
     "AS mean_dwell_us FROM g WHERE dt IS NOT NULL GROUP BY 1")
 
 
+def q_topk_churn(sf_dir: str, k: int = 20):
+    """Leaderboard churn: for each consecutive ship-month pair, the
+    Jaccard overlap of the two months' top-k part sets by revenue
+    units (ties by part ASC) plus the number of new entrants — how
+    fast the "bestseller list" rotates. Set sizes are integers; the
+    overlap is ONE ROUND-6 division per month pair.
+
+    Shape for scale: (month, part) integer-unit partials → one
+    month×part-bounded groupby (parts are dimension-bounded); the
+    driver ranks each month's tiny column and intersects consecutive
+    top-k id sets."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        sd = b.column("l_shipdate")
+        month = (pc.year(sd).to_numpy(zero_copy_only=False) * 100 +
+                 pc.month(sd).to_numpy(zero_copy_only=False)
+                 ).astype(np.int64)
+        ext = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        units = ext * (100 - disc)
+        df = pd.DataFrame({"m": month, "p": lpk, "u": units})
+        agg = df.groupby(["m", "p"], sort=False)["u"].sum()
+        return pa.table({
+            "month": pa.array(
+                agg.index.get_level_values(0).to_numpy(np.int64)),
+            "part": pa.array(
+                agg.index.get_level_values(1).to_numpy(np.int64)),
+            "units": pa.array(agg.to_numpy(np.int64))})
+
+    tbl = (_read_pq(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["month", "part"])
+           .aggregate(Sum("units", alias_name="units"))
+           .to_pandas())                     # month x part bounded
+    months = np.sort(tbl["month"].unique())
+    tops = {}
+    for m in months:
+        sub = tbl[tbl["month"] == m]
+        p = sub["part"].to_numpy(np.int64)
+        u = sub["units"].to_numpy(np.int64)
+        order = np.lexsort((p, -u))[:k]
+        tops[int(m)] = set(int(x) for x in p[order])
+    out_m, out_j, out_new = [], [], []
+    for prev, cur in zip(months[:-1], months[1:]):
+        a, b_ = tops[int(prev)], tops[int(cur)]
+        inter = len(a & b_)
+        union = len(a | b_)
+        out_m.append(int(cur))
+        out_j.append(np.round(inter / union, 6) if union else
+                     float("nan"))
+        out_new.append(len(b_ - a))
+    return pa.table({
+        "month": pa.array(out_m, pa.int64()),
+        "topk_jaccard": pa.array(out_j, pa.float64()),
+        "n_new": pa.array(out_new, pa.int64())})
+
+
+_SQL_TOPK_CHURN = (
+    "WITH li AS (SELECT CAST(strftime(l_shipdate, '%Y') AS BIGINT) "
+    "* 100 + CAST(strftime(l_shipdate, '%m') AS BIGINT) AS month, "
+    "l_partkey AS part, CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS units "
+    "FROM lineitem), "
+    "g AS (SELECT month, part, SUM(units) AS u FROM li GROUP BY 1, 2), "
+    "r AS (SELECT month, part FROM (SELECT month, part, "
+    "ROW_NUMBER() OVER (PARTITION BY month "
+    "ORDER BY u DESC, part ASC) AS rk FROM g) WHERE rk <= 20), "
+    "mo AS (SELECT DISTINCT month FROM g), "
+    "pairs AS (SELECT month, LAG(month) OVER (ORDER BY month) AS pm "
+    "FROM mo), "
+    "j AS (SELECT p.month, "
+    "(SELECT COUNT(*) FROM r a JOIN r b ON a.part = b.part "
+    "AND a.month = p.pm AND b.month = p.month) AS inter, "
+    "(SELECT COUNT(DISTINCT part) FROM r "
+    "WHERE month IN (p.pm, p.month)) AS un, "
+    "(SELECT COUNT(*) FROM r WHERE month = p.month) AS cur_n "
+    "FROM pairs p WHERE p.pm IS NOT NULL) "
+    "SELECT month, CASE WHEN un = 0 THEN NULL ELSE "
+    "ROUND(CAST(inter AS DOUBLE) / un, 6) END AS topk_jaccard, "
+    "CAST(cur_n - inter AS BIGINT) AS n_new FROM j")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -16837,6 +16926,7 @@ QUERIES = {
     "run_lengths": q_run_lengths,
     "largest_remainder": q_largest_remainder,
     "state_dwell": q_state_dwell,
+    "topk_churn": q_topk_churn,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17162,6 +17252,7 @@ ORACLE_SQL.update({
     "run_lengths": _SQL_RUN_LENGTHS,
     "largest_remainder": _SQL_LARGEST_REMAINDER,
     "state_dwell": _SQL_STATE_DWELL,
+    "topk_churn": _SQL_TOPK_CHURN,
 })
 
 # Remaining no-oracle entries, each with a reason:
