@@ -16665,6 +16665,126 @@ _SQL_TOPK_CHURN = (
     "CAST(cur_n - inter AS BIGINT) AS n_new FROM j")
 
 
+def q_quartile_migration(sf_dir: str):
+    """Customer revenue-quartile transition matrix: each customer's
+    monthly order-cent total is bucketed by the MONTH's own quartile
+    boundaries (percentile_disc 0.25/0.50/0.75 — value-based, exact
+    integers), and every consecutive-month customer pair contributes
+    one (from_q, to_q) count — the rank-migration / churn-risk matrix
+    (who is sliding down the spend distribution?). ≤16 output rows.
+
+    Shape for scale: (month-index, customer) cent sums through ONE
+    coarse customer-bucket merge (materialized — both passes reuse
+    it); boundaries via the exact two-pass histogram-selection
+    percentile operator grouped by month (counts shuffle, never
+    rows); bucket assignment is a broadcast-dict map; transitions
+    pair adjacent months per customer inside the SAME customer
+    buckets; the final groupby is 16-bounded."""
+    import ray
+    from ray.data.aggregate import Sum
+    from ..functions.percentile import group_percentiles
+    cmask = _coarse_mask()
+
+    def partial(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate")
+        mi = (pc.year(od).to_numpy(zero_copy_only=False) * 12 +
+              pc.month(od).to_numpy(zero_copy_only=False) - 1
+              ).astype(np.int64)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False
+                                            ).astype(np.int64)
+        cents = np.round(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"mi": mi, "cust": ck, "c": cents})
+        agg = df.groupby(["mi", "cust"], sort=False)["c"].sum()
+        cu = agg.index.get_level_values(1).to_numpy(np.int64)
+        return pa.table({
+            "mi": pa.array(agg.index.get_level_values(0)
+                           .to_numpy(np.int64)),
+            "cust": pa.array(cu),
+            "cents": pa.array(agg.to_numpy(np.int64)),
+            "pkey": pa.array((cu & cmask).astype(np.int32))})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["mi", "cust"], sort=False)["cents"].sum()
+        cu = agg.index.get_level_values(1).to_numpy(np.int64)
+        return pa.table({
+            "mi": pa.array(agg.index.get_level_values(0)
+                           .to_numpy(np.int64)),
+            "cust": pa.array(cu),
+            "cents": pa.array(agg.to_numpy(np.int64)),
+            "pkey": pa.array((cu & cmask).astype(np.int32))})
+
+    rows = (_read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderdate", "o_custkey",
+                              "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("pkey").map_groups(merge, batch_format="pandas")
+            .materialize())
+
+    def as_grp(b: pa.Table) -> pa.Table:
+        mi = b.column("mi").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": pa.array([str(int(x)) for x in mi], pa.string()),
+            "cents": b.column("cents")})
+
+    bt = group_percentiles(
+        rows.map_batches(as_grp, batch_format="pyarrow"),
+        "m", "cents", ps=(0.25, 0.50, 0.75)).to_pandas()
+    bounds = {int(r["m"]): (int(r["p25"]), int(r["p50"]),
+                            int(r["p75"])) for _, r in bt.iterrows()}
+    bref = ray.put(bounds)
+
+    def transitions(g: pd.DataFrame) -> pa.Table:
+        bd = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        mi = g["mi"].to_numpy(np.int64)
+        cu = g["cust"].to_numpy(np.int64)
+        ce = g["cents"].to_numpy(np.int64)
+        q1 = np.array([bd[int(m)][0] for m in mi], np.int64)
+        q2 = np.array([bd[int(m)][1] for m in mi], np.int64)
+        q3 = np.array([bd[int(m)][2] for m in mi], np.int64)
+        q = ((ce > q1).astype(np.int64) + (ce > q2) + (ce > q3))
+        o = np.lexsort((mi, cu))
+        cu, mi, q = cu[o], mi[o], q[o]
+        adj = (cu[1:] == cu[:-1]) & (mi[1:] == mi[:-1] + 1)
+        fq = q[:-1][adj]
+        tq = q[1:][adj]
+        key = fq * 4 + tq
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "from_q": pa.array((uniq // 4).astype(np.int64)),
+            "to_q": pa.array((uniq % 4).astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    return (rows.groupby("pkey").map_groups(transitions,
+                                            batch_format="pandas")
+            .groupby(["from_q", "to_q"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+_SQL_QUARTILE_MIGRATION = (
+    "WITH mc AS (SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) "
+    "* 12 + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS mi, "
+    "o_custkey AS cust, "
+    "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents "
+    "FROM orders GROUP BY 1, 2), "
+    "b AS (SELECT mi, CAST(percentile_disc(0.25) WITHIN GROUP ("
+    "ORDER BY cents) AS BIGINT) AS q1, "
+    "CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) "
+    "AS BIGINT) AS q2, "
+    "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) "
+    "AS BIGINT) AS q3 FROM mc GROUP BY 1), "
+    "r AS (SELECT mc.mi, cust, "
+    "CASE WHEN cents > q1 THEN 1 ELSE 0 END + "
+    "CASE WHEN cents > q2 THEN 1 ELSE 0 END + "
+    "CASE WHEN cents > q3 THEN 1 ELSE 0 END AS q "
+    "FROM mc JOIN b USING (mi)), "
+    "p AS (SELECT a.q AS from_q, c.q AS to_q FROM r a "
+    "JOIN r c ON a.cust = c.cust AND c.mi = a.mi + 1) "
+    "SELECT CAST(from_q AS BIGINT) AS from_q, "
+    "CAST(to_q AS BIGINT) AS to_q, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -16927,6 +17047,7 @@ QUERIES = {
     "largest_remainder": q_largest_remainder,
     "state_dwell": q_state_dwell,
     "topk_churn": q_topk_churn,
+    "quartile_migration": q_quartile_migration,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17253,6 +17374,7 @@ ORACLE_SQL.update({
     "largest_remainder": _SQL_LARGEST_REMAINDER,
     "state_dwell": _SQL_STATE_DWELL,
     "topk_churn": _SQL_TOPK_CHURN,
+    "quartile_migration": _SQL_QUARTILE_MIGRATION,
 })
 
 # Remaining no-oracle entries, each with a reason:
