@@ -16785,6 +16785,108 @@ _SQL_QUARTILE_MIGRATION = (
     "CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2")
 
 
+def q_rrf_fusion(sf_dir: str, k: int = 60, topn: int = 50):
+    """Reciprocal-rank fusion of two part leaderboards — by revenue
+    units and by distinct-order count (ties by part ASC in both) —
+    rrf = 1/(k+r1) + 1/(k+r2), the standard training-free ranker
+    combiner (hybrid search, multi-signal curation). Ranks are exact
+    integers; rrf is two identical IEEE divisions + one add on both
+    sides, ROUND-6. Top ``topn`` rows by (rrf DESC, part ASC).
+
+    Shape for scale: one coarse part-bucket pass merges BOTH signals'
+    partials (revenue units + distinct-order counts) in the same
+    shuffle; the ranked fusion runs on the PART-DIMENSION-bounded
+    driver table."""
+    cmask = _coarse_mask()
+
+    # two partial row-sets — revenue units and distinct (order, part)
+    # pairs — tagged by ord (-1 = revenue row) and merged through the
+    # SAME coarse part-bucket shuffle (one exchange for both signals)
+    def rev_partial(b: pa.Table) -> pa.Table:
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        ext = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        units = ext * (100 - disc)
+        agg = pd.DataFrame({"p": lpk, "u": units}).groupby(
+            "p", sort=False)["u"].sum()
+        p = agg.index.to_numpy(np.int64)
+        return pa.table({
+            "part": pa.array(p),
+            "units": pa.array(agg.to_numpy(np.int64)),
+            "ord": pa.array(np.full(len(p), -1, np.int64)),
+            "pkey": pa.array((p & cmask).astype(np.int32))})
+
+    def ord_partial(b: pa.Table) -> pa.Table:
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+        o = np.lexsort((lpk, ok))
+        ok_s, pk_s = ok[o], lpk[o]
+        keep = np.r_[True, (ok_s[1:] != ok_s[:-1]) |
+                     (pk_s[1:] != pk_s[:-1])]
+        p, ordv = pk_s[keep], ok_s[keep]
+        return pa.table({
+            "part": pa.array(p),
+            "units": pa.array(np.zeros(len(p), np.int64)),
+            "ord": pa.array(ordv),
+            "pkey": pa.array((p & cmask).astype(np.int32))})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        units = (g[g["ord"] == -1].groupby("part", sort=False)["units"]
+                 .sum())
+        d = g[g["ord"] >= 0].drop_duplicates(["part", "ord"])
+        cnt = d.groupby("part", sort=False).size()
+        parts = np.unique(g["part"].to_numpy(np.int64))
+        u = units.reindex(parts, fill_value=0).to_numpy(np.int64)
+        c = cnt.reindex(parts, fill_value=0).to_numpy(np.int64)
+        return pa.table({"part": pa.array(parts),
+                         "units": pa.array(u),
+                         "n_ord": pa.array(c.astype(np.int64))})
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_partkey",
+                           "l_extendedprice", "l_discount"])
+    tbl = (ds.map_batches(rev_partial, batch_format="pyarrow")
+           .union(ds.map_batches(ord_partial, batch_format="pyarrow"))
+           .groupby("pkey").map_groups(merge, batch_format="pandas")
+           .to_pandas())                     # part-dimension-bounded
+    p = tbl["part"].to_numpy(np.int64)
+    u = tbl["units"].to_numpy(np.int64)
+    c = tbl["n_ord"].to_numpy(np.int64)
+    r1 = np.empty(len(p), np.int64)
+    r1[np.lexsort((p, -u))] = np.arange(1, len(p) + 1)
+    r2 = np.empty(len(p), np.int64)
+    r2[np.lexsort((p, -c))] = np.arange(1, len(p) + 1)
+    rrf = np.round(1.0 / (k + r1) + 1.0 / (k + r2), 6)
+    order = np.lexsort((p, -rrf))[:topn]
+    return pa.table({
+        "part": pa.array(p[order]),
+        "r_rev": pa.array(r1[order]),
+        "r_cnt": pa.array(r2[order]),
+        "rrf": pa.array(rrf[order], pa.float64())})
+
+
+_SQL_RRF_FUSION = (
+    "WITH li AS (SELECT l_partkey AS part, l_orderkey, "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS units "
+    "FROM lineitem), "
+    "g AS (SELECT part, SUM(units) AS u, "
+    "COUNT(DISTINCT l_orderkey) AS c FROM li GROUP BY 1), "
+    "r AS (SELECT part, "
+    "ROW_NUMBER() OVER (ORDER BY u DESC, part ASC) AS r1, "
+    "ROW_NUMBER() OVER (ORDER BY c DESC, part ASC) AS r2 FROM g), "
+    "s AS (SELECT part, r1, r2, "
+    "ROUND(1.0 / (60 + r1) + 1.0 / (60 + r2), 6) AS rrf FROM r) "
+    "SELECT part, CAST(r1 AS BIGINT) AS r_rev, "
+    "CAST(r2 AS BIGINT) AS r_cnt, rrf FROM s "
+    "ORDER BY rrf DESC, part ASC LIMIT 50")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -17048,6 +17150,7 @@ QUERIES = {
     "state_dwell": q_state_dwell,
     "topk_churn": q_topk_churn,
     "quartile_migration": q_quartile_migration,
+    "rrf_fusion": q_rrf_fusion,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17375,6 +17478,7 @@ ORACLE_SQL.update({
     "state_dwell": _SQL_STATE_DWELL,
     "topk_churn": _SQL_TOPK_CHURN,
     "quartile_migration": _SQL_QUARTILE_MIGRATION,
+    "rrf_fusion": _SQL_RRF_FUSION,
 })
 
 # Remaining no-oracle entries, each with a reason:
