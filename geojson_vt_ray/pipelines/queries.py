@@ -16887,6 +16887,89 @@ _SQL_RRF_FUSION = (
     "ORDER BY rrf DESC, part ASC LIMIT 50")
 
 
+def q_max_window_gain(sf_dir: str):
+    """Maximum-sum contiguous day window (Kadane) over the daily net
+    signal purchases − errors: the single best streak [start_day,
+    end_day] and its exact integer sum — "when did things go best,
+    and for how long" (works equally as worst-streak with a sign
+    flip). Ties: smallest end day, then the LONGEST window (the
+    prefix-minimum base is the FIRST day attaining it).
+
+    Shape for scale: per-batch (day, ±1) partials → one day-bounded
+    groupby; Kadane itself is a cumsum + running-min over the dense
+    day series on the driver (day-range-bounded, never row-bounded)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = np.asarray(b.column("event_type").to_pylist(), object)
+        s = np.where(et == "purchase", 1,
+                     np.where(et == "error", -1, 0)).astype(np.int64)
+        day = ts // 86_400_000_000
+        keep = s != 0
+        if not keep.any():
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        df = pd.DataFrame({"day": day[keep], "s": s[keep]})
+        agg = df.groupby("day", sort=False)["s"].sum()
+        return pa.table({
+            "day": pa.array(agg.index.to_numpy(np.int64)),
+            "s": pa.array(agg.to_numpy(np.int64))})
+
+    counts = (_read_pq(f"{sf_dir}/events.parquet",
+                       columns=["ts", "event_type"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("day").aggregate(Sum("s", alias_name="s"))
+              .to_pandas())                  # day-range bounded
+    d0 = int(counts["day"].min())
+    d1 = int(counts["day"].max())
+    dense = np.zeros(d1 - d0 + 1, np.int64)
+    dense[counts["day"].to_numpy(np.int64) - d0] = \
+        counts["s"].to_numpy(np.int64)
+    p = np.cumsum(dense)
+    # prefix min over k < d, with the empty prefix counting as 0
+    mp = np.r_[np.int64(0), np.minimum.accumulate(p)[:-1]]
+    mp = np.minimum(mp, 0)
+    gain = p - mp
+    end = int(np.argmax(gain))               # first maximal end day
+    best = int(gain[end])
+    if mp[end] >= 0:
+        start = 0                            # empty-prefix base
+    else:
+        target = int(np.r_[np.int64(0),
+                           np.minimum.accumulate(p)[:-1]][end])
+        start = int(np.flatnonzero(p[:end] == target)[0]) + 1
+    return pa.table({
+        "best_sum": pa.array([best], pa.int64()),
+        "start_day": pa.array([d0 + start], pa.int64()),
+        "end_day": pa.array([d0 + end], pa.int64())})
+
+
+_SQL_MAX_WINDOW_GAIN = (
+    "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+    "CASE event_type WHEN 'purchase' THEN 1 WHEN 'error' THEN -1 "
+    "ELSE 0 END AS s FROM events), "
+    "bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e), "
+    "days AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM bounds), "
+    "sig AS (SELECT dy.day, CAST(COALESCE(SUM(e.s), 0) AS BIGINT) "
+    "AS s FROM days dy LEFT JOIN e ON e.day = dy.day GROUP BY 1), "
+    "pref AS (SELECT day, CAST(SUM(s) OVER (ORDER BY day) AS BIGINT) "
+    "AS p FROM sig), "
+    "m AS (SELECT day, p, LEAST(CAST(COALESCE(MIN(p) OVER ("
+    "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "0) AS BIGINT), 0) AS mp, "
+    "CAST(COALESCE(MIN(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rawmp FROM pref), "
+    "best AS (SELECT day AS end_day, p - mp AS best_sum, mp, rawmp "
+    "FROM m ORDER BY (p - mp) DESC, day ASC LIMIT 1) "
+    "SELECT CAST(b.best_sum AS BIGINT) AS best_sum, "
+    "CAST(CASE WHEN b.mp = 0 THEN (SELECT d0 FROM bounds) ELSE "
+    "(SELECT MIN(m2.day) FROM m m2 WHERE m2.day < b.end_day "
+    "AND m2.p = b.rawmp) + 1 END AS BIGINT) AS start_day, "
+    "CAST(b.end_day AS BIGINT) AS end_day FROM best b")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -17151,6 +17234,7 @@ QUERIES = {
     "topk_churn": q_topk_churn,
     "quartile_migration": q_quartile_migration,
     "rrf_fusion": q_rrf_fusion,
+    "max_window_gain": q_max_window_gain,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17479,6 +17563,7 @@ ORACLE_SQL.update({
     "topk_churn": _SQL_TOPK_CHURN,
     "quartile_migration": _SQL_QUARTILE_MIGRATION,
     "rrf_fusion": _SQL_RRF_FUSION,
+    "max_window_gain": _SQL_MAX_WINDOW_GAIN,
 })
 
 # Remaining no-oracle entries, each with a reason:

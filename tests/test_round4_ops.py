@@ -395,3 +395,28 @@ def test_state_dwell_attribution(ray_session, tmp_path):
     assert df.loc["A", "n_gaps"] == 1
     assert df.loc["B", "dwell_us"] == 20
     assert df.loc["B", "mean_dwell_us"] == 20.0
+
+
+def test_max_window_gain_kadane_corners(ray_session, tmp_path):
+    """Signal +1/-1/+1 over days 0..2 (all three purchases/errors):
+    best window is the full span only if sum beats single days — here
+    [0,2]=1 ties single days [0,0]=1 and [2,2]=1; smallest end day
+    wins (end=0) and the empty-prefix base starts it at day 0. An
+    all-error stream picks the first least-bad single day."""
+    day = 86_400_000_000
+    rows = [(0, 0 * day, 1, "purchase", 1.0),
+            (1, 1 * day, 1, "error", 1.0),
+            (2, 2 * day, 1, "purchase", 1.0)]
+    sf = _write(tmp_path, {"events": _events(rows)})
+    df = Q.q_max_window_gain(sf).to_pandas()
+    assert (df["best_sum"].iloc[0], df["start_day"].iloc[0],
+            df["end_day"].iloc[0]) == (1, 0, 0)
+
+    rows2 = [(0, 0 * day, 1, "error", 1.0),
+             (1, 1 * day, 1, "error", 1.0)]
+    sf2 = _write(tmp_path / "b", {"events": _events(rows2)})
+    df2 = Q.q_max_window_gain(sf2).to_pandas()
+    # prefixes -1,-2; gains: d0 -> -1 (empty base), d1 -> -1 (base
+    # first prefix): tie -> end 0, start day 0, sum -1
+    assert (df2["best_sum"].iloc[0], df2["start_day"].iloc[0],
+            df2["end_day"].iloc[0]) == (-1, 0, 0)
