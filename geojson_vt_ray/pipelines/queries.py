@@ -16970,6 +16970,92 @@ _SQL_MAX_WINDOW_GAIN = (
     "CAST(b.end_day AS BIGINT) AS end_day FROM best b")
 
 
+def q_session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence: for every unordered
+    type pair, the number of sessions (30-minute-gap rule, the
+    sessionize convention) containing BOTH — the behavioral
+    market-basket over sessions instead of orders ("do errors and
+    purchases share sessions?"). Types are enumeration-bounded, so
+    the output is ≤ C(|types|, 2) rows.
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket
+    sessions come from the lexsort + gap-cumsum (sessionize's
+    machinery), distinct (session, type) pairs collapse in-bucket,
+    and the pair expansion emits type-pair count partials — sessions
+    never leave their bucket."""
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": pa.array(
+                np.asarray(b.column("event_type").to_pylist(), object),
+                pa.string()),
+            "ts": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(
+                b.column("event_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "pkey": pa.array((uid & cmask).astype(np.int32))})
+
+    GAP = 30 * 60 * 1_000_000
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(), object)
+        ts = g["ts"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts, uid))
+        uid, et, ts = uid[o], et[o], ts[o]
+        new = np.r_[True, (uid[1:] != uid[:-1]) |
+                    (ts[1:] - ts[:-1] > GAP)]
+        sess = np.cumsum(new) - 1
+        # per-session type BITMASK (types are enumeration-bounded), then
+        # each pair is one vectorized AND over the session-mask array
+        uniq_t, inv_t = np.unique(et, return_inverse=True)
+        masks = np.zeros(int(sess[-1]) + 1 if len(sess) else 0,
+                         np.int64)
+        np.bitwise_or.at(masks, sess, np.int64(1) << inv_t)
+        o_a, o_b, o_n = [], [], []
+        for i in range(len(uniq_t)):
+            for j in range(i + 1, len(uniq_t)):
+                n = int((((masks >> i) & 1) & ((masks >> j) & 1)).sum())
+                if n:
+                    o_a.append(str(uniq_t[i]))
+                    o_b.append(str(uniq_t[j]))
+                    o_n.append(n)
+        return pa.table({
+            "type_a": pa.array(o_a, pa.string()),
+            "type_b": pa.array(o_b, pa.string()),
+            "n_sessions": pa.array(o_n, pa.int64())})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id",
+                              "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(pairs, batch_format="pandas")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n_sessions", alias_name="n_sessions")))
+
+
+_SQL_SESSION_TYPE_PAIRS = (
+    "WITH s AS (SELECT user_id, event_type, "
+    "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM ("
+    "SELECT user_id, event_type, ts, event_id, CASE WHEN "
+    "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events)), "
+    "st AS (SELECT DISTINCT user_id, sid, event_type FROM s) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_sessions "
+    "FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid "
+    "AND a.event_type < b.event_type GROUP BY 1, 2")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -17235,6 +17321,7 @@ QUERIES = {
     "quartile_migration": q_quartile_migration,
     "rrf_fusion": q_rrf_fusion,
     "max_window_gain": q_max_window_gain,
+    "session_type_pairs": q_session_type_pairs,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17564,6 +17651,7 @@ ORACLE_SQL.update({
     "quartile_migration": _SQL_QUARTILE_MIGRATION,
     "rrf_fusion": _SQL_RRF_FUSION,
     "max_window_gain": _SQL_MAX_WINDOW_GAIN,
+    "session_type_pairs": _SQL_SESSION_TYPE_PAIRS,
 })
 
 # Remaining no-oracle entries, each with a reason:
