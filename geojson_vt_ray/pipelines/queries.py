@@ -17056,6 +17056,71 @@ _SQL_SESSION_TYPE_PAIRS = (
     "AND a.event_type < b.event_type GROUP BY 1, 2")
 
 
+def q_dim_variance(sf_dir: str):
+    """Per-dimension profile of the embedding corpus: n, ROUND-6 mean
+    and ROUND-6 population variance for every coordinate — the
+    feature-selection / dead-dimension audit run before indexing or
+    quantizing vectors. Exactness: coordinates quantize to int64
+    fixed-point via floor(x·10⁶) (FLOOR has no round-half ambiguity —
+    the float32→double widening and the 10⁶ scale are the same IEEE
+    ops in both engines), then everything is integer moments until
+    the final shared ROUND-6 expressions.
+
+    Shape for scale: each block collapses to one (dim, n, Σq, Σq²)
+    partial row per dimension — dims × blocks rows — and the driver
+    folds them in Python ints; vectors never shuffle."""
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding").combine_chunks()
+        if len(emb) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "sqq": pa.array([], pa.int64())})
+        d = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(-1, d)
+        q = np.floor(mat * 1_000_000.0).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, len(q), np.int64)),
+            "sq": pa.array(q.sum(axis=0)),
+            "sqq": pa.array((q * q).sum(axis=0))})
+
+    parts = (_read_pq(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())                   # dims x blocks rows
+    out_d, out_n, out_m, out_v = [], [], [], []
+    for dim in sorted(parts["dim"].unique()):
+        sub = parts[parts["dim"] == dim]
+        n = int(sub["n"].sum())
+        sq = sum(int(x) for x in sub["sq"])
+        sqq = sum(int(x) for x in sub["sqq"])
+        out_d.append(int(dim))
+        out_n.append(n)
+        out_m.append(np.round(float(sq) / (n * 1_000_000.0), 6))
+        out_v.append(np.round(float(n * sqq - sq * sq) /
+                              (float(n) * n * 1e12), 6))
+    return pa.table({"dim": pa.array(out_d, pa.int64()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "mean": pa.array(out_m, pa.float64()),
+                     "var": pa.array(out_v, pa.float64())})
+
+
+_SQL_DIM_VARIANCE = (
+    "WITH x AS (SELECT i - 1 AS dim, embedding[i] AS v FROM ("
+    "SELECT embedding, UNNEST(range(1, len(embedding) + 1)) AS i "
+    "FROM embeddings)), "
+    "q AS (SELECT dim, CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) "
+    "AS BIGINT) AS qv FROM x), "
+    "m AS (SELECT dim, COUNT(*) AS n, SUM(CAST(qv AS HUGEINT)) AS sq, "
+    "SUM(CAST(qv AS HUGEINT) * qv) AS sqq FROM q GROUP BY 1) "
+    "SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n, "
+    "ROUND(CAST(sq AS DOUBLE) / (n * 1000000.0), 6) AS mean, "
+    "ROUND(CAST(n * sqq - sq * sq AS DOUBLE) / "
+    "(CAST(n AS DOUBLE) * n * 1e12), 6) AS var FROM m")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -17322,6 +17387,7 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "max_window_gain": q_max_window_gain,
     "session_type_pairs": q_session_type_pairs,
+    "dim_variance": q_dim_variance,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17652,6 +17718,7 @@ ORACLE_SQL.update({
     "rrf_fusion": _SQL_RRF_FUSION,
     "max_window_gain": _SQL_MAX_WINDOW_GAIN,
     "session_type_pairs": _SQL_SESSION_TYPE_PAIRS,
+    "dim_variance": _SQL_DIM_VARIANCE,
 })
 
 # Remaining no-oracle entries, each with a reason:
