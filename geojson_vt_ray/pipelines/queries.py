@@ -17121,6 +17121,161 @@ _SQL_DIM_VARIANCE = (
     "(CAST(n AS DOUBLE) * n * 1e12), 6) AS var FROM m")
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per source, computed over the source's
+    POOLED counts (words W, sentence marks S, vowel-group syllables
+    Y): flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W) — the corpus
+    quality-floor readability audit. Counts are exact integers; the
+    formula is ONE shared float expression, NULL when S or W is 0.
+
+    Shape for scale: three vectorized regex counts per batch collapse
+    to source-bounded integer partials; zero shuffle beyond the tiny
+    source groupby."""
+    import re
+    from ray.data.aggregate import Sum
+    from ..functions.text import _RE2_TOKEN_RE
+    sent_re = re.compile(r"[.!?]+")
+    syl_re = re.compile(r"[aeiouy]+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source").to_pylist(), object)
+        out: dict = {}
+        for i, t in enumerate(b.column("text").to_pylist()):
+            w = len(_RE2_TOKEN_RE.findall(t))
+            s = len(sent_re.findall(t))
+            y = len(syl_re.findall(t.lower()))
+            cur = out.get(src[i], (0, 0, 0))
+            out[src[i]] = (cur[0] + w, cur[1] + s, cur[2] + y)
+        ss = sorted(out)
+        return pa.table({
+            "source": pa.array(ss, pa.string()),
+            "w": pa.array([out[s][0] for s in ss], pa.int64()),
+            "s": pa.array([out[s][1] for s in ss], pa.int64()),
+            "y": pa.array([out[s][2] for s in ss], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        ok = (s > 0) & (w > 0)
+        fl = np.where(ok, np.round(
+            206.835 - 1.015 * (w / np.where(s == 0, 1, s)
+                               .astype(np.float64)) -
+            84.6 * (y / np.where(w == 0, 1, w).astype(np.float64)),
+            6), np.nan)
+        return pa.table({"source": b.column("source"),
+                         "n_words": b.column("w"),
+                         "n_sentences": b.column("s"),
+                         "n_syllables": b.column("y"),
+                         "flesch": pa.array(fl, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("w", alias_name="w"),
+                       Sum("s", alias_name="s"),
+                       Sum("y", alias_name="y"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_READABILITY = (
+    "WITH c AS (SELECT source, "
+    "SUM(len(regexp_extract_all(text, '\\S+'))) AS w, "
+    "SUM(len(regexp_extract_all(text, '[.!?]+'))) AS s, "
+    "SUM(len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS y "
+    "FROM documents GROUP BY 1) "
+    "SELECT source, CAST(w AS BIGINT) AS n_words, "
+    "CAST(s AS BIGINT) AS n_sentences, "
+    "CAST(y AS BIGINT) AS n_syllables, "
+    "CASE WHEN s > 0 AND w > 0 THEN ROUND(206.835 - "
+    "1.015 * (CAST(w AS DOUBLE) / s) - "
+    "84.6 * (CAST(y AS DOUBLE) / w), 6) ELSE NULL END AS flesch "
+    "FROM c")
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Interquartile mean of order value per priority: the mean of
+    integer cents inside the CLOSED [p25, p75] band (percentile_disc
+    boundaries — exact order statistics) — the robust central
+    tendency that survives both fat tails and data-entry garbage.
+
+    Shape for scale: boundaries from the two-pass histogram-selection
+    percentile operator (counts shuffle, never rows); the band filter
+    + integer sums stream zero-shuffle against the broadcast bounds;
+    ONE ROUND-6 division per group."""
+    import ray
+    from ray.data.aggregate import Sum
+    from ..functions.percentile import group_percentiles
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": pa.array(np.round(v * 100).astype(np.int64))})
+
+    cds = ds.map_batches(to_cents, batch_format="pyarrow"
+                         ).materialize()
+    bt = group_percentiles(cds, "o_orderpriority", "cents",
+                           ps=(0.25, 0.75)).to_pandas()
+    bounds = {r["o_orderpriority"]: (int(r["p25"]), int(r["p75"]))
+              for _, r in bt.iterrows()}
+    bref = ray.put(bounds)
+
+    def band_sum(b: pa.Table) -> pa.Table:
+        bd = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        g = np.asarray(b.column("o_orderpriority").to_pylist(), object)
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        out: dict = {}
+        for key in set(g.tolist()):
+            lo, hi = bd[key]
+            mask = (g == key) & (c >= lo) & (c <= hi)
+            cur = out.get(key, (0, 0))
+            out[key] = (cur[0] + int(c[mask].sum()),
+                        cur[1] + int(mask.sum()))
+        ks = sorted(out)
+        return pa.table({
+            "o_orderpriority": pa.array(ks, pa.string()),
+            "s": pa.array([out[k][0] for k in ks], pa.int64()),
+            "n": pa.array([out[k][1] for k in ks], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        m = np.where(n == 0, np.nan,
+                     np.round(s / np.where(n == 0, 1, n)
+                              .astype(np.float64), 6))
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_in_band": b.column("n"),
+            "iq_mean_cents": pa.array(m, pa.float64())})
+
+    return (cds.map_batches(band_sum, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_TRIMMED_MEAN = (
+    "WITH c AS (SELECT o_orderpriority, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+    "b AS (SELECT o_orderpriority, "
+    "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) "
+    "AS BIGINT) AS lo, "
+    "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) "
+    "AS BIGINT) AS hi FROM c GROUP BY 1), "
+    "m AS (SELECT c.o_orderpriority, SUM(cents) AS s, COUNT(*) AS n "
+    "FROM c JOIN b USING (o_orderpriority) "
+    "WHERE cents BETWEEN lo AND hi GROUP BY 1) "
+    "SELECT o_orderpriority, CAST(n AS BIGINT) AS n_in_band, "
+    "CASE WHEN n = 0 THEN NULL ELSE "
+    "ROUND(CAST(s AS DOUBLE) / n, 6) END AS iq_mean_cents FROM m")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -17388,6 +17543,8 @@ QUERIES = {
     "max_window_gain": q_max_window_gain,
     "session_type_pairs": q_session_type_pairs,
     "dim_variance": q_dim_variance,
+    "readability": q_readability,
+    "trimmed_mean": q_trimmed_mean,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17719,6 +17876,8 @@ ORACLE_SQL.update({
     "max_window_gain": _SQL_MAX_WINDOW_GAIN,
     "session_type_pairs": _SQL_SESSION_TYPE_PAIRS,
     "dim_variance": _SQL_DIM_VARIANCE,
+    "readability": _SQL_READABILITY,
+    "trimmed_mean": _SQL_TRIMMED_MEAN,
 })
 
 # Remaining no-oracle entries, each with a reason:
