@@ -17276,6 +17276,200 @@ _SQL_TRIMMED_MEAN = (
     "ROUND(CAST(s AS DOUBLE) / n, 6) END AS iq_mean_cents FROM m")
 
 
+def q_priority_upgrades(sf_dir: str):
+    """Ordinal transition mix of consecutive orders per customer: did
+    the next order's priority get MORE urgent (upgrade), LESS urgent
+    (downgrade), or stay — the service-level trajectory report.
+    Priority is the leading digit of o_orderpriority ('1-URGENT' is
+    most urgent, so a DECREASING digit is an upgrade); order within a
+    customer is (o_orderdate, o_orderkey). 3-row output.
+
+    Shape for scale: ONE crc-coarse customer-bucket shuffle; per
+    bucket a single lexsort + shifted compare classifies every
+    adjacent pair; the final groupby is 3-bounded."""
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False
+                                            ).astype(np.int64)
+        pr = np.asarray(
+            [int(s[0]) for s in
+             b.column("o_orderpriority").to_pylist()], np.int64)
+        return pa.table({
+            "cust": pa.array(ck),
+            "pri": pa.array(pr),
+            "od": pa.array(b.column("o_orderdate").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)),
+            "okey": pa.array(
+                b.column("o_orderkey").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "pkey": pa.array((ck & cmask).astype(np.int32))})
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        cu = g["cust"].to_numpy(np.int64)
+        pr = g["pri"].to_numpy(np.int64)
+        od = g["od"].to_numpy(np.int64)
+        ok = g["okey"].to_numpy(np.int64)
+        o = np.lexsort((ok, od, cu))
+        cu, pr = cu[o], pr[o]
+        adj = cu[1:] == cu[:-1]
+        d = (pr[1:] - pr[:-1])[adj]
+        n_up = int((d < 0).sum())      # smaller digit = more urgent
+        n_down = int((d > 0).sum())
+        n_same = int((d == 0).sum())
+        return pa.table({
+            "move": pa.array(["downgrade", "same", "upgrade"],
+                             pa.string()),
+            "n": pa.array([n_down, n_same, n_up], pa.int64())})
+
+    def drop_zero(b: pa.Table) -> pa.Table:
+        # the oracle's GROUP BY only emits observed classes; a class
+        # with zero pairs everywhere must not surface as an n=0 row
+        return b.filter(pc.greater(b.column("n"), 0))
+
+    return (_read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderkey", "o_custkey",
+                              "o_orderpriority", "o_orderdate"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(classify,
+                                        batch_format="pandas")
+            .groupby("move").aggregate(Sum("n", alias_name="n"))
+            .map_batches(drop_zero, batch_format="pyarrow"))
+
+
+_SQL_PRIORITY_UPGRADES = (
+    "WITH o AS (SELECT o_custkey, "
+    "CAST(LEFT(o_orderpriority, 1) AS BIGINT) AS pri, "
+    "o_orderdate, o_orderkey FROM orders), "
+    "t AS (SELECT pri - LAG(pri) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS d FROM o) "
+    "SELECT CASE WHEN d < 0 THEN 'upgrade' WHEN d > 0 THEN "
+    "'downgrade' ELSE 'same' END AS move, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE d IS NOT NULL "
+    "GROUP BY 1")
+
+
+def q_activity_coverage(sf_dir: str):
+    """Engagement-density histogram: each user's coverage = active
+    days / span days (first→last inclusive), bucketed into deciles
+    floor(coverage·10) (bucket 10 = perfect attendance) — separates
+    "daily habit" users from "two visits a year apart". Integer
+    bucket arithmetic (10·active // span), no float coverage.
+
+    Shape for scale: per-batch (user, day) distinct partials → ONE
+    crc-coarse user-bucket shuffle; per bucket the per-user (active,
+    span) fold is a lexsort + reduceat; the output is an 11-bounded
+    bucket histogram."""
+    from ray.data.aggregate import Sum
+    cmask = _coarse_mask()
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        day = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        df = pd.DataFrame({"u": uid, "d": day}).drop_duplicates()
+        u = df["u"].to_numpy(np.int64)
+        return pa.table({
+            "u": pa.array(u), "d": pa.array(df["d"].to_numpy(np.int64)),
+            "pkey": pa.array((u & cmask).astype(np.int32))})
+
+    def cover(g: pd.DataFrame) -> pa.Table:
+        df = g.drop_duplicates(["u", "d"])
+        u = df["u"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        active = (ends - starts).astype(np.int64)
+        span = d[ends - 1] - d[starts] + 1
+        bucket = (10 * active) // span
+        ub, cnt = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(ub.astype(np.int64)),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["ts", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey").map_groups(cover, batch_format="pandas")
+            .groupby("bucket").aggregate(Sum("n_users",
+                                             alias_name="n_users")))
+
+
+_SQL_ACTIVITY_COVERAGE = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // 86400000000 AS day FROM events), "
+    "u AS (SELECT user_id, COUNT(*) AS active, "
+    "MAX(day) - MIN(day) + 1 AS span FROM d GROUP BY 1) "
+    "SELECT CAST((10 * active) // span AS BIGINT) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY 1")
+
+
+def q_ttr_curve(sf_dir: str):
+    """Lexical diversity curve: type-token ratio (distinct tokens /
+    total tokens, pooled) per log2 document-length band — TTR falls
+    with length, so the BAND-wise curve is the comparable diversity
+    audit (flat low curve = TEMPLATED corpus). Integer sums, one
+    ROUND-6 division per band; empty docs are excluded.
+
+    Shape for scale: per-doc counts collapse in-batch to band-bounded
+    (Σdistinct, Σtokens, docs) partials; one ≤64-row groupby."""
+    from ray.data.aggregate import Sum
+    from ..functions.text import _RE2_TOKEN_RE
+
+    def partial(b: pa.Table) -> pa.Table:
+        out: dict = {}
+        for t in b.column("text").to_pylist():
+            toks = _RE2_TOKEN_RE.findall(t)
+            n = len(toks)
+            if n == 0:
+                continue
+            band = int(n).bit_length() - 1   # floor(log2(n))
+            u = len(set(toks))
+            cur = out.get(band, (0, 0, 0))
+            out[band] = (cur[0] + u, cur[1] + n, cur[2] + 1)
+        ks = sorted(out)
+        return pa.table({
+            "band": pa.array(ks, pa.int64()),
+            "u": pa.array([out[k][0] for k in ks], pa.int64()),
+            "t": pa.array([out[k][1] for k in ks], pa.int64()),
+            "docs": pa.array([out[k][2] for k in ks], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        t = b.column("t").to_numpy(zero_copy_only=False)
+        ttr = np.where(t == 0, np.nan,
+                       np.round(u / np.where(t == 0, 1, t)
+                                .astype(np.float64), 6))
+        return pa.table({"band": b.column("band"),
+                         "n_docs": b.column("docs"),
+                         "n_tokens": b.column("t"),
+                         "ttr": pa.array(ttr, pa.float64())})
+
+    return (_read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("band")
+            .aggregate(Sum("u", alias_name="u"),
+                       Sum("t", alias_name="t"),
+                       Sum("docs", alias_name="docs"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+_SQL_TTR_CURVE = (
+    "WITH d AS (SELECT regexp_extract_all(text, '\\S+') AS ts "
+    "FROM documents), "
+    "c AS (SELECT len(ts) AS n, "
+    "len(list_distinct(ts)) AS u FROM d WHERE len(ts) > 0), "
+    "b AS (SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS band, u, n "
+    "FROM c) "
+    "SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n) AS BIGINT) AS n_tokens, "
+    "ROUND(CAST(SUM(u) AS DOUBLE) / SUM(n), 6) AS ttr "
+    "FROM b GROUP BY 1")
+
+
 # Registry ORDER is adjudication priority, not chronology: round 2's
 # driver correctness file covered exactly the first 50 entries, so the
 # dict leads with (1) the 15 operators that have never received a driver
@@ -17545,6 +17739,9 @@ QUERIES = {
     "dim_variance": q_dim_variance,
     "readability": q_readability,
     "trimmed_mean": q_trimmed_mean,
+    "priority_upgrades": q_priority_upgrades,
+    "activity_coverage": q_activity_coverage,
+    "ttr_curve": q_ttr_curve,
 }
 
 # Adjudication-priority reorder: each round the driver's correctness
@@ -17878,6 +18075,9 @@ ORACLE_SQL.update({
     "dim_variance": _SQL_DIM_VARIANCE,
     "readability": _SQL_READABILITY,
     "trimmed_mean": _SQL_TRIMMED_MEAN,
+    "priority_upgrades": _SQL_PRIORITY_UPGRADES,
+    "activity_coverage": _SQL_ACTIVITY_COVERAGE,
+    "ttr_curve": _SQL_TTR_CURVE,
 })
 
 # Remaining no-oracle entries, each with a reason:
