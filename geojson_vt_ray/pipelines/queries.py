@@ -16499,9 +16499,11 @@ _SQL_LARGEST_REMAINDER = (
 def q_state_dwell(sf_dir: str):
     """Time-in-state per event type: each inter-event gap in a user's
     timeline is attributed to the EARLIER event's type (the state the
-    user was in); reports total dwell µs, gap count, and the ROUND-6
-    mean — the state-machine residency profile (which activity do
-    users linger in?).
+    user was in); reports total dwell in WHOLE SECONDS (each timestamp
+    floored to seconds before differencing — µs dwell sums overflow
+    int64 once total residency passes ~292k user-years, which the 20M-
+    row soak actually hit; the burstiness convention), gap count, and
+    the ROUND-6 mean — the state-machine residency profile.
 
     Shape for scale: ONE crc-coarse user-bucket shuffle; per bucket a
     single lexsort + shifted diff attributes each gap to the earlier
@@ -16517,8 +16519,9 @@ def q_state_dwell(sf_dir: str):
             "event_type": pa.array(
                 np.asarray(b.column("event_type").to_pylist(), object),
                 pa.string()),
-            "ts": pa.array(b.column("ts").cast(pa.int64())
-                           .to_numpy(zero_copy_only=False)),
+            "tsec": pa.array(b.column("ts").cast(pa.int64())
+                             .to_numpy(zero_copy_only=False)
+                             // 1_000_000),
             "event_id": pa.array(
                 b.column("event_id").to_numpy(zero_copy_only=False),
                 pa.int64()),
@@ -16527,7 +16530,7 @@ def q_state_dwell(sf_dir: str):
     def dwell(g: pd.DataFrame) -> pa.Table:
         uid = g["user_id"].to_numpy(np.int64)
         et = np.asarray(g["event_type"].to_numpy(), object)
-        ts = g["ts"].to_numpy(np.int64)
+        ts = g["tsec"].to_numpy(np.int64)
         eid = g["event_id"].to_numpy(np.int64)
         o = np.lexsort((eid, ts, uid))
         uid, et, ts = uid[o], et[o], ts[o]
@@ -16540,18 +16543,18 @@ def q_state_dwell(sf_dir: str):
         np.add.at(s, inv, dt)
         return pa.table({
             "event_type": pa.array(list(uniq), pa.string()),
-            "dwell_us": pa.array(s), "n_gaps": pa.array(n)})
+            "dwell_s": pa.array(s), "n_gaps": pa.array(n)})
 
     def finish(b: pa.Table) -> pa.Table:
-        s = b.column("dwell_us").to_numpy(zero_copy_only=False)
+        s = b.column("dwell_s").to_numpy(zero_copy_only=False)
         n = b.column("n_gaps").to_numpy(zero_copy_only=False)
         mean = np.where(n == 0, np.nan,
                         np.round(s / np.where(n == 0, 1, n)
                                  .astype(np.float64), 6))
         return pa.table({"event_type": b.column("event_type"),
-                         "dwell_us": b.column("dwell_us"),
+                         "dwell_s": b.column("dwell_s"),
                          "n_gaps": b.column("n_gaps"),
-                         "mean_dwell_us": pa.array(mean, pa.float64())})
+                         "mean_dwell_s": pa.array(mean, pa.float64())})
 
     return (_read_pq(f"{sf_dir}/events.parquet",
                      columns=["event_id", "ts", "user_id",
@@ -16559,21 +16562,21 @@ def q_state_dwell(sf_dir: str):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("pkey").map_groups(dwell, batch_format="pandas")
             .groupby("event_type")
-            .aggregate(Sum("dwell_us", alias_name="dwell_us"),
+            .aggregate(Sum("dwell_s", alias_name="dwell_s"),
                        Sum("n_gaps", alias_name="n_gaps"))
             .map_batches(finish, batch_format="pyarrow"))
 
 
 _SQL_STATE_DWELL = (
-    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, "
-    "event_id FROM events), "
+    "WITH e AS (SELECT user_id, event_type, "
+    "epoch_us(ts) // 1000000 AS t, event_id FROM events), "
     "g AS (SELECT event_type, LEAD(t) OVER ("
     "PARTITION BY user_id ORDER BY t, event_id) - t AS dt FROM e) "
-    "SELECT event_type, CAST(SUM(dt) AS BIGINT) AS dwell_us, "
+    "SELECT event_type, CAST(SUM(dt) AS BIGINT) AS dwell_s, "
     "CAST(COUNT(dt) AS BIGINT) AS n_gaps, "
     "CASE WHEN COUNT(dt) = 0 THEN NULL ELSE "
     "ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(dt), 6) END "
-    "AS mean_dwell_us FROM g WHERE dt IS NOT NULL GROUP BY 1")
+    "AS mean_dwell_s FROM g WHERE dt IS NOT NULL GROUP BY 1")
 
 
 def q_topk_churn(sf_dir: str, k: int = 20):

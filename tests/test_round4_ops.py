@@ -385,16 +385,19 @@ def test_largest_remainder_exact_budget(ray_session, tmp_path):
 
 
 def test_state_dwell_attribution(ray_session, tmp_path):
-    """Timeline A(t=0) B(t=10) A(t=30): the 10us gap belongs to state
-    A, the 20us gap to state B; the final event contributes nothing."""
-    rows = [(0, 0, 1, "A", 1.0), (1, 10, 1, "B", 1.0),
-            (2, 30, 1, "A", 1.0)]
+    """Timeline A(t=0s) B(t=10s) A(t=30s): the 10s gap belongs to
+    state A, the 20s gap to state B; the final event contributes
+    nothing. Dwell is in whole seconds (sub-second residue floors
+    away) so totals can't overflow int64 at fleet scale."""
+    s = 1_000_000
+    rows = [(0, 0 * s, 1, "A", 1.0), (1, 10 * s, 1, "B", 1.0),
+            (2, 30 * s, 1, "A", 1.0)]
     sf = _write(tmp_path, {"events": _events(rows)})
     df = Q.q_state_dwell(sf).to_pandas().set_index("event_type")
-    assert df.loc["A", "dwell_us"] == 10
+    assert df.loc["A", "dwell_s"] == 10
     assert df.loc["A", "n_gaps"] == 1
-    assert df.loc["B", "dwell_us"] == 20
-    assert df.loc["B", "mean_dwell_us"] == 20.0
+    assert df.loc["B", "dwell_s"] == 20
+    assert df.loc["B", "mean_dwell_s"] == 20.0
 
 
 def test_max_window_gain_kadane_corners(ray_session, tmp_path):
