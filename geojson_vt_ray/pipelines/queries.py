@@ -9701,7 +9701,11 @@ def q_dwell_time(sf_dir: str, level: int = 6):
     user lands in one bucket); per bucket a single lexsort + shifted
     diff computes next-event deltas with user boundaries zeroed, and
     per-cell partials leave the bucket — the final groupby is
-    cell-bounded. Integer microseconds end to end, exact."""
+    cell-bounded. Integer microseconds end to end, exact. CAPACITY:
+    a single cell's µs total overflows int64 at ~292k user-years of
+    residency IN THAT CELL (the state_dwell soak hit the analogous
+    un-partitioned bound); corpora near that regime should fold to
+    seconds first, as state_dwell does."""
     from ray.data.aggregate import Sum
     mask = _coarse_mask()
 
