@@ -16914,11 +16914,11 @@ def q_max_window_gain(sf_dir: str):
         s = np.where(et == "purchase", 1,
                      np.where(et == "error", -1, 0)).astype(np.int64)
         day = ts // 86_400_000_000
-        keep = s != 0
-        if not keep.any():
-            return pa.table({"day": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64())})
-        df = pd.DataFrame({"day": day[keep], "s": s[keep]})
+        # keep zero-signal days: the dense range must span ALL event
+        # days (the oracle's bounds) — dropping them shifts the
+        # window frame when the corpus leads/trails with signal-free
+        # days and every streak sum is non-positive
+        df = pd.DataFrame({"day": day, "s": s})
         agg = df.groupby("day", sort=False)["s"].sum()
         return pa.table({
             "day": pa.array(agg.index.to_numpy(np.int64)),

@@ -423,3 +423,14 @@ def test_max_window_gain_kadane_corners(ray_session, tmp_path):
     # first prefix): tie -> end 0, start day 0, sum -1
     assert (df2["best_sum"].iloc[0], df2["start_day"].iloc[0],
             df2["end_day"].iloc[0]) == (-1, 0, 0)
+
+    # signal-free days are part of the day range: a leading view-only
+    # day gives a zero-sum single-day window that beats any negative
+    # streak (and the oracle's bounds span ALL event days)
+    rows3 = [(0, 0 * day, 1, "view", 1.0),
+             (1, 1 * day, 1, "error", 1.0),
+             (2, 2 * day, 1, "view", 1.0)]
+    sf3 = _write(tmp_path / "c", {"events": _events(rows3)})
+    df3 = Q.q_max_window_gain(sf3).to_pandas()
+    assert (df3["best_sum"].iloc[0], df3["start_day"].iloc[0],
+            df3["end_day"].iloc[0]) == (0, 0, 0)
