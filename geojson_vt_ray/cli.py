@@ -133,6 +133,17 @@ def cmd_get_tile(args) -> int:
     return 0
 
 
+def cmd_tiles_in_bbox(args) -> int:
+    from .pipelines.pyramid import TileSet
+    ts = TileSet(args.pyramid)
+    tiles = ts.tiles_in_bbox(args.west, args.south, args.east,
+                             args.north, args.z)
+    print(json.dumps({"z": args.z, "n_tiles": len(tiles),
+                      "tiles": [[z, x, y] for z, x, y in tiles],
+                      "tilejson_bounds": ts.tilejson()["bounds"]}))
+    return 0
+
+
 def cmd_export_mvt(args) -> int:
     _ensure_ray()
     from .pipelines.pyramid import TileSet
@@ -274,6 +285,17 @@ def main(argv=None) -> int:
     gt.add_argument("--mvt", default=None,
                     help="write the tile as MVT protobuf to this path")
     gt.set_defaults(fn=cmd_get_tile)
+
+    tb = sub.add_parser(
+        "tiles-in-bbox", help="list the non-empty tiles a lon/lat "
+        "viewport needs at a zoom (west > east wraps the antimeridian)")
+    tb.add_argument("--pyramid", required=True)
+    tb.add_argument("west", type=float)
+    tb.add_argument("south", type=float)
+    tb.add_argument("east", type=float)
+    tb.add_argument("north", type=float)
+    tb.add_argument("z", type=int)
+    tb.set_defaults(fn=cmd_tiles_in_bbox)
 
     em = sub.add_parser(
         "export-mvt", help="distributed {z}/{x}/{y}.mvt export of a "
