@@ -4735,8 +4735,11 @@ def q_triangle_count(sf_dir: str, edge_mode: str = "broadcast"):
         pos = np.arange(len(src)) - starts[run_id]
         tot = int(pos.sum())
         if tot == 0:
+            # schema must match the non-empty path (incl. pkey) or the
+            # downstream groupby sees inconsistent blocks
             return pa.table({"part": pa.array([], pa.int64()),
-                             "n_tri": pa.array([], pa.int64())})
+                             "n_tri": pa.array([], pa.int64()),
+                             "pkey": pa.array([], pa.int32())})
         b_idx = np.repeat(np.arange(len(src)), pos)
         offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
         a_idx = np.repeat(starts[run_id], pos) + offs
@@ -15182,6 +15185,11 @@ def q_autocorr_lag1(sf_dir: str):
     d0 = int(counts["day"].min())
     d1 = int(counts["day"].max())
     span = d1 - d0 + 1
+    if span < 2:
+        # single-day corpus: every oracle LEAD is NULL, its m CTE is
+        # empty and SQL emits ZERO rows — mirror that, not NaN rows
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "acf1": pa.array([], pa.float64())})
     types = sorted(counts["event_type"].unique())
     out_t, out_r = [], []
     for t in types:
@@ -15239,27 +15247,40 @@ def q_doc_top_term(sf_dir: str):
     (no float idf logs to disagree on across ln implementations).
 
     Shape for scale: pass 1 folds per-batch per-term document-presence
-    partials into ONE vocabulary-bounded df groupby, broadcast as a
-    sorted LUT; pass 2 is a zero-shuffle per-doc argmax inside the
-    scan batch (a document is one row, so its tf table never crosses
-    blocks)."""
+    partials through ONE crc-coarse term-bucket reduceat merge (never
+    a vocabulary-cardinality groupby — 1e5+ keys on real corpora, the
+    ngram_coverage rule), broadcast as a sorted LUT; pass 2 is a
+    zero-shuffle per-doc argmax inside the scan batch (a document is
+    one row, so its tf table never crosses blocks)."""
     import ray
-    from ray.data.aggregate import Sum
     from ..functions.text import _RE2_TOKEN_RE
+    cmask = _coarse_mask()
 
     def df_partial(b: pa.Table) -> pa.Table:
+        import zlib
         seen: dict = {}
         for t in b.column("text").to_pylist():
             for term in set(_RE2_TOKEN_RE.findall(t)):
                 seen[term] = seen.get(term, 0) + 1
+        terms = sorted(seen)
+        h = np.asarray([zlib.crc32(t.encode()) for t in terms],
+                       np.int64)
         return pa.table({
-            "term": pa.array(sorted(seen), pa.string()),
-            "nd": pa.array([seen[k] for k in sorted(seen)], pa.int64())})
+            "term": pa.array(terms, pa.string()),
+            "nd": pa.array([seen[k] for k in terms], pa.int64()),
+            "vkey": pa.array((h & cmask).astype(np.int32))})
+
+    def df_merge(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("term", sort=False)["nd"].sum()
+        return pa.table({
+            "term": pa.array(agg.index.to_numpy(object), pa.string()),
+            "nd": pa.array(agg.to_numpy(np.int64))})
 
     ds = _read_pq(f"{sf_dir}/documents.parquet",
                   columns=["doc_id", "text"])
     df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
-              .groupby("term").aggregate(Sum("nd", alias_name="nd"))
+              .groupby("vkey").map_groups(df_merge,
+                                          batch_format="pandas")
               .to_pandas())                   # vocabulary-bounded
     terms = np.asarray(df_tbl["term"].to_numpy(), object)
     o = np.argsort(terms)
@@ -15739,6 +15760,11 @@ def q_weekday_f_stat(sf_dir: str):
     d1 = int(counts["day"].max())
     w = (d1 - d0 + 1) // 7
     span = 7 * w
+    if w == 0:
+        # corpus spans under one whole week: the oracle's day grid is
+        # empty and it emits ZERO rows — mirror that, not NaN rows
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "f_stat": pa.array([], pa.float64())})
     out_t, out_f = [], []
     for t in sorted(counts["event_type"].unique()):
         sub = counts[counts["event_type"] == t]
@@ -15964,27 +15990,41 @@ def q_oov_rate(sf_dir: str, v: int = 1000):
     ROUND-6 share per source (NULL if a source has no tokens).
 
     Shape for scale: pass 1 is vocabulary-bounded token counting
-    (per-batch partials + token groupby); the top-v set broadcasts as
-    a sorted array; pass 2 streams zero-shuffle per-batch (source,
-    oov, tot) partials into a source-bounded groupby."""
+    (per-batch partials through ONE crc-coarse token-bucket reduceat
+    merge — never a vocabulary-cardinality groupby); the top-v set
+    broadcasts as a sorted array; pass 2 streams zero-shuffle
+    per-batch (source, oov, tot) partials into a source-bounded
+    groupby."""
     import ray
     from ray.data.aggregate import Sum
     from ..functions.text import _RE2_TOKEN_RE
+    cmask = _coarse_mask()
 
     def tok_partial(b: pa.Table) -> pa.Table:
+        import zlib
         cnt: dict = {}
         for t in b.column("text").to_pylist():
             for tok in _RE2_TOKEN_RE.findall(t):
                 cnt[tok] = cnt.get(tok, 0) + 1
         toks = sorted(cnt)
+        h = np.asarray([zlib.crc32(t.encode()) for t in toks],
+                       np.int64)
         return pa.table({
             "tok": pa.array(toks, pa.string()),
-            "n": pa.array([cnt[t] for t in toks], pa.int64())})
+            "n": pa.array([cnt[t] for t in toks], pa.int64()),
+            "vkey": pa.array((h & cmask).astype(np.int32))})
+
+    def tok_merge(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("tok", sort=False)["n"].sum()
+        return pa.table({
+            "tok": pa.array(agg.index.to_numpy(object), pa.string()),
+            "n": pa.array(agg.to_numpy(np.int64))})
 
     ds = _read_pq(f"{sf_dir}/documents.parquet",
                   columns=["source", "text"])
     vc = (ds.map_batches(tok_partial, batch_format="pyarrow")
-          .groupby("tok").aggregate(Sum("n", alias_name="n"))
+          .groupby("vkey").map_groups(tok_merge,
+                                      batch_format="pandas")
           .to_pandas())                      # vocabulary-bounded
     toks = np.asarray(vc["tok"].to_numpy(), object)
     cnts = vc["n"].to_numpy(np.int64)
@@ -16590,11 +16630,13 @@ def q_topk_churn(sf_dir: str, k: int = 20):
     fast the "bestseller list" rotates. Set sizes are integers; the
     overlap is ONE ROUND-6 division per month pair.
 
-    Shape for scale: (month, part) integer-unit partials → one
-    month×part-bounded groupby (parts are dimension-bounded); the
-    driver ranks each month's tiny column and intersects consecutive
-    top-k id sets."""
-    from ray.data.aggregate import Sum
+    Shape for scale: (month, part) integer-unit partials merged
+    through ONE coarse part-bucket map_groups (a direct month×part
+    groupby.aggregate is a 1e6+-key exchange at sf1 — the house
+    rule); the month×part-bounded merge lands on the driver, which
+    ranks each month's tiny column and intersects consecutive top-k
+    id sets."""
+    cmask = _coarse_mask()
 
     def partial(b: pa.Table) -> pa.Table:
         lpk = b.column("l_partkey").to_numpy(zero_copy_only=False
@@ -16610,19 +16652,28 @@ def q_topk_churn(sf_dir: str, k: int = 20):
         units = ext * (100 - disc)
         df = pd.DataFrame({"m": month, "p": lpk, "u": units})
         agg = df.groupby(["m", "p"], sort=False)["u"].sum()
+        p = agg.index.get_level_values(1).to_numpy(np.int64)
         return pa.table({
             "month": pa.array(
                 agg.index.get_level_values(0).to_numpy(np.int64)),
-            "part": pa.array(
-                agg.index.get_level_values(1).to_numpy(np.int64)),
+            "part": pa.array(p),
+            "units": pa.array(agg.to_numpy(np.int64)),
+            "vkey": pa.array((p & cmask).astype(np.int32))})
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["month", "part"], sort=False)["units"].sum()
+        return pa.table({
+            "month": pa.array(agg.index.get_level_values(0)
+                              .to_numpy(np.int64)),
+            "part": pa.array(agg.index.get_level_values(1)
+                             .to_numpy(np.int64)),
             "units": pa.array(agg.to_numpy(np.int64))})
 
     tbl = (_read_pq(f"{sf_dir}/lineitem.parquet",
                     columns=["l_partkey", "l_shipdate",
                              "l_extendedprice", "l_discount"])
            .map_batches(partial, batch_format="pyarrow")
-           .groupby(["month", "part"])
-           .aggregate(Sum("units", alias_name="units"))
+           .groupby("vkey").map_groups(merge, batch_format="pandas")
            .to_pandas())                     # month x part bounded
     months = np.sort(tbl["month"].unique())
     tops = {}

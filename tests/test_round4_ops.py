@@ -434,3 +434,18 @@ def test_max_window_gain_kadane_corners(ray_session, tmp_path):
     df3 = Q.q_max_window_gain(sf3).to_pandas()
     assert (df3["best_sum"].iloc[0], df3["start_day"].iloc[0],
             df3["end_day"].iloc[0]) == (0, 0, 0)
+
+
+def test_time_series_degenerate_ranges_match_oracle(ray_session,
+                                                    tmp_path):
+    """A sub-week corpus gives weekday_f_stat ZERO rows (the oracle's
+    whole-week grid is empty) and a single-day corpus gives
+    autocorr_lag1 ZERO rows (every LEAD is NULL) — not NaN rows."""
+    day = 86_400_000_000
+    rows = [(i, i * day, 1, "view", 1.0) for i in range(3)]  # 3 days
+    sf = _write(tmp_path, {"events": _events(rows)})
+    assert len(Q.q_weekday_f_stat(sf).to_pandas()) == 0
+
+    rows2 = [(i, i * 1000, 1, "view", 1.0) for i in range(5)]  # 1 day
+    sf2 = _write(tmp_path / "b", {"events": _events(rows2)})
+    assert len(Q.q_autocorr_lag1(sf2).to_pandas()) == 0
