@@ -4501,6 +4501,28 @@ def _sql_grid_cluster(level: int = 6) -> str:
 
 
 
+def _expand_run_pairs(key: np.ndarray):
+    """All index pairs (a_idx, b_idx) with a_idx < b_idx inside each
+    maximal run of equal values in the SORTED ``key`` array — the
+    vectorized repeat/cumsum all-pairs expansion (band_join pattern):
+    the element at in-run position p is the HIGH end of p pairs whose
+    low ends are run positions 0..p-1. Shared by the per-order pair
+    explode, both triangle wedge generators, and edge_support; empty
+    when every run has length 1."""
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    sizes = np.diff(np.r_[starts, len(key)])
+    run_id = np.repeat(np.arange(len(starts)), sizes)
+    pos = np.arange(len(key)) - starts[run_id]
+    tot = int(pos.sum())
+    if tot == 0:
+        z = np.array([], np.int64)
+        return z, z
+    b_idx = np.repeat(np.arange(len(key)), pos)
+    offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
+    a_idx = np.repeat(starts[run_id], pos) + offs
+    return a_idx, b_idx
+
+
 def _copurchase_pair_stream(sf_dir: str, cmask: int):
     """Per-ORDER part pairs (id_a < id_b) of the co-purchase relation,
     one row per (order, pair) — the stream both the edge builder
@@ -4532,21 +4554,8 @@ def _copurchase_pair_stream(sf_dir: str, cmask: int):
         keep = np.r_[True, (ordv[1:] != ordv[:-1]) |
                      (part[1:] != part[:-1])]
         ordv, part = ordv[keep], part[keep]
-        starts = np.flatnonzero(np.r_[True, ordv[1:] != ordv[:-1]])
-        sizes = np.diff(np.r_[starts, len(ordv)])
-        # vectorized per-order all-pairs expansion (repeat/cumsum):
-        # the element at in-order position p is the HIGH end of p
-        # pairs whose low ends are positions 0..p-1 (part sorted
-        # in-run, so id_a < id_b)
-        run_id = np.repeat(np.arange(len(starts)), sizes)
-        pos = np.arange(len(ordv)) - starts[run_id]
-        tot = int(pos.sum())
-        if tot == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        b_idx = np.repeat(np.arange(len(ordv)), pos)
-        offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
-        a_idx = np.repeat(starts[run_id], pos) + offs
+        # part sorted in-run, so id_a < id_b
+        a_idx, b_idx = _expand_run_pairs(ordv)
         return pa.table({
             "id_a": pa.array(part[a_idx].astype(np.int64), pa.int64()),
             "id_b": pa.array(part[b_idx].astype(np.int64), pa.int64())})
@@ -4554,6 +4563,20 @@ def _copurchase_pair_stream(sf_dir: str, cmask: int):
     return (ds.map_batches(op_pairs, batch_format="pyarrow")
             .groupby("bkey").map_groups(order_edges,
                                         batch_format="pandas"))
+
+
+def _pair_mix_vkey(b: pa.Table, cmask: int) -> pa.Table:
+    """Append the mixed (id_a, id_b) coarse-bucket key to a pair-stream
+    batch — the shared count-shuffle key of basket_pairs/pair_lift
+    (equal pairs always land in the same bucket)."""
+    b = strip_schema_metadata(b)
+    ia = b.column("id_a").to_numpy(zero_copy_only=False
+                                   ).astype(np.uint64)
+    ib = b.column("id_b").to_numpy(zero_copy_only=False
+                                   ).astype(np.uint64)
+    mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
+    return b.append_column(
+        "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
 
 
 def _copurchase_edges(sf_dir: str, cmask: int, nparts: int):
@@ -4585,14 +4608,7 @@ def q_basket_pairs(sf_dir: str, min_support: int = 2):
     ds_pairs = _copurchase_pair_stream(sf_dir, cmask)
 
     def add_vkey(b: pa.Table) -> pa.Table:
-        b = strip_schema_metadata(b)
-        ia = b.column("id_a").to_numpy(zero_copy_only=False
-                                       ).astype(np.uint64)
-        ib = b.column("id_b").to_numpy(zero_copy_only=False
-                                       ).astype(np.uint64)
-        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
-        return b.append_column(
-            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
+        return _pair_mix_vkey(b, cmask)
 
     def count_pairs(g: pd.DataFrame) -> pa.Table:
         out = (g.groupby(["id_a", "id_b"], sort=False)
@@ -4670,6 +4686,41 @@ def _sql_basket_pairs(min_support: int = 2) -> str:
         f"WHERE n_both >= {min_support}")
 
 
+def _oriented_copurchase(sf_dir: str, cmask: int, nparts: int):
+    """Shared triangle-family prologue: the materialized co-purchase
+    edge Dataset, the broadcast sorted packed edge-key array and
+    degree LUT (both PART-DIMENSION-bounded, ray.put once), and the
+    degree-orienting map fn (lower-degree endpoint first, ties by id)
+    with its skey coarse bucket. Used by triangle_count,
+    edge_support, and (deg only) degree_assortativity."""
+    import ray
+    edges = _copurchase_edges(sf_dir, cmask, nparts)
+    epdf = edges.to_pandas()
+    ea = epdf["id_a"].to_numpy().astype(np.int64)
+    eb = epdf["id_b"].to_numpy().astype(np.int64)
+    ek_sorted = np.sort((ea << 31) | eb)
+    maxp = int(max(ea.max(), eb.max())) if len(ea) else 0
+    deg = np.zeros(maxp + 1, np.int64)
+    np.add.at(deg, ea, 1)
+    np.add.at(deg, eb, 1)
+    ek_ref = ray.put(ek_sorted)
+    deg_ref = ray.put(deg)
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        v = b.column("id_b").to_numpy(zero_copy_only=False)
+        d = ray.get(deg_ref)
+        lo_first = (d[a] < d[v]) | ((d[a] == d[v]) & (a < v))
+        src = np.where(lo_first, a, v)
+        dst = np.where(lo_first, v, a)
+        return pa.table({
+            "src": pa.array(src.astype(np.int64)),
+            "dst": pa.array(dst.astype(np.int64)),
+            "skey": pa.array((src & cmask).astype(np.int32))})
+
+    return edges, ek_ref, deg_ref, orient
+
+
 def q_triangle_count(sf_dir: str, edge_mode: str = "broadcast"):
     """Graph analytics: per-node triangle counts of the part
     CO-PURCHASE graph (_copurchase_edges) — the classic distributed
@@ -4694,55 +4745,21 @@ def q_triangle_count(sf_dir: str, edge_mode: str = "broadcast"):
     import ray
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
-    edges = _copurchase_edges(sf_dir, cmask, nparts)
-
-    # edge-key set + degree LUT: both part-dimension-bounded -> driver
-    # numpy + ray.put broadcast (the documented small-side contract)
-    epdf = edges.to_pandas()
-    ea = epdf["id_a"].to_numpy().astype(np.int64)
-    eb = epdf["id_b"].to_numpy().astype(np.int64)
-    ek_sorted = np.sort((ea << 31) | eb)
-    maxp = int(max(ea.max(), eb.max())) if len(ea) else 0
-    deg = np.zeros(maxp + 1, np.int64)
-    np.add.at(deg, ea, 1)
-    np.add.at(deg, eb, 1)
-    ek_ref = ray.put(ek_sorted)
-    deg_ref = ray.put(deg)
-
-    def orient(b: pa.Table) -> pa.Table:
-        a = b.column("id_a").to_numpy(zero_copy_only=False)
-        v = b.column("id_b").to_numpy(zero_copy_only=False)
-        d = ray.get(deg_ref)
-        lo_first = (d[a] < d[v]) | ((d[a] == d[v]) & (a < v))
-        src = np.where(lo_first, a, v)
-        dst = np.where(lo_first, v, a)
-        return pa.table({
-            "src": pa.array(src.astype(np.int64)),
-            "dst": pa.array(dst.astype(np.int64)),
-            "skey": pa.array((src & cmask).astype(np.int32))})
+    edges, ek_ref, deg_ref, orient = _oriented_copurchase(
+        sf_dir, cmask, nparts)
 
     def close_wedges(g: pd.DataFrame) -> pa.Table:
         src = g["src"].to_numpy()
         dst = g["dst"].to_numpy()
         o = np.lexsort((dst, src))
         src, dst = src[o], dst[o]
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        sizes = np.diff(np.r_[starts, len(src)])
-        # vectorized all-pairs wedge expansion (repeat/cumsum, the
-        # band_join pattern): element at in-run position p is the HIGH
-        # end of p wedges whose low ends are run positions 0..p-1
-        run_id = np.repeat(np.arange(len(starts)), sizes)
-        pos = np.arange(len(src)) - starts[run_id]
-        tot = int(pos.sum())
-        if tot == 0:
+        a_idx, b_idx = _expand_run_pairs(src)
+        if not len(a_idx):
             # schema must match the non-empty path (incl. pkey) or the
             # downstream groupby sees inconsistent blocks
             return pa.table({"part": pa.array([], pa.int64()),
                              "n_tri": pa.array([], pa.int64()),
                              "pkey": pa.array([], pa.int32())})
-        b_idx = np.repeat(np.arange(len(src)), pos)
-        offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
-        a_idx = np.repeat(starts[run_id], pos) + offs
         ws = src[b_idx].astype(np.int64)
         wa = dst[a_idx].astype(np.int64)  # dst sorted in-run: wa < wb
         wb = dst[b_idx].astype(np.int64)
@@ -4778,19 +4795,7 @@ def q_triangle_count(sf_dir: str, edge_mode: str = "broadcast"):
             dst = g["dst"].to_numpy()
             o = np.lexsort((dst, src))
             src, dst = src[o], dst[o]
-            starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-            sizes = np.diff(np.r_[starts, len(src)])
-            run_id = np.repeat(np.arange(len(starts)), sizes)
-            pos = np.arange(len(src)) - starts[run_id]
-            tot = int(pos.sum())
-            if tot == 0:
-                return pa.table({"wkey": pa.array([], pa.int64()),
-                                 "ws": pa.array([], pa.int64()),
-                                 "wa": pa.array([], pa.int64()),
-                                 "wb": pa.array([], pa.int64())})
-            b_idx = np.repeat(np.arange(len(src)), pos)
-            offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
-            a_idx = np.repeat(starts[run_id], pos) + offs
+            a_idx, b_idx = _expand_run_pairs(src)
             ws = src[b_idx].astype(np.int64)
             wa = dst[a_idx].astype(np.int64)
             wb = dst[b_idx].astype(np.int64)
@@ -14994,50 +14999,21 @@ def q_edge_support(sf_dir: str):
     import ray
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
-    edges = _copurchase_edges(sf_dir, cmask, nparts)
-
-    epdf = edges.to_pandas()
-    ea = epdf["id_a"].to_numpy().astype(np.int64)
-    eb = epdf["id_b"].to_numpy().astype(np.int64)
-    ek_sorted = np.sort((ea << 31) | eb)
-    maxp = int(max(ea.max(), eb.max())) if len(ea) else 0
-    deg = np.zeros(maxp + 1, np.int64)
-    np.add.at(deg, ea, 1)
-    np.add.at(deg, eb, 1)
-    ek_ref = ray.put(ek_sorted)
-    deg_ref = ray.put(deg)
-
-    def orient(b: pa.Table) -> pa.Table:
-        a = b.column("id_a").to_numpy(zero_copy_only=False)
-        v = b.column("id_b").to_numpy(zero_copy_only=False)
-        d = ray.get(deg_ref)
-        lo_first = (d[a] < d[v]) | ((d[a] == d[v]) & (a < v))
-        src = np.where(lo_first, a, v)
-        dst = np.where(lo_first, v, a)
-        return pa.table({
-            "src": pa.array(src.astype(np.int64)),
-            "dst": pa.array(dst.astype(np.int64)),
-            "skey": pa.array((src & cmask).astype(np.int32))})
+    edges, ek_ref, _deg_ref, orient = _oriented_copurchase(
+        sf_dir, cmask, nparts)
 
     def close_to_pairs(g: pd.DataFrame) -> pa.Table:
         src = g["src"].to_numpy()
         dst = g["dst"].to_numpy()
         o = np.lexsort((dst, src))
         src, dst = src[o], dst[o]
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        sizes = np.diff(np.r_[starts, len(src)])
-        run_id = np.repeat(np.arange(len(starts)), sizes)
-        pos = np.arange(len(src)) - starts[run_id]
-        tot = int(pos.sum())
+        a_idx, b_idx = _expand_run_pairs(src)
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "n": pa.array([], pa.int64()),
                           "pkey": pa.array([], pa.int32())})
-        if tot == 0:
+        if not len(a_idx):
             return empty
-        b_idx = np.repeat(np.arange(len(src)), pos)
-        offs = np.arange(tot) - np.repeat(np.cumsum(pos) - pos, pos)
-        a_idx = np.repeat(starts[run_id], pos) + offs
         ws = src[b_idx].astype(np.int64)
         wa = dst[a_idx].astype(np.int64)
         wb = dst[b_idx].astype(np.int64)
@@ -15150,17 +15126,11 @@ _SQL_PEER_REVENUE = (
     "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)")
 
 
-def q_autocorr_lag1(sf_dir: str):
-    """Lag-1 autocorrelation of each event type's DAILY volume over the
-    dense day range (missing days count 0) — the "is traffic
-    self-similar day over day" seasonality probe.
-
-    Shape for scale: per-batch (type, day) bincount partials → one
-    day×type-bounded Sum groupby (day count is time-range-bounded,
-    never row-bounded); the driver densifies the tiny series and folds
-    the FIVE integer moments in Python ints, finishing with the ONE
-    shared ROUND-6 Pearson expression (NULL when either variance is
-    zero) — the tenure_activity_corr convention."""
+def _type_day_counts(sf_dir: str) -> pd.DataFrame:
+    """(event_type, epoch-day, n) counts of the events table — the
+    shared day-bounded front end of the dense-series statistics
+    (autocorr_lag1, weekday_f_stat). Per-batch bincount partials →
+    one day×type-bounded Sum groupby; the result is driver-sized."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -15176,12 +15146,26 @@ def q_autocorr_lag1(sf_dir: str):
             "day": pa.array(cnt["day"].to_numpy(np.int64)),
             "n": pa.array(cnt["n"].to_numpy(np.int64))})
 
-    counts = (_read_pq(f"{sf_dir}/events.parquet",
-                       columns=["ts", "event_type"])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby(["event_type", "day"])
-              .aggregate(Sum("n", alias_name="n"))
-              .to_pandas())                  # day x type bounded
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+
+def q_autocorr_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of each event type's DAILY volume over the
+    dense day range (missing days count 0) — the "is traffic
+    self-similar day over day" seasonality probe.
+
+    Shape for scale: the shared _type_day_counts front end (per-batch
+    bincount partials, day×type-bounded groupby); the driver densifies
+    the tiny series and folds the FIVE integer moments in Python
+    ints, finishing with the ONE shared ROUND-6 Pearson expression
+    (NULL when either variance is zero) — the tenure_activity_corr
+    convention."""
+    counts = _type_day_counts(sf_dir)        # day x type bounded
     d0 = int(counts["day"].min())
     d1 = int(counts["day"].max())
     span = d1 - d0 + 1
@@ -15626,14 +15610,7 @@ def q_pair_lift(sf_dir: str, min_support: int = 2):
     ds_pairs = _copurchase_pair_stream(sf_dir, cmask)
 
     def add_vkey(b: pa.Table) -> pa.Table:
-        b = strip_schema_metadata(b)
-        ia = b.column("id_a").to_numpy(zero_copy_only=False
-                                       ).astype(np.uint64)
-        ib = b.column("id_b").to_numpy(zero_copy_only=False
-                                       ).astype(np.uint64)
-        mix = (ia * np.uint64(0x9E3779B97F4A7C15)) ^ ib
-        return b.append_column(
-            "vkey", pa.array((mix & np.uint64(cmask)).astype(np.int32)))
+        return _pair_mix_vkey(b, cmask)
 
     # per-part distinct-order counts + global distinct order count:
     # distinct (ord, part) partials -> coarse part-bucket merge
@@ -15732,30 +15709,9 @@ def q_weekday_f_stat(sf_dir: str):
     convert the same integers to double), NULL when the within-group
     variance is zero.
 
-    Shape for scale: per-batch (type, day) count partials → one
-    day×type-bounded groupby; the driver densifies W*7 days and folds
-    Python-int moments."""
-    from ray.data.aggregate import Sum
-
-    def partial(b: pa.Table) -> pa.Table:
-        ts = b.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        et = np.asarray(b.column("event_type").to_pylist(), object)
-        day = ts // 86_400_000_000
-        df = pd.DataFrame({"event_type": et, "day": day})
-        cnt = (df.groupby(["event_type", "day"], sort=False)
-               .size().reset_index(name="n"))
-        return pa.table({
-            "event_type": pa.array(cnt["event_type"], pa.string()),
-            "day": pa.array(cnt["day"].to_numpy(np.int64)),
-            "n": pa.array(cnt["n"].to_numpy(np.int64))})
-
-    counts = (_read_pq(f"{sf_dir}/events.parquet",
-                       columns=["ts", "event_type"])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby(["event_type", "day"])
-              .aggregate(Sum("n", alias_name="n"))
-              .to_pandas())                  # day x type bounded
+    Shape for scale: the shared _type_day_counts front end; the driver
+    densifies W*7 days and folds Python-int moments."""
+    counts = _type_day_counts(sf_dir)        # day x type bounded
     d0 = int(counts["day"].min())
     d1 = int(counts["day"].max())
     w = (d1 - d0 + 1) // 7
