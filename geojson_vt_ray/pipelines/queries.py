@@ -17788,7 +17788,22 @@ _R03_ADJUDICATED = frozenset((
     "focal_density user_mode basket_pairs iqr_outliers "
     "attribution_pairs zorder_layout value_histogram user_paths "
     "window_dedup left_join_fill profile_table gap_fill").split())
-_ADJUDICATED = _R02_ADJUDICATED | _R03_ADJUDICATED
+# The 50 entries CORRECTNESS_r04.json adjudicated (all green).
+_R04_ADJUDICATED = frozenset((
+    "markov_transitions winsorize skyline cube_sales rolling_sum "
+    "bpe_merge sq8_embed edit_dist_pairs twa group_moments "
+    "cdc_upsert class_centroids component_sizes containment_join "
+    "degree_hist distinctive_terms doclen_percentiles "
+    "dup_rate_by_source dwell_time fold_leakage forward_fill "
+    "hard_negatives knn_classify late_events line_dedup mad "
+    "moran_i new_vs_returning ntile ohlc_bars ohlc_long "
+    "order_reconcile pagerank_int percent_rank pip_anti "
+    "quadkey_rollup reorder_gaps rfm_scores ri_audit "
+    "rolling_active_users rolling_time_sum search_rank "
+    "session_len_hist source_vocab_overlap trending_terms "
+    "user_first_last vector_outliers vocab_growth volume_anomaly "
+    "weighted_median").split())
+_ADJUDICATED = _R02_ADJUDICATED | _R03_ADJUDICATED | _R04_ADJUDICATED
 # Within the never-adjudicated tier, the no-oracle entries (the driver
 # can only rows-check them — their real gates are local recall/error
 # tests) yield their window slots to oracled entries, which get the
@@ -17804,6 +17819,9 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k in _R02_ADJUDICATED},
     **{k: v for k, v in QUERIES.items()
        if k in _R03_ADJUDICATED and k not in _R02_ADJUDICATED},
+    **{k: v for k, v in QUERIES.items()
+       if k in _R04_ADJUDICATED
+       and k not in (_R02_ADJUDICATED | _R03_ADJUDICATED)},
 }
 
 ORACLE_SQL = {
