@@ -212,7 +212,7 @@ def bottomk_quantiles(sketch: np.ndarray,
 
 def approx_group_percentiles(ds, group_col: str, value_col: str,
                              ps: tuple[float, ...] = (0.5, 0.9, 0.99),
-                             k: int = _BK_K) -> "pa.Table":
+                             k: int = _BK_K, salt=None) -> "pa.Table":
     """Mergeable approximate per-group percentiles: the sketch twin of
     functions/percentile.group_percentiles (exact). One pass; the
     shuffle-free driver merge handles O(blocks x groups) fixed-size
@@ -220,7 +220,14 @@ def approx_group_percentiles(ds, group_col: str, value_col: str,
     too expensive or the value domain is unbounded.
 
     ``value_col`` must be int64. Output columns match the exact
-    operator: group_col + p{P} int64 per requested percentile."""
+    operator: group_col + p{P} int64 per requested percentile.
+
+    ``salt=None`` (default) lets each partial derive a content salt,
+    decorrelating cross-block duplicates (best accuracy on
+    duplicate-heavy data) at the cost of estimates that depend on how
+    rows were batched into blocks. Pass an explicit integer ``salt``
+    for batching-invariant, run-reproducible estimates (the
+    whole-array-equals-merged-partials property holds only then)."""
     import ray
 
     def partial(b: pa.Table) -> pa.Table:
@@ -234,7 +241,7 @@ def approx_group_percentiles(ds, group_col: str, value_col: str,
             "g": pa.array(uniq),
             "sketch": pa.array(
                 [bottomk_partial(sv[bounds[i]:bounds[i + 1]],
-                                 k).tobytes()
+                                 k, salt=salt).tobytes()
                  for i in range(len(uniq))], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")

@@ -14,9 +14,6 @@ SF = "/root/testdata/sf0.001"
 
 
 def _df(res):
-    import ray.data as rd
-    if isinstance(res, rd.Dataset):
-        return res.to_pandas()
     try:
         return res.to_pandas()
     except AttributeError:

@@ -195,6 +195,24 @@ def test_bottomk_duplicate_heavy_rank_error():
         assert err <= 0.06, (p, est, lo, hi)
 
 
+def test_approx_group_percentiles_explicit_salt_invariant(ray_session):
+    """With an explicit salt, approx_group_percentiles must give
+    IDENTICAL estimates regardless of how rows were split into blocks
+    (the reproducibility opt-in the salt parameter exists for)."""
+    import ray.data as rd
+    from geojson_vt_ray.functions.sketch import approx_group_percentiles
+    rng = np.arange(30_000, dtype=np.int64)
+    tbl = pa.table({"g": pa.array((rng % 3).astype(np.int64)),
+                    "v": pa.array(rng * 2654435761 % 1_000_003)})
+    outs = []
+    for blocks in (2, 17):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        outs.append(approx_group_percentiles(
+            ds, "g", "v", ps=(0.5, 0.9), k=512,
+            salt=7).to_pandas().sort_values("g", ignore_index=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_quantile_buckets_cover_all_rows(ray_session):
     import pyarrow.parquet as pq
     df = Q.q_quantile_buckets(SF_DIR).to_pandas()
