@@ -11249,8 +11249,6 @@ def q_hexbin_count(sf_dir: str):
     math; distinct users needs ONE (cell,user) dedup groupby, then the
     per-cell rollup rides the already-clustered pairs — the same
     two-level shape as cell_count + user distincts."""
-    from ray.data.aggregate import Sum
-
     w, h = _HEX_W, _HEX_H
 
     def assign(b: pa.Table) -> pa.Table:
@@ -11292,29 +11290,40 @@ def q_hexbin_count(sf_dir: str):
                          "n": pa.array(n.astype(np.int64))})
 
     def cell_rollup(g: pd.DataFrame) -> pa.Table:
+        # one lexsort serves both levels: dedup (cell, user) pairs
+        # (run-length over the sorted stream, reduceat-summing event
+        # counts), then collapse the deduped pair stream — already
+        # cell-clustered — to per-cell (n_events, n_users). Replaces a
+        # 20M-row 3-key groupby.aggregate that dominated the 20M-event
+        # soak (79.5 s -> a per-bucket merge).
         cx = g["cx"].to_numpy(np.int64)
         cy = g["cy"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
         n = g["n"].to_numpy(np.int64)
-        order = np.lexsort((cy, cx))
-        cx, cy, n = cx[order], cy[order], n[order]
-        fi = np.flatnonzero(np.r_[True, (cx[1:] != cx[:-1]) |
-                                  (cy[1:] != cy[:-1])])
-        nu = np.diff(np.r_[fi, len(cx)])
-        ne = np.add.reduceat(n, fi)
-        return pa.table({"cx": pa.array(cx[fi], pa.int64()),
-                         "cy": pa.array(cy[fi], pa.int64()),
+        order = np.lexsort((uid, cy, cx))
+        cx, cy, uid, n = cx[order], cy[order], uid[order], n[order]
+        pi = np.flatnonzero(np.r_[True, (cx[1:] != cx[:-1]) |
+                                  (cy[1:] != cy[:-1]) |
+                                  (uid[1:] != uid[:-1])])
+        pn = np.add.reduceat(n, pi)
+        pcx, pcy = cx[pi], cy[pi]
+        fi = np.flatnonzero(np.r_[True, (pcx[1:] != pcx[:-1]) |
+                                  (pcy[1:] != pcy[:-1])])
+        nu = np.diff(np.r_[fi, len(pcx)])
+        ne = np.add.reduceat(pn, fi)
+        return pa.table({"cx": pa.array(pcx[fi], pa.int64()),
+                         "cy": pa.array(pcy[fi], pa.int64()),
                          "n_events": pa.array(ne.astype(np.int64)),
                          "n_users": pa.array(nu.astype(np.int64))})
 
     mask = _coarse_mask()
-    pairs = (_read_pq(f"{sf_dir}/events.parquet",
-                      columns=["event_id", "user_id"])
-             .map_batches(assign, batch_format="pyarrow")
-             .map_batches(pair_partial, batch_format="pyarrow")
-             .groupby(["cx", "cy", "user_id"])
-             .aggregate(Sum("n", alias_name="n")))
-    # cells co-locate by coarse cx bucket; rollup per bucket
-    return (pairs
+    # pair partials shuffle ONCE by coarse cx bucket (same cell — and
+    # therefore same (cell, user) pair — always lands in one bucket);
+    # the per-bucket merge dedups pairs and rolls up cells together.
+    return (_read_pq(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "user_id"])
+            .map_batches(assign, batch_format="pyarrow")
+            .map_batches(pair_partial, batch_format="pyarrow")
             .map_batches(lambda b: b.append_column(
                 "pkey", pa.array((b.column("cx")
                                   .to_numpy(zero_copy_only=False)
