@@ -562,20 +562,61 @@ _SQL_JOIN_BROADCAST = (
 
 def q_window_events(sf_dir: str):
     """Tumbling 1h window aggregate per user (streaming-shaped op on the
-    ordered log; SURVEY §2.8)."""
-    from ray.data.aggregate import Sum, Count
+    ordered log; SURVEY §2.8).
+
+    Shape for scale: ONE crc-coarse user-bucket shuffle, then each
+    bucket collapses to (user, hour) groups with a lexsort + reduceat
+    — the direct natural-key groupby.aggregate spent 80 s at 20M
+    events on ~19M tiny groups. Within each group the float values sum
+    in event_id order — the table's exact file order, so the
+    left-to-right float accumulation reproduces a sequential scan's
+    bit-for-bit (ts alone is not a total order: equal-ts rows would
+    sum in nondeterministic tie order)."""
+    mask = _coarse_mask()
     ds = _read_pq(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "ts", "value"])
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
 
     def bucket(b: pa.Table) -> pa.Table:
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        hour = ts // 3_600_000_000  # µs -> hour bucket
-        return b.append_column("hour", pa.array(hour))
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+            "event_id": b.column("event_id"),
+            "value": b.column("value"),
+            "pkey": pa.array((uid & mask).astype(np.int32))})
+
+    def windows(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        hour = g["hour"].to_numpy(np.int64)
+        ev = g["event_id"].to_numpy(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        order = np.lexsort((ev, hour, uid))
+        uid, hour, val = uid[order], hour[order], val[order]
+        fi = np.flatnonzero(np.r_[True, (uid[1:] != uid[:-1]) |
+                                  (hour[1:] != hour[:-1])])
+        n = np.diff(np.r_[fi, len(uid)])
+        # NOT reduceat: np.add.reduceat right-associates short
+        # segments (a+(b+c)), which ulp-diverges from a sequential
+        # scan's (a+b)+c. Strict left-to-right per group, vectorized
+        # ACROSS groups: step k adds every group's k-th element, so
+        # each group's accumulator grows in file order while the loop
+        # runs only max-group-length times (events per user-hour, a
+        # small bound), never once per group.
+        sums = np.zeros(len(fi), np.float64)
+        if len(fi):
+            for k in range(int(n.max())):
+                m = n > k
+                sums[m] += val[fi[m] + k]
+        return pa.table({"user_id": pa.array(uid[fi], pa.int64()),
+                         "hour": pa.array(hour[fi], pa.int64()),
+                         "n": pa.array(n.astype(np.int64)),
+                         "sum_value": pa.array(sums, pa.float64())})
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby(["user_id", "hour"])
-            .aggregate(Count(alias_name="n"),
-                       Sum("value", alias_name="sum_value")))
+            .groupby("pkey")
+            .map_groups(windows, batch_format="pandas"))
 
 
 _SQL_WINDOW = (
@@ -587,8 +628,15 @@ def q_window_sliding(sf_dir: str):
     """Sliding (hopping) window: 2h windows hopping 1h — each event
     lands in windows w = hour and w = hour-1 (a per-batch row expansion,
     the Ray-native flat_map shape) before the grouped count; exact-int
-    outputs only (COUNT + MIN event id) so the compare is hash-stable."""
-    from ray.data.aggregate import Count, Min
+    outputs only (COUNT + MIN event id) so the compare is hash-stable.
+
+    Shape for scale: the expanded stream shuffles ONCE by crc-coarse
+    user bucket, then each bucket collapses to (user, window) groups
+    with one lexsort + reduceat — a direct 2x-row groupby.aggregate on
+    the natural key spent 160 s at 20M events (~37M tiny groups); the
+    coarse-bucket merge is the fixed-key-cardinality form of the same
+    exchange."""
+    mask = _coarse_mask()
     ds = _read_pq(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
 
@@ -603,12 +651,27 @@ def q_window_sliding(sf_dir: str):
         keep = w >= 0
         return pa.table({"user_id": pa.array(uid2[keep]),
                          "w_start": pa.array(w[keep]),
-                         "event_id": pa.array(ev2[keep])})
+                         "event_id": pa.array(ev2[keep]),
+                         "pkey": pa.array((uid2[keep] & mask)
+                                          .astype(np.int32))})
+
+    def windows(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        w = g["w_start"].to_numpy(np.int64)
+        ev = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((ev, w, uid))
+        uid, w, ev = uid[order], w[order], ev[order]
+        fi = np.flatnonzero(np.r_[True, (uid[1:] != uid[:-1]) |
+                                  (w[1:] != w[:-1])])
+        n = np.diff(np.r_[fi, len(uid)])
+        return pa.table({"user_id": pa.array(uid[fi], pa.int64()),
+                         "w_start": pa.array(w[fi], pa.int64()),
+                         "n": pa.array(n.astype(np.int64)),
+                         "first_event": pa.array(ev[fi], pa.int64())})
 
     return (ds.map_batches(expand, batch_format="pyarrow")
-            .groupby(["user_id", "w_start"])
-            .aggregate(Count(alias_name="n"),
-                       Min("event_id", alias_name="first_event")))
+            .groupby("pkey")
+            .map_groups(windows, batch_format="pandas"))
 
 
 _SQL_WINDOW_SLIDING = (
