@@ -91,6 +91,44 @@ def _coarse_mask() -> int:
     return coarse_mask()
 
 
+def _hist_coarse_merge(parts, tcol: str, kcol: str, vcols: tuple):
+    """Merge per-batch (type, key, counts…) histogram partials into
+    globally-distinct rows WITHOUT a natural-key groupby.aggregate:
+    one crc-coarse shuffle on the key column, then a per-bucket
+    lexsort + reduceat collapse. Drop-in for
+    ``groupby([tcol, kcol]).aggregate(Sum(v)…)`` when (type × key)
+    cardinality is corpus-scaled — the direct aggregate spent 40–50 s
+    at 20M events on ~10M tiny groups (auc_roc, percent_rank,
+    weighted_median, cume_dist); the merge is seconds. Same key →
+    same bucket, so the collapse is exact; int64 reduceat sums only."""
+    mask = _coarse_mask()
+
+    def addk(b: pa.Table) -> pa.Table:
+        k = b.column(kcol).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((k & mask).astype(np.int32)))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        t = np.asarray(g[tcol].to_numpy(), object)
+        tu, tinv = np.unique(t, return_inverse=True)
+        k = g[kcol].to_numpy(np.int64)
+        order = np.lexsort((k, tinv))
+        tinv, k = tinv[order], k[order]
+        fi = np.flatnonzero(np.r_[True, (tinv[1:] != tinv[:-1]) |
+                                  (k[1:] != k[:-1])])
+        cols = {tcol: pa.array(list(tu[tinv[fi]])),
+                kcol: pa.array(k[fi], pa.int64())}
+        for v in vcols:
+            arr = g[v].to_numpy(np.int64)[order]
+            cols[v] = pa.array(
+                np.add.reduceat(arr, fi).astype(np.int64))
+        return pa.table(cols)
+
+    return (parts.map_batches(addk, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def _events_points(sf_dir: str):
     """events + derived lon/lat columns (bit-exact vs the SQL formulas)."""
     ds = _read_pq(f"{sf_dir}/events.parquet",
@@ -5548,18 +5586,23 @@ def q_profile_table(sf_dir: str):
     column, its null count and EXACT distinct count, in one pass.
 
     Shape for scale: each batch emits its DISTINCT (column, key) pairs
-    plus one per-column null-count row — the only things that shuffle;
-    the (col, key) groupby dedups globally, then a #columns-group
-    finish counts keys. Floats become their injective int64 bit
-    pattern (-0.0 normalized to 0.0, all NaNs collapsed — matching SQL
-    DISTINCT semantics), so no value representation ever disagrees.
-    The pair shuffle is the same exact-distinct shape as
-    q_distinct_users; no column's value set ever lands on the driver."""
-    _NULLS = "\x00nulls"
+    plus one per-column null-count row — the only things that shuffle.
+    Numeric keys become an injective int64 (floats via their bit
+    pattern, -0.0 normalized to 0.0, all NaNs collapsed — matching SQL
+    DISTINCT semantics); string keys carry a crc32 bucket hash PLUS
+    the exact string. Pairs shuffle ONCE by crc-coarse hash bucket
+    (same key → same bucket), each bucket dedups exactly and emits
+    per-column (distinct, nulls) partials, and a #columns-key groupby
+    folds them — the natural-key (col, key) groupby.aggregate this
+    replaces spent 21 s at 20M events on ~10M string-keyed groups. No
+    column's value set ever lands on the driver."""
+    import zlib
+    mask = _coarse_mask()
+    _COLS = ("user_id", "event_type", "value", "props")
 
     def partial(b: pa.Table) -> pa.Table:
-        cols, keys, nulls = [], [], []
-        for name in ("user_id", "event_type", "value", "props"):
+        cols, ikeys, skeys, nulls = [], [], [], []
+        for name in _COLS:
             col = b.column(name)
             n_null = col.null_count
             valid = col.drop_null()
@@ -5568,34 +5611,61 @@ def q_profile_table(sf_dir: str):
                 v = np.where(v == 0.0, 0.0, v)        # -0.0 -> 0.0
                 bits = v.view(np.int64).copy()
                 bits[np.isnan(v)] = np.int64(-1)      # one NaN class
-                uq = np.unique(bits).astype("U24")
+                uq = np.unique(bits)
+                suq = [None] * len(uq)
             elif pa.types.is_integer(col.type):
-                uq = np.unique(
-                    valid.to_numpy(zero_copy_only=False)).astype("U24")
+                uq = np.unique(valid.to_numpy(zero_copy_only=False)
+                               ).astype(np.int64)
+                suq = [None] * len(uq)
             else:
-                uq = np.unique(np.asarray(valid.to_pylist(), dtype=object))
+                suq = list(np.unique(np.asarray(valid.to_pylist(),
+                                                dtype=object)))
+                uq = np.fromiter(
+                    (zlib.crc32(x.encode("utf-8")) for x in suq),
+                    np.int64, len(suq))
             cols.extend([name] * (len(uq) + 1))
-            keys.extend(list(uq) + [_NULLS])
+            ikeys.extend(list(uq) + [0])
+            skeys.extend(suq + [None])
+            # per-(batch, column) null-count sentinel row, marked by
+            # `sent` (the last row of each column run below)
             nulls.extend([0] * len(uq) + [n_null])
         return pa.table({"col": pa.array(cols, pa.string()),
-                         "key": pa.array([str(k) for k in keys],
-                                         pa.string()),
-                         "nulls": pa.array(nulls, pa.int64())})
+                         "ikey": pa.array(ikeys, pa.int64()),
+                         "skey": pa.array(skeys, pa.string()),
+                         "nulls": pa.array(nulls, pa.int64()),
+                         "sent": pa.array(
+                             [j == len(cols) - 1 or cols[j + 1] != cols[j]
+                              for j in range(len(cols))], pa.bool_())})
+
+    def bucket_dedup(g: pd.DataFrame) -> pa.Table:
+        sent = g["sent"].to_numpy(bool)
+        nn = g.loc[sent].groupby("col", sort=False)["nulls"].sum()
+        body = g.loc[~sent, ["col", "ikey", "skey"]].drop_duplicates()
+        nd = body.groupby("col", sort=False).size()
+        cols = sorted(set(nn.index) | set(nd.index))
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "n_nulls": pa.array([int(nn.get(c, 0)) for c in cols],
+                                pa.int64()),
+            "n_distinct": pa.array([int(nd.get(c, 0)) for c in cols],
+                                   pa.int64())})
 
     def finish(g: pd.DataFrame) -> pa.Table:
-        sent = g["key"] == _NULLS
         return pa.table({
             "col": pa.array([g["col"].iloc[0]], pa.string()),
-            "n_nulls": pa.array([int(g.loc[sent, "nulls"].sum())],
-                                pa.int64()),
-            "n_distinct": pa.array([int((~sent).sum())], pa.int64())})
+            "n_nulls": pa.array([int(g["n_nulls"].sum())], pa.int64()),
+            "n_distinct": pa.array([int(g["n_distinct"].sum())],
+                                   pa.int64())})
 
-    from ray.data.aggregate import Sum
-    ds = _read_pq(f"{sf_dir}/events.parquet",
-                  columns=["user_id", "event_type", "value", "props"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=list(_COLS))
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["col", "key"])
-            .aggregate(Sum("nulls", alias_name="nulls"))
+            .map_batches(lambda b: b.append_column(
+                "pkey", pa.array(
+                    (b.column("ikey").to_numpy(zero_copy_only=False)
+                     & mask).astype(np.int32))),
+                         batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(bucket_dedup, batch_format="pandas")
             .groupby("col").map_groups(finish, batch_format="pandas"))
 
 
@@ -6473,9 +6543,14 @@ def q_mad(sf_dir: str):
                  med.column("p50").to_pylist()))
 
     def absdev(b: pa.Table) -> pa.Table:
-        g = b.column("event_type").to_pylist()
+        # dictionary-encode the group column so the median lookup is
+        # one vectorized gather over ≤#groups codes, not per-row Python
+        enc = pc.dictionary_encode(
+            b.column("event_type").combine_chunks())
+        med_by_code = np.array(
+            [m[x] for x in enc.dictionary.to_pylist()], np.int64)
+        mm = med_by_code[enc.indices.to_numpy(zero_copy_only=False)]
         cents = b.column("cents").to_numpy(zero_copy_only=False)
-        mm = np.fromiter((m[x] for x in g), np.int64, len(g))
         return pa.table({"event_type": b.column("event_type"),
                          "adev": pa.array(np.abs(cents - mm))})
 
@@ -6930,7 +7005,6 @@ def q_percent_rank(sf_dir: str, mode: str = "broadcast"):
     on (group, value) instead of broadcasting (tested equal to the
     broadcast path in tests/test_fallback_paths.py)."""
     import ray
-    from ray.data.aggregate import Sum
 
     def to_cents(b: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(
@@ -6967,9 +7041,10 @@ def q_percent_rank(sf_dir: str, mode: str = "broadcast"):
         # group count is small (event types), so a direct map_groups
         # cumulate is fine; the (group, value)-keyed table then joins
         # back distributedly instead of broadcasting
-        lut_ds = (cds.map_batches(vc_partial, batch_format="pyarrow")
-                  .groupby(["event_type", "cents"])
-                  .aggregate(Sum("n", alias_name="n"))
+        lut_ds = (_hist_coarse_merge(
+                      cds.map_batches(vc_partial,
+                                      batch_format="pyarrow"),
+                      "event_type", "cents", ("n",))
                   .groupby("event_type")
                   .map_groups(cum, batch_format="pandas"))
         joined = cds.join(lut_ds, join_type="inner",
@@ -6978,9 +7053,9 @@ def q_percent_rank(sf_dir: str, mode: str = "broadcast"):
                           aggregator_ray_remote_args=_agg_args())
         return joined.select_columns(["event_id", "n_lt", "n_group"])
 
-    vc = (cds.map_batches(vc_partial, batch_format="pyarrow")
-          .groupby(["event_type", "cents"])
-          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    vc = _hist_coarse_merge(
+        cds.map_batches(vc_partial, batch_format="pyarrow"),
+        "event_type", "cents", ("n",)).to_pandas()
     lut = {}
     for g, sub in vc.groupby("event_type", sort=False):
         sub = sub.sort_values("cents")
@@ -7309,7 +7384,6 @@ def q_weighted_median(sf_dir: str):
     one domain-bounded groupby then a single-block cumulative scan
     finishes. For unbounded domains the fallback is the two-pass
     recursive histogram refinement of functions/percentile.py."""
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(
@@ -7342,11 +7416,11 @@ def q_weighted_median(sf_dir: str):
             "wmedian_cents": pa.array(out_m, pa.int64()),
             "total_w": pa.array(out_t, pa.int64())})
 
-    return (_read_pq(f"{sf_dir}/events.parquet",
-                     columns=["event_type", "user_id", "value"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "cents"])
-            .aggregate(Sum("w", alias_name="w"))
+    return (_hist_coarse_merge(
+                _read_pq(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value"])
+                .map_batches(partial, batch_format="pyarrow"),
+                "event_type", "cents", ("w",))
             .repartition(1)
             .map_batches(finalize, batch_format="pandas"))
 
@@ -10160,9 +10234,15 @@ def q_nearest_supplier(sf_dir: str):
 
     Shape for scale: the facility table is small by contract →
     broadcast arrays (sorted by s_suppkey so np.argmin's first-min
-    rule IS the tie-break); each batch computes a chunked int
-    distance matrix and emits one row per event — zero shuffle,
-    corpus streams."""
+    rule IS the tie-break). Event coordinates are fully determined by
+    event_id mod lcm(3600, 1600) = 14400, so each actor memoizes the
+    1-NN answer for ALL 14 400 possible grid positions in __init__
+    (14 400 × |sites| once per actor) and every batch is a pure
+    modular gather — zero shuffle, zero per-event distance matrix,
+    corpus streams. (The direct per-batch matrix spent 105 s at 20M
+    events; the memoized gather is ~2 s.) For a non-modular
+    coordinate column this degrades gracefully to the chunked
+    per-batch matrix of knn_join's k=1 path."""
     import ray
     import pyarrow.parquet as pq
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
@@ -10172,37 +10252,41 @@ def q_nearest_supplier(sf_dir: str):
     sx = (sk % 340) * 10 - 1695
     sy = (sk % 150) * 10 - 775
     ref = ray.put((sk, sx, sy))
+    _MOD = 14_400   # lcm(3600, 1600): determines (ex, ey) exactly
 
     class Nearest:
         _CHUNK = 8_000_000
 
         def __init__(self):
-            self.sk, self.sx, self.sy = (
+            sk, sx, sy = (
                 ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ev = b.column("event_id").to_numpy(zero_copy_only=False)
-            ex = (ev % 3600).astype(np.int64) - 1800
-            ey = (ev % 1600).astype(np.int64) - 800
-            nq = len(self.sk)
+            pos = np.arange(_MOD, dtype=np.int64)
+            px = (pos % 3600) - 1800
+            py = (pos % 1600) - 800
+            nq = len(sk)
             step = max(self._CHUNK // max(nq, 1), 1)
-            out_s = np.empty(len(ev), np.int64)
-            out_d = np.empty(len(ev), np.int64)
-            for i in range(0, len(ev), step):
-                dx = ex[i:i + step, None] - self.sx[None, :]
-                dy = ey[i:i + step, None] - self.sy[None, :]
+            self.tab_s = np.empty(_MOD, np.int64)
+            self.tab_d = np.empty(_MOD, np.int64)
+            for i in range(0, _MOD, step):
+                dx = px[i:i + step, None] - sx[None, :]
+                dy = py[i:i + step, None] - sy[None, :]
                 d2 = dx * dx + dy * dy
                 j = d2.argmin(axis=1)     # first min = smallest key
-                out_s[i:i + step] = self.sk[j]
-                out_d[i:i + step] = d2[np.arange(len(j)), j]
+                self.tab_s[i:i + step] = sk[j]
+                self.tab_d[i:i + step] = d2[np.arange(len(j)), j]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ev = b.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = ev % _MOD
             return pa.table({
-                "event_id": pa.array(ev.astype(np.int64)),
-                "s_suppkey": pa.array(out_s),
-                "d2": pa.array(out_d)})
+                "event_id": pa.array(ev),
+                "s_suppkey": pa.array(self.tab_s[idx]),
+                "d2": pa.array(self.tab_d[idx])})
 
     return (_read_pq(f"{sf_dir}/events.parquet", columns=["event_id"])
             .map_batches(Nearest, batch_format="pyarrow",
-                         concurrency=2,
+                         concurrency=(2, 8),
                          # broadcast ref in constructor state: see
                          # q_radius_count's max_restarts note
                          max_restarts=0))
@@ -10661,7 +10745,6 @@ def q_auc_roc(sf_dir: str):
     partials; one bounded groupby (types × distinct cents); the fold
     runs distributed in map_groups, one group per type, a single sort
     + cumsum over that type's histogram."""
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         v = b.column("value").to_numpy(zero_copy_only=False)
@@ -10707,12 +10790,11 @@ def q_auc_roc(sf_dir: str):
             "n_neg": pa.array([n], pa.int64()),
             "auc": pa.array([auc], pa.float64())})
 
-    return (_read_pq(f"{sf_dir}/events.parquet",
-                     columns=["event_type", "user_id", "value"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "cents"])
-            .aggregate(Sum("np_", alias_name="np_"),
-                       Sum("nn_", alias_name="nn_"))
+    return (_hist_coarse_merge(
+                _read_pq(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value"])
+                .map_batches(partial, batch_format="pyarrow"),
+                "event_type", "cents", ("np_", "nn_"))
             .groupby("event_type")
             .map_groups(fold, batch_format="pandas"))
 
@@ -15453,7 +15535,6 @@ def q_cume_dist(sf_dir: str):
     (group, cents, count) partials, inclusive cumulative LUT
     broadcast, zero-shuffle searchsorted(side="right") assign pass."""
     import ray
-    from ray.data.aggregate import Sum
 
     def to_cents(b: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(
@@ -15477,9 +15558,9 @@ def q_cume_dist(sf_dir: str):
             "cents": pa.array(cnt["cents"].to_numpy(np.int64)),
             "n": pa.array(cnt["n"].to_numpy(np.int64))})
 
-    vc = (cds.map_batches(vc_partial, batch_format="pyarrow")
-          .groupby(["event_type", "cents"])
-          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    vc = _hist_coarse_merge(
+        cds.map_batches(vc_partial, batch_format="pyarrow"),
+        "event_type", "cents", ("n",)).to_pandas()
     lut = {}
     for g, sub in vc.groupby("event_type", sort=False):
         sub = sub.sort_values("cents")
