@@ -441,9 +441,9 @@ def q_agg_lineitem(sf_dir: str):
                          "cnt": pa.array(cnt)})
 
     def finalize(b: pa.Table) -> pa.Table:
-        rev = pc.divide(pc.cast(b.column("sum_rev_i"), pa.float64()),
+        rev = pc.divide(pc.cast(b.column("sum_rev_i"), pa.float64(), safe=False),
                         pa.scalar(10000.0))
-        qty = pc.cast(b.column("sum_qty_i"), pa.float64())
+        qty = pc.cast(b.column("sum_qty_i"), pa.float64(), safe=False)
         return (b.drop_columns(["sum_rev_i", "sum_qty_i"])
                 .append_column("sum_qty", qty)
                 .append_column("sum_rev", rev))
@@ -500,7 +500,7 @@ def q_top_revenue(sf_dir: str):
                                ascending=[False, True]).head(10)
 
     def finalize(b: pa.Table) -> pa.Table:
-        rev = pc.divide(pc.cast(b.column("rev_i"), pa.float64()),
+        rev = pc.divide(pc.cast(b.column("rev_i"), pa.float64(), safe=False),
                         pa.scalar(10000.0))
         return b.drop_columns(["rev_i"]).append_column("revenue", rev)
 
@@ -576,7 +576,7 @@ def q_join_broadcast(sf_dir: str):
                          "cnt": pa.array(cnt)})
 
     def finalize(b: pa.Table) -> pa.Table:
-        tot = pc.divide(pc.cast(b.column("total_i"), pa.float64()),
+        tot = pc.divide(pc.cast(b.column("total_i"), pa.float64(), safe=False),
                         pa.scalar(100.0))
         return b.drop_columns(["total_i"]).append_column("total", tot)
 
@@ -2794,7 +2794,7 @@ def q_multiway_join(sf_dir: str):
                                             batch_format="pandas"))
 
     def finalize(b: pa.Table) -> pa.Table:
-        rev = pc.divide(pc.cast(b.column("rev_i"), pa.float64()),
+        rev = pc.divide(pc.cast(b.column("rev_i"), pa.float64(), safe=False),
                         pa.scalar(10000.0))
         return pa.table({"l_orderkey": b.column("l_orderkey"),
                          "revenue": rev,
@@ -3206,7 +3206,7 @@ def q_quantile_buckets(sf_dir: str):
         return g.groupby("bucket", as_index=False)[["n", "cents_i"]].sum()
 
     def finalize(b: pa.Table) -> pa.Table:
-        total = pc.divide(pc.cast(b.column("cents_i"), pa.float64()),
+        total = pc.divide(pc.cast(b.column("cents_i"), pa.float64(), safe=False),
                           pa.scalar(100.0))
         return pa.table({"bucket": b.column("bucket"),
                          "n": b.column("n"),
@@ -9556,8 +9556,12 @@ def q_corr_matrix(sf_dir: str):
             "sxy": pa.array(sxy, pa.int64())})
 
     def finalize(b: pa.Table) -> pa.Table:
-        f = {c: b.column("sum_" + c).cast(pa.float64())
-             .to_numpy(zero_copy_only=False)
+        # numpy astype, NOT pa.cast: Arrow's int64->float64 cast is
+        # SAFE by default and raises once a moment sum exceeds 2^53
+        # (hit at ~15M rows in the 20M sweep); astype rounds to
+        # nearest like SQL's CAST(x AS DOUBLE)
+        f = {c: b.column("sum_" + c).to_numpy(zero_copy_only=False)
+             .astype(np.float64)
              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
         num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
         den = np.sqrt((f["n"] * f["sxx"] - f["sx"] * f["sx"]) *
@@ -9635,8 +9639,12 @@ def q_group_regression(sf_dir: str):
             "sxy": pa.array(fold(x * y))})
 
     def finalize(b: pa.Table) -> pa.Table:
-        f = {c: b.column("sum_" + c).cast(pa.float64())
-             .to_numpy(zero_copy_only=False)
+        # numpy astype, NOT pa.cast: Arrow's int64->float64 cast is
+        # SAFE by default and raises once a moment sum exceeds 2^53
+        # (hit at ~15M rows in the 20M sweep); astype rounds to
+        # nearest like SQL's CAST(x AS DOUBLE)
+        f = {c: b.column("sum_" + c).to_numpy(zero_copy_only=False)
+             .astype(np.float64)
              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
         num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
         varx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
@@ -14429,7 +14437,6 @@ def q_pareto_share(sf_dir: str):
     Shape for scale: (priority, cents) histogram partials → bounded
     groupby → per-priority descending cumulative fold in map_groups;
     Python-int revenue sums."""
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         cents = np.round(b.column("o_totalprice").to_numpy(
@@ -14475,11 +14482,11 @@ def q_pareto_share(sf_dir: str):
             "top_k": pa.array([k], pa.int64()),
             "top_share": pa.array([float(share)], pa.float64())})
 
-    return (_read_pq(f"{sf_dir}/orders.parquet",
-                     columns=["o_orderpriority", "o_totalprice"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["o_orderpriority", "cents"])
-            .aggregate(Sum("c", alias_name="c"))
+    return (_hist_coarse_merge(
+                _read_pq(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+                .map_batches(partial, batch_format="pyarrow"),
+                "o_orderpriority", "cents", ("c",))
             .groupby("o_orderpriority")
             .map_groups(fold, batch_format="pandas"))
 
