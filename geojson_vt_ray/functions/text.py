@@ -62,17 +62,84 @@ class LangId:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Whole-batch vectorized scorer, bit-identical to the scalar
+        `_score` reference (kept above for tests): lowercase + regex
+        split extract the first 200 alpha tokens per doc; per-language
+        word hits are one isin + bincount; bigram hits come from a
+        byte-level bigram explosion deduped per (doc, bigram); the
+        best-language fold replays the profile-order strict-> loop on
+        arrays. The per-doc Python scorer this replaces was 71 s at 1M
+        docs; this is one pass of C kernels."""
         import pyarrow.compute as pc
         col = batch.column("text")
+        n_docs = len(col)
         head = pc.utf8_slice_codeunits(col, 0, 200)
         is_cjk = pc.greater(
             pc.count_substring_regex(head, r"[\x{4E00}-\x{9FFF}]"), 0
         ).to_numpy(zero_copy_only=False)
-        texts = col.to_pylist()
-        preds = ["zh" if c else self._score(t)
-                 for c, t in zip(is_cjk, texts)]
-        return batch.append_column("pred_lang",
-                                   pa.array(preds, pa.string()))
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(col), "[^a-z]+").combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offs))
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        parent, lens = parent[keep], lens[keep]
+        if len(parent):
+            # rank among the doc's nonempty tokens; cap at 200 (the
+            # scalar path's toks[:200])
+            new = np.r_[True, parent[1:] != parent[:-1]]
+            seg_start = np.flatnonzero(new)
+            rank = (np.arange(len(parent)) -
+                    seg_start[np.cumsum(new) - 1])
+            keep2 = rank < 200
+            parent, lens = parent[keep2], lens[keep2]
+            flat = flat.filter(pa.array(keep)).filter(pa.array(keep2))
+        scores = {}
+        if len(parent):
+            ft = flat.combine_chunks() if isinstance(
+                flat, pa.ChunkedArray) else flat
+            fs = pd.Series(ft.to_numpy(zero_copy_only=False))
+            # byte-level bigram explosion (tokens are pure a-z ASCII)
+            o = ft.buffers()[1]
+            o = np.frombuffer(o, np.int32, len(ft) + 1,
+                              offset=ft.offset * 4)
+            data = np.frombuffer(ft.buffers()[2], np.uint8)
+            span = data[o[0]:o[-1]].astype(np.int32)
+            tokid = np.repeat(np.arange(len(ft)), lens)
+            if len(span) > 1:
+                same = tokid[1:] == tokid[:-1]
+                code = (span[:-1] * 256 + span[1:])[same]
+                bdoc = parent[tokid[:-1][same]]
+                ukey = np.unique(bdoc.astype(np.int64) * 65536 + code)
+                udoc, ucode = ukey // 65536, ukey % 65536
+            else:
+                udoc = ucode = np.empty(0, np.int64)
+            for lang, (words, bigrams) in self.profiles.items():
+                if not words:
+                    continue
+                wh = np.bincount(
+                    parent[fs.isin(words).to_numpy()],
+                    minlength=n_docs).astype(np.float64)
+                bcodes = np.array(
+                    [ord(b[0]) * 256 + ord(b[1]) for b in bigrams],
+                    np.int64)
+                bh = np.bincount(udoc[np.isin(ucode, bcodes)],
+                                 minlength=n_docs)
+                scores[lang] = wh + 0.3 * bh
+        best = np.full(n_docs, "und", dtype=object)
+        best_score = np.zeros(n_docs, np.float64)
+        for lang in self.profiles:
+            if lang not in scores:
+                continue
+            m = scores[lang] > best_score
+            best[m] = lang
+            best_score[m] = scores[lang][m]
+        best[is_cjk] = "zh"
+        return batch.append_column(
+            "pred_lang", pa.array(list(best), pa.string()))
 
 
 def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:

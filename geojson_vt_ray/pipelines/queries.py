@@ -3508,7 +3508,12 @@ def q_decontam(sf_dir: str, n: int = 5, k_eval: int = 256,
 
     class Probe:
         """Per-doc distinct grams searchsorted against the broadcast
-        sorted benchmark gram array (read once per actor)."""
+        sorted benchmark gram array (read once per actor). NOTE: the
+        per-doc join/set loop is the MEASURED winner here — a
+        shifted-str.cat vectorized rewrite was 4x slower per batch
+        (pandas object-string concat overhead dwarfs a C-speed
+        " ".join over ~50-token docs); the scale lever is the actor
+        pool width, not this loop."""
 
         def __init__(self):
             self.bg = ray.get(gref) if isinstance(gref, ray.ObjectRef) \
@@ -3537,7 +3542,8 @@ def q_decontam(sf_dir: str, n: int = 5, k_eval: int = 256,
     # broadcast gram ref in the captured closure: same lost-ref caveat
     # as BloomProbe/CandidateCounts — Ray Data retries tasks itself,
     # actor restarts add nothing but a core_worker log line
-    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=2,
+    return ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=(2, 8),
                           max_restarts=0)
 
 
@@ -4365,7 +4371,6 @@ def q_lm_score(sf_dir: str):
     web-scale vocabulary is NOT broadcastable) and joined back on term
     with a distributed hash join; the per-doc reduce is a tiny
     grouped-sum. Nothing corpus-sized touches the driver."""
-    from ray.data.aggregate import Min, Sum
     cmask = _coarse_mask()
     nparts = F_dedup._num_join_partitions()
     ds = _read_pq(f"{sf_dir}/documents.parquet",
@@ -4417,11 +4422,35 @@ def q_lm_score(sf_dir: str):
             "min_tf": pa.array(gtf, pa.int64()),
         })
 
+    def add_dkey(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((d & cmask).astype(np.int32)))
+
+    def doc_reduce(g: pd.DataFrame) -> pa.Table:
+        # per-bucket doc collapse (lexsort + reduceat) — the direct
+        # doc_id groupby.aggregate over the joined (doc, term) stream
+        # was the 1M-doc sweep's top outlier (217 s; ~1M tiny groups)
+        d = g["doc_id"].to_numpy(np.int64)
+        order = np.argsort(d, kind="stable")
+        d = d[order]
+        nt = g["n_tokens"].to_numpy(np.int64)[order]
+        st = g["sum_tf"].to_numpy(np.int64)[order]
+        mt = g["min_tf"].to_numpy(np.int64)[order]
+        fi = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pa.table({
+            "doc_id": pa.array(d[fi], pa.int64()),
+            "n_tokens": pa.array(np.add.reduceat(nt, fi)
+                                 .astype(np.int64)),
+            "sum_tf": pa.array(np.add.reduceat(st, fi)
+                               .astype(np.int64)),
+            "min_tf": pa.array(np.minimum.reduceat(mt, fi)
+                               .astype(np.int64))})
+
     return (joined.map_batches(doc_partial, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
-                       Sum("sum_tf", alias_name="sum_tf"),
-                       Min("min_tf", alias_name="min_tf")))
+            .map_batches(add_dkey, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(doc_reduce, batch_format="pandas"))
 
 
 _SQL_LM_SCORE = (
@@ -10010,7 +10039,6 @@ def q_line_dedup(sf_dir: str, w: int = _LINE_W):
     bucket classifies instances by distinct-doc count and collapses to
     per-doc partials; the final groupby is doc-bounded."""
     import zlib
-    from ray.data.aggregate import Sum
     cmask = _coarse_mask()
     ds = _read_pq(f"{sf_dir}/documents.parquet",
                   columns=["doc_id", "text"])
@@ -10050,12 +10078,33 @@ def q_line_dedup(sf_dir: str, w: int = _LINE_W):
             "n_dup_segments": pa.array(
                 out["n_dup_segments"].to_numpy(np.int64))})
 
+    def add_dkey(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dkey", pa.array((d & cmask).astype(np.int32)))
+
+    def doc_merge(g: pd.DataFrame) -> pa.Table:
+        # coarse doc-bucket collapse of the per-segment-bucket doc
+        # partials (the direct doc_id groupby.aggregate was 65 s at
+        # 1M docs)
+        d = g["doc_id"].to_numpy(np.int64)
+        order = np.argsort(d, kind="stable")
+        d = d[order]
+        ns = g["n_segments"].to_numpy(np.int64)[order]
+        nd = g["n_dup_segments"].to_numpy(np.int64)[order]
+        fi = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pa.table({
+            "doc_id": pa.array(d[fi], pa.int64()),
+            "n_segments": pa.array(np.add.reduceat(ns, fi)
+                                   .astype(np.int64)),
+            "n_dup_segments": pa.array(np.add.reduceat(nd, fi)
+                                       .astype(np.int64))})
+
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("pkey").map_groups(classify, batch_format="pandas")
-            .groupby("doc_id")
-            .aggregate(Sum("n_segments", alias_name="n_segments"),
-                       Sum("n_dup_segments",
-                           alias_name="n_dup_segments")))
+            .map_batches(add_dkey, batch_format="pyarrow")
+            .groupby("dkey")
+            .map_groups(doc_merge, batch_format="pandas"))
 
 
 def _sql_line_dedup(w: int = _LINE_W) -> str:
