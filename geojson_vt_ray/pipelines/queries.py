@@ -639,14 +639,22 @@ def q_window_events(sf_dir: str):
         # segments (a+(b+c)), which ulp-diverges from a sequential
         # scan's (a+b)+c. Strict left-to-right per group, vectorized
         # ACROSS groups: step k adds every group's k-th element, so
-        # each group's accumulator grows in file order while the loop
-        # runs only max-group-length times (events per user-hour, a
-        # small bound), never once per group.
+        # each group's accumulator grows in file order. The loop is
+        # capped at 128 steps (numpy's pairwise-sum blocksize, below
+        # which np.sum IS sequential l2r): groups that large use
+        # per-group np.sum instead — few by definition, and beyond
+        # 128 elements no two engines' float sums agree bit-for-bit
+        # anyway, so l2r fidelity buys nothing there.
         sums = np.zeros(len(fi), np.float64)
         if len(fi):
-            for k in range(int(n.max())):
-                m = n > k
-                sums[m] += val[fi[m] + k]
+            small = n <= 128
+            if small.any():
+                for k in range(int(n[small].max())):
+                    m = small & (n > k)
+                    sums[m] += val[fi[m] + k]
+            bounds = np.r_[fi, len(val)]
+            for i in np.flatnonzero(~small):
+                sums[i] = val[bounds[i]:bounds[i + 1]].sum()
         return pa.table({"user_id": pa.array(uid[fi], pa.int64()),
                          "hour": pa.array(hour[fi], pa.int64()),
                          "n": pa.array(n.astype(np.int64)),
@@ -5658,13 +5666,14 @@ def q_profile_table(sf_dir: str):
             # per-(batch, column) null-count sentinel row, marked by
             # `sent` (the last row of each column run below)
             nulls.extend([0] * len(uq) + [n_null])
+        ca = np.asarray(cols, object)
+        sent = np.r_[ca[1:] != ca[:-1], True] if len(ca) else \
+            np.empty(0, bool)
         return pa.table({"col": pa.array(cols, pa.string()),
                          "ikey": pa.array(ikeys, pa.int64()),
                          "skey": pa.array(skeys, pa.string()),
                          "nulls": pa.array(nulls, pa.int64()),
-                         "sent": pa.array(
-                             [j == len(cols) - 1 or cols[j + 1] != cols[j]
-                              for j in range(len(cols))], pa.bool_())})
+                         "sent": pa.array(sent, pa.bool_())})
 
     def bucket_dedup(g: pd.DataFrame) -> pa.Table:
         sent = g["sent"].to_numpy(bool)

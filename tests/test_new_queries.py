@@ -224,6 +224,37 @@ def test_quantile_buckets_cover_all_rows(ray_session):
     assert (df["n"] <= 0.30 * n_orders).all()
 
 
+def test_window_events_hot_group_path(ray_session, tmp_path):
+    """A (user, hour) group larger than 128 events exercises
+    window_events' per-group pairwise-sum branch (the k-loop cap);
+    counts and sums must match DuckDB on the same table."""
+    import duckdb
+    import pyarrow.parquet as pq
+    rng = np.arange(400, dtype=np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(rng),
+        # user 7 has 300 events inside one hour; user 8 has 100
+        "user_id": pa.array(np.where(rng < 300, 7, 8)),
+        "ts": pa.array((rng * 1000 + 5).astype("datetime64[us]")),
+        "value": pa.array(rng.astype(np.float64) * 0.31 + 0.07),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = (Q.q_window_events(str(d)).to_pandas()
+           .sort_values(["user_id", "hour"], ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet'")
+    want = con.execute(
+        "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS "
+        "hour, COUNT(*) AS n, SUM(value) AS sum_value FROM events "
+        "GROUP BY 1, 2 ORDER BY 1, 2").fetchdf()
+    assert got["n"].tolist() == want["n"].tolist()
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"],
+                               rtol=1e-12)
+
+
 def _write_docs(tmp_path, rows):
     import pyarrow.parquet as pq
     d = tmp_path / "sf"
