@@ -138,9 +138,12 @@ def approx_distinct(ds, key_col: str, group_col: str | None = None):
 # independently (tests pin <=6% rank error at 90% duplicates).
 # Consequences, both deliberate: (a) estimates depend on how rows were
 # batched into blocks (identical input multiset, different splits ->
-# different-but-equally-valid samples; pass an explicit ``salt`` to all
-# builds to restore batching-invariance, at the cost of re-correlating
-# cross-block duplicates); (b) merge dedups identical (hash, value)
+# different-but-equally-valid samples; passing an explicit ``salt`` to
+# all builds restores batching-invariance ONLY when each group's
+# values are distinct — a duplicated value's ordinal-within-partial
+# still depends on how its copies split across blocks, so
+# duplicate-heavy data stays split-dependent even with a shared salt);
+# (b) merge dedups identical (hash, value)
 # entries so re-merging the same partial is a no-op. Merge itself stays
 # associative and commutative over any fixed set of partials. For
 # duplicate-exact answers prefer the histogram-selection operator
@@ -225,9 +228,14 @@ def approx_group_percentiles(ds, group_col: str, value_col: str,
     ``salt=None`` (default) lets each partial derive a content salt,
     decorrelating cross-block duplicates (best accuracy on
     duplicate-heavy data) at the cost of estimates that depend on how
-    rows were batched into blocks. Pass an explicit integer ``salt``
-    for batching-invariant, run-reproducible estimates (the
-    whole-array-equals-merged-partials property holds only then)."""
+    rows were batched into blocks. Passing an explicit integer
+    ``salt`` makes estimates batching-invariant and run-reproducible
+    WHEN each group's values are distinct (the
+    whole-array-equals-merged-partials property); duplicated values
+    keep per-split ordinals, so duplicate-heavy groups remain
+    split-dependent regardless of salt — there the choice is between
+    the content salt's accuracy and the shared salt's correlation, not
+    between invariance and not."""
     import ray
 
     def partial(b: pa.Table) -> pa.Table:

@@ -36,9 +36,15 @@ class LangId:
 
     def __init__(self):
         self.profiles = {}
+        self.bcodes = {}
         for lang, (words, bigrams) in _LANG_PROFILES.items():
             self.profiles[lang] = (frozenset(words.split()),
                                    frozenset(bigrams.split()))
+            # per-language bigram byte codes, built once per actor for
+            # the vectorized path (constant for the actor's lifetime)
+            self.bcodes[lang] = np.array(
+                [ord(b[0]) * 256 + ord(b[1])
+                 for b in self.profiles[lang][1]], np.int64)
         self.word_re = re.compile(r"[a-zA-Z]+")
 
     def classify(self, text: str) -> str:
@@ -70,7 +76,6 @@ class LangId:
         best-language fold replays the profile-order strict-> loop on
         arrays. The per-doc Python scorer this replaces was 71 s at 1M
         docs; this is one pass of C kernels."""
-        import pyarrow.compute as pc
         col = batch.column("text")
         n_docs = len(col)
         head = pc.utf8_slice_codeunits(col, 0, 200)
@@ -117,17 +122,15 @@ class LangId:
                 udoc, ucode = ukey // 65536, ukey % 65536
             else:
                 udoc = ucode = np.empty(0, np.int64)
-            for lang, (words, bigrams) in self.profiles.items():
+            for lang, (words, _bigrams) in self.profiles.items():
                 if not words:
                     continue
                 wh = np.bincount(
                     parent[fs.isin(words).to_numpy()],
                     minlength=n_docs).astype(np.float64)
-                bcodes = np.array(
-                    [ord(b[0]) * 256 + ord(b[1]) for b in bigrams],
-                    np.int64)
-                bh = np.bincount(udoc[np.isin(ucode, bcodes)],
-                                 minlength=n_docs)
+                bh = np.bincount(
+                    udoc[np.isin(ucode, self.bcodes[lang])],
+                    minlength=n_docs)
                 scores[lang] = wh + 0.3 * bh
         best = np.full(n_docs, "und", dtype=object)
         best_score = np.zeros(n_docs, np.float64)

@@ -129,6 +129,41 @@ def _hist_coarse_merge(parts, tcol: str, kcol: str, vcols: tuple):
             .map_groups(merge, batch_format="pandas"))
 
 
+def _key_coarse_merge(parts, kcol: str, sum_cols: tuple,
+                      min_cols: tuple = ()):
+    """Int-key sibling of ``_hist_coarse_merge``: collapse per-batch
+    partials keyed on one int64 column (doc_id, user_id, …) to one row
+    per key — crc-coarse bucket shuffle, then per-bucket argsort +
+    reduceat (Sum for ``sum_cols``, Min for ``min_cols``). Drop-in for
+    ``groupby(kcol).aggregate(...)`` when key cardinality is
+    corpus-scaled (lm_score's direct doc_id aggregate was 217 s at 1M
+    docs)."""
+    mask = _coarse_mask()
+
+    def addk(b: pa.Table) -> pa.Table:
+        k = b.column(kcol).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((k & mask).astype(np.int32)))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        k = g[kcol].to_numpy(np.int64)
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        fi = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        cols = {kcol: pa.array(k[fi], pa.int64())}
+        for v in sum_cols:
+            cols[v] = pa.array(np.add.reduceat(
+                g[v].to_numpy(np.int64)[order], fi).astype(np.int64))
+        for v in min_cols:
+            cols[v] = pa.array(np.minimum.reduceat(
+                g[v].to_numpy(np.int64)[order], fi).astype(np.int64))
+        return pa.table(cols)
+
+    return (parts.map_batches(addk, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def _events_points(sf_dir: str):
     """events + derived lon/lat columns (bit-exact vs the SQL formulas)."""
     ds = _read_pq(f"{sf_dir}/events.parquet",
@@ -3414,9 +3449,28 @@ def q_approx_percentiles(sf_dir: str):
         "o_orderpriority", "cents", ps=(0.5, 0.9, 0.99))
 
 
-# (sf_dir, k_eval) -> sorted eval doc_id sample; the stand-in selection
-# is deterministic per corpus, so one scan per process suffices.
+# (corpus signature, k_eval) -> sorted eval doc_id sample; the
+# stand-in selection is deterministic per corpus, so one scan per
+# process suffices. The signature folds in file mtime/size so a
+# documents.parquet regenerated at the same path (bench sweeps over
+# /tmp dirs) is NOT served a stale sample.
 _DECONTAM_EVAL_CACHE: dict = {}
+
+
+def _corpus_sig(path: str) -> tuple:
+    p = os.path.abspath(path)
+    try:
+        if os.path.isdir(p):
+            ents = []
+            for root, _, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    ents.append((f, st.st_mtime_ns, st.st_size))
+            return (p, tuple(ents))
+        st = os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (p, None)
 
 
 def q_decontam(sf_dir: str, n: int = 5, k_eval: int = 256,
@@ -3454,7 +3508,7 @@ def q_decontam(sf_dir: str, n: int = 5, k_eval: int = 256,
     ds = _read_pq(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
-    ck = (os.path.abspath(sf_dir), int(k_eval))
+    ck = (_corpus_sig(f"{sf_dir}/documents.parquet"), int(k_eval))
     if eval_ids is not None:
         ev = np.sort(np.asarray(list(eval_ids), dtype=np.int64))
     elif ck in _DECONTAM_EVAL_CACHE:
@@ -4430,35 +4484,12 @@ def q_lm_score(sf_dir: str):
             "min_tf": pa.array(gtf, pa.int64()),
         })
 
-    def add_dkey(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "pkey", pa.array((d & cmask).astype(np.int32)))
-
-    def doc_reduce(g: pd.DataFrame) -> pa.Table:
-        # per-bucket doc collapse (lexsort + reduceat) — the direct
-        # doc_id groupby.aggregate over the joined (doc, term) stream
-        # was the 1M-doc sweep's top outlier (217 s; ~1M tiny groups)
-        d = g["doc_id"].to_numpy(np.int64)
-        order = np.argsort(d, kind="stable")
-        d = d[order]
-        nt = g["n_tokens"].to_numpy(np.int64)[order]
-        st = g["sum_tf"].to_numpy(np.int64)[order]
-        mt = g["min_tf"].to_numpy(np.int64)[order]
-        fi = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        return pa.table({
-            "doc_id": pa.array(d[fi], pa.int64()),
-            "n_tokens": pa.array(np.add.reduceat(nt, fi)
-                                 .astype(np.int64)),
-            "sum_tf": pa.array(np.add.reduceat(st, fi)
-                               .astype(np.int64)),
-            "min_tf": pa.array(np.minimum.reduceat(mt, fi)
-                               .astype(np.int64))})
-
-    return (joined.map_batches(doc_partial, batch_format="pyarrow")
-            .map_batches(add_dkey, batch_format="pyarrow")
-            .groupby("pkey")
-            .map_groups(doc_reduce, batch_format="pandas"))
+    # per-bucket doc collapse — the direct doc_id groupby.aggregate
+    # over the joined (doc, term) stream was the 1M-doc sweep's top
+    # outlier (217 s; ~1M tiny groups)
+    return _key_coarse_merge(
+        joined.map_batches(doc_partial, batch_format="pyarrow"),
+        "doc_id", ("n_tokens", "sum_tf"), min_cols=("min_tf",))
 
 
 _SQL_LM_SCORE = (
@@ -10087,33 +10118,14 @@ def q_line_dedup(sf_dir: str, w: int = _LINE_W):
             "n_dup_segments": pa.array(
                 out["n_dup_segments"].to_numpy(np.int64))})
 
-    def add_dkey(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "dkey", pa.array((d & cmask).astype(np.int32)))
-
-    def doc_merge(g: pd.DataFrame) -> pa.Table:
-        # coarse doc-bucket collapse of the per-segment-bucket doc
-        # partials (the direct doc_id groupby.aggregate was 65 s at
-        # 1M docs)
-        d = g["doc_id"].to_numpy(np.int64)
-        order = np.argsort(d, kind="stable")
-        d = d[order]
-        ns = g["n_segments"].to_numpy(np.int64)[order]
-        nd = g["n_dup_segments"].to_numpy(np.int64)[order]
-        fi = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        return pa.table({
-            "doc_id": pa.array(d[fi], pa.int64()),
-            "n_segments": pa.array(np.add.reduceat(ns, fi)
-                                   .astype(np.int64)),
-            "n_dup_segments": pa.array(np.add.reduceat(nd, fi)
-                                       .astype(np.int64))})
-
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("pkey").map_groups(classify, batch_format="pandas")
-            .map_batches(add_dkey, batch_format="pyarrow")
-            .groupby("dkey")
-            .map_groups(doc_merge, batch_format="pandas"))
+    # coarse doc-bucket collapse of the per-segment-bucket doc
+    # partials (the direct doc_id groupby.aggregate was 65 s at 1M
+    # docs). NOTE: classify's output has no "pkey" column, so the
+    # helper's fresh bucket column does not collide.
+    return _key_coarse_merge(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey").map_groups(classify, batch_format="pandas"),
+        "doc_id", ("n_segments", "n_dup_segments"))
 
 
 def _sql_line_dedup(w: int = _LINE_W) -> str:
@@ -16311,8 +16323,11 @@ def q_record_highs(sf_dir: str):
         # lifted keys; a record is lifted > prefix-max of earlier rows
         rng = int(cents.max()) - int(cents.min()) if len(cents) else 0
         n_seg = int(seg_id[-1]) + 1 if len(seg_id) else 0
-        assert rng < (1 << 40) - 1 and n_seg < (1 << 24), (
-            f"record_highs pack overflow: cent range {rng}, {n_seg} segs")
+        if rng >= (1 << 40) - 1 or n_seg >= (1 << 24):
+            # ValueError, not assert: the guard must survive python -O
+            raise ValueError(
+                f"record_highs pack overflow: cent range {rng}, "
+                f"{n_seg} segs")
         big = (cents.astype(np.int64) -
                cents.min()).astype(np.uint64) + np.uint64(1)
         lifted = (seg_id.astype(np.uint64) << np.uint64(40)) | big
@@ -17265,9 +17280,11 @@ def q_session_type_pairs(sf_dir: str):
         # per-session type BITMASK (types are enumeration-bounded), then
         # each pair is one vectorized AND over the session-mask array
         uniq_t, inv_t = np.unique(et, return_inverse=True)
-        assert len(uniq_t) <= 63, (
-            f"session_type_pairs bitmask needs <=63 event types, "
-            f"got {len(uniq_t)}")
+        if len(uniq_t) > 63:
+            # ValueError, not assert: the guard must survive python -O
+            raise ValueError(
+                f"session_type_pairs bitmask needs <=63 event types, "
+                f"got {len(uniq_t)}")
         masks = np.zeros(int(sess[-1]) + 1 if len(sess) else 0,
                          np.int64)
         np.bitwise_or.at(masks, sess, np.int64(1) << inv_t)
