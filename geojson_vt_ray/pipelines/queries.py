@@ -813,13 +813,26 @@ def q_user_overlap(sf_dir: str):
                      aggregator_ray_remote_args=_agg_args(nparts))
              .map_batches(dedupe, batch_format="pyarrow")
              .map_batches(tag(0), batch_format="pyarrow"))
-    # per-batch uniques leave cross-batch duplicates; one grouped pass
-    # over the (tiny) unique pairs makes the result globally distinct
-    from ray.data.aggregate import Count
+    # per-batch uniques leave cross-batch duplicates; one coarse
+    # user-bucket pass makes the result globally distinct (the
+    # natural-key (user, both) aggregate was the residual cost at 20M)
+    mask = _coarse_mask()
+
+    def add_ukey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((u & mask).astype(np.int32)))
+
+    def distinct_pairs(g: pd.DataFrame) -> pa.Table:
+        out = g[["user_id", "both"]].drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "both": pa.array(out["both"].to_numpy(np.int64))})
+
     return (both.union(only0)
-            .groupby(["user_id", "both"])
-            .aggregate(Count(alias_name="_c"))
-            .select_columns(["user_id", "both"]))
+            .map_batches(add_ukey, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(distinct_pairs, batch_format="pandas"))
 
 
 # epoch day of the first events-table day (events start 2024-01-01)
@@ -5570,10 +5583,21 @@ def q_interval_union(sf_dir: str):
             "user_id": pa.array(cov.index.to_numpy(), pa.int64()),
             "covered_us": pa.array(cov.to_numpy(), pa.int64())})
 
+    mask = _coarse_mask()
+
+    def add_ukey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((u & mask).astype(np.int32)))
+
+    # finish sweeps per-uid inside any mixed group, so the exchange
+    # can be the crc-coarse user bucket instead of 300k natural-key
+    # groups (14.5 s -> seconds at 20M events)
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id").map_groups(finish,
-                                           batch_format="pandas"))
+            .map_batches(add_ukey, batch_format="pyarrow")
+            .groupby("pkey").map_groups(finish,
+                                        batch_format="pandas"))
 
 
 _SQL_INTERVAL_UNION = (
@@ -5633,10 +5657,20 @@ def q_streaks(sf_dir: str):
             "user_id": pa.array(best.index.to_numpy(), pa.int64()),
             "max_streak": pa.array(best.to_numpy().astype(np.int64))})
 
+    mask = _coarse_mask()
+
+    def add_ukey(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array((u & mask).astype(np.int32)))
+
+    # finish's run scan is per-uid inside any mixed group — coarse
+    # user buckets replace 300k natural-key groups
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id").map_groups(finish,
-                                           batch_format="pandas"))
+            .map_batches(add_ukey, batch_format="pyarrow")
+            .groupby("pkey").map_groups(finish,
+                                        batch_format="pandas"))
 
 
 _SQL_STREAKS = (
@@ -10159,7 +10193,6 @@ def q_ks_drift(sf_dir: str, type_a: str = "purchase",
     the histogram contract of weighted_median/group_percentiles; one
     domain-bounded groupby, then a single-block cumulative scan with
     Python-int cross products (overflow-proof) finishes."""
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         ty = b.column("event_type")
@@ -10190,10 +10223,15 @@ def q_ks_drift(sf_dir: str, type_a: str = "purchase",
         c1 = df["n_a"].to_numpy(np.int64).cumsum()
         c2 = df["n_b"].to_numpy(np.int64).cumsum()
         t1, t2 = int(c1[-1]), int(c2[-1])
-        # Python-int cross products: c*N overflows int64 at corpus
-        # scale long before the value domain does
-        d_num = max(abs(int(a) * t2 - int(b_) * t1)
-                    for a, b_ in zip(c1, c2))
+        if t1 < (1 << 31) and t2 < (1 << 31):
+            # c <= t, so every cross product fits int64 (< 2^62):
+            # one vectorized pass over the merged domain
+            d_num = int(np.abs(c1 * t2 - c2 * t1).max())
+        else:
+            # Python-int cross products: c*N overflows int64 at
+            # corpus scale (>2^31 rows/side)
+            d_num = max(abs(int(a) * t2 - int(b_) * t1)
+                        for a, b_ in zip(c1, c2))
         ks = (round(float(d_num) / (float(t1) * float(t2)), 6)
               if t1 and t2 else None)
         return pa.table({
@@ -10202,12 +10240,13 @@ def q_ks_drift(sf_dir: str, type_a: str = "purchase",
             "n_b": pa.array([t2], pa.int64()),
             "ks_d": pa.array([ks], pa.float64())})
 
-    return (_read_pq(f"{sf_dir}/events.parquet",
-                     columns=["event_type", "value"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("cents")
-            .aggregate(Sum("n_a", alias_name="n_a"),
-                       Sum("n_b", alias_name="n_b"))
+    # crc-coarse cents buckets replace the value-domain natural-key
+    # aggregate (the domain is corpus-scaled at 20M rows)
+    return (_key_coarse_merge(
+                _read_pq(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+                .map_batches(partial, batch_format="pyarrow"),
+                "cents", ("n_a", "n_b"))
             .repartition(1)
             .map_batches(finalize, batch_format="pandas"))
 
@@ -12347,11 +12386,17 @@ def q_survivorship_merge(sf_dir: str):
     first_source = lexicographically smallest source. The
     block-then-merge core of record linkage.
 
-    Shape for scale: the shuffle carries (block_key, id, n_chars,
-    source) tuples, never text; all survivorship rules are mergeable
-    aggregates (Min/Max/Sum) so the groupby pre-combines inside each
-    block."""
-    from ray.data.aggregate import Max, Min, Sum
+    Shape for scale: each batch pre-combines its own blocks (all
+    survivorship rules are mergeable Min/Max/Sum), so the shuffle
+    carries per-batch block partials, never text or raw docs — and it
+    shuffles ONCE by crc-coarse key bucket with a pandas merge per
+    bucket (the natural-key string aggregate over raw doc rows was
+    10 s at 1M docs)."""
+    import zlib
+    mask = _coarse_mask()
+    _AGG = {"keeper_id": "min", "n_dups": "sum",
+            "max_chars": "max", "min_chars": "min",
+            "first_source": "min"}
 
     def prep(b: pa.Table) -> pa.Table:
         t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
@@ -12360,23 +12405,47 @@ def q_survivorship_merge(sf_dir: str):
         # oracle's regexp_extract, not Arrow's null
         key = pc.fill_null(pc.struct_field(
             pc.extract_regex(t, r"(?P<k>^\S+(?: \S+){0,2})"), "k"), "")
+        df = pd.DataFrame({
+            "block_key": key.to_pandas(),
+            "keeper_id": b.column("doc_id").to_numpy(
+                zero_copy_only=False),
+            "n_dups": np.ones(len(b), np.int64),
+            "max_chars": b.column("n_chars").to_numpy(
+                zero_copy_only=False),
+            "min_chars": b.column("n_chars").to_numpy(
+                zero_copy_only=False),
+            "first_source": np.asarray(
+                b.column("source").to_pylist(), object)})
+        g = df.groupby("block_key", sort=False, as_index=False).agg(_AGG)
+        pk = np.fromiter(
+            (zlib.crc32(k.encode("utf-8")) for k in g["block_key"]),
+            np.int64, len(g))
         return pa.table({
-            "block_key": key,
-            "doc_id": b.column("doc_id"),
-            "n_chars": b.column("n_chars"),
-            "source": b.column("source"),
-            "one": pa.array(np.ones(len(b), np.int64))})
+            "block_key": pa.array(g["block_key"], pa.string()),
+            "keeper_id": pa.array(g["keeper_id"].to_numpy(np.int64)),
+            "n_dups": pa.array(g["n_dups"].to_numpy(np.int64)),
+            "max_chars": pa.array(g["max_chars"].to_numpy(np.int64)),
+            "min_chars": pa.array(g["min_chars"].to_numpy(np.int64)),
+            "first_source": pa.array(g["first_source"], pa.string()),
+            "pkey": pa.array((pk & mask).astype(np.int32))})
 
-    agg = (_read_pq(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text", "n_chars", "source"])
-           .map_batches(prep, batch_format="pyarrow")
-           .groupby("block_key")
-           .aggregate(Min("doc_id", alias_name="keeper_id"),
-                      Sum("one", alias_name="n_dups"),
-                      Max("n_chars", alias_name="max_chars"),
-                      Min("n_chars", alias_name="min_chars"),
-                      Min("source", alias_name="first_source")))
-    return agg.filter(expr="n_dups >= 2")
+    def merge(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("block_key", sort=False, as_index=False)
+               .agg(_AGG))
+        out = out[out["n_dups"] >= 2]
+        return pa.table({
+            "block_key": pa.array(out["block_key"], pa.string()),
+            "keeper_id": pa.array(out["keeper_id"].to_numpy(np.int64)),
+            "n_dups": pa.array(out["n_dups"].to_numpy(np.int64)),
+            "max_chars": pa.array(out["max_chars"].to_numpy(np.int64)),
+            "min_chars": pa.array(out["min_chars"].to_numpy(np.int64)),
+            "first_source": pa.array(out["first_source"], pa.string())})
+
+    return (_read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text", "n_chars", "source"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(merge, batch_format="pandas"))
 
 
 _SQL_SURVIVORSHIP_MERGE = (
@@ -13011,7 +13080,6 @@ def q_quantile_normalize(sf_dir: str):
     enumerable (the source_caps contract), each fold a searchsorted
     over its own histogram."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     def hist(b: pa.Table) -> pa.Table:
         src = np.asarray(b.column("source").to_pylist())
@@ -13030,13 +13098,18 @@ def q_quantile_normalize(sf_dir: str):
                          "v": pa.array(v[fi], pa.int64()),
                          "n": pa.array(n.astype(np.int64))})
 
-    cells = (_read_pq(f"{sf_dir}/documents.parquet",
-                      columns=["source", "n_chars"])
-             .map_batches(hist, batch_format="pyarrow")
-             .groupby(["source", "v"])
-             .aggregate(Sum("n", alias_name="n")))
+    # (source, v) cells merge under crc-coarse v buckets (the
+    # natural-key histogram aggregate was 11.9 s at 1M docs)
+    # materialize: cells is (source x length-domain)-bounded and is
+    # consumed twice (global histogram + per-source fold) — without
+    # this the lazy plan re-reads and re-merges the corpus twice
+    cells = _hist_coarse_merge(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["source", "n_chars"])
+        .map_batches(hist, batch_format="pyarrow"),
+        "source", "v", ("n",)).materialize()
     # global histogram: value-domain-bounded, broadcast once
-    gh = (cells.groupby("v").aggregate(Sum("n", alias_name="n"))
+    gh = (_key_coarse_merge(cells, "v", ("n",))
           .to_pandas().sort_values("v", ignore_index=True))
     gv = gh["v"].to_numpy(np.int64)
     gcum = np.cumsum(gh["n"].to_numpy(np.int64))
