@@ -776,7 +776,16 @@ def q_user_overlap(sf_dir: str):
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         day = ts // 86_400_000_000
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
-        return pa.table({"day": pa.array(day), "user_id": pa.array(uid)})
+        # batch-distinct (day, user) pairs for the two days of
+        # interest only — the materialized set below is bounded by
+        # users x blocks, never the event stream
+        sel = (day == _EVENTS_DAY0) | (day == _EVENTS_DAY0 + 1)
+        u = uid[sel]
+        if len(u) and int(u.max()) >= (1 << 32):
+            raise ValueError("user_overlap pack needs user_id < 2^32")
+        k = np.unique(day[sel] * (1 << 32) + u)
+        return pa.table({"day": pa.array(k >> 32),
+                         "user_id": pa.array(k & ((1 << 32) - 1))})
 
     def pick(day_idx: int, col: str):
         def f(b: pa.Table, *, _d=day_idx) -> pa.Table:
@@ -786,7 +795,10 @@ def q_user_overlap(sf_dir: str):
             return pa.table({col: pa.array(u)})
         return f
 
-    daysed = ds.map_batches(day_users, batch_format="pyarrow")
+    # materialize: both day-filters consume this; without it the lazy
+    # plan scans the event table twice
+    daysed = ds.map_batches(day_users,
+                            batch_format="pyarrow").materialize()
     # first two days present in every sf of the events table; both sides
     # keep the SAME key column name — Ray's semi/anti join rejects a
     # key-only left table when right_on differs from on
